@@ -1,13 +1,315 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions._
+import graft.operators.FlatKnn
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that is SQL-expressible appears here as
+  * a named query with a DuckDB oracle over the same parquet tables.
+  * Determinism rules (FIXTURES.md §C): double accumulation, explicit
+  * `ORDER BY (dist, id)` tie-breaks, `round(x, n)` on any arithmetic float
+  * output (raw column passthroughs stay bit-exact and are not rounded).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long and convert to a microsecond
+    * timestamp (integer DIV — double division would lose precision above
+    * 2^53 ns). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** The deterministic probe vector: the stored embedding of vec_id 0
+    * (self-query — flat exact kNN must return it at distance 0, the
+    * reference's own invariant, test_library_save_load.py:136-148). */
+  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+    t(s, dir, "embeddings")
+      .where(col("vec_id") === 0)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+
+  /** Shared DuckDB oracle fragments. */
+  private val oq = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q"
+  private def oDouble(e: String) = s"CAST($e AS DOUBLE)"
+  private val oEuclid =
+    "sqrt(list_sum(list_transform(list_zip(e.embedding, q.qv), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
+  private val oDot =
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def oNormSq(c: String) =
+    s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private val oCosine =
+    s"(1.0 - $oDot / (sqrt(${oNormSq("e.embedding")}) * sqrt(${oNormSq("q.qv")})))"
+  private val oManhattan =
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), " +
+      "p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
+  private def oKnn(distExpr: String, k: Int = 10): String =
+    s"""SELECT vec_id, round(dist_exact, 6) AS dist FROM (
+       |  SELECT e.vec_id AS vec_id, $distExpr AS dist_exact
+       |  FROM embeddings e, $oq
+       |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
+
+  /** Spark side of oKnn: exact ranking, rounded projection. */
+  private def knnQuery(metric: Metric)(s: SparkSession, dir: String): DataFrame =
+    FlatKnn
+      .search(t(s, dir, "embeddings"), queryVec(s, dir), 10, metric)
+      .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full reference read path (SURVEY.md §3.1): scan → distance → top-k
+    * (TakeOrderedAndProject) → broadcast document join → projection. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val knn = FlatKnn.search(t(spark, dir, "embeddings"), queryVec(spark, dir), 5, Euclidean)
+    knn
+      .join(broadcast(t(spark, dir, "documents")), knn("vec_id") === col("doc_id"))
+      .select(col("vec_id"), round(col("dist"), 6).as("dist"), col("lang"), col("source"))
+      .orderBy("dist", "vec_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- K1/K4/T1: flat exact kNN under all four metrics ----
+    "q_knn_euclidean" -> (knnQuery(Euclidean) _),
+    "q_knn_cosine" -> (knnQuery(Cosine) _),
+    "q_knn_dot" -> (knnQuery(DotProduct) _),
+    "q_knn_manhattan" -> (knnQuery(Manhattan) _),
+    // ---- K5: rank in euclidean, score in requested metric (cosine) ----
+    "q_knn_score_quirk" -> ((s, dir) =>
+      FlatKnn
+        .searchWithScore(t(s, dir, "embeddings"), queryVec(s, dir), 10, Euclidean, Cosine)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))),
+    // ---- P1/T4: conjunctive post-filter after top-k, re-truncate ----
+    "q_knn_tag_postfilter" -> ((s, dir) => {
+      val c50 = FlatKnn.searchWithColumns(
+        t(s, dir, "embeddings"), queryVec(s, dir), 50, Euclidean, "vec_id", "embedding", Seq("label"))
+      c50.where(col("label") === 5)
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+    }),
+    // ---- J1/A3: kNN → broadcast document lookup join ----
+    "q_knn_doc_join" -> ((s, dir) => {
+      val knn = FlatKnn.search(t(s, dir, "embeddings"), queryVec(s, dir), 10, Euclidean)
+      knn.join(broadcast(t(s, dir, "documents")), knn("vec_id") === col("doc_id"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"), col("lang"), col("source"))
+    }),
+    // ---- K6: L2 norms / normalization check ----
+    "q_vector_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), round(VectorFunctions.l2Norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy("vec_id")
+        .limit(100)),
+    // ---- A1/A2-style aggregation: TPC-H Q1 shape over lineitem ----
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    // ---- T1: top-k without full sort (TakeOrderedAndProject) ----
+    "q_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+    // ---- J1-general: broadcast dim join + aggregation ----
+    "q_segment_revenue" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum("o_totalprice"), 4).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")),
+    // ---- multi-hop dim join: customer → nation → region rollup ----
+    "q_region_customers" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_name")),
+    // ---- P5/J3: existence via left-semi join ----
+    "q_semi_customers_with_orders" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+    // ---- M5-analog: anti join ----
+    "q_anti_customers_without_orders" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+    // ---- §2.7: distinct ----
+    "q_distinct_flags" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+    // ---- P2-style filter + pushdown (TPC-H Q6 shape) ----
+    "q_filter_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(
+          col("l_discount").between(0.04, 0.08) && col("l_quantity") < 24)
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))),
+    // ---- beyond-parity: event-time bucketing over events ----
+    "q_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("hour_start", "event_type")),
+    // ---- A2: counts per group (events per user) ----
+    "q_user_event_counts" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+        .orderBy("user_id")),
+    // ---- P4: text-preview projection ----
+    "q_text_preview" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          when(length(col("text")) > 100,
+            concat(substring(col("text"), 1, 100), lit("...")))
+            .otherwise(col("text"))
+            .as("preview"))
+        .orderBy("doc_id")
+        .limit(200)),
+    // ---- training-pipeline: token counting ----
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ", -1)).as("n_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+    // ---- training-pipeline: exact dedup stats ----
+    "q_dedup_exact_stats" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup"))),
+    // ---- training-pipeline: exact dedup keep-first groups (md5) ----
+    "q_dedup_exact_groups" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+        .orderBy("keep_id")
+        .limit(100)),
+    // ---- lang rollup (corpus stats) ----
+    "q_lang_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("lang"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_knn_euclidean" -> oKnn(oEuclid),
+    "q_knn_cosine" -> oKnn(oCosine),
+    "q_knn_dot" -> oKnn(s"(-$oDot)"),
+    "q_knn_manhattan" -> oKnn(oManhattan),
+    "q_knn_score_quirk" ->
+      s"""SELECT vec_id, round(dist_exact, 6) AS dist, round(score_exact, 6) AS score FROM (
+         |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact, $oCosine AS score_exact
+         |  FROM embeddings e, $oq
+         |) ORDER BY dist_exact, vec_id LIMIT 10""".stripMargin,
+    "q_knn_tag_postfilter" ->
+      s"""SELECT vec_id, label, round(dist_exact, 6) AS dist FROM (
+         |  SELECT e.vec_id AS vec_id, e.label AS label, $oEuclid AS dist_exact
+         |  FROM embeddings e, $oq
+         |  ORDER BY dist_exact, vec_id LIMIT 50
+         |) WHERE label = 5 ORDER BY dist_exact, vec_id LIMIT 10""".stripMargin,
+    "q_knn_doc_join" ->
+      s"""SELECT k.vec_id AS vec_id, round(k.dist_exact, 6) AS dist, d.lang AS lang, d.source AS source
+         |FROM (
+         |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
+         |  FROM embeddings e, $oq
+         |  ORDER BY dist_exact, vec_id LIMIT 10
+         |) k JOIN documents d ON k.vec_id = d.doc_id
+         |ORDER BY k.dist_exact, k.vec_id""".stripMargin,
+    "q_vector_norms" ->
+      s"""SELECT vec_id, round(sqrt(${oNormSq("embedding")}), 6) AS l2_norm
+         |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_segment_revenue" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_region_customers" ->
+      """SELECT r_name, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_semi_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_revenue" ->
+      """SELECT count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_user_event_counts" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_text_preview" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...' ELSE text END AS preview
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, length(string_split(text, ' ')) AS n_tokens, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+        |  count(*) - count(DISTINCT text) AS n_dup
+        |FROM documents""".stripMargin,
+    "q_dedup_exact_groups" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id LIMIT 100""".stripMargin,
+    "q_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
 }
