@@ -1,24 +1,61 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line for the driver to parse.
+  *
+  * Harness rules (round-1 verdict fixes):
+  *  - materialize via the noop sink, not `.count()` — a count lets Catalyst
+  *    prune projections/sorts, so split()/sort work would go untimed;
+  *  - never swallow failures: a failed query is recorded with status and
+  *    the process exits nonzero (a broken query must not *improve* the bench);
+  *  - one untimed warm-up pass (JVM/codegen warm-up dominated the round-1
+  *    first-query number: 8.05 s vs 0.99 s for an identical-shape query).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Either[String, Unit] =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right(())
+      } catch {
+        case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Warm-up: run one representative query untimed (codegen + classloading).
+    names.headOption.foreach(runOnce)
+
+    var failed = List.empty[String]
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      runOnce(name) match {
+        case Right(_) => name -> ((System.nanoTime() - t0) / 1e9)
+        case Left(err) =>
+          failed ::= s"$name: $err"
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val status = if (failed.isEmpty) "ok" else "failed"
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","status":"$status","n_failed":${failed.size}}""")
+    failed.reverse.foreach(f => System.err.println(s"[bench] FAILED $f"))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 import graft.functions.VectorFunctions._
@@ -18,6 +18,17 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Canonicalizing round: `round(c, n) + 0.0` maps IEEE `-0.0` to `+0.0`
+    * (identity for every other value). Without it, a cosine distance of
+    * ~-1e-16 rounds to `-0.0` in one engine and `+0.0` in the other and the
+    * driver's *bitwise* hash compare fails even though the values are equal
+    * (root cause of the round-1 q_knn_cosine / q_knn_score_quirk fails).
+    * The oracle SQL applies the same `+ 0.0` — see [[oRound]]. */
+  private def rn(c: Column, n: Int): Column = round(c, n) + lit(0.0)
+
+  /** Oracle-side twin of [[rn]]. */
+  private def oRound(e: String, n: Int): String = s"(round($e, $n) + 0.0)"
 
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read nanos as long and convert to a microsecond
@@ -48,14 +59,17 @@ object SparkEntry {
     "list_sum(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   private def oNormSq(c: String) =
     s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  /** Mirrors the Spark/reference zero-magnitude guard (indexer.py:117-119):
+    * either norm 0 → distance 1.0 (the unguarded form would yield NaN). */
   private val oCosine =
-    s"(1.0 - $oDot / (sqrt(${oNormSq("e.embedding")}) * sqrt(${oNormSq("q.qv")})))"
+    s"(CASE WHEN ${oNormSq("e.embedding")} = 0 OR ${oNormSq("q.qv")} = 0 THEN 1.0 " +
+      s"ELSE 1.0 - $oDot / (sqrt(${oNormSq("e.embedding")}) * sqrt(${oNormSq("q.qv")})) END)"
   private val oManhattan =
     "list_sum(list_transform(list_zip(e.embedding, q.qv), " +
       "p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
 
   private def oKnn(distExpr: String, k: Int = 10): String =
-    s"""SELECT vec_id, round(dist_exact, 6) AS dist FROM (
+    s"""SELECT vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
        |  SELECT e.vec_id AS vec_id, $distExpr AS dist_exact
        |  FROM embeddings e, $oq
        |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
@@ -64,7 +78,7 @@ object SparkEntry {
   private def knnQuery(metric: Metric)(s: SparkSession, dir: String): DataFrame =
     FlatKnn
       .search(t(s, dir, "embeddings"), queryVec(s, dir), 10, metric)
-      .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full reference read path (SURVEY.md §3.1): scan → distance → top-k
@@ -74,7 +88,7 @@ object SparkEntry {
     val knn = FlatKnn.search(t(spark, dir, "embeddings"), queryVec(spark, dir), 5, Euclidean)
     knn
       .join(broadcast(t(spark, dir, "documents")), knn("vec_id") === col("doc_id"))
-      .select(col("vec_id"), round(col("dist"), 6).as("dist"), col("lang"), col("source"))
+      .select(col("vec_id"), rn(col("dist"), 6).as("dist"), col("lang"), col("source"))
       .orderBy("dist", "vec_id")
   }
 
@@ -89,7 +103,7 @@ object SparkEntry {
     "q_knn_score_quirk" -> ((s, dir) =>
       FlatKnn
         .searchWithScore(t(s, dir, "embeddings"), queryVec(s, dir), 10, Euclidean, Cosine)
-        .select(col("vec_id"), round(col("dist"), 6).as("dist"), round(col("score"), 6).as("score"))),
+        .select(col("vec_id"), rn(col("dist"), 6).as("dist"), rn(col("score"), 6).as("score"))),
     // ---- P1/T4: conjunctive post-filter after top-k, re-truncate ----
     "q_knn_tag_postfilter" -> ((s, dir) => {
       val c50 = FlatKnn.searchWithColumns(
@@ -97,19 +111,19 @@ object SparkEntry {
       c50.where(col("label") === 5)
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)
-        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+        .select(col("vec_id"), col("label"), rn(col("dist"), 6).as("dist"))
     }),
     // ---- J1/A3: kNN → broadcast document lookup join ----
     "q_knn_doc_join" -> ((s, dir) => {
       val knn = FlatKnn.search(t(s, dir, "embeddings"), queryVec(s, dir), 10, Euclidean)
       knn.join(broadcast(t(s, dir, "documents")), knn("vec_id") === col("doc_id"))
         .orderBy(col("dist").asc, col("vec_id").asc)
-        .select(col("vec_id"), round(col("dist"), 6).as("dist"), col("lang"), col("source"))
+        .select(col("vec_id"), rn(col("dist"), 6).as("dist"), col("lang"), col("source"))
     }),
     // ---- K6: L2 norms / normalization check ----
     "q_vector_norms" -> ((s, dir) =>
       t(s, dir, "embeddings")
-        .select(col("vec_id"), round(VectorFunctions.l2Norm(col("embedding")), 6).as("l2_norm"))
+        .select(col("vec_id"), rn(VectorFunctions.l2Norm(col("embedding")), 6).as("l2_norm"))
         .orderBy("vec_id")
         .limit(100)),
     // ---- A1/A2-style aggregation: TPC-H Q1 shape over lineitem ----
@@ -117,9 +131,9 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          rn(sum("l_quantity"), 4).as("sum_qty"),
+          rn(sum("l_extendedprice"), 4).as("sum_price"),
+          rn(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")),
     // ---- T1: top-k without full sort (TakeOrderedAndProject) ----
@@ -133,7 +147,7 @@ object SparkEntry {
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(round(sum("o_totalprice"), 4).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(rn(sum("o_totalprice"), 4).as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")),
     // ---- multi-hop dim join: customer → nation → region rollup ----
     "q_region_customers" -> ((s, dir) =>
@@ -168,18 +182,18 @@ object SparkEntry {
           col("l_discount").between(0.04, 0.08) && col("l_quantity") < 24)
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))),
+          rn(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))),
     // ---- beyond-parity: event-time bucketing over events ----
     "q_events_hourly" -> ((s, dir) =>
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), rn(sum("value"), 4).as("sum_value"))
         .orderBy("hour_start", "event_type")),
     // ---- A2: counts per group (events per user) ----
     "q_user_event_counts" -> ((s, dir) =>
       events(s, dir)
         .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+        .agg(count(lit(1)).as("n_events"), rn(sum("value"), 4).as("total_value"))
         .orderBy("user_id")),
     // ---- P4: text-preview projection ----
     "q_text_preview" -> ((s, dir) =>
@@ -217,7 +231,7 @@ object SparkEntry {
     "q_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+        .agg(count(lit(1)).as("n_docs"), rn(avg("n_chars"), 4).as("avg_chars"))
         .orderBy("lang"))
   )
 
@@ -229,18 +243,18 @@ object SparkEntry {
     "q_knn_dot" -> oKnn(s"(-$oDot)"),
     "q_knn_manhattan" -> oKnn(oManhattan),
     "q_knn_score_quirk" ->
-      s"""SELECT vec_id, round(dist_exact, 6) AS dist, round(score_exact, 6) AS score FROM (
+      s"""SELECT vec_id, (round(dist_exact, 6) + 0.0) AS dist, (round(score_exact, 6) + 0.0) AS score FROM (
          |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact, $oCosine AS score_exact
          |  FROM embeddings e, $oq
          |) ORDER BY dist_exact, vec_id LIMIT 10""".stripMargin,
     "q_knn_tag_postfilter" ->
-      s"""SELECT vec_id, label, round(dist_exact, 6) AS dist FROM (
+      s"""SELECT vec_id, label, (round(dist_exact, 6) + 0.0) AS dist FROM (
          |  SELECT e.vec_id AS vec_id, e.label AS label, $oEuclid AS dist_exact
          |  FROM embeddings e, $oq
          |  ORDER BY dist_exact, vec_id LIMIT 50
          |) WHERE label = 5 ORDER BY dist_exact, vec_id LIMIT 10""".stripMargin,
     "q_knn_doc_join" ->
-      s"""SELECT k.vec_id AS vec_id, round(k.dist_exact, 6) AS dist, d.lang AS lang, d.source AS source
+      s"""SELECT k.vec_id AS vec_id, (round(k.dist_exact, 6) + 0.0) AS dist, d.lang AS lang, d.source AS source
          |FROM (
          |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
          |  FROM embeddings e, $oq
@@ -248,13 +262,13 @@ object SparkEntry {
          |) k JOIN documents d ON k.vec_id = d.doc_id
          |ORDER BY k.dist_exact, k.vec_id""".stripMargin,
     "q_vector_norms" ->
-      s"""SELECT vec_id, round(sqrt(${oNormSq("embedding")}), 6) AS l2_norm
+      s"""SELECT vec_id, (round(sqrt(${oNormSq("embedding")}), 6) + 0.0) AS l2_norm
          |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  (round(sum(l_quantity), 4) + 0.0) AS sum_qty,
+        |  (round(sum(l_extendedprice), 4) + 0.0) AS sum_price,
+        |  (round(avg(l_discount), 6) + 0.0) AS avg_disc,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -262,7 +276,7 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q_segment_revenue" ->
-      """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+      """SELECT c_mktsegment, (round(sum(o_totalprice), 4) + 0.0) AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_region_customers" ->
@@ -284,15 +298,15 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_filter_revenue" ->
       """SELECT count(*) AS n,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |  count(*) AS n, (round(sum(value), 4) + 0.0) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_user_event_counts" ->
-      """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+      """SELECT user_id, count(*) AS n_events, (round(sum(value), 4) + 0.0) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_text_preview" ->
       """SELECT doc_id,
@@ -309,7 +323,7 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY keep_id LIMIT 100""".stripMargin,
     "q_lang_stats" ->
-      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+      """SELECT lang, count(*) AS n_docs, (round(avg(n_chars), 4) + 0.0) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

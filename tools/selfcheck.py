@@ -8,6 +8,7 @@ import glob
 import json
 import math
 import os
+import struct
 import sys
 
 import duckdb
@@ -17,10 +18,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Byte-level float compare, matching the driver's bitwise hash: Python's
+    # round()/== treat -0.0 == 0.0, which hid the round-1 -0.0 mismatch.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return struct.pack(">d", round(v, 9)).hex()
     return v
 
 
