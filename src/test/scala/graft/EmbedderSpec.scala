@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Embedder
+
+/** Three-form consistency of the deterministic embedder
+  * (Embedder.scala: Catalyst column vs driver-local Scala; the third
+  * form — the DuckDB SQL fragment — is proven equal by the driver's
+  * hash compare on the q_embed_knn CORRECTNESS entry, which ranks by
+  * distances computed from oracleEmbed on one side and embed/embedLocal
+  * on the other).
+  */
+class EmbedderSpec extends SparkSpec {
+
+  private val corpus = Seq(
+    "the quick brown fox",
+    "jumps over the lazy dog",
+    "",
+    " ",
+    "a",
+    "exact duplicate text",
+    "exact duplicate text",
+    "unicode: ünïcødé — 中文 🙂",
+    "a" * 5000,
+    "tab\tand\nnewline")
+
+  test("Catalyst embed column equals driver-local embedLocal, bit-exact") {
+    import spark.implicits._
+    val df = corpus.distinct.toDF("text")
+    val got = df
+      .select(col("text"), Embedder.embed(col("text")).as("e"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Float]]("e"))
+      .toMap
+    corpus.distinct.foreach { t =>
+      val local = Embedder.embedLocal(t)
+      assert(got(t).length === Embedder.Dim)
+      assert(
+        got(t).toArray.sameElements(local),
+        s"catalyst vs local mismatch for '${t.take(30)}'")
+    }
+  }
+
+  test("embedding is deterministic across evaluations") {
+    val a = Embedder.embedLocal("determinism probe")
+    val b = Embedder.embedLocal("determinism probe")
+    assert(a.sameElements(b))
+  }
+
+  test("values lie in [0, 1) and vectors are non-degenerate") {
+    corpus.distinct.foreach { t =>
+      val e = Embedder.embedLocal(t)
+      assert(e.forall(v => v >= 0.0f && v < 1.0f))
+      // per-dim spreading: not all dims identical (the reference mock's
+      // constant-vector degeneracy we deliberately fixed)
+      assert(e.distinct.length > 1, s"degenerate embedding for '${t.take(30)}'")
+    }
+  }
+
+  test("distinct texts embed to distinct vectors") {
+    val es = corpus.distinct.map(t => Embedder.embedLocal(t).toSeq)
+    assert(es.distinct.length === es.length)
+  }
+
+  test("withEmbedding preserves row count and embeds every row (dedup path)") {
+    import spark.implicits._
+    val df = corpus.toDF("text") // includes a duplicate pair
+    val out = Embedder.withEmbedding(df).cache()
+    assert(out.count() === corpus.length.toLong)
+    assert(out.where(col("embedding").isNull).count() === 0L)
+    // duplicate texts got identical embeddings
+    val dups = out
+      .where(col("text") === "exact duplicate text")
+      .select("embedding")
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0))
+    assert(dups.length === 2 && dups(0) == dups(1))
+    out.unpersist()
+  }
+
+  test("embedLocal honors the dim parameter and prefixes agree") {
+    val e8 = Embedder.embedLocal("dim probe", 8)
+    val e32 = Embedder.embedLocal("dim probe", 32)
+    assert(e8.length === 8 && e32.length === 32)
+    assert(e8.sameElements(e32.take(8)))
+  }
+}
