@@ -11,14 +11,24 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Dump-layer canonicalization: order-free queries get sorted here
+        // (mirroring their oracle's ORDER BY) so the hash compare is
+        // deterministic without paying a global sort inside the query
+        // itself — see SparkEntry.verifyOrder.
+        val df = fn(spark, sfDir)
+        val ordered = SparkEntry.verifyOrder.get(name) match {
+          case Some(cols) => df.orderBy(cols.map(df(_)): _*)
+          case None       => df
+        }
+        ordered.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *    while staying a pure function of the text.
   *
   * All three forms (Catalyst column, driver-local Scala, DuckDB SQL
-  * fragment) implement the identical function; tests assert pairwise
-  * equality.
+  * fragment) implement the identical function. Catalyst↔local equality is
+  * asserted bit-exactly by `EmbedderSpec`; the DuckDB form is proven by
+  * the driver's hash compare on `q_embed_knn` (its oracle ranks by
+  * distances over [[oracleEmbed]] while Spark ranks over [[embed]]).
   */
 object Embedder {
 
@@ -70,18 +72,26 @@ object Embedder {
   /** Embed with dedup-before-embed: distinct texts are embedded once and
     * joined back, mirroring the reference's embedding cache
     * (`embedding.py:16,50-59` — a dict keyed by text). At scale this turns
-    * an O(rows) embedding pass into O(distinct texts) plus one shuffle on
-    * the text hash; worth it whenever the corpus has duplication.
+    * an O(rows) embedding pass into O(distinct texts) plus one shuffle.
+    *
+    * The dedup key and the join key are `xxhash64(text)`, not the raw
+    * text: shuffling full document bodies twice (distinct + join) is the
+    * dominant cost at 100 TB, while a 64-bit key shuffles 8 bytes/row.
+    * Collisions (p ≈ n²/2⁶⁵) would assign a colliding text the other
+    * text's embedding — the standard content-hash identity assumption
+    * every large-scale dedup pipeline already makes.
     */
   def withEmbedding(
       df: DataFrame,
       textCol: String = "text",
       outCol: String = "embedding",
       dim: Int = Dim): DataFrame = {
-    val distinctTexts = df
-      .select(col(textCol))
-      .distinct()
-      .withColumn(outCol, embed(col(textCol), dim))
-    df.join(distinctTexts, Seq(textCol))
+    val key = "__text_hash"
+    val hashed = df.withColumn(key, xxhash64(col(textCol)))
+    val embedded = hashed
+      .select(col(key), col(textCol))
+      .dropDuplicates(key)
+      .select(col(key), embed(col(textCol), dim).as(outCol))
+    hashed.join(embedded, Seq(key)).drop(key)
   }
 }
