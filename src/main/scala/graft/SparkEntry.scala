@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.FlatKnn
+import graft.operators.{FlatKnn, LshIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -251,7 +251,13 @@ object SparkEntry {
       FlatKnn
         .searchWithColumns(docs, qv, 10, Euclidean, "doc_id", "embedding", Seq("lang"))
         .select(col("doc_id"), col("lang"), rn(col("dist"), 6).as("dist"))
-    })
+    }),
+    // ---- K2/T2: LSH approximate kNN — bucket probe, exact re-rank,
+    //      full-scan fallback when candidates < k (lsh.py:166-228) ----
+    "q_lsh_knn" -> ((s, dir) =>
+      LshIndex
+        .search(t(s, dir, "embeddings"), queryVec(s, dir), 10)
+        .select(col("vec_id"), rn(col("dist"), 6).as("dist")))
   )
 
   /** Query text for q_embed_knn — embedded identically on the driver
@@ -368,6 +374,35 @@ object SparkEntry {
     "q_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, (round(avg(n_chars), 4) + 0.0) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_lsh_knn" -> {
+      val p = LshIndex.Params()
+      val k = 10
+      // Same pipeline as LshIndex.search, in SQL: derive the hyperplanes
+      // from md5 (planes CTE), signature = sign-bit sum per (vector,
+      // table), candidates = any-table signature match with the query's
+      // independently computed signature, under-k fallback to the full
+      // corpus, exact euclidean re-rank.
+      val planeExpr =
+        s"(((('0x'||substr(md5('${p.tag}|'||t||'|'||b||'|'||d),1,8))::BIGINT % 2001)-1000)/1000.0)"
+      def sigSum(vec: String) =
+        s"sum(CASE WHEN list_sum(list_transform(list_zip($vec, p.pl), " +
+          "z -> CAST(z[1] AS DOUBLE)*z[2])) >= 0 THEN (1<<p.b)::BIGINT ELSE 0 END)"
+      s"""WITH planes AS (
+         |  SELECT t, b, list($planeExpr ORDER BY d) AS pl
+         |  FROM range(0,${p.numTables}) tt(t), range(0,${p.hashSize}) bb(b), range(0,${p.dim}) dd(d)
+         |  GROUP BY t, b
+         |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qsigs AS (SELECT p.t AS t, ${sigSum("q.qv")} AS sig FROM q, planes p GROUP BY p.t),
+         |sigs AS (SELECT e.vec_id AS vec_id, p.t AS t, ${sigSum("e.embedding")} AS sig
+         |         FROM embeddings e, planes p GROUP BY e.vec_id, p.t),
+         |cand AS (SELECT DISTINCT s.vec_id FROM sigs s, qsigs qs WHERE s.t = qs.t AND s.sig = qs.sig),
+         |base AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         |         WHERE (SELECT count(*) FROM cand) < $k OR e.vec_id IN (SELECT vec_id FROM cand))
+         |SELECT vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
+         |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
+         |  FROM base e, q
+         |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
+    },
     "q_embed_knn" -> {
       val de = Embedder.oracleEmbed("d.text")
       val qe = Embedder.oracleEmbed(s"'$EmbedQueryText'")

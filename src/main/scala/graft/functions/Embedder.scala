@@ -50,17 +50,24 @@ object Embedder {
           .cast("float"))
   }
 
-  /** Driver-local twin of [[embed]] — used to embed query strings without
-    * launching a job (the reference embeds the query text the same way it
-    * embeds stored chunks, library_service.py:196-204). */
-  def embedLocal(text: String, dim: Int = Dim): Array[Float] = {
+  /** Driver-local md5-prefix integer — the seed primitive shared by the
+    * embedder and the LSH hyperplane generator. Equals [[md5Int]] (the
+    * Catalyst form) and `('0x' || substr(md5(x),1,8))::BIGINT` (DuckDB). */
+  def md5IntLocal(text: String): Long = {
     val hex = MessageDigest
       .getInstance("MD5")
       .digest(text.getBytes("UTF-8"))
       .map("%02x".format(_))
       .mkString
       .take(8)
-    val h = java.lang.Long.parseLong(hex, 16)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Driver-local twin of [[embed]] — used to embed query strings without
+    * launching a job (the reference embeds the query text the same way it
+    * embeds stored chunks, library_service.py:196-204). */
+  def embedLocal(text: String, dim: Int = Dim): Array[Float] = {
+    val h = md5IntLocal(text)
     Array.tabulate(dim)(d => (((h * (d + 1) + d) % 10000L) / 10000.0).toFloat)
   }
 

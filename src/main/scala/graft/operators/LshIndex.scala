@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Embedder, VectorFunctions}
+
+/** Random-hyperplane (cosine sign) LSH index — the Spark-native
+  * re-expression of the reference's `LSHIndexer`
+  * (`/root/reference/app/core/indexers/lsh.py`): hyperplane init
+  * `lsh.py:312-327`, signature `lsh.py:329-353`, bucket probe
+  * `lsh.py:189-195`, brute-force fallback when candidates < k
+  * `lsh.py:199-202`, exact re-rank `lsh.py:204-213`.
+  *
+  * Differences from the reference, by design:
+  *  - Hyperplanes are not drawn from a seeded Gaussian RNG but derived
+  *    from md5 of `"tag|table|bit|dim"` (uniform in [-1, 1] per
+  *    component). Determinism here must hold across THREE engines
+  *    (Catalyst, driver-local Scala, the DuckDB oracle), and a hash
+  *    derivation is the only generator all three can reproduce exactly.
+  *    Random-direction quality is equivalent for sign-LSH purposes.
+  *  - Signatures are ints (bit b set iff dot(v, plane_b) >= 0), not bit
+  *    strings — an 8-byte shuffle key instead of a string.
+  *
+  * Scale design (100 TB): [[signatureTable]] materializes `(id,
+  * table_idx, sig)` once per index build — written out partitioned by
+  * `table_idx` and bucketed by `sig`, a probe reads only the L matching
+  * buckets and never touches the full corpus; the inline path in
+  * [[search]] (compute signatures during the scan) is the no-index
+  * fallback and the correctness oracle's shape. Candidate re-rank is the
+  * shuffle-free `TakeOrderedAndProject` top-k of [[FlatKnn]].
+  */
+object LshIndex {
+
+  /** Reference defaults: hash_size=8, num_tables=10
+    * (`app/config/indexer_hparams.py:18-20`). `dim` MUST equal the
+    * indexed vector column's dimensionality (the testdata embeddings are
+    * 64-d) — a shorter plane would silently zip_with-null-pad. */
+  case class Params(
+      hashSize: Int = 8,
+      numTables: Int = 10,
+      dim: Int = 64,
+      tag: String = "lsh")
+
+  /** Hyperplane component (t = table, b = bit, d = dim), in [-1, 1].
+    * Exact in all three engines: md5 prefix int % 2001 - 1000, / 1000. */
+  def planeVal(p: Params, t: Int, b: Int, d: Int): Double =
+    ((Embedder.md5IntLocal(s"${p.tag}|$t|$b|$d") % 2001L) - 1000L) / 1000.0
+
+  /** planes(t)(b) = the b-th hyperplane of table t. */
+  def planes(p: Params): Array[Array[Array[Double]]] =
+    Array.tabulate(p.numTables, p.hashSize, p.dim)(planeVal(p, _, _, _))
+
+  /** Driver-local signature of one vector for one table's planes.
+    * Same ops in the same order as [[signatureCol]]: float→double cast,
+    * left-to-right accumulation. */
+  def signatureLocal(vec: Array[Float], tablePlanes: Array[Array[Double]]): Long =
+    tablePlanes.zipWithIndex.map { case (pl, b) =>
+      require(vec.length == pl.length, s"dim mismatch: vec ${vec.length} vs plane ${pl.length}")
+      var dot = 0.0
+      var d = 0
+      while (d < pl.length) { dot += vec(d).toDouble * pl(d); d += 1 }
+      if (dot >= 0.0) 1L << b else 0L
+    }.sum
+
+  /** Codegen'd signature column for one table: sign bits of dot products
+    * against literal plane vectors (no UDF, stays in WholeStageCodegen). */
+  def signatureCol(vec: Column, tablePlanes: Array[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (pl, b) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(pl.toSeq), (x, y) => x.cast("double") * y),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(dot >= 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The persistable index: one row per (id, table_idx, sig). Write this
+    * partitioned by `table_idx`, bucketed by `sig`, and a probe becomes a
+    * partition-pruned bucket read instead of a corpus scan. */
+  def signatureTable(
+      df: DataFrame,
+      p: Params = Params(),
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val ps = planes(p)
+    val sigArray = array((0 until p.numTables).map(t => signatureCol(col(embCol), ps(t))): _*)
+    df.select(col(idCol), posexplode(sigArray).as(Seq("table_idx", "sig")))
+  }
+
+  /** Candidate filter: any-table signature equality with the query
+    * (the union over L bucket probes, lsh.py:189-195). */
+  private def candidateCond(
+      embCol: String,
+      ps: Array[Array[Array[Double]]],
+      querySigs: Array[Long]): Column =
+    ps.indices
+      .map(t => signatureCol(col(embCol), ps(t)) === lit(querySigs(t)))
+      .reduce(_ || _)
+
+  /** Approximate top-k: probe buckets, re-rank candidates exactly, fall
+    * back to a full scan when the candidate set is smaller than k. The
+    * under-k branch is driver-side, mirroring the reference's
+    * `if len(candidates) < k` (lsh.py:199-202).
+    */
+  def search(
+      df: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      p: Params = Params(),
+      metric: VectorFunctions.Metric = VectorFunctions.Euclidean,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(query.length == p.dim, s"query dim ${query.length} != params dim ${p.dim}")
+    val ps = planes(p)
+    val querySigs = ps.map(signatureLocal(query.toArray, _))
+    // localCheckpoint materializes the candidate set once (the signature
+    // computation is numTables*hashSize dot products per row — not
+    // something to evaluate twice for count + re-rank) and the blocks are
+    // tiny: only bucket-matching rows survive the filter.
+    val cands = df
+      .where(candidateCond(embCol, ps, querySigs))
+      .localCheckpoint(true)
+    val base = if (cands.count() >= k) cands else df
+    FlatKnn.search(base, query, k, metric, idCol, embCol)
+  }
+
+  /** Probe against a prebuilt [[signatureTable]]: semi-join the matching
+    * (table_idx, sig) buckets, then exact re-rank — the scale path. */
+  def searchWithTable(
+      df: DataFrame,
+      sigTable: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      p: Params = Params(),
+      metric: VectorFunctions.Metric = VectorFunctions.Euclidean,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val ps = planes(p)
+    val querySigs = ps.map(signatureLocal(query.toArray, _))
+    val probeCond = querySigs.zipWithIndex
+      .map { case (s, t) => col("table_idx") === t && col("sig") === s }
+      .reduce(_ || _)
+    val candIds = sigTable.where(probeCond).select(idCol).distinct()
+    val cands = df.join(candIds, Seq(idCol), "left_semi")
+    val base = if (cands.count() >= k) cands else df
+    FlatKnn.search(base, query, k, metric, idCol, embCol)
+  }
+
+  /** Multi-probe signature expansion (reference K7, `lsh.py:355-376` —
+    * defined and unit-tested there but never called by search): the
+    * original signature plus every signature at Hamming distance <=
+    * `maxFlips` obtained by flipping distinct bit subsets. */
+  def multiProbe(sig: Long, hashSize: Int, maxFlips: Int): Seq[Long] = {
+    def flips(start: Int, left: Int, cur: Long): Seq[Long] =
+      if (left == 0) Seq(cur)
+      else
+        (start until hashSize).flatMap(b => flips(b + 1, left - 1, cur ^ (1L << b)))
+    (0 to maxFlips).flatMap(f => flips(0, f, sig)).distinct
+  }
+}
