@@ -257,7 +257,52 @@ object SparkEntry {
     "q_lsh_knn" -> ((s, dir) =>
       LshIndex
         .search(t(s, dir, "embeddings"), queryVec(s, dir), 10)
-        .select(col("vec_id"), rn(col("dist"), 6).as("dist")))
+        .select(col("vec_id"), rn(col("dist"), 6).as("dist"))),
+    // ---- S2-S5 + M1/M3/M5: the full persistence/CRUD lifecycle as one
+    //      hash-checked query: create a library from the documents table
+    //      (write), delete a deterministic slice (anti-join + write), add
+    //      100 synthetic chunks (union + write), recover it with a FRESH
+    //      catalog instance from disk (read + schema enforcement), and
+    //      aggregate. The oracle reproduces the same set algebra over the
+    //      base table. ----
+    "q_crud_pipeline" -> ((s, dir) => {
+      import graft.catalog.{LibraryCatalog, Models}
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_crud_wh"
+      val cat = new LibraryCatalog(s, wh)
+      val src = t(s, dir, "documents").select(
+        concat(lit("c"), col("doc_id")).as("id"),
+        concat(lit("d"), pmod(col("doc_id"), lit(50))).as("document_id"),
+        col("text"),
+        struct(
+          col("lang").as("source"),
+          lit(null).cast("timestamp").as("created_at"),
+          array(col("lang")).as("tags"),
+          lit(null).cast("string").as("author"),
+          lit(null).cast("string").as("title"),
+          lit(null).cast("string").as("description"),
+          pmod(col("doc_id"), lit(10)).cast("int").as("page")).as("metadata"))
+      cat.createLibrary("crud_demo", Models.FlatIndexer, src, overwrite = true)
+      cat.deleteChunksWhere("crud_demo", col("metadata.page") === 3)
+      val extra = s.range(100).select(
+        concat(lit("add"), col("id")).as("id"),
+        lit("dadd").as("document_id"),
+        concat(lit("synthetic chunk number "), col("id")).as("text"),
+        struct(
+          lit("synthetic").as("source"),
+          lit(null).cast("timestamp").as("created_at"),
+          array(lit("synthetic")).as("tags"),
+          lit(null).cast("string").as("author"),
+          lit(null).cast("string").as("title"),
+          lit(null).cast("string").as("description"),
+          lit(null).cast("int").as("page")).as("metadata"))
+      cat.addChunks("crud_demo", extra)
+      val recovered = new LibraryCatalog(s, wh) // startup recovery (S4)
+      recovered
+        .chunks("crud_demo")
+        .groupBy(col("metadata.source").as("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    })
   )
 
   /** Query text for q_embed_knn — embedded identically on the driver
@@ -374,6 +419,12 @@ object SparkEntry {
     "q_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, (round(avg(n_chars), 4) + 0.0) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_crud_pipeline" ->
+      """SELECT source, n FROM (
+        |  SELECT lang AS source, count(*) AS n FROM documents
+        |  WHERE (doc_id % 10) <> 3 GROUP BY lang
+        |  UNION ALL SELECT 'synthetic' AS source, 100 AS n
+        |) ORDER BY source""".stripMargin,
     "q_lsh_knn" -> {
       val p = LshIndex.Params()
       val k = 10

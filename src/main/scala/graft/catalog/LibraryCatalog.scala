@@ -1,0 +1,373 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
+
+import graft.catalog.Models._
+import graft.functions.{Embedder, VectorFunctions}
+import graft.functions.VectorFunctions.{Euclidean, Metric}
+import graft.operators.{FlatKnn, LshIndex}
+
+/** The library store: persistence, recovery, CRUD, and the full search
+  * read path — the Spark-native replacement for the reference's service
+  * layer (`library_service.py`, `chunk_service.py`, `document_service.py`)
+  * and pickle persistence (`library.py:120-144`,
+  * `dependencies.py:36-67`).
+  *
+  * Design (SURVEY.md §7.1/§7.2.5):
+  *  - A library is a versioned pair of parquet tables + an optional index
+  *    table under `<warehouse>/<name>/v<NNNNNN>/{chunks,index}`, with a
+  *    `meta.json` pointer. Mutations never modify files in place: they
+  *    write version N+1 and atomically swap the pointer (tmp + rename) —
+  *    immutability + catalog swap replaces the reference's per-library
+  *    locks (`library.py:59`, `dependencies.py:28-32`), and in-flight
+  *    readers of version N are undisturbed. The previous version is kept
+  *    for them; older ones are garbage-collected.
+  *  - Mutations are pure DataFrame transforms: add = union, delete =
+  *    anti-join, update = anti-join + union. The LSH signature table is
+  *    maintained incrementally on add (indexer.add, `lsh.py:84-112`) and
+  *    rebuilt on delete/update-heavy paths (the reference rebuilds on
+  *    batch add and document delete too, `library.py:113-114`,
+  *    `document_service.py:104-123`).
+  *  - Documents are DERIVED from chunks by `document_id` aggregation —
+  *    the reference's denormalized per-document chunk-id list is state we
+  *    refuse to duplicate (and its add_chunks cross-document bug,
+  *    `library.py:107`, cannot exist here).
+  *
+  * At 100 TB: every path here is a scan→transform→write of partitioned
+  * parquet; nothing collects rows to the driver. The version swap is one
+  * small-file rename regardless of data size.
+  */
+class LibraryCatalog(spark: SparkSession, warehouse: String) {
+
+  private val log = LoggerFactory.getLogger(classOf[LibraryCatalog])
+  private def fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def libDir(name: String) = new Path(warehouse, name)
+  private def metaPath(name: String) = new Path(libDir(name), "meta.json")
+  private def versionDir(name: String, v: Long) =
+    new Path(libDir(name), f"v$v%06d")
+
+  // ---------------------------------------------------------------- meta
+
+  private def writeMeta(m: LibraryMeta): Unit = {
+    val json =
+      s"""{"name":"${m.name}","indexer":"${m.indexer.name}","dim":${m.dim},""" +
+        s""""version":${m.version},"created_at":"${m.createdAt}","updated_at":"${m.updatedAt}"}"""
+    val tmp = new Path(libDir(m.name), "meta.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+    // rename is the atomic pointer swap (M10's lock replacement)
+    fs.delete(metaPath(m.name), false)
+    if (!fs.rename(tmp, metaPath(m.name)))
+      throw new IllegalStateException(s"meta swap failed for ${m.name}")
+  }
+
+  /** Schema-checked meta load (S3's validation analog for the pointer). */
+  def readMeta(name: String): Option[LibraryMeta] = {
+    if (!fs.exists(metaPath(name))) return None
+    val in = fs.open(metaPath(name))
+    val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    def str(k: String) =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+    def num(k: String) =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(json).map(_.group(1).toLong)
+    for {
+      n <- str("name"); ix <- str("indexer"); d <- num("dim")
+      v <- num("version"); c <- str("created_at"); u <- str("updated_at")
+    } yield LibraryMeta(n, IndexerType.fromString(ix), d.toInt, v, c, u)
+  }
+
+  def exists(name: String): Boolean = readMeta(name).isDefined
+
+  /** Startup recovery (S4, dependencies.py:36-67): every directory under
+    * the warehouse with a parsable meta.json is a library. Unparsable
+    * directories are skipped with a warning, like the reference's
+    * corrupt-pickle handling. */
+  def listLibraries(): Seq[LibraryMeta] = {
+    if (!fs.exists(new Path(warehouse))) return Seq.empty
+    fs.listStatus(new Path(warehouse))
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        try readMeta(n)
+        catch {
+          case e: Exception =>
+            log.warn(s"skipping unloadable library dir $n: ${e.getMessage}")
+            None
+        }
+      }
+      .sortBy(_.name)
+      .toSeq
+  }
+
+  // ------------------------------------------------------------- loading
+
+  private def requireMeta(name: String): LibraryMeta =
+    readMeta(name).getOrElse(
+      throw new NoSuchElementException(s"library not found: $name"))
+
+  /** Schema-enforced chunks load (S3): read with the declared schema so
+    * drift fails loudly at the scan, not deep in a query. */
+  def chunks(name: String): DataFrame = {
+    val m = requireMeta(name)
+    spark.read
+      .schema(chunkSchema)
+      .parquet(new Path(versionDir(name, m.version), "chunks").toString)
+  }
+
+  /** Derived documents view: membership + counts by aggregation (A2). */
+  def documents(name: String): DataFrame =
+    chunks(name)
+      .groupBy(col("document_id").as("id"))
+      .agg(
+        count(lit(1)).as("chunk_count"),
+        collect_list(col("id")).as("chunk_ids"))
+
+  /** The persisted index table, when the library's indexer has one. */
+  def indexTable(name: String): Option[DataFrame] = {
+    val m = requireMeta(name)
+    val p = new Path(versionDir(name, m.version), "index")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  // ------------------------------------------------------------- writing
+
+  private def now(): String = java.time.Instant.now().toString
+
+  private def lshParams(dim: Int) = LshIndex.Params(dim = dim)
+
+  /** Write version v of the library state and swap the pointer. */
+  private def commitVersion(
+      m: LibraryMeta,
+      chunksDf: DataFrame,
+      index: Option[DataFrame]): LibraryMeta = {
+    val v = m.version + 1
+    val vdir = versionDir(m.name, v)
+    chunksDf.write.mode("overwrite").parquet(new Path(vdir, "chunks").toString)
+    index.foreach(
+      _.write.mode("overwrite").parquet(new Path(vdir, "index").toString))
+    val updated = m.copy(version = v, updatedAt = now())
+    writeMeta(updated)
+    // GC: keep v-1 for in-flight readers, drop anything older
+    if (v >= 2) fs.delete(versionDir(m.name, v - 2), true)
+    updated
+  }
+
+  private def buildIndex(m: LibraryMeta, chunksDf: DataFrame): Option[DataFrame] =
+    m.indexer match {
+      case LshIndexer =>
+        Some(LshIndex.signatureTable(chunksDf, lshParams(m.dim), "id", "embedding"))
+      case _ => None // flat needs no index table; hnsw is driver-local (K3)
+    }
+
+  /** Ingest normalization (chunk.py:25-42,55-71): trimmed non-empty text,
+    * deduped tags (P6, array_distinct), uuid() for missing ids (§2.8),
+    * current_timestamp for missing created_at. Embeds rows that lack an
+    * embedding through the dedup-before-embed path (S6). */
+  private def normalize(df: DataFrame, dim: Int): DataFrame = {
+    val emptyMeta = struct(
+      chunkMetadataType.fields
+        .map(f => lit(null).cast(f.dataType).as(f.name))
+        .toIndexedSeq: _*)
+    val withCols = Seq("id", "metadata", "embedding")
+      .foldLeft(df) {
+        case (d, "id") if !d.columns.contains("id") =>
+          d.withColumn("id", expr("uuid()"))
+        case (d, "metadata") if !d.columns.contains("metadata") =>
+          d.withColumn("metadata", emptyMeta)
+        case (d, "embedding") if !d.columns.contains("embedding") =>
+          d.withColumn("embedding",
+            lit(null).cast(chunkSchema("embedding").dataType))
+        case (d, _) => d
+      }
+    val base = withCols
+      .withColumn("text", trim(col("text")))
+      .where(length(col("text")) > 0)
+      .withColumn("id", coalesce(col("id"), expr("uuid()")))
+      .withColumn("metadata",
+        coalesce(col("metadata"), emptyMeta)
+          .withField("tags", array_distinct(col("metadata.tags")))
+          .withField("created_at",
+            coalesce(col("metadata.created_at"), current_timestamp())))
+    // embed only the rows that arrived without an embedding (S6's
+    // dedup-before-embed path); rows with one pass through untouched
+    val withEmb = base
+      .where(col("embedding").isNotNull)
+      .unionByName(
+        Embedder
+          .withEmbedding(base.where(col("embedding").isNull).drop("embedding"),
+            dim = dim)
+          .select(base.columns.map(col).toIndexedSeq: _*))
+    withEmb.select(chunkSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** M1: create a library from a chunk DataFrame (missing columns are
+    * filled by [[normalize]]; embeddings are computed when absent). */
+  def createLibrary(
+      name: String,
+      indexer: IndexerType = FlatIndexer,
+      chunksDf: DataFrame,
+      dim: Int = Embedder.Dim,
+      overwrite: Boolean = false): LibraryMeta = {
+    if (exists(name)) {
+      if (!overwrite)
+        throw new IllegalStateException(s"library already exists: $name")
+      deleteLibrary(name)
+    }
+    fs.mkdirs(libDir(name))
+    val m0 = LibraryMeta(name, indexer, dim, version = -1L, now(), now())
+    val normalized = normalize(chunksDf, dim)
+    commitVersion(m0, normalized, buildIndex(m0, normalized))
+  }
+
+  /** M2/M3: append chunks. The chunk table is a union; the LSH signature
+    * table is maintained INCREMENTALLY (only the new rows' signatures are
+    * computed — indexer.add, lsh.py:84-112), not rebuilt. */
+  def addChunks(name: String, newChunks: DataFrame): LibraryMeta = {
+    val m = requireMeta(name)
+    val added = normalize(newChunks, m.dim)
+    val merged = chunks(name).unionByName(added)
+    val index = (indexTable(name), buildIndex(m, added)) match {
+      case (Some(existing), Some(newSigs)) => Some(existing.unionByName(newSigs))
+      case (_, built)                      => built
+    }
+    commitVersion(m, merged, index)
+  }
+
+  /** M5: delete chunks by id — anti-join on both the data and the index
+    * (indexer.delete, lsh.py:114-145). */
+  def deleteChunks(name: String, ids: Seq[String]): LibraryMeta = {
+    val m = requireMeta(name)
+    val remaining = chunks(name).where(!col("id").isin(ids: _*))
+    val index = indexTable(name).map(_.where(!col("id").isin(ids: _*)))
+    commitVersion(m, remaining, index)
+  }
+
+  /** M5 at scale: delete by predicate (ids arrive as a DataFrame, not a
+    * driver-side list) — pure anti-join. */
+  def deleteChunksWhere(name: String, pred: Column): LibraryMeta = {
+    val m = requireMeta(name)
+    val remaining = chunks(name).where(!pred)
+    // predicate may reference data columns the index lacks → rebuild
+    commitVersion(m, remaining, buildIndex(m, remaining))
+  }
+
+  /** M4: update one chunk. Re-embeds only if the text changed
+    * (chunk_service.py:158-164), preserves metadata.created_at
+    * (chunk_service.py:183-187). */
+  def updateChunk(
+      name: String,
+      id: String,
+      newText: Option[String] = None,
+      newMetadata: Option[Column] = None): LibraryMeta = {
+    val m = requireMeta(name)
+    val all = chunks(name)
+    if (all.where(col("id") === id).isEmpty)
+      throw new NoSuchElementException(s"chunk not found: $id")
+    val updated = all
+      .where(col("id") === id)
+      .withColumn("text", newText.map(lit).getOrElse(col("text")))
+      .withColumn("embedding",
+        if (newText.isDefined) Embedder.embed(col("text"), m.dim)
+        else col("embedding"))
+      .withColumn("metadata", newMetadata match {
+        case Some(nm) => // replace, preserving created_at
+          nm.cast(chunkMetadataType)
+            .withField("created_at", col("metadata.created_at"))
+        case None => col("metadata")
+      })
+    val merged = all.where(col("id") =!= id).unionByName(updated)
+    commitVersion(m, merged, buildIndex(m, merged))
+  }
+
+  /** M7: delete a document — cascade to all its chunks + reindex
+    * (document_service.py:104-123). */
+  def deleteDocument(name: String, documentId: String): LibraryMeta =
+    deleteChunksWhere(name, col("document_id") === documentId)
+
+  /** M8: drop the library (the reference's endpoint is broken,
+    * endpoints/libraries.py:104 — intended semantics implemented). */
+  def deleteLibrary(name: String): Unit = {
+    fs.delete(libDir(name), true)
+    ()
+  }
+
+  /** M9: rebuild the index table from the current chunks. */
+  def rebuildIndex(name: String): LibraryMeta = {
+    val m = requireMeta(name)
+    val all = chunks(name)
+    commitVersion(m, all, buildIndex(m, all))
+  }
+
+  // -------------------------------------------------------------- search
+
+  /** The flagship read path (SURVEY.md §3.1): embed query text → index
+    * search → conjunctive tag post-filter (AFTER top-k, may return < k —
+    * P1/T4 quirk preserved) → score in the requested metric while ranking
+    * in the index default (K5 quirk, behind `strictParity`) → projection
+    * flags (P3) → under-k warning (T5).
+    */
+  def search(
+      name: String,
+      queryText: String,
+      k: Int = 5,
+      metric: Metric = Euclidean,
+      filterTags: Seq[String] = Seq.empty,
+      includeMetadata: Boolean = true,
+      includeEmbeddings: Boolean = false,
+      strictParity: Boolean = true): DataFrame = {
+    val m = requireMeta(name)
+    val all = chunks(name)
+    val qv = Embedder.embedLocal(queryText, m.dim).toSeq
+    // ranking metric: the reference ALWAYS ranks with the indexer default
+    // (euclidean) and only scores with the requested metric
+    // (library_service.py:196-223); strictParity=false honors the metric.
+    val rankMetric = if (strictParity) Euclidean else metric
+    val base = m.indexer match {
+      case LshIndexer =>
+        indexTable(name) match {
+          case Some(sig) =>
+            LshIndex.candidateBase(all, sig, qv, k, lshParams(m.dim), "id")
+          case None => all
+        }
+      case _ => all // flat; hnsw falls back to exact until K3 lands
+    }
+    val ranked = FlatKnn.searchWithColumns(
+      base, qv, k, rankMetric, "id", "embedding",
+      Seq("document_id", "text", "metadata", "embedding"))
+    val scored = ranked.withColumn("score",
+      VectorFunctions.distance(col("embedding"), typedLit(qv), metric))
+    val tagged = filterTags.foldLeft(scored)((df, t) =>
+      df.where(array_contains(col("metadata.tags"), t)))
+    val projected = tagged.select(
+      Seq(col("id"), col("document_id"), col("text"), col("dist"), col("score")) ++
+        (if (includeMetadata) Seq(col("metadata")) else Nil) ++
+        (if (includeEmbeddings) Seq(col("embedding")) else Nil): _*)
+    val n = projected.count()
+    if (n < k) // T5 (flat_index.py:96-108)
+      log.warn(s"search('$name'): returning $n < k=$k results" +
+        (if (filterTags.nonEmpty) " (tag post-filter applied after top-k)" else ""))
+    projected
+  }
+
+  /** Search + document join (J1): distinct doc ids of the results,
+    * broadcast-joined back to the derived documents view
+    * (library_service.py:225-241). */
+  def searchWithDocuments(
+      name: String,
+      queryText: String,
+      k: Int = 5,
+      metric: Metric = Euclidean): DataFrame = {
+    val res = search(name, queryText, k, metric)
+    val docs = documents(name).withColumnRenamed("id", "matched_document_id")
+    res
+      .join(broadcast(docs), res("document_id") === docs("matched_document_id"))
+      .drop("matched_document_id")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.catalog
+
+import org.apache.spark.sql.types._
+
+/** Schemas of the library data model (SURVEY.md §1.4), the Spark mirror
+  * of the reference's Pydantic models (`app/core/models/chunk.py:45-53`,
+  * `document.py:37-53`, `library.py:32-43`). Fixed, declared, enforced on
+  * every load — the reference has no schema inference and neither do we.
+  */
+object Models {
+
+  /** chunk.metadata STRUCT (chunk.py:8-23). */
+  val chunkMetadataType: StructType = StructType(Seq(
+    StructField("source", StringType, nullable = true),
+    StructField("created_at", TimestampType, nullable = true),
+    StructField("tags", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("author", StringType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("description", StringType, nullable = true),
+    StructField("page", IntegerType, nullable = true)))
+
+  /** The central chunks table (chunk.py:45-53). */
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("document_id", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true),
+    StructField("metadata", chunkMetadataType, nullable = true)))
+
+  /** documents table (document.py:37-53). The reference's denormalized
+    * `chunks: list[str]` id list is NOT stored — document membership is
+    * derived from chunks.document_id by aggregation (SURVEY §1.4), which
+    * also sidesteps the reference's add_chunks cross-document bug
+    * (library.py:107). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("title", StringType, nullable = true),
+    StructField("description", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("tags", ArrayType(StringType, containsNull = false), nullable = true)))
+
+  /** Pluggable index types (schemas/library.py:10-13). */
+  sealed trait IndexerType { def name: String }
+  case object FlatIndexer extends IndexerType { val name = "flat" }
+  case object LshIndexer extends IndexerType { val name = "lsh" }
+  case object HnswIndexer extends IndexerType { val name = "hnsw" }
+  object IndexerType {
+    val all: Seq[IndexerType] = Seq(FlatIndexer, LshIndexer, HnswIndexer)
+    def fromString(s: String): IndexerType = all
+      .find(_.name == s.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(s"unknown indexer: $s"))
+  }
+
+  /** Library-level metadata persisted in meta.json. */
+  case class LibraryMeta(
+      name: String,
+      indexer: IndexerType,
+      dim: Int,
+      version: Long,
+      createdAt: String,
+      updatedAt: String)
+}

@@ -123,8 +123,29 @@ object LshIndex {
     FlatKnn.search(base, query, k, metric, idCol, embCol)
   }
 
-  /** Probe against a prebuilt [[signatureTable]]: semi-join the matching
-    * (table_idx, sig) buckets, then exact re-rank — the scale path. */
+  /** Candidate base from a prebuilt [[signatureTable]]: semi-join the
+    * matching (table_idx, sig) buckets; full corpus when the buckets hold
+    * fewer than k rows (lsh.py:199-202). Returns the DataFrame the exact
+    * re-rank should run over — callers compose their own projection. */
+  def candidateBase(
+      df: DataFrame,
+      sigTable: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      p: Params = Params(),
+      idCol: String = "vec_id"): DataFrame = {
+    val ps = planes(p)
+    val querySigs = ps.map(signatureLocal(query.toArray, _))
+    val probeCond = querySigs.zipWithIndex
+      .map { case (s, t) => col("table_idx") === t && col("sig") === s }
+      .reduce(_ || _)
+    val candIds = sigTable.where(probeCond).select(idCol).distinct()
+    val cands = df.join(candIds, Seq(idCol), "left_semi").localCheckpoint(true)
+    if (cands.count() >= k) cands else df
+  }
+
+  /** Probe against a prebuilt [[signatureTable]], then exact re-rank —
+    * the scale path. */
   def searchWithTable(
       df: DataFrame,
       sigTable: DataFrame,
@@ -133,17 +154,9 @@ object LshIndex {
       p: Params = Params(),
       metric: VectorFunctions.Metric = VectorFunctions.Euclidean,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val ps = planes(p)
-    val querySigs = ps.map(signatureLocal(query.toArray, _))
-    val probeCond = querySigs.zipWithIndex
-      .map { case (s, t) => col("table_idx") === t && col("sig") === s }
-      .reduce(_ || _)
-    val candIds = sigTable.where(probeCond).select(idCol).distinct()
-    val cands = df.join(candIds, Seq(idCol), "left_semi")
-    val base = if (cands.count() >= k) cands else df
-    FlatKnn.search(base, query, k, metric, idCol, embCol)
-  }
+      embCol: String = "embedding"): DataFrame =
+    FlatKnn.search(
+      candidateBase(df, sigTable, query, k, p, idCol), query, k, metric, idCol, embCol)
 
   /** Multi-probe signature expansion (reference K7, `lsh.py:355-376` —
     * defined and unit-tested there but never called by search): the

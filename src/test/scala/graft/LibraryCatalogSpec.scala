@@ -1,0 +1,206 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.LibraryCatalog
+import graft.catalog.Models._
+import graft.functions.VectorFunctions.Cosine
+
+/** Persistence + CRUD semantics (reference: library.py save/load
+  * round-trip, chunk_service/document_service mutations, and the
+  * 467-LoC tests/test_library_save_load.py suite).
+  */
+class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-wh-").toString
+  private lazy val catalog = new LibraryCatalog(spark, warehouse)
+
+  /** 40 deterministic chunks across 8 documents, built from real
+    * sf0.001 document text (no embeddings — the catalog must compute
+    * them). */
+  private def corpus(): DataFrame = {
+    spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 40)
+      .select(
+        concat(lit("chunk-"), col("doc_id")).as("id"),
+        concat(lit("doc-"), pmod(col("doc_id"), lit(8))).as("document_id"),
+        col("text"),
+        struct(
+          col("source"),
+          lit(null).cast("timestamp").as("created_at"),
+          array(col("lang"), col("lang"), lit("all")).as("tags"), // dup tag on purpose
+          lit(null).cast("string").as("author"),
+          lit(null).cast("string").as("title"),
+          lit(null).cast("string").as("description"),
+          lit(null).cast("int").as("page")).as("metadata"))
+  }
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(warehouse))
+    super.afterAll()
+  }
+
+  test("M1: createLibrary persists, embeds, and normalizes (P6 tag dedup, created_at fill)") {
+    catalog.createLibrary("lib_a", FlatIndexer, corpus(), overwrite = true)
+    val loaded = catalog.chunks("lib_a").cache()
+    assert(loaded.count() === 40L)
+    assert(loaded.where(col("embedding").isNull).count() === 0L)
+    // P6: the duplicated lang tag was deduped on ingest
+    assert(loaded.where(size(col("metadata.tags")) =!= 2).count() === 0L)
+    // created_at was defaulted
+    assert(loaded.where(col("metadata.created_at").isNull).count() === 0L)
+    loaded.unpersist()
+  }
+
+  test("S3/S4: a fresh catalog instance recovers the library from disk") {
+    val fresh = new LibraryCatalog(spark, warehouse)
+    val metas = fresh.listLibraries()
+    assert(metas.map(_.name).contains("lib_a"))
+    assert(fresh.chunks("lib_a").count() === 40L)
+    assert(metas.find(_.name == "lib_a").get.indexer === FlatIndexer)
+  }
+
+  test("derived documents view counts chunks per document (A2)") {
+    val docs = catalog.documents("lib_a").collect()
+    assert(docs.length === 8)
+    assert(docs.map(_.getAs[Long]("chunk_count")).sum === 40L)
+  }
+
+  test("search returns k results with text/metadata payload; self-text ranks first") {
+    val someText = catalog
+      .chunks("lib_a").where(col("id") === "chunk-7").head().getAs[String]("text")
+    val res = catalog.search("lib_a", someText, k = 5).collect()
+    assert(res.length === 5)
+    assert(res.head.getAs[String]("id") === "chunk-7") // self-match at dist 0
+    assert(math.abs(res.head.getAs[Double]("dist")) < 1e-9)
+  }
+
+  test("P3: projection flags toggle metadata/embedding columns") {
+    val both = catalog.search("lib_a", "probe", 3,
+      includeMetadata = true, includeEmbeddings = true)
+    val neither = catalog.search("lib_a", "probe", 3,
+      includeMetadata = false, includeEmbeddings = false)
+    assert(both.columns.contains("metadata") && both.columns.contains("embedding"))
+    assert(!neither.columns.contains("metadata") && !neither.columns.contains("embedding"))
+  }
+
+  test("P1/T4: conjunctive tag post-filter applies AFTER top-k and may return < k") {
+    val all = catalog.search("lib_a", "probe", k = 5).count()
+    val filtered = catalog
+      .search("lib_a", "probe", k = 5, filterTags = Seq("nonexistent-tag"))
+      .count()
+    assert(all === 5L)
+    assert(filtered === 0L) // every candidate filtered out — quirk preserved
+  }
+
+  test("K5 quirk: rank metric stays euclidean under strictParity, score uses requested") {
+    val strict = catalog.search("lib_a", "probe", 5, metric = Cosine).collect()
+    // dist column is euclidean (unbounded), score is cosine (in [0,2])
+    assert(strict.forall(r => r.getAs[Double]("score") <= 2.0 + 1e-9))
+    val honored = catalog
+      .search("lib_a", "probe", 5, metric = Cosine, strictParity = false)
+      .collect()
+    assert(honored.forall(r => r.getAs[Double]("dist") <= 2.0 + 1e-9))
+  }
+
+  test("M2/M3: addChunks appends and is immediately searchable") {
+    import spark.implicits._
+    val extra = Seq(
+      ("added-1", "doc-extra", "a wholly new chunk about spark catalyst"),
+      ("added-2", "doc-extra", "another new chunk about shuffles"))
+      .toDF("id", "document_id", "text")
+    catalog.addChunks("lib_a", extra)
+    assert(catalog.chunks("lib_a").count() === 42L)
+    val hit = catalog
+      .search("lib_a", "a wholly new chunk about spark catalyst", k = 1)
+      .head()
+    assert(hit.getAs[String]("id") === "added-1")
+  }
+
+  test("M4: updateChunk re-embeds on text change and preserves created_at") {
+    def createdAt() = catalog
+      .chunks("lib_a")
+      .where(col("id") === "added-2")
+      .select(col("metadata.created_at"))
+      .head()
+      .getTimestamp(0)
+    val beforeCreated = createdAt()
+    catalog.updateChunk("lib_a", "added-2", newText = Some("totally different text"))
+    val after = catalog.chunks("lib_a").where(col("id") === "added-2").head()
+    assert(after.getAs[String]("text") === "totally different text")
+    assert(createdAt() === beforeCreated)
+    // re-embedded to match the new text
+    val hit = catalog.search("lib_a", "totally different text", k = 1).head()
+    assert(hit.getAs[String]("id") === "added-2")
+    assert(catalog.chunks("lib_a").count() === 42L)
+  }
+
+  test("M5: deleteChunks removes rows; M7: deleteDocument cascades") {
+    catalog.deleteChunks("lib_a", Seq("added-1"))
+    assert(catalog.chunks("lib_a").where(col("id") === "added-1").isEmpty)
+    catalog.deleteDocument("lib_a", "doc-extra") // removes added-2
+    assert(catalog.chunks("lib_a").where(col("document_id") === "doc-extra").isEmpty)
+    assert(catalog.chunks("lib_a").count() === 40L)
+  }
+
+  test("LSH-indexed library: index table persists, probe search works after reload") {
+    catalog.createLibrary("lib_lsh", LshIndexer, corpus(), overwrite = true)
+    val fresh = new LibraryCatalog(spark, warehouse)
+    assert(fresh.indexTable("lib_lsh").isDefined)
+    assert(fresh.indexTable("lib_lsh").get.count() === 40L * 10) // rows × tables
+    val someText = fresh
+      .chunks("lib_lsh").where(col("id") === "chunk-3").head().getAs[String]("text")
+    val res = fresh.search("lib_lsh", someText, k = 3).collect()
+    assert(res.nonEmpty)
+    assert(res.head.getAs[String]("id") === "chunk-3")
+  }
+
+  test("LSH incremental add maintains the signature table without rebuild") {
+    import spark.implicits._
+    val extra = Seq(("lsh-new", "doc-0", "incrementally indexed chunk"))
+      .toDF("id", "document_id", "text")
+    catalog.addChunks("lib_lsh", extra)
+    assert(catalog.indexTable("lib_lsh").get.count() === 41L * 10)
+    assert(catalog.indexTable("lib_lsh").get.where(col("id") === "lsh-new").count() === 10L)
+  }
+
+  test("M8: deleteLibrary removes it from disk and the listing") {
+    catalog.createLibrary("lib_tmp", FlatIndexer, corpus(), overwrite = true)
+    assert(catalog.exists("lib_tmp"))
+    catalog.deleteLibrary("lib_tmp")
+    assert(!catalog.exists("lib_tmp"))
+    assert(!catalog.listLibraries().exists(_.name == "lib_tmp"))
+  }
+
+  test("M9: rebuildIndex reproduces the incremental signature table exactly") {
+    val before = catalog.indexTable("lib_lsh").get
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sortBy(_.toString)
+    catalog.rebuildIndex("lib_lsh")
+    val after = catalog.indexTable("lib_lsh").get
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sortBy(_.toString)
+    assert(before.sameElements(after))
+  }
+
+  test("version GC keeps at most two versions on disk") {
+    val dir = new java.io.File(s"$warehouse/lib_lsh")
+    val versions = dir.listFiles().map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length <= 2, s"versions on disk: ${versions.mkString(",")}")
+  }
+
+  test("ingest validation: blank text rows are dropped (chunk.py:55-61)") {
+    import spark.implicits._
+    val mixed = Seq(
+      ("b-1", "doc-b", "valid text"),
+      ("b-2", "doc-b", "   "),
+      ("b-3", "doc-b", "")).toDF("id", "document_id", "text")
+    catalog.createLibrary("lib_blank", FlatIndexer, mixed, overwrite = true)
+    assert(catalog.chunks("lib_blank").count() === 1L)
+    catalog.deleteLibrary("lib_blank")
+  }
+}
