@@ -41,6 +41,11 @@ object Bench {
 
     var failed = List.empty[String]
     val results = names.map { name =>
+      // Release orphaned localCheckpoint/cache blocks left by the
+      // previous query (ContextCleaner frees them only after a driver
+      // GC): without this, block-manager pressure from earlier queries
+      // bleeds into later timings.
+      System.gc()
       val t0 = System.nanoTime()
       runOnce(name) match {
         case Right(_) => name -> ((System.nanoTime() - t0) / 1e9)

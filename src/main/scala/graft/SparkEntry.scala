@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{FlatKnn, LshIndex}
+import graft.operators.{FlatKnn, LshIndex, NearDup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -302,7 +302,14 @@ object SparkEntry {
         .groupBy(col("metadata.source").as("source"))
         .agg(count(lit(1)).as("n"))
         .orderBy("source")
-    })
+    }),
+    // ---- training-pipeline: MinHash-banded near-duplicate pairs.
+    //      shingle → minhash → band bucket join → exact Jaccard verify;
+    //      no all-pairs anywhere (row order: see verifyOrder). ----
+    "q_neardup_pairs" -> ((s, dir) =>
+      NearDup
+        .nearDuplicatePairs(t(s, dir, "documents"))
+        .select(col("doc_a"), col("doc_b"), rn(col("jac"), 6).as("jaccard")))
   )
 
   /** Query text for q_embed_knn — embedded identically on the driver
@@ -327,7 +334,8 @@ object SparkEntry {
     "q_anti_customers_without_orders" -> Seq("c_custkey"),
     "q_events_hourly" -> Seq("hour_start", "event_type"),
     "q_user_event_counts" -> Seq("user_id"),
-    "q_token_count" -> Seq("doc_id"))
+    "q_token_count" -> Seq("doc_id"),
+    "q_neardup_pairs" -> Seq("doc_a", "doc_b"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -419,6 +427,39 @@ object SparkEntry {
     "q_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, (round(avg(n_chars), 4) + 0.0) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_neardup_pairs" -> {
+      val p = NearDup.Params()
+      val r = p.rowsPerBand
+      val bandKey = (1 to r)
+        .map(i => s"sig[${r}*b+$i]::VARCHAR")
+        .mkString(" || '_' || ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk, text FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) < ${p.shingleSize} THEN [text]
+         |         ELSE list_transform(range(1, len(tk)-${p.shingleSize - 2}), i -> ${(0 until p.shingleSize)
+          .map(o => s"tk[i+$o]").mkString(" || ' ' || ")}) END AS shingles
+         |  FROM toks),
+         |mh AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, ${p.numHashes}), h ->
+         |      list_min(list_transform(shingles, s -> ('0x' || substr(md5((h//4) || '|' || s), 1 + 8*(h%4), 8))::BIGINT))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b, $bandKey AS bandkey
+         |  FROM mh, range(0,${p.bands}) bb(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bandkey = c.bandkey AND a.doc_id < c.doc_id),
+         |verified AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    len(list_intersect(list_distinct(sa.shingles), list_distinct(sc.shingles)))::DOUBLE /
+         |    (len(list_distinct(sa.shingles)) + len(list_distinct(sc.shingles))
+         |      - len(list_intersect(list_distinct(sa.shingles), list_distinct(sc.shingles))))::DOUBLE AS jac
+         |  FROM pairs p JOIN sh sa ON p.doc_a = sa.doc_id JOIN sh sc ON p.doc_b = sc.doc_id)
+         |SELECT doc_a, doc_b, (round(jac, 6) + 0.0) AS jaccard FROM verified
+         |WHERE jac >= ${p.threshold} ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_crud_pipeline" ->
       """SELECT source, n FROM (
         |  SELECT lang AS source, count(*) AS n FROM documents

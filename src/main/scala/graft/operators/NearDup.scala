@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash-banded near-duplicate detection — the LLM-training-pipeline
+  * operator the reference lacks but its LSH machinery implies
+  * (`lsh.py`'s band/bucket idea applied to set similarity).
+  *
+  * Pipeline: word shingles → H md5-derived minhashes → B band keys →
+  * candidate pairs share at least one band bucket (groupBy/self-join on
+  * the band key — NEVER all-pairs) → exact Jaccard verification of the
+  * candidates only. With H=12, B=4 (3 rows/band) the LSH S-curve puts
+  * the 50%-catch threshold near Jaccard ≈ (1/B)^(1/r) ≈ 0.63, so a 0.7
+  * verify threshold loses little.
+  *
+  * All hash math is md5-prefix based, exactly reproducible in DuckDB —
+  * q_neardup_pairs is hash-checked against an oracle that recomputes the
+  * whole pipeline in SQL.
+  *
+  * At 100 TB: the only shuffle is on (band, bandKey) — 4 rows of ~25
+  * bytes per document, not document text. Giant buckets (mass-duplicated
+  * boilerplate) are the skew risk: cap candidates per bucket or salt the
+  * verify join when a corpus is known to be boilerplate-heavy.
+  */
+object NearDup {
+
+  case class Params(
+      shingleSize: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.7) {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Word k-shingles over an ALREADY-BOUND token-array column; documents
+    * shorter than k tokens contribute their whole text as a single
+    * shingle (so they can still exact-dup match). Callers must bind the
+    * tokens in their own projection first (see [[docShingles]]):
+    * referencing `split(text)` directly inside the lambda re-evaluates
+    * the split for every shingle element (measured 10x slowdown). */
+  def shinglesFromTokens(tk: Column, text: Column, k: Int): Column =
+    when(size(tk) < k, array(text)).otherwise(
+      transform(
+        sequence(lit(0), size(tk) - k),
+        i => concat_ws(" ", slice(tk, i + 1, lit(k)))))
+
+  /** Convenience single-expression form (tests / ad-hoc use only). */
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromTokens(split(text, " ", -1), text, k)
+
+  /** Attach the MinHash signature column: for h in [0, H), min over
+    * shingles of a 32-bit hash of the shingle. Hash h is chunk h%4 of
+    * md5("(h/4)|shingle") — one md5 call yields FOUR independent 32-bit
+    * hash functions (md5 output bits are independent), so a document of
+    * S shingles costs ceil(H/4)*S md5 evaluations instead of H*S. The
+    * md5 hex arrays are materialized as intermediate columns so each is
+    * computed once, not once per extracted chunk. */
+  def withMinhashSignature(
+      df: DataFrame,
+      shingleCol: String,
+      outCol: String,
+      numHashes: Int): DataFrame = {
+    val groups = (numHashes + 3) / 4
+    val hexCols = (0 until groups).map(g => s"__md5hex_$g")
+    val withHex = (0 until groups).foldLeft(df)((d, g) =>
+      d.withColumn(hexCols(g),
+        transform(col(shingleCol), s =>
+          md5(concat(lit(s"$g|"), s).cast("binary")))))
+    val sigEl = (0 until numHashes).map(h =>
+      array_min(transform(col(hexCols(h / 4)), x =>
+        conv(substring(x, 1 + 8 * (h % 4), 8), 16, 10).cast("long"))))
+    withHex.withColumn(outCol, array(sigEl: _*)).drop(hexCols: _*)
+  }
+
+  /** Per-document shingle sets: (id, shingles). The token array is bound
+    * in its own projection so the split evaluates once per row. */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, p: Params): DataFrame =
+    df.select(
+        col(idCol),
+        split(col(textCol), " ", -1).as("__tk"),
+        col(textCol).as("__text"))
+      .select(
+        col(idCol),
+        shinglesFromTokens(col("__tk"), col("__text"), p.shingleSize).as("shingles"))
+
+  /** Per-document band rows: (id, band, band_key) — the ONLY thing the
+    * candidate self-join shuffles (ids + short keys, never text or
+    * shingle arrays). */
+  def bandRows(docsSh: DataFrame, idCol: String, p: Params): DataFrame = {
+    val withSig = withMinhashSignature(docsSh, "shingles", "sig", p.numHashes)
+    val keys = (0 until p.bands).map { b =>
+      concat_ws(
+        "_",
+        (1 to p.rowsPerBand).map(r =>
+          element_at(col("sig"), b * p.rowsPerBand + r).cast("string")): _*)
+    }
+    withSig.select(
+      col(idCol),
+      posexplode(array(keys: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Near-duplicate pairs (idA < idB) with their exact Jaccard, verified
+    * over distinct shingle sets. */
+  def nearDuplicatePairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      p: Params = Params()): DataFrame = {
+    // Deliberately NOT cached/checkpointed: each branch recomputes its
+    // shingles/minhashes (bounded, codegen'd column work), while
+    // persisting the fat shingle arrays would pin hundreds of MB of
+    // driver-JVM blocks per call — recompute is cheaper than the GC
+    // pressure, and at cluster scale the signature table is what gets
+    // persisted (see LshIndex.signatureTable for the same pattern).
+    val docsSh = docShingles(df, idCol, textCol, p)
+    val bands = bandRows(docsSh, idCol, p)
+    val pairs = bands
+      .select(col(idCol).as("id_a"), col("band"), col("band_key"))
+      .join(
+        bands.select(col(idCol).as("id_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val verified = pairs
+      .join(docsSh.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(docsSh.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+    val da = array_distinct(col("sh_a"))
+    val db = array_distinct(col("sh_b"))
+    val inter = size(array_intersect(da, db)).cast("double")
+    val jac = inter / (size(da) + size(db) - inter).cast("double")
+    verified
+      .withColumn("jac", jac)
+      .where(col("jac") >= p.threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jac"))
+  }
+}
