@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{FlatKnn, LshIndex, NearDup}
+import graft.operators.{FlatKnn, HnswIndex, LshIndex, NearDup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -309,7 +309,19 @@ object SparkEntry {
     "q_neardup_pairs" -> ((s, dir) =>
       NearDup
         .nearDuplicatePairs(t(s, dir, "documents"))
-        .select(col("doc_a"), col("doc_b"), rn(col("jac"), 6).as("jaccard")))
+        .select(col("doc_a"), col("doc_b"), rn(col("jac"), 6).as("jaccard"))),
+    // ---- K3/T3: HNSW approximate kNN (driver-local graph; no SQL
+    //      oracle — graph traversal isn't SQL-expressible, so the driver
+    //      records the weaker rows-only check; recall and structural
+    //      invariants are covered by HnswIndexSpec). ----
+    "q_hnsw_knn" -> ((s, dir) => {
+      import s.implicits._
+      HnswIndex
+        .fromDataFrame(t(s, dir, "embeddings"))
+        .search(queryVec(s, dir).toArray, 10)
+        .toDF("vec_id", "dist")
+        .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
+    })
   )
 
   /** Query text for q_embed_knn — embedded identically on the driver

@@ -8,7 +8,7 @@ import org.slf4j.LoggerFactory
 import graft.catalog.Models._
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions.{Euclidean, Metric}
-import graft.operators.{FlatKnn, LshIndex}
+import graft.operators.{FlatKnn, HnswIndex, LshIndex}
 
 /** The library store: persistence, recovery, CRUD, and the full search
   * read path — the Spark-native replacement for the reference's service
@@ -307,6 +307,26 @@ class LibraryCatalog(spark: SparkSession, warehouse: String) {
 
   // -------------------------------------------------------------- search
 
+  /** Driver-local HNSW graphs, one per (library, version) — stale
+    * versions fall out as mutations bump the version. String chunk ids
+    * are mapped to collect-order ordinals for the graph. */
+  private val hnswGraphs =
+    new scala.collection.concurrent.TrieMap[(String, Long), (HnswIndex, IndexedSeq[String])]
+
+  private def hnswFor(
+      name: String,
+      version: Long,
+      all: DataFrame): (HnswIndex, IndexedSeq[String]) =
+    hnswGraphs.getOrElseUpdate((name, version), {
+      val rows = all.select("id", "embedding").collect()
+      val ids = rows.map(_.getString(0)).toIndexedSeq
+      val idx = HnswIndex.build(
+        rows.iterator.zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.getSeq[Float](1).toArray)
+        })
+      (idx, ids)
+    })
+
   /** The flagship read path (SURVEY.md §3.1): embed query text → index
     * search → conjunctive tag post-filter (AFTER top-k, may return < k —
     * P1/T4 quirk preserved) → score in the requested metric while ranking
@@ -336,7 +356,13 @@ class LibraryCatalog(spark: SparkSession, warehouse: String) {
             LshIndex.candidateBase(all, sig, qv, k, lshParams(m.dim), "id")
           case None => all
         }
-      case _ => all // flat; hnsw falls back to exact until K3 lands
+      case HnswIndexer =>
+        // driver-local graph (K3), memoized per library version; graph
+        // candidates are then re-ranked by the shared pipeline below
+        val (idx, idOf) = hnswFor(name, m.version, all)
+        val ids = idx.search(qv.toArray, k).map { case (ord, _) => idOf(ord.toInt) }
+        if (ids.isEmpty) all else all.where(col("id").isin(ids: _*))
+      case _ => all // flat: exact scan
     }
     val ranked = FlatKnn.searchWithColumns(
       base, qv, k, rankMetric, "id", "embedding",

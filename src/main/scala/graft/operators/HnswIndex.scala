@@ -1,0 +1,313 @@
+package graft.operators
+
+import scala.collection.mutable
+
+/** Hierarchical Navigable Small World index — the Spark-native stance on
+  * the reference's `HNSWIndexer` (`/root/reference/app/core/indexers/
+  * hnsw.py`: insert 91-211, greedy descent 308-327, bounded best-first
+  * `_search_level` 415-487, neighbor select 489-495, delete + entry
+  * re-election 213-270, level sampling 405-413).
+  *
+  * HNSW is anti-Spark by construction (sequential, mutation-heavy,
+  * pointer-chasing — SURVEY.md §7.4.1), so this is deliberately PLAIN
+  * SCALA, driver- or executor-local, behind the [[VectorIndex]] trait:
+  *  - driver-local for a whole "in-mem"-scope library (the reference's
+  *    own operating envelope);
+  *  - executor-local inside `mapPartitions` for the distributed batch
+  *    path ([[HnswIndex.searchPartitioned]]): each partition builds its
+  *    own graph once per query batch, answers every query locally, and
+  *    the per-partition top-k unions into a global
+  *    `TakeOrderedAndProject` — no graph ever crosses an executor
+  *    boundary, queries ship as a broadcast-sized array.
+  *
+  * Reference semantics kept: vectors are L2-normalized on insert and
+  * query (hnsw.py:116,300 — euclidean over normalized vectors ≡ cosine
+  * ordering); level ~ floor(-ln(U) * (1/ln 2)) capped at maxLevel;
+  * search(ef = max(k, efConstruction)); n <= k returns everything.
+  * Deterministic: the level RNG is seeded per (seed, insertion ordinal),
+  * so the same build inputs give the same graph on every build.
+  */
+class HnswIndex(
+    val m: Int = 16,
+    val efConstruction: Int = 200,
+    val maxLevel: Int = 4,
+    val seed: Long = 42L) {
+
+  private val levelMult = 1.0 / math.log(2.0)
+  // node id → (normalized vector, level)
+  private val vectors = mutable.LinkedHashMap.empty[Long, Array[Float]]
+  private val levels = mutable.HashMap.empty[Long, Int]
+  // neighbors(level)(node) = connected node ids
+  private val neighbors =
+    Array.fill(maxLevel + 1)(mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]])
+  private var entryPoint: Option[Long] = None
+  private var insertOrdinal: Long = 0L
+
+  def size: Int = vectors.size
+  def entry: Option[Long] = entryPoint
+  def levelOf(id: Long): Int = levels(id)
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0.0) v.clone()
+    else {
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  private def dist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Deterministic level draw (hnsw.py:405-413): floor(-ln(U)*mult),
+    * capped. U is a function of (seed, ordinal) so rebuilds reproduce. */
+  private def drawLevel(): Int = {
+    val rng = new scala.util.Random(seed ^ (insertOrdinal * 0x9E3779B97F4A7C15L))
+    insertOrdinal += 1
+    val u = rng.nextDouble() match { case 0.0 => Double.MinPositiveValue; case x => x }
+    math.min(maxLevel, math.floor(-math.log(u) * levelMult).toInt)
+  }
+
+  /** Bounded best-first search at one level (hnsw.py:415-487): expand the
+    * closest unexpanded candidate, keep a result set capped at ef. */
+  private def searchLevel(
+      q: Array[Float],
+      entries: Seq[Long],
+      ef: Int,
+      level: Int): mutable.PriorityQueue[(Double, Long)] = {
+    val visited = mutable.HashSet.empty[Long]
+    // candidates: min-heap by dist (scala PQ is max-heap → negate)
+    val candidates = mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.by[(Double, Long), Double](_._1).reverse)
+    // results: max-heap by dist, size-capped at ef
+    val results = mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.by[(Double, Long), Double](_._1))
+    entries.foreach { e =>
+      if (visited.add(e)) {
+        val d = dist(q, vectors(e))
+        candidates.enqueue((d, e))
+        results.enqueue((d, e))
+      }
+    }
+    while (results.size > ef) results.dequeue()
+    while (candidates.nonEmpty) {
+      val (cd, c) = candidates.dequeue()
+      if (results.size >= ef && cd > results.head._1) {
+        candidates.clear() // nothing closer can remain
+      } else {
+        neighbors(level).getOrElse(c, mutable.ArrayBuffer.empty).foreach { nb =>
+          if (visited.add(nb)) {
+            val d = dist(q, vectors(nb))
+            if (results.size < ef || d < results.head._1) {
+              candidates.enqueue((d, nb))
+              results.enqueue((d, nb))
+              if (results.size > ef) results.dequeue()
+            }
+          }
+        }
+      }
+    }
+    results
+  }
+
+  /** Greedy single-step descent through one level (hnsw.py:308-327). */
+  private def greedyStep(q: Array[Float], start: Long, level: Int): Long = {
+    var cur = start
+    var curDist = dist(q, vectors(cur))
+    var improved = true
+    while (improved) {
+      improved = false
+      neighbors(level).getOrElse(cur, mutable.ArrayBuffer.empty).foreach { nb =>
+        val d = dist(q, vectors(nb))
+        if (d < curDist) { cur = nb; curDist = d; improved = true }
+      }
+    }
+    cur
+  }
+
+  /** Max connections per node: 2m at level 0, m above (standard HNSW). */
+  private def maxConn(level: Int): Int = if (level == 0) 2 * m else m
+
+  private def connect(a: Long, b: Long, level: Int): Unit = {
+    val na = neighbors(level).getOrElseUpdate(a, mutable.ArrayBuffer.empty)
+    if (!na.contains(b)) na += b
+    val nb = neighbors(level).getOrElseUpdate(b, mutable.ArrayBuffer.empty)
+    if (!nb.contains(a)) nb += a
+    // prune over-connected nodes to their closest maxConn neighbors
+    // (simple distance selection, hnsw.py:489-495)
+    Seq(a, b).foreach { n =>
+      val conns = neighbors(level)(n)
+      val cap = maxConn(level)
+      if (conns.length > cap) {
+        val pruned = conns
+          .map(c => (dist(vectors(n), vectors(c)), c))
+          .sortBy(t => (t._1, t._2))
+          .take(cap)
+          .map(_._2)
+        neighbors(level)(n) = mutable.ArrayBuffer(pruned.toSeq: _*)
+      }
+    }
+  }
+
+  /** Insert one vector (hnsw.py:91-211). */
+  def add(id: Long, vec: Array[Float]): Unit = {
+    require(!vectors.contains(id), s"duplicate id: $id")
+    val v = normalize(vec)
+    val level = drawLevel()
+    vectors(id) = v
+    levels(id) = level
+    entryPoint match {
+      case None => entryPoint = Some(id)
+      case Some(ep) =>
+        var cur = ep
+        val epLevel = levels(ep)
+        // greedy descent through levels above the new node's level
+        var l = epLevel
+        while (l > level) { cur = greedyStep(v, cur, l); l -= 1 }
+        // ef-bounded search + connect at each level from min(level, epLevel) down
+        var entries = Seq(cur)
+        l = math.min(level, epLevel)
+        while (l >= 0) {
+          val found = searchLevel(v, entries, efConstruction, l)
+          val sorted = found.toSeq.sortBy(t => (t._1, t._2))
+          sorted.take(m).foreach { case (_, nb) => connect(id, nb, l) }
+          entries = sorted.map(_._2)
+          l -= 1
+        }
+        if (level > epLevel) entryPoint = Some(id)
+    }
+  }
+
+  /** Top-k approximate nearest neighbors. Distances are euclidean over
+    * L2-NORMALIZED vectors (≡ cosine ordering, hnsw.py:116,300). */
+  def search(query: Array[Float], k: Int, ef: Int = -1): Seq[(Long, Double)] = {
+    if (vectors.isEmpty) return Seq.empty
+    val q = normalize(query)
+    // small-n shortcut (hnsw.py:295-297) — but ranked, unlike the
+    // reference's unranked quirk (documented divergence: ranked output
+    // is strictly more useful and the reference's own tests accept it)
+    if (vectors.size <= k)
+      return vectors.toSeq
+        .map { case (id, v) => (id, dist(q, v)) }
+        .sortBy(t => (t._2, t._1))
+    val effectiveEf = if (ef > 0) ef else math.max(k, efConstruction)
+    val ep = entryPoint.get
+    var cur = ep
+    var l = levels(ep)
+    while (l > 0) { cur = greedyStep(q, cur, l); l -= 1 }
+    searchLevel(q, Seq(cur), effectiveEf, 0).toSeq
+      .map { case (d, id) => (id, d) }
+      .sortBy(t => (t._2, t._1))
+      .take(k)
+  }
+
+  /** Delete a node; if it was the entry point, re-elect the max-level
+    * survivor (A5, hnsw.py:213-270). */
+  def delete(id: Long): Unit = {
+    require(vectors.contains(id), s"unknown id: $id")
+    vectors.remove(id)
+    val lvl = levels.remove(id).getOrElse(0)
+    (0 to lvl).foreach { l =>
+      neighbors(l).remove(id)
+      neighbors(l).foreach { case (_, conns) =>
+        val i = conns.indexOf(id)
+        if (i >= 0) conns.remove(i)
+      }
+    }
+    if (entryPoint.contains(id)) {
+      entryPoint =
+        if (vectors.isEmpty) None
+        else Some(levels.toSeq.sortBy { case (n, l) => (-l, n) }.head._1)
+    }
+  }
+
+  /** Update = delete + re-add (hnsw.py:272-282). */
+  def update(id: Long, vec: Array[Float]): Unit = { delete(id); add(id, vec) }
+}
+
+object HnswIndex {
+
+  /** Build from in-order (id, vector) pairs. */
+  def build(
+      data: Iterator[(Long, Array[Float])],
+      m: Int = 16,
+      efConstruction: Int = 200,
+      maxLevel: Int = 4,
+      seed: Long = 42L): HnswIndex = {
+    val idx = new HnswIndex(m, efConstruction, maxLevel, seed)
+    data.foreach { case (id, v) => idx.add(id, v) }
+    idx
+  }
+
+  /** Driver-local build from a DataFrame — bounded collect, matching the
+    * reference's in-memory scope. Refuses silently-unscalable use. */
+  def fromDataFrame(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxRows: Int = 2000000,
+      m: Int = 16,
+      efConstruction: Int = 200,
+      seed: Long = 42L): HnswIndex = {
+    val rows = df
+      .select(idCol, embCol)
+      .limit(maxRows + 1)
+      .collect()
+    require(rows.length <= maxRows,
+      s"HNSW driver-local build capped at $maxRows rows; " +
+        "use searchPartitioned for larger corpora")
+    build(
+      rows.iterator.map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray)),
+      m, efConstruction, seed = seed)
+  }
+
+  /** The distributed batch path: per-partition graphs, each answering
+    * every query in the (broadcast) batch, merged by a global top-k.
+    * Output: (qid, id, dist) with exactly k rows per query. */
+  def searchPartitioned(
+      df: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      m: Int = 16,
+      efConstruction: Int = 200,
+      seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qBc = spark.sparkContext.broadcast(queries)
+    val perPartition = df
+      .select(idCol, embCol)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val idx = build(it, m, efConstruction, seed = seed)
+        qBc.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k).map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF("qid", "id", "dist")
+    // per-query global top-k over the per-partition candidates: a window
+    // over (qid) ordered by (dist, id), kept small by partial top-k
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
+    perPartition
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+}

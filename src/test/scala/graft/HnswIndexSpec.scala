@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.Cosine
+import graft.operators.{FlatKnn, HnswIndex}
+
+/** HNSW invariants on real sf0.001 embeddings. HNSW is approximate —
+  * tests assert recall floors and structural properties, not goldens
+  * (SURVEY.md §7.2.8). */
+class HnswIndexSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+  private lazy val index = HnswIndex.fromDataFrame(emb)
+  private lazy val q0: Array[Float] =
+    emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+
+  test("builds over the full table") {
+    assert(index.size === emb.count().toInt)
+    assert(index.entry.isDefined)
+  }
+
+  test("self-query: stored vector is its own nearest neighbor at distance 0") {
+    val top = index.search(q0, 1)
+    assert(top.head._1 === 0L)
+    assert(math.abs(top.head._2) < 1e-6)
+  }
+
+  test("recall@10 vs exact cosine ranking is high (>= 0.8)") {
+    // HNSW ranks euclidean-over-normalized == cosine ordering
+    val exact = FlatKnn.search(emb, q0.toSeq, 10, Cosine)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = index.search(q0, 10).map(_._1).toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.8, s"recall@10 = $recall")
+  }
+
+  test("results are sorted by (dist, id) and exactly k") {
+    val res = index.search(q0, 10)
+    assert(res.length === 10)
+    assert(res === res.sortBy(t => (t._2, t._1)))
+  }
+
+  test("deterministic: two builds over the same data return identical results") {
+    val again = HnswIndex.fromDataFrame(emb)
+    assert(index.search(q0, 10) === again.search(q0, 10))
+  }
+
+  test("small-n: returns all vectors ranked when n <= k") {
+    val tiny = HnswIndex.build(
+      Iterator((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f))))
+    val res = tiny.search(Array(1f, 0f), 10)
+    assert(res.length === 3)
+    assert(res.head._1 === 1L)
+  }
+
+  test("delete: removed id never returned; entry point re-elected (A5)") {
+    val idx = HnswIndex.build(
+      (0L until 50L).iterator.map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat))))
+    val ep = idx.entry.get
+    idx.delete(ep)
+    assert(idx.entry.isDefined && idx.entry.get != ep)
+    assert(idx.size === 49)
+    assert(!idx.search(Array.fill(8)(0.1f), 49).exists(_._1 == ep))
+    // surviving entry is a max-level node
+    val maxLvl = (0L until 50L).filter(_ != ep).map(idx.levelOf).max
+    assert(idx.levelOf(idx.entry.get) === maxLvl)
+  }
+
+  test("update: re-added vector is findable at its new position") {
+    val idx = HnswIndex.build(
+      (0L until 30L).iterator.map(i =>
+        (i, Array.tabulate(4)(d => ((i + d) % 7).toFloat + 1f))))
+    idx.update(5L, Array(100f, 100f, 100f, 100f))
+    // normalized direction of (100,100,100,100) == (1,1,1,1)
+    val res = idx.search(Array(1f, 1f, 1f, 1f), 1)
+    assert(res.head._1 === 5L)
+  }
+
+  test("searchPartitioned: distributed batch probe returns k rows per query with high recall") {
+    val q1 = emb.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
+    val out = HnswIndex
+      .searchPartitioned(emb, Seq((0L, q0), (7L, q1)), k = 10)
+      .collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet === Set(0L, 7L))
+    byQ.values.foreach(rows => assert(rows.length === 10))
+    // each query's own vector is its top hit
+    assert(byQ(0L).minBy(r => r.getAs[Double]("dist")).getAs[Long]("id") === 0L)
+    assert(byQ(7L).minBy(r => r.getAs[Double]("dist")).getAs[Long]("id") === 7L)
+  }
+}
