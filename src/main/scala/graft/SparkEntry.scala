@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Embedder, VectorFunctions}
+import graft.functions.{Embedder, TextAnalysis, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{FlatKnn, HnswIndex, LshIndex, NearDup}
+import graft.operators.{FlatKnn, HnswIndex, LshIndex, Multimodal, NearDup, SimHash}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -321,7 +321,101 @@ object SparkEntry {
         .search(queryVec(s, dir).toArray, 10)
         .toDF("vec_id", "dist")
         .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
-    })
+    }),
+    // ---- text analysis: regex ("BPE-ish") vs whitespace token counts ----
+    "q_token_bpe" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        size(split(col("text"), " ", -1)).as("n_ws_tokens"))),
+    // ---- text analysis: language ID by stopword voting (on the
+    //      synthetic corpus this verifies heuristic PARITY with the
+    //      oracle; label accuracy is meaningless on token-soup text) ----
+    "q_lang_id" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ", -1).as("__tk"))
+        .select(
+          (Seq(col("doc_id"), col("lang")) ++
+            TextAnalysis.stopwords.map { case (l, words) =>
+              TextAnalysis.stopwordHits(col("__tk"), words).as(s"score_$l")
+            }): _*)
+      scored.select(
+        col("doc_id"),
+        col("lang"),
+        TextAnalysis.predictedLang(l => col(s"score_$l")).as("predicted"))
+    }),
+    // ---- text analysis: quality scoring (length/punct/stopword) ----
+    "q_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), split(col("text"), " ", -1).as("__tk"))
+        .select(
+          col("doc_id"),
+          col("text"),
+          size(col("__tk")).as("n_tokens"),
+          TextAnalysis.stopwordHits(col("__tk"),
+            TextAnalysis.stopwords.toMap.apply("en")).as("__sw"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          rn((length(col("text")) - col("n_tokens") + 1).cast("double")
+            / col("n_tokens"), 6).as("mean_tok_len"),
+          rn(TextAnalysis.punctCount(col("text")).cast("double")
+            / length(col("text")), 6).as("punct_ratio"),
+          rn(col("__sw").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+          rn(TextAnalysis.qualityScore(
+            col("n_tokens"),
+            (length(col("text")) - col("n_tokens") + 1).cast("double") / col("n_tokens"),
+            TextAnalysis.punctCount(col("text")).cast("double") / length(col("text")),
+            col("__sw").cast("double") / col("n_tokens")), 6).as("quality"))),
+    // ---- training-pipeline: SimHash near-dup pairs (pigeonhole chunk
+    //      candidates, exact Hamming verify; complements MinHash) ----
+    "q_simhash_pairs" -> ((s, dir) =>
+      SimHash.nearDuplicatePairs(t(s, dir, "documents"))),
+    // ---- training-pipeline: embedding-cosine near-dup — sign-LSH
+    //      bucket candidates over Embedder vectors, exact cosine verify ----
+    "q_embed_neardup" -> ((s, dir) =>
+      NearDup
+        .embeddingNearDupPairs(
+          // checkpoint the (small) embedded table: otherwise Catalyst
+          // inlines the embed expression into every downstream signature
+          // dot product and evaluates it ~80x per row
+          Embedder
+            .withEmbedding(t(s, dir, "documents"))
+            .select("doc_id", "embedding")
+            .localCheckpoint(true))
+        .select(col("doc_a"), col("doc_b"), rn(col("cos"), 6).as("cos_sim"))),
+    // ---- multimodal: opaque binary media + per-partition stub decode
+    //      (mapPartitions with one decoder per partition), aggregated
+    //      per mime. The binary payloads are synthesized from document
+    //      text (no real media in the fixtures); the md5-stub decode
+    //      keeps the whole path oracle-checkable. ----
+    "q_media_stats" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").select(
+          col("doc_id").as("id"),
+          col("text").cast("binary").as("media"),
+          element_at(
+            typedLit(Seq("audio/wav", "image/png", "video/mp4")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime")))
+      Multimodal
+        .mediaStats(Multimodal.decode(media))
+        .select(col("mime"), col("n_media"), col("total_bytes"),
+          rn(col("avg_f0"), 6).as("avg_f0"), rn(col("avg_width"), 6).as("avg_width"))
+        .orderBy("mime")
+    }),
+    // ---- text analysis: winnowing fingerprints (rolling-hash k-grams,
+    //      window minima) summarized as set size + checksum ----
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.gramHashes(col("text"), 8).as("__grams"))
+        .select(col("doc_id"), size(col("__grams")).as("n_grams"),
+          TextAnalysis.winnow(col("__grams"), 4).as("__fp"))
+        .select(
+          col("doc_id"),
+          col("n_grams"),
+          size(col("__fp")).as("n_fp"),
+          aggregate(col("__fp"), lit(0L), (acc, x) => acc + x).as("fp_sum")))
   )
 
   /** Query text for q_embed_knn — embedded identically on the driver
@@ -347,7 +441,13 @@ object SparkEntry {
     "q_events_hourly" -> Seq("hour_start", "event_type"),
     "q_user_event_counts" -> Seq("user_id"),
     "q_token_count" -> Seq("doc_id"),
-    "q_neardup_pairs" -> Seq("doc_a", "doc_b"))
+    "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
+    "q_token_bpe" -> Seq("doc_id"),
+    "q_lang_id" -> Seq("doc_id"),
+    "q_quality_score" -> Seq("doc_id"),
+    "q_fingerprint" -> Seq("doc_id"),
+    "q_simhash_pairs" -> Seq("doc_a", "doc_b"),
+    "q_embed_neardup" -> Seq("doc_a", "doc_b"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -439,6 +539,124 @@ object SparkEntry {
     "q_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, (round(avg(n_chars), 4) + 0.0) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_token_bpe" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern}')) AS n_bpe_tokens,
+         |  len(string_split(text, ' ')) AS n_ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> {
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val swLists = TextAnalysis.stopwords
+        .map { case (l, ws) =>
+          s"len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS score_$l"
+        }
+        .mkString(",\n    ")
+      // the same argmax + alphabetical-tie-break chain as
+      // TextAnalysis.predictedLang, generated from the same lang order
+      val cases = langs
+        .map { l =>
+          val cond = langs
+            .filter(_ != l)
+            .map(o =>
+              if (o < l) s"score_$l > score_$o" else s"score_$l >= score_$o")
+            .mkString(" AND ")
+          s"WHEN $cond THEN '$l'"
+        }
+        .mkString(" ")
+      s"""SELECT doc_id, lang, CASE $cases ELSE '${langs.head}' END AS predicted FROM (
+         |  SELECT doc_id, lang,
+         |    $swLists
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)
+         |) ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_score" -> {
+      val enWords = TextAnalysis.stopwords.toMap
+        .apply("en").map(w => s"'$w'").mkString(",")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains([$enWords], t))) AS sw,
+         |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_tokens,
+         |    (length(text) - n_tokens + 1)::DOUBLE / n_tokens AS mtl,
+         |    punct::DOUBLE / length(text) AS pr,
+         |    sw::DOUBLE / n_tokens AS sr
+         |  FROM base)
+         |SELECT doc_id, n_tokens,
+         |  (round(mtl, 6) + 0.0) AS mean_tok_len,
+         |  (round(pr, 6) + 0.0) AS punct_ratio,
+         |  (round(sr, 6) + 0.0) AS stop_ratio,
+         |  (round(least(n_tokens / 50.0, 1.0) * 0.3 + greatest(1.0 - pr * 10.0, 0.0) * 0.3
+         |    + least(sr * 5.0, 1.0) * 0.2 + greatest(0.0, 1.0 - abs(mtl - 5.0) / 5.0) * 0.2, 6) + 0.0) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "q_simhash_pairs" -> {
+      val p = SimHash.Params()
+      s"""WITH hs AS (
+         |  SELECT doc_id, list_transform(string_split(text,' '), t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hv
+         |  FROM documents),
+         |sim AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(0,${p.bits}), b ->
+         |      CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN (1::BIGINT << b) ELSE 0 END)) AS sh
+         |  FROM hs),
+         |chunks AS (SELECT doc_id, sh, c, (sh >> (${p.chunkBits}*c)) & ${(1L << p.chunkBits) - 1} AS chunk
+         |           FROM sim, range(0,${p.chunks}) cc(c)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+         |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming FROM pairs
+         |WHERE bit_count(xor(sha, shb)) <= ${p.maxHamming} ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_media_stats" ->
+      """SELECT mime, count(*) AS n_media, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  (round(avg((('0x'||substr(md5(text),1,8))::BIGINT % 10000) / 10000.0), 6) + 0.0) AS avg_f0,
+        |  (round(avg(strlen(text) % 1920), 6) + 0.0) AS avg_width
+        |FROM (
+        |  SELECT text, ['audio/wav','image/png','video/mp4'][(doc_id % 3) + 1] AS mime
+        |  FROM documents
+        |) GROUP BY mime ORDER BY mime""".stripMargin,
+    "q_embed_neardup" -> {
+      val p = LshIndex.Params(hashSize = 16, numTables = 8, dim = 32, tag = "lshc")
+      val de = Embedder.oracleEmbed("text")
+      def cosPart(c: String) = s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*x))"
+      s"""WITH rawdocs AS (SELECT doc_id, $de AS embedding FROM documents),
+         |docs AS (SELECT doc_id, embedding FROM rawdocs),
+         |cdocs AS (SELECT doc_id, list_transform(embedding, x -> x - CAST(0.5 AS FLOAT)) AS embedding FROM rawdocs),
+         |planes AS (
+         |  SELECT t, b, list((((('0x'||substr(md5('${p.tag}|'||t||'|'||b||'|'||d),1,8))::BIGINT % 2001)-1000)/1000.0) ORDER BY d) AS pl
+         |  FROM range(0,${p.numTables}) tt(t), range(0,${p.hashSize}) bb(b), range(0,${p.dim}) dd(d) GROUP BY t, b),
+         |sigs AS (
+         |  SELECT e.doc_id AS doc_id, p.t AS t,
+         |    sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, p.pl), z -> CAST(z[1] AS DOUBLE)*z[2])) >= 0 THEN (1<<p.b)::BIGINT ELSE 0 END) AS sig
+         |  FROM cdocs e, planes p GROUP BY e.doc_id, p.t),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sims AS (
+         |  SELECT doc_a, doc_b,
+         |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding), z -> CAST(z[1] AS DOUBLE)*z[2])) /
+         |    (sqrt(${cosPart("ea.embedding")}) * sqrt(${cosPart("eb.embedding")})) AS cos
+         |  FROM cand JOIN docs ea ON doc_a = ea.doc_id JOIN docs eb ON doc_b = eb.doc_id)
+         |SELECT doc_a, doc_b, (round(cos, 6) + 0.0) AS cos_sim FROM sims
+         |WHERE cos >= 0.999999 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) < 8 THEN [('0x'||substr(md5(text),1,8))::BIGINT]
+        |         ELSE list_transform(range(1, length(text)-6), i -> ('0x'||substr(md5(substr(text,i,8)),1,8))::BIGINT) END AS grams
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, len(grams) AS n_grams,
+        |    CASE WHEN len(grams) < 4 THEN list_distinct(grams)
+        |         ELSE list_distinct(list_transform(range(1, len(grams)-2), j -> list_min(grams[j:j+3]))) END AS fp
+        |  FROM g)
+        |SELECT doc_id, n_grams, len(fp) AS n_fp, CAST(list_sum(fp) AS BIGINT) AS fp_sum
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_neardup_pairs" -> {
       val p = NearDup.Params()
       val r = p.rowsPerBand

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, regex ("BPE-ish") token counting, and winnowing
+  * document fingerprints. Every operator is a pure codegen'd column
+  * composition with an exactly-mirrored DuckDB oracle fragment — no
+  * UDFs, so they stay inside whole-stage codegen at 100 TB.
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------- language ID
+
+  /** Tiny per-language stopword lists. On real corpora these separate
+    * languages well; on the synthetic fixture (English-ish token soup
+    * for every lang label) the value verified is oracle-parity of the
+    * heuristic, not label accuracy. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和"))
+
+  /** Stopword hits (with multiplicity) for one language over a BOUND
+    * token-array column. */
+  def stopwordHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words: _*)))
+
+  /** Predicted language: argmax of stopword hits, ties broken by
+    * alphabetical order of the language code (deterministic). Expects
+    * per-language score columns named `score_<lang>`. */
+  def predictedLang(scoreOf: String => Column): Column = {
+    val langs = stopwords.map(_._1) // already alphabetical
+    langs
+      .foldLeft(Option.empty[Column]) { (acc, l) =>
+        val isMax = langs
+          .map(o =>
+            if (o < l) scoreOf(l) > scoreOf(o) // strictly beat earlier langs
+            else scoreOf(l) >= scoreOf(o)) // >= suffices vs later langs
+          .reduce(_ && _)
+        Some(acc match {
+          case None      => when(isMax, lit(l))
+          case Some(c)   => c.when(isMax, lit(l))
+        })
+      }
+      .get
+      .otherwise(lit(langs.head))
+  }
+
+  // --------------------------------------------------- quality scoring
+
+  /** Punctuation-ish character count: non-alphanumeric, non-space. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+
+  /** Heuristic quality score in [0, 1]: rewards mid-length documents,
+    * low punctuation density, and a natural-language stopword rate.
+    * The exact formula matters less than its cross-engine parity. */
+  def qualityScore(nTokens: Column, meanTokLen: Column, punctRatio: Column, stopRatio: Column): Column = {
+    val lengthTerm = least(nTokens.cast("double") / 50.0, lit(1.0))
+    val punctTerm = greatest(lit(1.0) - punctRatio * 10.0, lit(0.0))
+    val stopTerm = least(stopRatio * 5.0, lit(1.0))
+    val tokLenTerm =
+      greatest(lit(0.0), lit(1.0) - abs(meanTokLen - 5.0) / 5.0)
+    (lengthTerm * 0.3 + punctTerm * 0.3 + stopTerm * 0.2 + tokLenTerm * 0.2)
+  }
+
+  // ------------------------------------------------ regex token counts
+
+  /** "BPE-ish" tokenizer pattern: alphanumeric runs OR single
+    * non-alphanumeric-non-space symbols — the pre-tokenization split
+    * most BPE vocabularies assume. Portable between Java regex and
+    * DuckDB's RE2. */
+  val bpeTokenPattern = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  // -------------------------------------------- winnowing fingerprints
+
+  /** Character k-gram hashes of a BOUND text column: md5-prefix ints of
+    * each k-char substring (the rolling-hash family used by winnowing /
+    * MOSS-style fingerprinting). */
+  def gramHashes(text: Column, k: Int): Column =
+    when(length(text) < k, array(Embedder.md5Int(text))).otherwise(
+      transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => Embedder.md5Int(text.substr(i, lit(k)))))
+
+  /** Winnowing: minimum gram hash of every w-length window. The distinct
+    * set of window minima is the document's fingerprint. */
+  def winnow(grams: Column, w: Int): Column =
+    when(size(grams) < w, array_distinct(grams)).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(1), size(grams) - (w - 1)),
+          j => array_min(slice(grams, j, lit(w))))))
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.{Multimodal, NearDup, SimHash}
+
+/** Training-pipeline operators: SimHash, embedding near-dup, text
+  * analysis, multimodal stub-decode plumbing. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("simhash: injected exact duplicates surface at hamming 0") {
+    val copies = docs.where(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 200000)
+    val found = SimHash.nearDuplicatePairs(docs.unionByName(copies)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("hamming"))
+      .toMap
+    (0L until 3L).foreach { i =>
+      assert(found.get((i, i + 200000)).contains(0L), s"dup $i not at hamming 0")
+    }
+  }
+
+  test("simhash: reported pairs respect the maxHamming bound and ordering") {
+    val rows = SimHash.nearDuplicatePairs(docs).collect()
+    assert(rows.forall(_.getAs[Long]("hamming") <= 1L))
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("simhash: identical token multisets give identical fingerprints") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val fp = SimHash.fingerprints(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("embedding near-dup: exact-text duplicates found with cosine ~1") {
+    import graft.functions.Embedder
+    val copies = docs.where(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 300000)
+    val embedded = Embedder
+      .withEmbedding(docs.unionByName(copies))
+      .select("doc_id", "embedding")
+    val found = NearDup.embeddingNearDupPairs(embedded).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("cos"))
+      .toMap
+    (0L until 3L).foreach { i =>
+      assert(found.contains((i, i + 300000)), s"dup $i not found")
+      assert(math.abs(found((i, i + 300000)) - 1.0) < 1e-9)
+    }
+  }
+
+  test("language ID: stopword voting picks the obvious language on real text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house is in a box"),
+      (2L, "der hund und die katze das ist nicht ein haus"),
+      (3L, "el perro la casa de los gatos que es una mesa")).toDF("doc_id", "text")
+    val scored = df
+      .select(col("doc_id"), split(col("text"), " ", -1).as("tk"))
+      .select(
+        (Seq(col("doc_id")) ++ TextAnalysis.stopwords.map { case (l, ws) =>
+          TextAnalysis.stopwordHits(col("tk"), ws).as(s"score_$l")
+        }): _*)
+      .select(col("doc_id"), TextAnalysis.predictedLang(l => col(s"score_$l")).as("p"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scored(1L) === "en")
+    assert(scored(2L) === "de")
+    assert(scored(3L) === "es")
+  }
+
+  test("quality score stays within [0, 1]") {
+    val withTk = docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ", -1).as("tk"))
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(
+          size(col("tk")),
+          (length(col("text")) - size(col("tk")) + 1).cast("double") / size(col("tk")),
+          TextAnalysis.punctCount(col("text")).cast("double") / length(col("text")),
+          TextAnalysis.stopwordHits(col("tk"), TextAnalysis.stopwords.toMap.apply("en"))
+            .cast("double") / size(col("tk"))).as("q"))
+      .collect()
+    withTk.foreach { r =>
+      val q = r.getAs[Double]("q")
+      assert(q >= 0.0 && q <= 1.0, s"quality $q out of range")
+    }
+  }
+
+  test("winnowing fingerprint is a subset of gram hashes and shrinks the set") {
+    val out = docs
+      .limit(20)
+      .select(col("doc_id"), TextAnalysis.gramHashes(col("text"), 8).as("g"))
+      .select(col("doc_id"), col("g"), TextAnalysis.winnow(col("g"), 4).as("fp"))
+      .collect()
+    out.foreach { r =>
+      val g = r.getAs[scala.collection.Seq[Long]]("g").toSet
+      val fp = r.getAs[scala.collection.Seq[Long]]("fp")
+      assert(fp.nonEmpty && fp.toSet.subsetOf(g))
+      assert(fp.length < g.size)
+      assert(fp.distinct.length === fp.length)
+    }
+  }
+
+  test("multimodal: stub decode preserves rows, mime, and byte sizes") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      docs.limit(50).select(
+        col("doc_id").as("id"),
+        col("text").cast("binary").as("media"),
+        lit("image/png").as("mime")))
+    val decoded = Multimodal.decode(media).collect()
+    assert(decoded.length === 50)
+    decoded.foreach { d =>
+      assert(d.mime === "image/png")
+      assert(d.byteSize > 0 && d.width === (d.byteSize % 1920).toInt)
+      assert(d.features.length === 32)
+      assert(d.f0 >= 0.0 && d.f0 < 1.0)
+    }
+  }
+
+  test("multimodal: decode is deterministic and keyed only by bytes") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Seq((1L, "same payload"), (2L, "same payload"))
+        .toDF("id", "text")
+        .select(col("id"), col("text").cast("binary").as("media"), lit("audio/wav").as("mime")))
+    val d = Multimodal.decode(media).collect().sortBy(_.id)
+    assert(d(0).f0 === d(1).f0)
+    assert(d(0).features.toSeq === d(1).features.toSeq)
+  }
+}
