@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, TextAnalysis, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{FlatKnn, HnswIndex, LshIndex, Multimodal, NearDup, SimHash}
+import graft.operators.{FlatKnn, HnswIndex, IvfIndex, LshIndex, Multimodal, NearDup, SimHash}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -256,6 +256,13 @@ object SparkEntry {
     //      full-scan fallback when candidates < k (lsh.py:166-228) ----
     "q_lsh_knn" -> ((s, dir) =>
       LshIndex
+        .search(t(s, dir, "embeddings"), queryVec(s, dir), 10)
+        .select(col("vec_id"), rn(col("dist"), 6).as("dist"))),
+    // ---- K2-adjacent: IVF approximate kNN — deterministic sampled
+    //      centroids, nearest-cell assignment, nProbe probe, exact
+    //      re-rank, under-k full-scan fallback ----
+    "q_ivf_knn" -> ((s, dir) =>
+      IvfIndex
         .search(t(s, dir, "embeddings"), queryVec(s, dir), 10)
         .select(col("vec_id"), rn(col("dist"), 6).as("dist"))),
     // ---- S2-S5 + M1/M3/M5: the full persistence/CRUD lifecycle as one
@@ -696,6 +703,32 @@ object SparkEntry {
         |  WHERE (doc_id % 10) <> 3 GROUP BY lang
         |  UNION ALL SELECT 'synthetic' AS source, 100 AS n
         |) ORDER BY source""".stripMargin,
+    "q_ivf_knn" -> {
+      val p = IvfIndex.Params()
+      val k = 10
+      def euclid(a: String, b: String) =
+        s"sqrt(list_sum(list_transform(list_zip($a, $b), " +
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
+      // cents cids are the dense vec_ids 0..nCells-1, so the ordinal
+      // cell index equals the centroid's vec_id (asserted dense in
+      // IvfIndexSpec); list_position gives the same first-minimum
+      // tie-break as Spark's array_position.
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cents AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT ${p.nCells}),
+         |asn AS (
+         |  SELECT e.vec_id AS vec_id, list(${euclid("e.embedding", "c.embedding")} ORDER BY c.cid) AS ds
+         |  FROM embeddings e, cents c GROUP BY e.vec_id),
+         |cells AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell FROM asn),
+         |qc AS (SELECT c.cid AS cell FROM cents c, q
+         |       ORDER BY ${euclid("q.qv", "c.embedding")}, c.cid LIMIT ${p.nProbe}),
+         |cand AS (SELECT vec_id FROM cells WHERE cell IN (SELECT cell FROM qc)),
+         |base AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         |         WHERE (SELECT count(*) FROM cand) < $k OR e.vec_id IN (SELECT vec_id FROM cand))
+         |SELECT vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
+         |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
+         |  FROM base e, q
+         |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
+    },
     "q_lsh_knn" -> {
       val p = LshIndex.Params()
       val k = 10

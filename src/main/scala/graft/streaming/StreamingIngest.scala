@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.catalog.LibraryCatalog
+
+/** Structured Streaming surface. The reference has NO streaming
+  * (SURVEY.md §2.10) — its only asynchrony is background index rebuilds
+  * (M10). This module is the beyond-parity streaming story a Spark
+  * engine should have:
+  *
+  *  - [[eventsHourly]]: the streaming twin of the batch q_events_hourly
+  *    — event-time windowed aggregation with a watermark bounding state.
+  *  - [[sessionize]]: per-user custom state via flatMapGroupsWithState-
+  *    style session windows (built-in session_window keeps it codegen'd).
+  *  - [[ingestInto]]: streaming library ingest — foreachBatch appends
+  *    each micro-batch to a catalog library through the SAME
+  *    `addChunks` path batch uses, so the LSH signature table is
+  *    maintained incrementally per batch and every consistency rule
+  *    (normalization, dedup-before-embed, version swap) holds for
+  *    streamed data too. This is the Spark-native replacement for the
+  *    reference's background-task + lock machinery
+  *    (`background_tasks.py:4-17`): micro-batch boundaries ARE the
+  *    serialization points, and the version swap keeps readers
+  *    consistent without locks.
+  *
+  * At scale: watermarks bound state stores; the ingest path writes one
+  * parquet version per micro-batch (tune the trigger to amortize), and
+  * compaction is the existing catalog GC.
+  */
+object StreamingIngest {
+
+  /** Hourly event-time rollup with late-data tolerance. Input schema
+    * must contain (ts TIMESTAMP, event_type STRING, value DOUBLE). */
+  def eventsHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user session windows (30 min gap): custom sessionization state
+    * handled by the built-in session_window (stays in codegen; reach for
+    * flatMapGroupsWithState only when per-group logic can't be expressed
+    * declaratively). */
+  def sessionize(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
+  /** Streaming ingest into a catalog library: each micro-batch flows
+    * through the exact batch `addChunks` path (normalize → embed →
+    * union → incremental index → version swap). Returns the writer so
+    * the caller picks the trigger/checkpoint. */
+  def ingestInto(
+      catalog: LibraryCatalog,
+      library: String,
+      chunks: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    chunks.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          catalog.addChunks(library, batch.toDF())
+        }
+        ()
+      }
+
+  /** Convenience: run a bounded ingest of `chunks` with a processing-
+    * time trigger until the stream is drained (used by tests/demos). */
+  def runOnce(
+      catalog: LibraryCatalog,
+      library: String,
+      chunks: DataFrame,
+      checkpoint: String): Unit = {
+    val q = ingestInto(catalog, library, chunks)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

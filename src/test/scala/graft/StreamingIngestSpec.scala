@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.LibraryCatalog
+import graft.catalog.Models.LshIndexer
+import graft.streaming.StreamingIngest
+
+/** Structured Streaming semantics: windowed aggregation with watermark,
+  * session windows, and streaming library ingest through foreachBatch
+  * with incremental index maintenance. */
+class StreamingIngestSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-stream-wh-").toString
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(warehouse))
+    super.afterAll()
+  }
+
+  private def ts(minute: Int) =
+    java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("eventsHourly: streaming windowed agg matches the batch rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    mem.addData(
+      (ts(5), "click", 1.0), (ts(10), "click", 2.0),
+      (ts(20), "view", 5.0), (ts(59), "click", 4.0))
+    val out = StreamingIngest
+      .eventsHourly(mem.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream
+      .format("memory").queryName("hourly_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+        .toSet
+      assert(rows === Set(("click", 3L, 7.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-minute gap splits a user's events into sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    // user 1: events at 10:00 and 10:10 (one session), then 11:30 (new session)
+    mem.addData(
+      (ts(0), 1L, 1.0), (ts(10), 1L, 1.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 11:30:00"), 1L, 1.0))
+    val out = StreamingIngest
+      .sessionize(mem.toDF().toDF("ts", "user_id", "value"))
+    val q = out.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").collect()
+      assert(sessions.length === 2)
+      assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming ingest appends micro-batches through addChunks with incremental LSH") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val catalog = new LibraryCatalog(spark, warehouse)
+    val seedDocs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 10)
+      .select(
+        concat(lit("seed-"), col("doc_id")).as("id"),
+        lit("doc-seed").as("document_id"),
+        col("text"))
+    catalog.createLibrary("stream_lib", LshIndexer, seedDocs, overwrite = true)
+    assert(catalog.chunks("stream_lib").count() === 10L)
+
+    val mem = MemoryStream[(String, String, String)]
+    mem.addData(
+      ("s-1", "doc-live", "first streamed chunk about shuffle tuning"),
+      ("s-2", "doc-live", "second streamed chunk about broadcast joins"))
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    StreamingIngest.runOnce(
+      catalog, "stream_lib",
+      mem.toDF().toDF("id", "document_id", "text"), ckpt)
+
+    assert(catalog.chunks("stream_lib").count() === 12L)
+    // incremental index maintenance: signature rows exist for streamed ids
+    val sig = catalog.indexTable("stream_lib").get
+    assert(sig.where(col("id") === "s-1").count() === 10L) // numTables rows
+    // and the streamed chunk is searchable end-to-end
+    val hit = catalog
+      .search("stream_lib", "first streamed chunk about shuffle tuning", k = 1)
+      .head()
+    assert(hit.getAs[String]("id") === "s-1")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+}
