@@ -74,8 +74,24 @@ object VectorFunctions {
   /** Negative dot product ("smaller is closer", indexer.py:124-126). */
   def negDotProduct(a: Column, b: Column): Column = -dotProduct(a, b)
 
-  /** Runtime-dispatched distance, mirroring Indexer._calculate_distance. */
-  def distance(a: Column, b: Column, metric: Metric): Column = metric match {
+  /** Runtime-dispatched distance, mirroring Indexer._calculate_distance.
+    * Uses the fused codegen [[VectorDistance]] expression (one loop, no
+    * intermediate arrays) — bit-identical to [[builtinDistance]], which
+    * remains the reference implementation the equivalence spec checks
+    * against. */
+  def distance(a: Column, b: Column, metric: Metric): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      VectorDistance(
+        ColumnBridge.expression(a),
+        ColumnBridge.expression(b),
+        metric.name))
+  }
+
+  /** v0 built-in composition form (zip_with/aggregate) — kept as the
+    * independently-written mirror for VectorDistanceSpec's bitwise
+    * equivalence check. */
+  def builtinDistance(a: Column, b: Column, metric: Metric): Column = metric match {
     case Euclidean  => euclidean(a, b)
     case Cosine     => cosineDistance(a, b)
     case DotProduct => negDotProduct(a, b)

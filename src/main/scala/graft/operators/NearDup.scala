@@ -109,14 +109,14 @@ object NearDup {
       idCol: String = "doc_id",
       textCol: String = "text",
       p: Params = Params()): DataFrame = {
-    // Deliberately NOT cached/checkpointed: each branch recomputes its
-    // shingles/minhashes (bounded, codegen'd column work), while
-    // persisting the fat shingle arrays would pin hundreds of MB of
-    // driver-JVM blocks per call — recompute is cheaper than the GC
-    // pressure, and at cluster scale the signature table is what gets
-    // persisted (see LshIndex.signatureTable for the same pattern).
+    // docsSh is deliberately NOT cached: persisting the fat shingle
+    // arrays pins hundreds of MB of driver-JVM blocks per call (measured
+    // as GC bleed into subsequent queries), and recomputing the bounded
+    // shingling per consumer is cheaper. The BAND rows however are tiny
+    // (4 short key rows per doc) and feed a self-join — checkpointing
+    // them halves the minhash work without the memory cost.
     val docsSh = docShingles(df, idCol, textCol, p)
-    val bands = bandRows(docsSh, idCol, p)
+    val bands = bandRows(docsSh, idCol, p).localCheckpoint(true)
     val pairs = bands
       .select(col(idCol).as("id_a"), col("band"), col("band_key"))
       .join(

@@ -70,9 +70,12 @@ object SimHash {
     val chunkVals = (0 until p.chunks).map(c =>
       shiftright(col("simhash"), c * p.chunkBits)
         .bitwiseAND(lit((1L << p.chunkBits) - 1)))
+    // tiny (id, fingerprint, chunk) rows; checkpointing keeps the
+    // self-join from computing the 32 sign-vote aggregates twice
     val chunked = fp.select(
-      col(idCol), col("simhash"),
-      posexplode(array(chunkVals: _*)).as(Seq("chunk_idx", "chunk_val")))
+        col(idCol), col("simhash"),
+        posexplode(array(chunkVals: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .localCheckpoint(true)
     val a = chunked.select(
       col(idCol).as("id_a"), col("simhash").as("sh_a"),
       col("chunk_idx"), col("chunk_val"))

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made `Column` independent of
+  * catalyst (SPARK-46934) and gated the converters behind
+  * `private[sql]`, so custom-Expression libraries host a one-file
+  * bridge inside the sql namespace — the standard technique used by
+  * open-source Spark extension libraries. This is the ONLY file outside
+  * the `graft` package.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

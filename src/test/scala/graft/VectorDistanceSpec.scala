@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions._
+
+/** Bitwise equivalence of the fused codegen VectorDistance expression
+  * against the built-in zip_with/aggregate composition — on real
+  * embeddings AND adversarial vectors (zero vectors, duplicates), for
+  * all four metrics, under both codegen and interpreted eval. */
+class VectorDistanceSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val q0: Seq[Float] =
+    emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+
+  private def bitsOf(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+
+  for (m <- Metric.all) {
+    test(s"native == builtin bitwise on real embeddings (${m.name})") {
+      val rows = emb
+        .select(
+          VectorFunctions.distance(col("embedding"), typedLit(q0), m).as("native"),
+          VectorFunctions.builtinDistance(col("embedding"), typedLit(q0), m).as("builtin"))
+        .collect()
+      assert(rows.length > 0)
+      rows.foreach { r =>
+        assert(bitsOf(r.getDouble(0)) === bitsOf(r.getDouble(1)),
+          s"${m.name}: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+    }
+  }
+
+  test("zero vectors: cosine guard yields exactly 1.0, others 0-consistent") {
+    import spark.implicits._
+    val zero = Seq.fill(8)(0.0f)
+    val v = Seq(0.5f, -1f, 2f, 0f, 1f, 1f, -3f, 0.25f)
+    val df = Seq((zero, v), (zero, zero), (v, v)).toDF("a", "b")
+    Metric.all.foreach { m =>
+      val rows = df.select(
+        VectorFunctions.distance(col("a"), col("b"), m).as("n"),
+        VectorFunctions.builtinDistance(col("a"), col("b"), m).as("o")).collect()
+      rows.foreach(r => assert(bitsOf(r.getDouble(0)) === bitsOf(r.getDouble(1)), m.name))
+    }
+    val cos = df.select(VectorFunctions.distance(col("a"), col("b"), Cosine)).collect()
+    assert(cos(0).getDouble(0) === 1.0 && cos(1).getDouble(0) === 1.0)
+  }
+
+  test("interpreted eval path agrees with codegen (eval via expression directly)") {
+    import graft.functions.VectorDistance
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = Array(1.0f, 2.0f, -3.0f)
+    val b = Array(0.5f, -1.5f, 4.0f)
+    def litArr(v: Array[Float]) =
+      Literal(ArrayData.toArrayData(v), ArrayType(FloatType))
+    val interp = Metric.all.map(m =>
+      VectorDistance(litArr(a), litArr(b), m.name).eval(null).asInstanceOf[Double])
+    import spark.implicits._
+    val viaSpark = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(Metric.all.map(m =>
+        VectorFunctions.distance(col("a"), col("b"), m).as(m.name)): _*)
+      .head()
+    Metric.all.zipWithIndex.foreach { case (m, i) =>
+      assert(bitsOf(interp(i)) === bitsOf(viaSpark.getDouble(i)), m.name)
+    }
+  }
+
+  test("mismatched lengths yield NULL like the built-in form") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    Seq(Euclidean, Manhattan, DotProduct).foreach { m =>
+      val n = df.select(VectorFunctions.distance(col("a"), col("b"), m)).head()
+      val o = df.select(VectorFunctions.builtinDistance(col("a"), col("b"), m)).head()
+      assert(n.isNullAt(0) === o.isNullAt(0), m.name)
+    }
+  }
+
+  test("kNN plan with the native expression stays inside WholeStageCodegen") {
+    val plan = graft.operators.FlatKnn
+      .search(emb, q0, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vector_distance_euclidean"))
+  }
+}
