@@ -329,6 +329,25 @@ object SparkEntry {
         .toDF("vec_id", "dist")
         .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
     }),
+    // ---- sessionization (batch gaps-and-islands twin of the streaming
+    //      session_window path): per-user sessions split on >30min gaps.
+    //      Gap compare runs at microsecond precision on BOTH sides
+    //      (Spark's ts is ns→µs truncated; the oracle mirrors the
+    //      truncation). ----
+    "q_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      events(s, dir)
+        .withColumn("__prev", lag("ts", 1).over(w))
+        .withColumn("__new_s",
+          when(col("__prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("__sid",
+          sum("__new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max("__sid").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
     // ---- text analysis: regex ("BPE-ish") vs whitespace token counts ----
     "q_token_bpe" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -454,7 +473,8 @@ object SparkEntry {
     "q_quality_score" -> Seq("doc_id"),
     "q_fingerprint" -> Seq("doc_id"),
     "q_simhash_pairs" -> Seq("doc_a", "doc_b"),
-    "q_embed_neardup" -> Seq("doc_a", "doc_b"))
+    "q_embed_neardup" -> Seq("doc_a", "doc_b"),
+    "q_sessions" -> Seq("user_id"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -546,6 +566,19 @@ object SparkEntry {
     "q_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, (round(avg(n_chars), 4) + 0.0) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR (epoch_ns(ts)//1000 - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))//1000) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_token_bpe" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern}')) AS n_bpe_tokens,

@@ -286,6 +286,24 @@ class LibraryCatalog(spark: SparkSession, warehouse: String) {
     commitVersion(m, merged, buildIndex(m, merged))
   }
 
+  /** M6: bulk metadata replace for every chunk matching `pred`,
+    * preserving each row's created_at (document_service.py:82-102 — our
+    * documents are derived from chunks, so "update document metadata"
+    * is a predicate update over its chunks). Embeddings are untouched,
+    * so the existing index table is carried forward, not rebuilt. */
+  def updateMetadataWhere(
+      name: String,
+      pred: Column,
+      newMetadata: Column): LibraryMeta = {
+    val m = requireMeta(name)
+    val updated = chunks(name).withColumn(
+      "metadata",
+      when(pred,
+        newMetadata.withField("created_at", col("metadata.created_at")))
+        .otherwise(col("metadata")))
+    commitVersion(m, updated, indexTable(name))
+  }
+
   /** M7: delete a document — cascade to all its chunks + reindex
     * (document_service.py:104-123). */
   def deleteDocument(name: String, documentId: String): LibraryMeta =

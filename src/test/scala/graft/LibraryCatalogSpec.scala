@@ -170,6 +170,32 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(catalog.indexTable("lib_lsh").get.where(col("id") === "lsh-new").count() === 10L)
   }
 
+  test("M6: updateMetadataWhere bulk-replaces metadata, preserves created_at, keeps index") {
+    import org.apache.spark.sql.functions.{struct => fstruct}
+    val before = catalog.indexTable("lib_lsh").map(_.count())
+    val createdBefore = catalog.chunks("lib_lsh")
+      .where(col("id") === "chunk-3").select("metadata.created_at").head().getTimestamp(0)
+    val newMeta = fstruct(
+      lit("bulk-updated").as("source"),
+      lit(null).cast("timestamp").as("created_at"),
+      array(lit("retagged")).as("tags"),
+      lit("author-x").as("author"),
+      lit(null).cast("string").as("title"),
+      lit(null).cast("string").as("description"),
+      lit(null).cast("int").as("page"))
+    catalog.updateMetadataWhere("lib_lsh", col("document_id") === "doc-3", newMeta)
+    val updated = catalog.chunks("lib_lsh").where(col("document_id") === "doc-3")
+    assert(updated.where(col("metadata.source") =!= "bulk-updated").isEmpty)
+    val others = catalog.chunks("lib_lsh").where(col("document_id") =!= "doc-3")
+    assert(others.where(col("metadata.source") === "bulk-updated").isEmpty)
+    // created_at preserved through the bulk replace
+    assert(catalog.chunks("lib_lsh")
+      .where(col("id") === "chunk-3").select("metadata.created_at").head().getTimestamp(0)
+      === createdBefore)
+    // index carried forward untouched (embeddings unchanged)
+    assert(catalog.indexTable("lib_lsh").map(_.count()) === before)
+  }
+
   test("M8: deleteLibrary removes it from disk and the listing") {
     catalog.createLibrary("lib_tmp", FlatIndexer, corpus(), overwrite = true)
     assert(catalog.exists("lib_tmp"))
