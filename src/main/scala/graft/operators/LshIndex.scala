@@ -62,9 +62,18 @@ object LshIndex {
       if (dot >= 0.0) 1L << b else 0L
     }.sum
 
-  /** Codegen'd signature column for one table: sign bits of dot products
-    * against literal plane vectors (no UDF, stays in WholeStageCodegen). */
-  def signatureCol(vec: Column, tablePlanes: Array[Array[Double]]): Column =
+  /** Fused codegen signature column for one table (one loop over a
+    * plane-matrix reference object — see [[graft.functions.LshSignature]]);
+    * bit-identical to [[signatureColBuiltin]]. */
+  def signatureCol(vec: Column, tablePlanes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.LshSignature(ColumnBridge.expression(vec), tablePlanes))
+  }
+
+  /** v0 composition form (zip_with/aggregate per plane) — kept as the
+    * independently-written mirror for the equivalence test. */
+  def signatureColBuiltin(vec: Column, tablePlanes: Array[Array[Double]]): Column =
     tablePlanes.zipWithIndex.map { case (pl, b) =>
       val dot = aggregate(
         zip_with(vec, typedLit(pl.toSeq), (x, y) => x.cast("double") * y),

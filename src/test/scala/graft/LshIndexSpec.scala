@@ -46,6 +46,16 @@ class LshIndexSpec extends SparkSpec {
     tiny.unpersist()
   }
 
+  test("fused signature expression equals the composition form bitwise") {
+    val ps = LshIndex.planes(p)
+    val rows = emb.limit(50)
+      .select(
+        LshIndex.signatureCol(col("embedding"), ps(0)).as("fused"),
+        LshIndex.signatureColBuiltin(col("embedding"), ps(0)).as("builtin"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("signatureCol (Catalyst) agrees with signatureLocal (driver) on real vectors") {
     val ps = LshIndex.planes(p)
     val rows = emb
