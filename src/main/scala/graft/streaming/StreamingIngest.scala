@@ -91,4 +91,37 @@ object StreamingIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming kNN: a stream of (qid, query vector) answered per
+    * micro-batch against a STATIC corpus. Each batch runs the exact
+    * batch kNN per query (broadcast query literal → codegen'd distance →
+    * TakeOrderedAndProject), so streaming answers are identical to what
+    * the batch path would return — the lambda-architecture property for
+    * free. `sink` receives (qid, id, dist) rows per batch.
+    *
+    * At scale: per-batch query count is expected small (it's a serving
+    * path); for bulk offline scoring use the batch
+    * [[graft.operators.HnswIndex.searchPartitioned]] instead. */
+  def streamingKnn(
+      queries: DataFrame, // streaming: (qid LONG, query ARRAY<FLOAT>)
+      corpus: DataFrame, // static: (idCol, embCol)
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding")(
+      sink: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val qs = batch
+          .select(col("qid"), col("query"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        qs.foreach { case (qid, qv) =>
+          sink(
+            graft.operators.FlatKnn
+              .search(corpus, qv, k, idCol = idCol, embCol = embCol)
+              .withColumn("qid", lit(qid)))
+        }
+        ()
+      }
 }

@@ -103,4 +103,30 @@ class StreamingIngestSpec extends SparkSpec with BeforeAndAfterAll {
     assert(hit.getAs[String]("id") === "s-1")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
+
+  test("streaming kNN answers match the batch path exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q0 = corpus.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val q7 = corpus.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    mem.addData((0L, q0), (7L, q7))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val writer = StreamingIngest.streamingKnn(
+      mem.toDF().toDF("qid", "query"), corpus, k = 5) { df =>
+      got ++= df.collect().map(r =>
+        (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("dist")))
+    }
+    val q = writer.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 7L))
+    Seq(0L -> q0, 7L -> q7).foreach { case (qid, qv) =>
+      val batch = graft.operators.FlatKnn.search(corpus, qv, 5).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist")))
+      assert(byQ(qid).map(t => (t._2, t._3)).sortBy(_._1) === batch.sortBy(_._1).toSeq)
+    }
+  }
 }
