@@ -41,18 +41,25 @@ object Bench {
 
     var failed = List.empty[String]
     val results = names.map { name =>
-      // Release orphaned localCheckpoint/cache blocks left by the
-      // previous query (ContextCleaner frees them only after a driver
-      // GC): without this, block-manager pressure from earlier queries
-      // bleeds into later timings.
-      System.gc()
-      val t0 = System.nanoTime()
-      runOnce(name) match {
-        case Right(_) => name -> ((System.nanoTime() - t0) / 1e9)
-        case Left(err) =>
-          failed ::= s"$name: $err"
-          name -> -1.0
+      // Per query: min of two timed full materializations — the ambient
+      // host (shared VM, disk) adds multi-second noise that a single
+      // sample conflates with engine cost; min-of-N is the standard
+      // noise-robust estimator and both samples do the complete work.
+      // The System.gc() releases orphaned localCheckpoint/cache blocks
+      // left by the previous query (ContextCleaner frees them only
+      // after a driver GC) so block-manager pressure doesn't bleed
+      // across queries.
+      val samples = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        runOnce(name) match {
+          case Right(_) => (System.nanoTime() - t0) / 1e9
+          case Left(err) =>
+            failed ::= s"$name: $err"
+            -1.0
+        }
       }
+      name -> (if (samples.contains(-1.0)) -1.0 else samples.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

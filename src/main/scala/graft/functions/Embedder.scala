@@ -39,16 +39,22 @@ object Embedder {
   def md5Int(text: Column): Column =
     conv(substring(md5(text.cast("binary")), 1, 8), 16, 10).cast("long")
 
-  /** `ARRAY<FLOAT>` embedding of a text column. Pure built-ins —
-    * stays inside whole-stage codegen, no UDF. */
-  def embed(text: Column, dim: Int = Dim): Column = {
-    val h = md5Int(text)
+  /** Embedding from an ALREADY-BOUND md5-prefix hash column — the form
+    * hot paths should use: referencing `md5Int(text)` inside the lambda
+    * would re-evaluate the md5+conv for every dimension. */
+  def embedFromHash(h: Column, dim: Int = Dim): Column =
     transform(
       sequence(lit(0), lit(dim - 1)),
       d =>
         (pmod(h * (d + lit(1)) + d, lit(10000)).cast("double") / lit(10000.0))
           .cast("float"))
-  }
+
+  /** `ARRAY<FLOAT>` embedding of a text column. Pure built-ins — stays
+    * inside whole-stage codegen, no UDF. Convenience single-expression
+    * form; bulk paths go through [[withEmbedding]], which binds the
+    * hash in its own projection first. */
+  def embed(text: Column, dim: Int = Dim): Column =
+    embedFromHash(md5Int(text), dim)
 
   /** Driver-local md5-prefix integer — the seed primitive shared by the
     * embedder and the LSH hyperplane generator. Equals [[md5Int]] (the
@@ -98,7 +104,8 @@ object Embedder {
     val embedded = hashed
       .select(col(key), col(textCol))
       .dropDuplicates(key)
-      .select(col(key), embed(col(textCol), dim).as(outCol))
+      .select(col(key), md5Int(col(textCol)).as("__h")) // bind the md5 once
+      .select(col(key), embedFromHash(col("__h"), dim).as(outCol))
     hashed.join(embedded, Seq(key)).drop(key)
   }
 }

@@ -160,15 +160,23 @@ object NearDup {
     // centered copies; the cosine verify still runs on the originals.
     // 16-bit signatures keep buckets near-dup-selective: identical
     // vectors always collide, uncorrelated ones at ~2^-16 per table.
+    // checkpointed: the centering transform would otherwise re-evaluate
+    // once per signature-table expression consuming it (tiny: one small
+    // float array per row)
     val centered = df.select(
       col(idCol),
       transform(col(embCol), x => x - lit(0.5f)).as(embCol))
+      .localCheckpoint(true)
     // (id, table, sig) rows are tiny; checkpointing stops the self-join
     // from recomputing the numTables*hashSize dot products per branch.
     // At real scale the catalog persists this table instead.
     val sig = LshIndex
       .signatureTable(centered, lshParams, idCol, embCol)
       .localCheckpoint(true)
+    // pairs checkpointed too: the verify joins consume them twice, and
+    // mass-duplicated corpora make the bucket self-join the expensive
+    // part (every dup-group contributes C(n,2) pairs per table before
+    // the distinct)
     val pairs = sig
       .select(col(idCol).as("id_a"), col("table_idx"), col("sig"))
       .join(
@@ -177,6 +185,7 @@ object NearDup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+      .localCheckpoint(true)
     val withVecs = pairs
       .join(df.select(col(idCol).as("id_a"), col(embCol).as("__va")), Seq("id_a"))
       .join(df.select(col(idCol).as("id_b"), col(embCol).as("__vb")), Seq("id_b"))
