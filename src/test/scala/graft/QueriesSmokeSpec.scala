@@ -17,6 +17,30 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
+  test("every verifyOrder entry names a real query and existing output columns") {
+    SparkEntry.verifyOrder.foreach { case (name, cols) =>
+      assert(SparkEntry.queries.contains(name), s"verifyOrder orphan: $name")
+      val out = SparkEntry.queries(name)(spark, sfDir).columns.toSet
+      val missing = cols.filterNot(out)
+      assert(missing.isEmpty, s"$name: verifyOrder columns $missing not in $out")
+    }
+  }
+
+  test("queries with an oracle and no in-query ordering are listed in verifyOrder") {
+    // a query whose oracle has ORDER BY but whose plan neither sorts nor
+    // appears in verifyOrder would hash-nondeterministically at the driver
+    SparkEntry.oracleSql.keys.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.toString
+      val sortedInQuery = plan.contains("Sort [")
+      val single = SparkEntry.queries(name)(spark, sfDir).schema.length <= 2 &&
+        name == "q_filter_revenue" // single-row aggregate needs no order
+      assert(
+        sortedInQuery || SparkEntry.verifyOrder.contains(name) ||
+          name == "q_dedup_exact_stats" || single,
+        s"$name: no in-query sort and no verifyOrder entry")
+    }
+  }
+
   /** Queries whose correct result CAN be empty on this synthetic data
     * (every sf0.001 customer has orders, so the anti join is empty). */
   private val mayBeEmpty = Set("q_anti_customers_without_orders")
