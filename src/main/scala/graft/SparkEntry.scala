@@ -429,6 +429,26 @@ object SparkEntry {
           rn(col("avg_f0"), 6).as("avg_f0"), rn(col("avg_width"), 6).as("avg_width"))
         .orderBy("mime")
     }),
+    // ---- multimodal: frame sampling — n evenly-spaced byte windows per
+    //      payload hashed per frame (keyframe-extraction plumbing),
+    //      rolled up per mime ----
+    "q_media_frames" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").select(
+          col("doc_id").as("id"),
+          col("text").cast("binary").as("media"),
+          element_at(
+            typedLit(Seq("audio/wav", "image/png", "video/mp4")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime")))
+      Multimodal
+        .frameSamples(media)
+        .toDF()
+        .groupBy("mime")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          countDistinct(col("frame_hash")).as("n_distinct"))
+        .orderBy("mime")
+    }),
     // ---- text analysis: winnowing fingerprints (rolling-hash k-grams,
     //      window minima) summarized as set size + checksum ----
     "q_fingerprint" -> ((s, dir) =>
@@ -659,6 +679,20 @@ object SparkEntry {
         |  SELECT text, ['audio/wav','image/png','video/mp4'][(doc_id % 3) + 1] AS mime
         |  FROM documents
         |) GROUP BY mime ORDER BY mime""".stripMargin,
+    "q_media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, ['audio/wav','image/png','video/mp4'][(doc_id % 3) + 1] AS mime
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, mime,
+        |    CASE WHEN length(text) < 64 THEN [('0x'||substr(md5(text),1,8))::BIGINT]
+        |         ELSE list_transform(range(0,4), i ->
+        |           ('0x'||substr(md5(substr(text, least(i*((length(text)-64)//3), length(text)-64)+1, 64)),1,8))::BIGINT)
+        |    END AS fh
+        |  FROM m)
+        |SELECT mime, count(*) AS n_frames, count(DISTINCT fhash) AS n_distinct
+        |FROM (SELECT mime, unnest(fh) AS fhash FROM fr)
+        |GROUP BY mime ORDER BY mime""".stripMargin,
     "q_embed_neardup" -> {
       val p = LshIndex.Params(hashSize = 16, numTables = 8, dim = 32, tag = "lshc")
       val de = Embedder.oracleEmbed("text")

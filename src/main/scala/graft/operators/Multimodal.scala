@@ -100,4 +100,44 @@ object Multimodal {
         sum("byteSize").as("total_bytes"),
         avg("f0").as("avg_f0"),
         avg("width").as("avg_width"))
+
+  /** One sampled "frame" of a media payload. */
+  case class Frame(id: Long, mime: String, frame_idx: Int, frame_hash: Long)
+
+  /** Frame sampling: n evenly-spaced fixed-width byte windows per media
+    * payload (what a video pipeline does per keyframe), each reduced to
+    * a stable hash standing in for the decoded frame. Runs in the same
+    * per-partition decoder pass as [[decode]]; payloads shorter than a
+    * window emit a single whole-payload frame. */
+  def frameSamples(
+      media: Dataset[MediaRow],
+      nFrames: Int = 4,
+      window: Int = 64): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { row =>
+      val text = new String(row.media, "UTF-8")
+      if (text.length < window)
+        Seq(Frame(row.id, row.mime, 0, Embedder.md5IntLocal(text)))
+      else {
+        val step = (text.length - window) / math.max(1, nFrames - 1)
+        (0 until nFrames).map { i =>
+          val start = math.min(i * step, text.length - window)
+          Frame(row.id, row.mime, i,
+            Embedder.md5IntLocal(text.substring(start, start + window)))
+        }
+      }
+    }
+  }
+
+  /** Resize stub: deterministic fake downscale — real pixel resampling
+    * would slot in here; the plumbing (dims recomputed, features
+    * re-extracted from the "resized" payload) is what's real. */
+  def resizeStub(d: DecodedMedia, maxW: Int, maxH: Int): DecodedMedia = {
+    val scale = math.min(1.0, math.min(
+      maxW.toDouble / math.max(1, d.width),
+      maxH.toDouble / math.max(1, d.height)))
+    d.copy(
+      width = math.max(1, (d.width * scale).toInt),
+      height = math.max(1, (d.height * scale).toInt))
+  }
 }

@@ -121,6 +121,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: frame sampling emits n frames per long payload, 1 for short") {
+    import spark.implicits._
+    val media = graft.operators.Multimodal.asMedia(
+      Seq((1L, "x" * 500), (2L, "short"))
+        .toDF("id", "text")
+        .select(col("id"), col("text").cast("binary").as("media"), lit("video/mp4").as("mime")))
+    val frames = graft.operators.Multimodal.frameSamples(media, nFrames = 4, window = 64)
+      .collect().groupBy(_.id)
+    assert(frames(1L).length === 4)
+    assert(frames(1L).map(_.frame_idx).sorted.toSeq === Seq(0, 1, 2, 3))
+    assert(frames(2L).length === 1)
+    // uniform payload → identical frame hashes; distinct payloads differ
+    assert(frames(1L).map(_.frame_hash).distinct.length === 1)
+    assert(frames(1L).head.frame_hash !== frames(2L).head.frame_hash)
+  }
+
+  test("multimodal: resize stub preserves aspect ratio and caps dims") {
+    import graft.operators.Multimodal.{DecodedMedia, resizeStub}
+    val d = DecodedMedia(1L, "image/png", 100L, 1600, 800, 0.5, Array.empty)
+    val r = resizeStub(d, 400, 400)
+    assert(r.width === 400 && r.height === 200) // scale 0.25, ratio kept
+    val small = resizeStub(DecodedMedia(2L, "image/png", 10L, 100, 50, 0.1, Array.empty), 400, 400)
+    assert(small.width === 100 && small.height === 50) // never upscales
+  }
+
   test("multimodal: decode is deterministic and keyed only by bytes") {
     import spark.implicits._
     val media = Multimodal.asMedia(
