@@ -310,6 +310,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("source")
     }),
+    // ---- the FULL catalog search read path, end to end: build a
+    //      library from the documents table (persist to parquet), search
+    //      a query text with a tag post-filter through
+    //      LibraryCatalog.search (embed → rank euclidean → filter after
+    //      top-k → score in cosine), and project. The oracle reproduces
+    //      every step in SQL over the base table — a hash match proves
+    //      the whole persisted read path, quirks included. ----
+    "q_catalog_search" -> ((s, dir) => {
+      import graft.catalog.{LibraryCatalog, Models}
+      // warehouse keyed by sf dir: Verify (sf0.01) and Bench (sf0.1)
+      // must not reuse each other's persisted library
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_search_wh_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val cat = new LibraryCatalog(s, wh)
+      if (!cat.exists("search_demo")) {
+        val src = t(s, dir, "documents").select(
+          concat(lit("c"), col("doc_id")).as("id"),
+          concat(lit("d"), pmod(col("doc_id"), lit(50))).as("document_id"),
+          col("text"),
+          struct(
+            col("lang").as("source"),
+            lit(null).cast("timestamp").as("created_at"),
+            array(col("lang")).as("tags"),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("title"),
+            lit(null).cast("string").as("description"),
+            lit(null).cast("int").as("page")).as("metadata"))
+        cat.createLibrary("search_demo", Models.FlatIndexer, src, overwrite = true)
+      }
+      cat
+        .search("search_demo", EmbedQueryText, k = 20, metric = Cosine,
+          filterTags = Seq("en"))
+        .select(
+          col("id"),
+          rn(col("dist"), 6).as("dist"),
+          rn(col("score"), 6).as("score"))
+    }),
     // ---- training-pipeline: MinHash-banded near-duplicate pairs.
     //      shingle → minhash → band bucket join → exact Jaccard verify;
     //      no all-pairs anywhere (row order: see verifyOrder). ----
@@ -488,6 +525,7 @@ object SparkEntry {
     "q_user_event_counts" -> Seq("user_id"),
     "q_token_count" -> Seq("doc_id"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
+    "q_catalog_search" -> Seq("dist", "id"),
     "q_token_bpe" -> Seq("doc_id"),
     "q_lang_id" -> Seq("doc_id"),
     "q_quality_score" -> Seq("doc_id"),
@@ -679,6 +717,28 @@ object SparkEntry {
         |  SELECT text, ['audio/wav','image/png','video/mp4'][(doc_id % 3) + 1] AS mime
         |  FROM documents
         |) GROUP BY mime ORDER BY mime""".stripMargin,
+    "q_catalog_search" -> {
+      val de = Embedder.oracleEmbed("text")
+      val qe = Embedder.oracleEmbed(s"'$EmbedQueryText'")
+      def normSq(c: String) = s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*x))"
+      val dotQ =
+        s"list_sum(list_transform(list_zip(d.embedding, q.qv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))"
+      val euclidQ =
+        "sqrt(list_sum(list_transform(list_zip(d.embedding, q.qv), " +
+          "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))"
+      val cosQ =
+        s"(CASE WHEN ${normSq("d.embedding")} = 0 OR ${normSq("q.qv")} = 0 THEN 1.0 " +
+          s"ELSE 1.0 - $dotQ / (sqrt(${normSq("d.embedding")}) * sqrt(${normSq("q.qv")})) END)"
+      s"""WITH docs AS (SELECT 'c' || doc_id AS id, lang, $de AS embedding FROM documents),
+         |q AS (SELECT $qe AS qv),
+         |ranked AS (
+         |  SELECT d.id AS id, d.lang AS lang, $euclidQ AS de, $cosQ AS dc
+         |  FROM docs d, q
+         |  ORDER BY de, d.id LIMIT 20)
+         |SELECT id, (round(de, 6) + 0.0) AS dist, (round(dc, 6) + 0.0) AS score
+         |FROM ranked WHERE lang = 'en'
+         |ORDER BY dist, id""".stripMargin
+    },
     "q_media_frames" ->
       """WITH m AS (
         |  SELECT doc_id, text, ['audio/wav','image/png','video/mp4'][(doc_id % 3) + 1] AS mime
