@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.FlatKnn
+import graft.plans.AnnProbeRule
+
+/** The opt-in ANN plan rewrite: the optimizer turns the exact-kNN shape
+  * into an LSH bucket probe + exact re-rank when (and only when) the
+  * session conf enables it. */
+class AnnProbeRuleSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val q0: Seq[Float] =
+    emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ AnnProbeRule
+  }
+
+  override def afterAll(): Unit = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == AnnProbeRule)
+    spark.conf.unset(AnnProbeRule.ConfKey)
+    super.afterAll()
+  }
+
+  test("disabled (default): the kNN plan scans the full corpus, no signature filter") {
+    spark.conf.set(AnnProbeRule.ConfKey, "false")
+    val plan = FlatKnn.search(emb, q0, 5).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("lsh_signature"))
+  }
+
+  test("enabled: the optimizer injects the LSH signature probe filter") {
+    spark.conf.set(AnnProbeRule.ConfKey, "true")
+    try {
+      val df = FlatKnn.search(emb, q0, 5)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("lsh_signature"), s"no probe filter in:\n$plan")
+      // the probe is still ranked and limited: self-vector first at dist 0
+      val rows = df.collect()
+      assert(rows.nonEmpty && rows.length <= 5)
+      assert(rows.head.getAs[Long]("vec_id") === 0L)
+      assert(math.abs(rows.head.getAs[Double]("dist")) < 1e-9)
+      // every returned id must be an LSH bucket candidate of the query
+      val ps = graft.operators.LshIndex.planes(
+        graft.operators.LshIndex.Params(dim = q0.length))
+      val qSigs = ps.map(graft.operators.LshIndex.signatureLocal(q0.toArray, _))
+      val candidateIds = emb
+        .where(ps.indices
+          .map(t => graft.operators.LshIndex.signatureCol(col("embedding"), ps(t)) === qSigs(t))
+          .reduce(_ || _))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(rows.map(_.getAs[Long]("vec_id")).forall(candidateIds))
+    } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
+  }
+
+  test("the rewrite leaves non-kNN sorts alone") {
+    spark.conf.set(AnnProbeRule.ConfKey, "true")
+    try {
+      val plan = spark.read.parquet(s"$sfDir/orders.parquet")
+        .orderBy(col("o_totalprice").desc).limit(5)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("lsh_signature"))
+    } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
+  }
+}
