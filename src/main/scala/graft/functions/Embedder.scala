@@ -35,9 +35,14 @@ object Embedder {
     * test_library_save_load.py:33-34). */
   val Dim = 32
 
-  /** First 8 hex chars of md5(text) as an unsigned int in [0, 2^32). */
-  def md5Int(text: Column): Column =
-    conv(substring(md5(text.cast("binary")), 1, 8), 16, 10).cast("long")
+  /** First 8 hex chars of md5(text) as an unsigned int in [0, 2^32) —
+    * computed straight from the digest bytes ([[Md5PrefixInt]]; no
+    * hex-string round trip), value-identical to the
+    * `conv(substring(md5(x),1,8),16,10)` composition the oracles use. */
+  def md5Int(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(Md5PrefixInt(ColumnBridge.expression(text.cast("binary"))))
+  }
 
   /** Embedding from an ALREADY-BOUND md5-prefix hash column — the form
     * hot paths should use: referencing `md5Int(text)` inside the lambda

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Digest-to-integer md5 expressions for the hash-heavy pipeline paths
+  * (embedder, MinHash, fingerprints). The composition form
+  * `conv(substring(md5(x), 1, 8), 16, 10)` formats a 32-char hex string
+  * and parses 8 chars of it back per call; these produce the SAME
+  * values (md5 hex is big-endian bytes, so chunk c of the hex string ==
+  * digest bytes 4c..4c+3 as an unsigned int) straight from the digest
+  * bytes with no string round-trip. Equality is asserted in
+  * Md5ExpressionsSpec.
+  */
+object Md5Expressions {
+  /** bytes[off..off+3] of a digest as an unsigned 32-bit value. */
+  @inline def chunk(digest: Array[Byte], off: Int): Long =
+    ((digest(off) & 0xffL) << 24) |
+      ((digest(off + 1) & 0xffL) << 16) |
+      ((digest(off + 2) & 0xffL) << 8) |
+      (digest(off + 3) & 0xffL)
+
+  def digestOf(bytes: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+
+  private[functions] def inputBytes(input: Any): Array[Byte] = input match {
+    case s: UTF8String  => s.getBytes
+    case b: Array[Byte] => b
+  }
+}
+
+/** First 4 md5-digest bytes as an unsigned int (== the first 8 hex
+  * chars parsed base-16). */
+case class Md5PrefixInt(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING or BINARY, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix_int"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = Md5Expressions.digestOf(Md5Expressions.inputBytes(input))
+    Md5Expressions.chunk(d, 0)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val md = ctx.addMutableState(
+        "java.security.MessageDigest", "md5PrefixDigest",
+        n => s"""try { $n = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+                |""".stripMargin)
+      val d = ctx.freshName("d")
+      val bytes =
+        if (child.dataType == StringType) s"$v.getBytes()" else v
+      s"""
+      |byte[] $d = $md.digest($bytes);
+      |${ev.value} = (((long)($d[0] & 0xff)) << 24) | (((long)($d[1] & 0xff)) << 16)
+      |  | (((long)($d[2] & 0xff)) << 8) | ((long)($d[3] & 0xff));
+      |""".stripMargin
+    })
+}
+
+/** All four 32-bit chunks of an md5 digest as ARRAY<LONG> — one digest
+  * call yields four independent hash values (the MinHash trick). */
+case class Md5Chunks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING or BINARY, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_chunks"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = Md5Expressions.digestOf(Md5Expressions.inputBytes(input))
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(
+        Md5Expressions.chunk(d, 0), Md5Expressions.chunk(d, 4),
+        Md5Expressions.chunk(d, 8), Md5Expressions.chunk(d, 12)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val md = ctx.addMutableState(
+        "java.security.MessageDigest", "md5ChunksDigest",
+        n => s"""try { $n = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+                |""".stripMargin)
+      val d = ctx.freshName("d")
+      val arr = ctx.freshName("arr")
+      val bytes =
+        if (child.dataType == StringType) s"$v.getBytes()" else v
+      s"""
+      |byte[] $d = $md.digest($bytes);
+      |long[] $arr = new long[4];
+      |for (int i = 0; i < 4; i++) {
+      |  $arr[i] = (((long)($d[4*i] & 0xff)) << 24) | (((long)($d[4*i+1] & 0xff)) << 16)
+      |    | (((long)($d[4*i+2] & 0xff)) << 8) | ((long)($d[4*i+3] & 0xff));
+      |}
+      |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($arr);
+      |""".stripMargin
+    })
+}

@@ -63,16 +63,19 @@ object NearDup {
       shingleCol: String,
       outCol: String,
       numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val groups = (numHashes + 3) / 4
-    val hexCols = (0 until groups).map(g => s"__md5hex_$g")
-    val withHex = (0 until groups).foldLeft(df)((d, g) =>
-      d.withColumn(hexCols(g),
+    val chunkCols = (0 until groups).map(g => s"__md5chunks_$g")
+    // per shingle: one digest -> ARRAY<LONG> of its four 32-bit chunks
+    // (no hex-string round trip; values equal the oracle's substr+conv)
+    val withChunks = (0 until groups).foldLeft(df)((d, g) =>
+      d.withColumn(chunkCols(g),
         transform(col(shingleCol), s =>
-          md5(concat(lit(s"$g|"), s).cast("binary")))))
+          ColumnBridge.column(graft.functions.Md5Chunks(
+            ColumnBridge.expression(concat(lit(s"$g|"), s).cast("binary")))))))
     val sigEl = (0 until numHashes).map(h =>
-      array_min(transform(col(hexCols(h / 4)), x =>
-        conv(substring(x, 1 + 8 * (h % 4), 8), 16, 10).cast("long"))))
-    withHex.withColumn(outCol, array(sigEl: _*)).drop(hexCols: _*)
+      array_min(transform(col(chunkCols(h / 4)), a => element_at(a, h % 4 + 1))))
+    withChunks.withColumn(outCol, array(sigEl: _*)).drop(chunkCols: _*)
   }
 
   /** Per-document shingle sets: (id, shingles). The token array is bound

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import graft.functions.{Md5Chunks, Md5PrefixInt}
+
+/** Digest-byte md5 expressions must equal the hex-string composition
+  * forms exactly — they feed every oracle-matched hash path. */
+class Md5ExpressionsSpec extends SparkSpec {
+
+  private val texts = Seq(
+    "", "a", "hello world", "ünïcode 中文 🙂", "0|the quick brown fox",
+    "x" * 1000, "tab\tnl\n")
+
+  test("Md5PrefixInt equals conv(substring(md5(x),1,8),16,10)") {
+    import spark.implicits._
+    val df = texts.toDF("t")
+    val rows = df.select(
+      ColumnBridge.column(Md5PrefixInt(ColumnBridge.expression(col("t").cast("binary")))).as("fast"),
+      conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long").as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("Md5Chunks equals the four hex-chunk conv extractions") {
+    import spark.implicits._
+    val df = texts.toDF("t")
+    val rows = df.select(
+      ColumnBridge.column(Md5Chunks(ColumnBridge.expression(col("t").cast("binary")))).as("fast"),
+      array((0 until 4).map(c =>
+        conv(substring(md5(col("t").cast("binary")), 1 + 8 * c, 8), 16, 10).cast("long")): _*).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("fast") ===
+        r.getAs[scala.collection.Seq[Long]]("slow"))
+    }
+  }
+
+  test("interpreted eval matches codegen output") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = Md5PrefixInt(Literal("probe")).eval(null)
+    import spark.implicits._
+    val viaDf = Seq("probe").toDF("t")
+      .select(ColumnBridge.column(Md5PrefixInt(ColumnBridge.expression(col("t")))))
+      .head().getLong(0)
+    assert(interp === viaDf)
+  }
+}
