@@ -61,10 +61,13 @@ case class Md5PrefixInt(child: Expression) extends UnaryExpression {
       val d = ctx.freshName("d")
       val bytes =
         if (child.dataType == StringType) s"$v.getBytes()" else v
+      // Call the static helper rather than emitting inline
+      // cast-and-shift chains: Janino misparses
+      // `((long)(b & 0xff)) << n` ("… is not a type") and Spark would
+      // silently fall back to interpreted eval for the whole projection.
       s"""
       |byte[] $d = $md.digest($bytes);
-      |${ev.value} = (((long)($d[0] & 0xff)) << 24) | (((long)($d[1] & 0xff)) << 16)
-      |  | (((long)($d[2] & 0xff)) << 8) | ((long)($d[3] & 0xff));
+      |${ev.value} = graft.functions.Md5Expressions.chunk($d, 0);
       |""".stripMargin
     })
 }
@@ -100,14 +103,15 @@ case class Md5Chunks(child: Expression) extends UnaryExpression {
                 |""".stripMargin)
       val d = ctx.freshName("d")
       val arr = ctx.freshName("arr")
+      val i = ctx.freshName("i")
       val bytes =
         if (child.dataType == StringType) s"$v.getBytes()" else v
+      // Static helper call for the same Janino reason as Md5PrefixInt.
       s"""
       |byte[] $d = $md.digest($bytes);
       |long[] $arr = new long[4];
-      |for (int i = 0; i < 4; i++) {
-      |  $arr[i] = (((long)($d[4*i] & 0xff)) << 24) | (((long)($d[4*i+1] & 0xff)) << 16)
-      |    | (((long)($d[4*i+2] & 0xff)) << 8) | ((long)($d[4*i+3] & 0xff));
+      |for (int $i = 0; $i < 4; $i++) {
+      |  $arr[$i] = graft.functions.Md5Expressions.chunk($d, 4 * $i);
       |}
       |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($arr);
       |""".stripMargin

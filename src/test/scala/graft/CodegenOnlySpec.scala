@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import graft.functions.{LshSignature, Md5Chunks, Md5PrefixInt, VectorDistance}
+
+/** Every custom codegen expression must actually COMPILE. Round 3's md5
+  * doGenCode failed Janino compilation and silently ran interpreted —
+  * correctness held, the perf win didn't, and only the bench log showed
+  * it. These tests disable every codegen fallback so a Janino failure
+  * fails `sbt test` instead of hiding.
+  */
+class CodegenOnlySpec extends SparkSpec {
+
+  private val guardedConfs = Seq(
+    "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+    "spark.sql.codegen.fallback"    -> "false",
+    "spark.sql.codegen.wholeStage"  -> "true")
+
+  private def withCodegenOnly[T](body: => T): T = {
+    val prev = guardedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    guardedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private val texts =
+    Seq("", "a", "hello world", "ünïcode 中文 🙂", "0|the quick brown fox", "x" * 1000)
+
+  test("Md5PrefixInt compiles under CODEGEN_ONLY and matches the hex composition") {
+    import spark.implicits._
+    withCodegenOnly {
+      val rows = texts.toDF("t").select(
+        ColumnBridge.column(Md5PrefixInt(ColumnBridge.expression(col("t").cast("binary")))).as("fast"),
+        conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long").as("slow"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    }
+  }
+
+  test("Md5Chunks compiles under CODEGEN_ONLY and matches the four hex chunks") {
+    import spark.implicits._
+    withCodegenOnly {
+      val rows = texts.toDF("t").select(
+        ColumnBridge.column(Md5Chunks(ColumnBridge.expression(col("t").cast("binary")))).as("fast"),
+        array((0 until 4).map(c =>
+          conv(substring(md5(col("t").cast("binary")), 1 + 8 * c, 8), 16, 10).cast("long")): _*).as("slow"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Long]]("fast") ===
+          r.getAs[scala.collection.Seq[Long]]("slow"))
+      }
+    }
+  }
+
+  test("VectorDistance compiles under CODEGEN_ONLY for all four metrics") {
+    import spark.implicits._
+    withCodegenOnly {
+      val df = Seq(
+        (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+        (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+        (Array(-1.5f, 2.5f, 0.25f), Array(0.5f, -0.5f, 8.0f))).toDF("a", "b")
+      import graft.functions.VectorFunctions
+      for (m <- Seq(VectorFunctions.Euclidean, VectorFunctions.Cosine,
+          VectorFunctions.DotProduct, VectorFunctions.Manhattan)) {
+        val fused = ColumnBridge.column(
+          VectorDistance(ColumnBridge.expression(col("a")),
+            ColumnBridge.expression(col("b")), m.name))
+        val rows = df.select(fused.as("fast"),
+          VectorFunctions.builtinDistance(col("a"), col("b"), m).as("slow"))
+          .collect()
+        rows.foreach { r =>
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+            java.lang.Double.doubleToLongBits(r.getDouble(1)), s"metric=${m.name}")
+        }
+      }
+    }
+  }
+
+  test("LshSignature compiles under CODEGEN_ONLY and matches interpreted eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val planes = Array(
+      Array(0.3, -0.7, 0.2), Array(-0.1, 0.9, -0.4),
+      Array(0.5, 0.5, 0.5), Array(-0.6, 0.1, 0.8))
+    val vecs = Seq(Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.0f, 0.5f))
+    withCodegenOnly {
+      val rows = vecs.toDF("v")
+        .select(ColumnBridge.column(
+          LshSignature(ColumnBridge.expression(col("v")), planes)).as("sig"))
+        .collect()
+      val expected = vecs.map { v =>
+        LshSignature(Literal.create(ArrayData.toArrayData(v),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)),
+          planes).eval(null).asInstanceOf[Long]
+      }
+      assert(rows.map(_.getLong(0)).toSeq === expected)
+    }
+  }
+}
