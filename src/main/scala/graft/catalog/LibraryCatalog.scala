@@ -40,7 +40,10 @@ import graft.operators.{FlatKnn, HnswIndex, LshIndex}
   * parquet; nothing collects rows to the driver. The version swap is one
   * small-file rename regardless of data size.
   */
-class LibraryCatalog(spark: SparkSession, warehouse: String) {
+class LibraryCatalog(
+    spark: SparkSession,
+    warehouse: String,
+    hnswMaxRows: Int = HnswIndex.DefaultMaxRows) {
 
   private val log = LoggerFactory.getLogger(classOf[LibraryCatalog])
   private def fs: FileSystem =
@@ -336,7 +339,14 @@ class LibraryCatalog(spark: SparkSession, warehouse: String) {
       version: Long,
       all: DataFrame): (HnswIndex, IndexedSeq[String]) =
     hnswGraphs.getOrElseUpdate((name, version), {
-      val rows = all.select("id", "embedding").collect()
+      // bounded collect — same guard as HnswIndex.fromDataFrame: an
+      // hnsw library slightly bigger than driver memory must fail with
+      // a redirect, not OOM the driver
+      val rows = all.select("id", "embedding").limit(hnswMaxRows + 1).collect()
+      require(rows.length <= hnswMaxRows,
+        s"hnsw library '$name' exceeds the driver-local graph cap of " +
+          s"$hnswMaxRows rows; use HnswIndex.searchPartitioned over " +
+          "chunks(name) for corpora this size")
       val ids = rows.map(_.getString(0)).toIndexedSeq
       val idx = HnswIndex.build(
         rows.iterator.zipWithIndex.map { case (r, i) =>
@@ -393,12 +403,18 @@ class LibraryCatalog(spark: SparkSession, warehouse: String) {
       Seq(col("id"), col("document_id"), col("text"), col("dist"), col("score")) ++
         (if (includeMetadata) Seq(col("metadata")) else Nil) ++
         (if (includeEmbeddings) Seq(col("embedding")) else Nil): _*)
-    val n = projected.count()
-    if (n < k) // T5 (flat_index.py:96-108)
-      log.warn(s"search('$name'): returning $n < k=$k results" +
-        (if (filterTags.nonEmpty) " (tag post-filter applied after top-k)" else ""))
-    projected
+    // T5 (flat_index.py:96-108) without a second job: the old
+    // `projected.count()` re-ran embed→scan→distance→top-k once per call
+    // just to emit this warning. `observe` piggybacks the count on the
+    // caller's own execution; the session-wide listener logs under-k
+    // results when the query actually runs.
+    LibraryCatalog.ensureUnderKListener(spark)
+    projected.observe(
+      LibraryCatalog.underKObservationName(name, k, filterTags.nonEmpty),
+      count(lit(1)).as("n"))
   }
+
+  // (companion holds the under-k observation listener — see object below)
 
   /** Search + document join (J1): distinct doc ids of the results,
     * broadcast-joined back to the derived documents view
@@ -414,4 +430,46 @@ class LibraryCatalog(spark: SparkSession, warehouse: String) {
       .join(broadcast(docs), res("document_id") === docs("matched_document_id"))
       .drop("matched_document_id")
   }
+}
+
+object LibraryCatalog {
+
+  private val log = LoggerFactory.getLogger(classOf[LibraryCatalog])
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val observedSessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Encodes the warning context in the observation name so the listener
+    * can reconstruct it: `graft_underk|<lib>|<k>|<tagged>|<seq>`. */
+  private[catalog] def underKObservationName(
+      name: String, k: Int, tagged: Boolean): String =
+    s"graft_underk|$name|$k|$tagged|${obsSeq.incrementAndGet()}"
+
+  /** One listener per session, registered lazily: logs the T5 under-k
+    * warning from the observed row count when a search query completes —
+    * zero extra jobs. */
+  private[catalog] def ensureUnderKListener(spark: SparkSession): Unit =
+    if (observedSessions.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(
+              funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (obsName, row) =>
+              if (obsName.startsWith("graft_underk|")) {
+                val parts = obsName.split("\\|")
+                val (lib, k, tagged) = (parts(1), parts(2).toInt, parts(3).toBoolean)
+                val n = row.getLong(0)
+                if (n < k)
+                  log.warn(s"search('$lib'): returning $n < k=$k results" +
+                    (if (tagged) " (tag post-filter applied after top-k)" else ""))
+              }
+            }
+          override def onFailure(
+              funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
 }

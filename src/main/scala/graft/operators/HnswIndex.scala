@@ -252,13 +252,18 @@ object HnswIndex {
     idx
   }
 
+  /** Driver-local graph size cap: beyond this, collect-and-build is an
+    * OOM waiting to happen — callers must switch to [[searchPartitioned]].
+    * Shared by [[fromDataFrame]] and the catalog's hnsw read path. */
+  val DefaultMaxRows: Int = 2000000
+
   /** Driver-local build from a DataFrame — bounded collect, matching the
     * reference's in-memory scope. Refuses silently-unscalable use. */
   def fromDataFrame(
       df: org.apache.spark.sql.DataFrame,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      maxRows: Int = 2000000,
+      maxRows: Int = DefaultMaxRows,
       m: Int = 16,
       efConstruction: Int = 200,
       seed: Long = 42L): HnswIndex = {

@@ -219,6 +219,36 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(versions.length <= 2, s"versions on disk: ${versions.mkString(",")}")
   }
 
+  test("T5: flat search builds its plan without launching a counting job") {
+    // the old implementation ran projected.count() inside search() — the
+    // whole embed→scan→distance→top-k executed TWICE per call. Now the
+    // under-k warning rides on observe(), so constructing the search
+    // DataFrame must launch zero Spark jobs.
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = catalog.search("lib_a", "driver side laziness probe", k = 3)
+      Thread.sleep(500) // listener bus is async
+      assert(jobs === 0, "search() must not execute anything eagerly")
+      assert(df.count() === 3L)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("hnsw read path refuses a library over the driver-local cap with a redirect") {
+    val capped = new LibraryCatalog(spark, warehouse, hnswMaxRows = 5)
+    capped.createLibrary("lib_hnsw_cap", HnswIndexer, corpus(), overwrite = true)
+    val ex = intercept[IllegalArgumentException] {
+      capped.search("lib_hnsw_cap", "anything", k = 3).collect()
+    }
+    assert(ex.getMessage.contains("searchPartitioned"))
+    capped.deleteLibrary("lib_hnsw_cap")
+  }
+
   test("ingest validation: blank text rows are dropped (chunk.py:55-61)") {
     import spark.implicits._
     val mixed = Seq(
