@@ -19,6 +19,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Version key baked into every /tmp cache path (persisted demo
+    * warehouses / index tables): a stale artifact persisted by an OLDER
+    * code version must never silently serve a newer round's query — bump
+    * on any change to the persisted layouts or the queries over them. */
+  private val CacheVersion = "r4a"
+
+  /** Tmp path for a persisted demo artifact, keyed by code version + sf
+    * dir (Verify at sf0.01 and Bench at sf0.1 must not share). */
+  private def cachePath(kind: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_${CacheVersion}_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+
   /** Canonicalizing round: `round(c, n) + 0.0` maps IEEE `-0.0` to `+0.0`
     * (identity for every other value). Without it, a cosine distance of
     * ~-1e-16 rounds to `-0.0` in one engine and `+0.0` in the other and the
@@ -282,13 +294,37 @@ object SparkEntry {
       LshIndex
         .search(t(s, dir, "embeddings"), queryVec(s, dir), 10)
         .select(col("vec_id"), rn(col("dist"), 6).as("dist"))),
-    // ---- K2-adjacent: IVF approximate kNN — deterministic sampled
-    //      centroids, nearest-cell assignment, nProbe probe, exact
-    //      re-rank, under-k full-scan fallback ----
-    "q_ivf_knn" -> ((s, dir) =>
+    // ---- K2-adjacent: IVF approximate kNN over a PERSISTED index —
+    //      assignments written partitionBy(cell) (a probe reads nProbe
+    //      partition dirs, never the corpus) + a small centroids table.
+    //      Build-once-index accounting like HNSW/the catalog: the first
+    //      call per (version, sf dir) writes the index, every later call
+    //      only probes. Deterministic sampled centroids, nProbe probe,
+    //      exact re-rank, under-k full-scan fallback. ----
+    "q_ivf_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = cachePath("ivf_idx", dir)
+      // driver-local marker check: this is a /tmp demo cache — at real
+      // scale the LibraryCatalog owns index persistence (IvfIndexer)
+      if (!new java.io.File(s"$idxDir/_built").exists()) {
+        val cents = IvfIndex.centroids(emb, IvfIndex.Params())
+        IvfIndex
+          .assignmentsForWrite(emb, cents)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$idxDir/assignments")
+        IvfIndex
+          .centroidsDfFromVecs(s, cents)
+          .write.mode("overwrite").parquet(s"$idxDir/centroids")
+        new java.io.File(s"$idxDir/_built").createNewFile()
+      }
       IvfIndex
-        .search(t(s, dir, "embeddings"), queryVec(s, dir), 10)
-        .select(col("vec_id"), rn(col("dist"), 6).as("dist"))),
+        .searchWithTable(
+          emb,
+          s.read.parquet(s"$idxDir/assignments"),
+          s.read.parquet(s"$idxDir/centroids"),
+          queryVec(s, dir), 10)
+        .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
+    }),
     // ---- S2-S5 + M1/M3/M5: the full persistence/CRUD lifecycle as one
     //      hash-checked query: create a library from the documents table
     //      (write), delete a deterministic slice (anti-join + write), add
@@ -343,10 +379,11 @@ object SparkEntry {
     //      the whole persisted read path, quirks included. ----
     "q_catalog_search" -> ((s, dir) => {
       import graft.catalog.{LibraryCatalog, Models}
-      // warehouse keyed by sf dir: Verify (sf0.01) and Bench (sf0.1)
-      // must not reuse each other's persisted library
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_search_wh_" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // warehouse keyed by code version + sf dir: Verify (sf0.01) and
+      // Bench (sf0.1) must not reuse each other's persisted library, and
+      // a library persisted by an older code version must never serve a
+      // newer round's query
+      val wh = cachePath("search_wh", dir)
       val cat = new LibraryCatalog(s, wh)
       if (!cat.exists("search_demo")) {
         val src = t(s, dir, "documents").select(

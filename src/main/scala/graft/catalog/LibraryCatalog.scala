@@ -8,7 +8,7 @@ import org.slf4j.LoggerFactory
 import graft.catalog.Models._
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions.{Euclidean, Metric}
-import graft.operators.{FlatKnn, HnswIndex, LshIndex}
+import graft.operators.{FlatKnn, HnswIndex, IvfIndex, LshIndex}
 
 /** The library store: persistence, recovery, CRUD, and the full search
   * read path — the Spark-native replacement for the reference's service
@@ -132,11 +132,41 @@ class LibraryCatalog(
         count(lit(1)).as("chunk_count"),
         collect_list(col("id")).as("chunk_ids"))
 
-  /** The persisted index table, when the library's indexer has one. */
-  def indexTable(name: String): Option[DataFrame] = {
+  /** One persisted file-set of a library's index. `partitionBy` is the
+    * physical layout the probe prunes on: table_idx for LSH, cell for
+    * IVF (see LshIndex/IvfIndex scale notes). */
+  private case class IndexArtifact(
+      name: String,
+      df: DataFrame,
+      partitionBy: Seq[String])
+
+  private def artifactPartitioning(ix: IndexerType, artifact: String): Seq[String] =
+    (ix, artifact) match {
+      case (LshIndexer, "index") => Seq("table_idx")
+      case (IvfIndexer, "index") => Seq("cell")
+      case _                     => Nil
+    }
+
+  private def artifact(name: String, artifactName: String): Option[DataFrame] = {
     val m = requireMeta(name)
-    val p = new Path(versionDir(name, m.version), "index")
+    val p = new Path(versionDir(name, m.version), artifactName)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** The persisted index table, when the library's indexer has one. */
+  def indexTable(name: String): Option[DataFrame] = artifact(name, "index")
+
+  /** The persisted IVF centroids table (cid, embedding), when present. */
+  def centroidsTable(name: String): Option[DataFrame] = artifact(name, "centroids")
+
+  /** Every index artifact of the current version, with its layout —
+    * for carrying an index forward unchanged across a mutation that
+    * doesn't touch embeddings. */
+  private def existingArtifacts(name: String): Seq[IndexArtifact] = {
+    val m = requireMeta(name)
+    Seq("index", "centroids").flatMap(a =>
+      artifact(name, a).map(df =>
+        IndexArtifact(a, df, artifactPartitioning(m.indexer, a))))
   }
 
   // ------------------------------------------------------------- writing
@@ -144,17 +174,22 @@ class LibraryCatalog(
   private def now(): String = java.time.Instant.now().toString
 
   private def lshParams(dim: Int) = LshIndex.Params(dim = dim)
+  private def ivfParams = IvfIndex.Params()
 
-  /** Write version v of the library state and swap the pointer. */
+  /** Write version v of the library state and swap the pointer. Index
+    * artifacts are written in their pruning layout (partitionBy). */
   private def commitVersion(
       m: LibraryMeta,
       chunksDf: DataFrame,
-      index: Option[DataFrame]): LibraryMeta = {
+      artifacts: Seq[IndexArtifact]): LibraryMeta = {
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     chunksDf.write.mode("overwrite").parquet(new Path(vdir, "chunks").toString)
-    index.foreach(
-      _.write.mode("overwrite").parquet(new Path(vdir, "index").toString))
+    artifacts.foreach { a =>
+      val w = a.df.write.mode("overwrite")
+      (if (a.partitionBy.nonEmpty) w.partitionBy(a.partitionBy: _*) else w)
+        .parquet(new Path(vdir, a.name).toString)
+    }
     val updated = m.copy(version = v, updatedAt = now())
     writeMeta(updated)
     // GC: keep v-1 for in-flight readers, drop anything older
@@ -162,11 +197,27 @@ class LibraryCatalog(
     updated
   }
 
-  private def buildIndex(m: LibraryMeta, chunksDf: DataFrame): Option[DataFrame] =
+  private def buildIndex(m: LibraryMeta, chunksDf: DataFrame): Seq[IndexArtifact] =
     m.indexer match {
       case LshIndexer =>
-        Some(LshIndex.signatureTable(chunksDf, lshParams(m.dim), "id", "embedding"))
-      case _ => None // flat needs no index table; hnsw is driver-local (K3)
+        // one write task per table_idx, rows sorted by sig inside it →
+        // each partition dir's files are sig-ordered, so the probe's
+        // sig-equality pushdown skips row groups, not just partitions
+        val sig = LshIndex
+          .signatureTable(chunksDf, lshParams(m.dim), "id", "embedding")
+          .repartition(col("table_idx"))
+          .sortWithinPartitions("table_idx", "sig")
+        Seq(IndexArtifact("index", sig, Seq("table_idx")))
+      case IvfIndexer =>
+        val cents = IvfIndex.centroids(chunksDf, ivfParams, "id", "embedding")
+        Seq(
+          IndexArtifact(
+            "index",
+            IvfIndex.assignmentsForWrite(chunksDf, cents, "id", "embedding"),
+            Seq("cell")),
+          IndexArtifact(
+            "centroids", IvfIndex.centroidsDfFromVecs(spark, cents), Nil))
+      case _ => Seq.empty // flat needs no index table; hnsw is driver-local (K3)
     }
 
   /** Ingest normalization (chunk.py:25-42,55-71): trimmed non-empty text,
@@ -229,27 +280,50 @@ class LibraryCatalog(
     commitVersion(m0, normalized, buildIndex(m0, normalized))
   }
 
-  /** M2/M3: append chunks. The chunk table is a union; the LSH signature
-    * table is maintained INCREMENTALLY (only the new rows' signatures are
-    * computed — indexer.add, lsh.py:84-112), not rebuilt. */
+  /** M2/M3: append chunks. The chunk table is a union; the index is
+    * maintained INCREMENTALLY (indexer.add, lsh.py:84-112): only the new
+    * rows' LSH signatures / IVF cell assignments are computed. IVF
+    * centroids stay FIXED on incremental add (standard IVF practice —
+    * rebuildIndex re-derives them). */
   def addChunks(name: String, newChunks: DataFrame): LibraryMeta = {
     val m = requireMeta(name)
     val added = normalize(newChunks, m.dim)
     val merged = chunks(name).unionByName(added)
-    val index = (indexTable(name), buildIndex(m, added)) match {
-      case (Some(existing), Some(newSigs)) => Some(existing.unionByName(newSigs))
-      case (_, built)                      => built
+    val artifacts = m.indexer match {
+      case LshIndexer =>
+        (indexTable(name), buildIndex(m, added)) match {
+          case (Some(existing), Seq(sig)) =>
+            Seq(sig.copy(df = existing.unionByName(sig.df)))
+          case (_, built) => built
+        }
+      case IvfIndexer =>
+        (indexTable(name), centroidsTable(name)) match {
+          case (Some(existing), Some(centsDf)) =>
+            val cents = IvfIndex.centroidsOf(centsDf)
+            val newAsn =
+              IvfIndex.assignmentsForWrite(added, cents, "id", "embedding")
+            Seq(
+              IndexArtifact("index", existing.unionByName(newAsn), Seq("cell")),
+              IndexArtifact("centroids", centsDf, Nil))
+          case _ => buildIndex(m, merged)
+        }
+      case _ => Seq.empty
     }
-    commitVersion(m, merged, index)
+    commitVersion(m, merged, artifacts)
   }
 
   /** M5: delete chunks by id — anti-join on both the data and the index
-    * (indexer.delete, lsh.py:114-145). */
+    * (indexer.delete, lsh.py:114-145); IVF centroids are a quantizer,
+    * not data, and are carried forward. */
   def deleteChunks(name: String, ids: Seq[String]): LibraryMeta = {
     val m = requireMeta(name)
     val remaining = chunks(name).where(!col("id").isin(ids: _*))
-    val index = indexTable(name).map(_.where(!col("id").isin(ids: _*)))
-    commitVersion(m, remaining, index)
+    val artifacts = existingArtifacts(name).map {
+      case a if a.name == "index" =>
+        a.copy(df = a.df.where(!col("id").isin(ids: _*)))
+      case a => a
+    }
+    commitVersion(m, remaining, artifacts)
   }
 
   /** M5 at scale: delete by predicate (ids arrive as a DataFrame, not a
@@ -289,6 +363,9 @@ class LibraryCatalog(
     commitVersion(m, merged, buildIndex(m, merged))
   }
 
+  // (deleteChunksWhere / updateChunk / rebuildIndex rebuild the index;
+  //  updateMetadataWhere carries every artifact forward unchanged)
+
   /** M6: bulk metadata replace for every chunk matching `pred`,
     * preserving each row's created_at (document_service.py:82-102 — our
     * documents are derived from chunks, so "update document metadata"
@@ -304,7 +381,7 @@ class LibraryCatalog(
       when(pred,
         newMetadata.withField("created_at", col("metadata.created_at")))
         .otherwise(col("metadata")))
-    commitVersion(m, updated, indexTable(name))
+    commitVersion(m, updated, existingArtifacts(name))
   }
 
   /** M7: delete a document — cascade to all its chunks + reindex
@@ -381,8 +458,17 @@ class LibraryCatalog(
       case LshIndexer =>
         indexTable(name) match {
           case Some(sig) =>
-            LshIndex.candidateBase(all, sig, qv, k, lshParams(m.dim), "id")
+            // the persisted sig table is table_idx-partitioned: the
+            // pruned probe reads L one-partition scans, not the corpus
+            LshIndex.candidateBasePruned(all, sig, qv, k, lshParams(m.dim), "id")
           case None => all
+        }
+      case IvfIndexer =>
+        (indexTable(name), centroidsTable(name)) match {
+          case (Some(asn), Some(centsDf)) =>
+            // cell-partitioned assignments: nProbe partition dirs read
+            IvfIndex.candidateBase(all, asn, centsDf, qv, k, ivfParams, "id")
+          case _ => all
         }
       case HnswIndexer =>
         // driver-local graph (K3), memoized per library version; graph

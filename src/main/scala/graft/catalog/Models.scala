@@ -39,13 +39,15 @@ object Models {
     StructField("source", StringType, nullable = true),
     StructField("tags", ArrayType(StringType, containsNull = false), nullable = true)))
 
-  /** Pluggable index types (schemas/library.py:10-13). */
+  /** Pluggable index types (schemas/library.py:10-13; ivf is
+    * beyond-reference, SURVEY §2 extras). */
   sealed trait IndexerType { def name: String }
   case object FlatIndexer extends IndexerType { val name = "flat" }
   case object LshIndexer extends IndexerType { val name = "lsh" }
   case object HnswIndexer extends IndexerType { val name = "hnsw" }
+  case object IvfIndexer extends IndexerType { val name = "ivf" }
   object IndexerType {
-    val all: Seq[IndexerType] = Seq(FlatIndexer, LshIndexer, HnswIndexer)
+    val all: Seq[IndexerType] = Seq(FlatIndexer, LshIndexer, HnswIndexer, IvfIndexer)
     def fromString(s: String): IndexerType = all
       .find(_.name == s.toLowerCase)
       .getOrElse(throw new IllegalArgumentException(s"unknown indexer: $s"))

@@ -74,6 +74,82 @@ object IvfIndex {
       .take(nProbe)
       .map(_._2)
 
+  /** Centroids as a persistable DataFrame (cid, embedding) — the small
+    * side of the index. cid is the ordinal into [[centroids]]' order. */
+  def centroidsDf(
+      df: DataFrame,
+      p: Params,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    centroidsDfFromVecs(df.sparkSession, centroids(df, p, idCol, embCol))
+
+  /** Same, from already-collected centroid vectors (avoids a second
+    * corpus scan when the caller holds them). */
+  def centroidsDfFromVecs(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: IndexedSeq[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toDF("cid", "embedding")
+  }
+
+  /** Centroid vectors back out of a persisted [[centroidsDf]] table. */
+  def centroidsOf(centsDf: DataFrame): IndexedSeq[Array[Float]] =
+    centsDf
+      .orderBy("cid")
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+      .toIndexedSeq
+
+  /** Cell assignments shaped for persistence: `cell` cast to int so the
+    * column round-trips parquet partition discovery unchanged (discovery
+    * infers IntegerType; a long column would come back retyped). Write
+    * this `partitionBy("cell")` and a probe reads nProbe partition
+    * directories instead of the corpus. */
+  def assignmentsForWrite(
+      df: DataFrame,
+      cents: IndexedSeq[Array[Float]],
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    cellAssignments(df, cents, idCol, embCol)
+      .withColumn("cell", col("cell").cast("int"))
+
+  /** Candidate base from a PREBUILT index (assignments + centroids
+    * tables): probe the nProbe nearest cells — a partition-pruned read
+    * when `assignments` comes from a cell-partitioned parquet table —
+    * semi-join the ids, full-corpus fallback under k. No per-query
+    * corpus re-assignment anywhere. */
+  def candidateBase(
+      df: DataFrame,
+      assignments: DataFrame,
+      centsDf: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      p: Params = Params(),
+      idCol: String = "vec_id"): DataFrame = {
+    val cents = centroidsOf(centsDf)
+    val probed = probeCells(query, cents, p.nProbe).map(_.toInt)
+    val candIds = assignments
+      .where(col("cell").isin(probed: _*))
+      .select(idCol)
+    val cands = df.join(candIds, Seq(idCol), "left_semi").localCheckpoint(true)
+    if (cands.count() >= k) cands else df
+  }
+
+  /** Probe a prebuilt index, then exact re-rank — the scale path. */
+  def searchWithTable(
+      df: DataFrame,
+      assignments: DataFrame,
+      centsDf: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      p: Params = Params(),
+      metric: VectorFunctions.Metric = VectorFunctions.Euclidean,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    FlatKnn.search(
+      candidateBase(df, assignments, centsDf, query, k, p, idCol),
+      query, k, metric, idCol, embCol)
+
   /** Approximate top-k: probe cells, exact re-rank, full-scan fallback
     * when the probed cells hold fewer than k vectors. */
   def search(

@@ -153,6 +153,43 @@ object LshIndex {
     if (cands.count() >= k) cands else df
   }
 
+  /** Partition-pruned probe of a PERSISTED signature table: one filtered
+    * scan per table, each with `PartitionFilters [table_idx = t]` (when
+    * the table was written `partitionBy("table_idx")`) and `sig = s_t`
+    * pushed to parquet (row-group skipping; exact file skipping when
+    * additionally bucketed by sig via `bucketBy(..., "sig")`). The single
+    * OR-of-conjuncts scan of [[candidateBase]] cannot prune — every
+    * disjunct mentions a different partition — so the scale path unions
+    * L tiny pruned reads instead of one corpus-wide scan. */
+  def prunedCandidateIds(
+      sigTable: DataFrame,
+      querySigs: Array[Long],
+      idCol: String = "vec_id"): DataFrame =
+    querySigs.zipWithIndex
+      .map { case (s, t) =>
+        sigTable
+          .where(col("table_idx") === t && col("sig") === s)
+          .select(idCol)
+      }
+      .reduce(_ union _)
+      .distinct()
+
+  /** [[candidateBase]] via [[prunedCandidateIds]] — for sig tables read
+    * back from a table_idx-partitioned parquet write (the catalog's
+    * layout). Same semantics, partition-pruned plan. */
+  def candidateBasePruned(
+      df: DataFrame,
+      sigTable: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      p: Params = Params(),
+      idCol: String = "vec_id"): DataFrame = {
+    val querySigs = planes(p).map(signatureLocal(query.toArray, _))
+    val candIds = prunedCandidateIds(sigTable, querySigs, idCol)
+    val cands = df.join(candIds, Seq(idCol), "left_semi").localCheckpoint(true)
+    if (cands.count() >= k) cands else df
+  }
+
   /** Probe against a prebuilt [[signatureTable]], then exact re-rank —
     * the scale path. */
   def searchWithTable(

@@ -205,10 +205,14 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("M9: rebuildIndex reproduces the incremental signature table exactly") {
+    // select by name: the partitioned write moves table_idx (the
+    // partition column) to the end of the read-back schema
     val before = catalog.indexTable("lib_lsh").get
+      .select("id", "table_idx", "sig")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sortBy(_.toString)
     catalog.rebuildIndex("lib_lsh")
     val after = catalog.indexTable("lib_lsh").get
+      .select("id", "table_idx", "sig")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sortBy(_.toString)
     assert(before.sameElements(after))
   }
