@@ -325,16 +325,22 @@ object SparkEntry {
           queryVec(s, dir), 10)
         .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
     }),
-    // ---- S2-S5 + M1/M3/M5: the full persistence/CRUD lifecycle as one
-    //      hash-checked query: create a library from the documents table
-    //      (write), delete a deterministic slice (anti-join + write), add
-    //      100 synthetic chunks (union + write), recover it with a FRESH
-    //      catalog instance from disk (read + schema enforcement), and
-    //      aggregate. The oracle reproduces the same set algebra over the
-    //      base table. ----
+    // ---- S2-S5 + M1/M3/M4/M5/M6/M7/M9: the ENTIRE persistence/CRUD
+    //      write surface as one hash-checked query, on an LSH-INDEXED
+    //      library so index maintenance rides every mutation: create
+    //      (write + sig build), delete a slice (anti-join + rebuild),
+    //      add 100 synthetic chunks (union + INCREMENTAL sig union),
+    //      M9 rebuild (must reproduce the incremental index EXACTLY —
+    //      surfaced as n_index_diff, oracle-pinned to 0), M4 text
+    //      update (re-embed), M6 bulk metadata replace (created_at
+    //      preserved — surfaced as n_null_created, oracle-pinned to 0:
+    //      a replace that dropped created_at would make it nonzero),
+    //      M7 document cascade delete, then recover with a FRESH
+    //      catalog (S4) and aggregate. The oracle reproduces the same
+    //      set algebra over the base table. ----
     "q_crud_pipeline" -> ((s, dir) => {
       import graft.catalog.{LibraryCatalog, Models}
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_crud_wh"
+      val wh = cachePath("crud_wh", dir)
       val cat = new LibraryCatalog(s, wh)
       val src = t(s, dir, "documents").select(
         concat(lit("c"), col("doc_id")).as("id"),
@@ -348,7 +354,7 @@ object SparkEntry {
           lit(null).cast("string").as("title"),
           lit(null).cast("string").as("description"),
           pmod(col("doc_id"), lit(10)).cast("int").as("page")).as("metadata"))
-      cat.createLibrary("crud_demo", Models.FlatIndexer, src, overwrite = true)
+      cat.createLibrary("crud_demo", Models.LshIndexer, src, overwrite = true)
       cat.deleteChunksWhere("crud_demo", col("metadata.page") === 3)
       val extra = s.range(100).select(
         concat(lit("add"), col("id")).as("id"),
@@ -362,12 +368,41 @@ object SparkEntry {
           lit(null).cast("string").as("title"),
           lit(null).cast("string").as("description"),
           lit(null).cast("int").as("page")).as("metadata"))
-      cat.addChunks("crud_demo", extra)
+      cat.addChunks("crud_demo", extra) // incremental sig union (M3)
+      // M9: rebuild == incremental, computed EAGERLY before later
+      // mutations GC the incremental version's files
+      val incremental = cat.indexTable("crud_demo").get
+        .select("id", "table_idx", "sig")
+      cat.rebuildIndex("crud_demo")
+      val rebuilt = cat.indexTable("crud_demo").get
+        .select("id", "table_idx", "sig")
+      val nIndexDiff =
+        incremental.exceptAll(rebuilt).count() + rebuilt.exceptAll(incremental).count()
+      // M4: text change re-embeds (chunk_service.py:158-164)
+      cat.updateChunk("crud_demo", "add5",
+        newText = Some("updated synthetic chunk number five"))
+      // M6: bulk metadata replace, created_at preserved (document_service.py:82-102)
+      cat.updateMetadataWhere("crud_demo", col("document_id") === "d7",
+        struct(
+          lit("relabeled").as("source"),
+          lit(null).cast("timestamp").as("created_at"),
+          array(lit("relabeled")).as("tags"),
+          lit(null).cast("string").as("author"),
+          lit(null).cast("string").as("title"),
+          lit(null).cast("string").as("description"),
+          lit(null).cast("int").as("page")))
+      // M7: delete-document cascade (document_service.py:104-123)
+      cat.deleteDocument("crud_demo", "d4")
       val recovered = new LibraryCatalog(s, wh) // startup recovery (S4)
       recovered
         .chunks("crud_demo")
         .groupBy(col("metadata.source").as("source"))
-        .agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).as("sum_len"),
+          sum(when(col("metadata.created_at").isNull, 1L).otherwise(0L))
+            .as("n_null_created"))
+        .withColumn("n_index_diff", lit(nIndexDiff))
         .orderBy("source")
     }),
     // ---- the FULL catalog search read path, end to end: build a
@@ -920,11 +955,29 @@ object SparkEntry {
          |WHERE jac >= ${p.threshold} ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_crud_pipeline" ->
-      """SELECT source, n FROM (
-        |  SELECT lang AS source, count(*) AS n FROM documents
-        |  WHERE (doc_id % 10) <> 3 GROUP BY lang
-        |  UNION ALL SELECT 'synthetic' AS source, 100 AS n
-        |) ORDER BY source""".stripMargin,
+      """WITH raw AS (
+        |  SELECT 'c'||doc_id AS id, 'd'||(doc_id%50) AS document_id,
+        |         trim(text) AS text, lang AS source
+        |  FROM documents
+        |  WHERE (doc_id%10) <> 3 AND length(trim(text)) > 0),
+        |added AS (
+        |  SELECT 'add'||i AS id, 'dadd' AS document_id,
+        |         'synthetic chunk number '||i AS text, 'synthetic' AS source
+        |  FROM range(0,100) t(i)),
+        |merged AS (SELECT * FROM raw UNION ALL SELECT * FROM added),
+        |m4 AS (SELECT id, document_id,
+        |         CASE WHEN id = 'add5' THEN 'updated synthetic chunk number five'
+        |              ELSE text END AS text,
+        |         source FROM merged),
+        |m6 AS (SELECT id, document_id, text,
+        |         CASE WHEN document_id = 'd7' THEN 'relabeled' ELSE source END AS source
+        |       FROM m4),
+        |m7 AS (SELECT * FROM m6 WHERE document_id <> 'd4')
+        |SELECT source, count(*) AS n,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |       CAST(0 AS BIGINT) AS n_null_created,
+        |       CAST(0 AS BIGINT) AS n_index_diff
+        |FROM m7 GROUP BY source ORDER BY source""".stripMargin,
     "q_ivf_knn" -> {
       val p = IvfIndex.Params()
       val k = 10
