@@ -59,6 +59,7 @@ class LibraryCatalog(
   private def writeMeta(m: LibraryMeta): Unit = {
     val json =
       s"""{"name":"${m.name}","indexer":"${m.indexer.name}","dim":${m.dim},""" +
+        s""""embedder":"${m.embedder}",""" +
         s""""version":${m.version},"created_at":"${m.createdAt}","updated_at":"${m.updatedAt}"}"""
     val tmp = new Path(libDir(m.name), "meta.json.tmp")
     val out = fs.create(tmp, true)
@@ -83,8 +84,17 @@ class LibraryCatalog(
     for {
       n <- str("name"); ix <- str("indexer"); d <- num("dim")
       v <- num("version"); c <- str("created_at"); u <- str("updated_at")
-    } yield LibraryMeta(n, IndexerType.fromString(ix), d.toInt, v, c, u)
+    } yield LibraryMeta(n, IndexerType.fromString(ix), d.toInt, v, c, u,
+      embedder = str("embedder").getOrElse("md5")) // pre-field metas default
   }
+
+  /** The library's embedding model, resolved from meta — an unknown name
+    * fails at load, not with silently wrong distances. */
+  private def modelOf(m: LibraryMeta): Embedder.Model =
+    Embedder.models.getOrElse(m.embedder,
+      throw new IllegalArgumentException(
+        s"library '${m.name}': unknown embedder '${m.embedder}' " +
+          s"(registered: ${Embedder.models.keys.mkString(", ")})"))
 
   def exists(name: String): Boolean = readMeta(name).isDefined
 
@@ -224,7 +234,10 @@ class LibraryCatalog(
     * deduped tags (P6, array_distinct), uuid() for missing ids (§2.8),
     * current_timestamp for missing created_at. Embeds rows that lack an
     * embedding through the dedup-before-embed path (S6). */
-  private def normalize(df: DataFrame, dim: Int): DataFrame = {
+  private def normalize(
+      df: DataFrame,
+      dim: Int,
+      model: Embedder.Model): DataFrame = {
     val emptyMeta = struct(
       chunkMetadataType.fields
         .map(f => lit(null).cast(f.dataType).as(f.name))
@@ -256,7 +269,7 @@ class LibraryCatalog(
       .unionByName(
         Embedder
           .withEmbedding(base.where(col("embedding").isNull).drop("embedding"),
-            dim = dim)
+            dim = dim, model = model)
           .select(base.columns.map(col).toIndexedSeq: _*))
     withEmb.select(chunkSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
@@ -268,15 +281,17 @@ class LibraryCatalog(
       indexer: IndexerType = FlatIndexer,
       chunksDf: DataFrame,
       dim: Int = Embedder.Dim,
-      overwrite: Boolean = false): LibraryMeta = {
+      overwrite: Boolean = false,
+      embedder: String = "md5"): LibraryMeta = {
     if (exists(name)) {
       if (!overwrite)
         throw new IllegalStateException(s"library already exists: $name")
       deleteLibrary(name)
     }
     fs.mkdirs(libDir(name))
-    val m0 = LibraryMeta(name, indexer, dim, version = -1L, now(), now())
-    val normalized = normalize(chunksDf, dim)
+    val m0 = LibraryMeta(name, indexer, dim, version = -1L, now(), now(),
+      embedder = embedder)
+    val normalized = normalize(chunksDf, dim, modelOf(m0))
     commitVersion(m0, normalized, buildIndex(m0, normalized))
   }
 
@@ -287,7 +302,7 @@ class LibraryCatalog(
     * rebuildIndex re-derives them). */
   def addChunks(name: String, newChunks: DataFrame): LibraryMeta = {
     val m = requireMeta(name)
-    val added = normalize(newChunks, m.dim)
+    val added = normalize(newChunks, m.dim, modelOf(m))
     val merged = chunks(name).unionByName(added)
     val artifacts = m.indexer match {
       case LshIndexer =>
@@ -351,7 +366,7 @@ class LibraryCatalog(
       .where(col("id") === id)
       .withColumn("text", newText.map(lit).getOrElse(col("text")))
       .withColumn("embedding",
-        if (newText.isDefined) Embedder.embed(col("text"), m.dim)
+        if (newText.isDefined) modelOf(m).embedCol(col("text"), m.dim)
         else col("embedding"))
       .withColumn("metadata", newMetadata match {
         case Some(nm) => // replace, preserving created_at
@@ -449,7 +464,7 @@ class LibraryCatalog(
       strictParity: Boolean = true): DataFrame = {
     val m = requireMeta(name)
     val all = chunks(name)
-    val qv = Embedder.embedLocal(queryText, m.dim).toSeq
+    val qv = modelOf(m).embedLocal(queryText, m.dim).toSeq
     // ranking metric: the reference ALWAYS ranks with the indexer default
     // (euclidean) and only scores with the requested metric
     // (library_service.py:196-223); strictParity=false honors the metric.

@@ -53,12 +53,15 @@ object Models {
       .getOrElse(throw new IllegalArgumentException(s"unknown indexer: $s"))
   }
 
-  /** Library-level metadata persisted in meta.json. */
+  /** Library-level metadata persisted in meta.json. `embedder` names the
+    * registered embedding model (Embedder.models) the library's chunks
+    * were embedded with — queries must embed with the SAME model. */
   case class LibraryMeta(
       name: String,
       indexer: IndexerType,
       dim: Int,
       version: Long,
       createdAt: String,
-      updatedAt: String)
+      updatedAt: String,
+      embedder: String = "md5")
 }

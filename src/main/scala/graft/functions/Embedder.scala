@@ -103,14 +103,123 @@ object Embedder {
       df: DataFrame,
       textCol: String = "text",
       outCol: String = "embedding",
-      dim: Int = Dim): DataFrame = {
+      dim: Int = Dim,
+      model: Model = Md5Model): DataFrame = {
     val key = "__text_hash"
     val hashed = df.withColumn(key, xxhash64(col(textCol)))
-    val embedded = hashed
-      .select(col(key), col(textCol))
-      .dropDuplicates(key)
-      .select(col(key), md5Int(col(textCol)).as("__h")) // bind the md5 once
-      .select(col(key), embedFromHash(col("__h"), dim).as(outCol))
+    val embedded = model.embedDf(
+      hashed.select(col(key), col(textCol)).dropDuplicates(key),
+      textCol, outCol, dim)
+      .select(col(key), col(outCol))
     hashed.join(embedded, Seq(key)).drop(key)
   }
+
+  /** A pluggable embedding model — the Spark mirror of the reference's
+    * injectable embedding function (`embedding.py`'s client is swapped
+    * for a deterministic mock in its own tests,
+    * test_library_save_load.py:25-36). Both forms of a model MUST agree:
+    * `embedCol` embeds stored chunks on executors, `embedLocal` embeds
+    * query strings on the driver, and search compares their outputs. */
+  sealed trait Model {
+    def name: String
+    /** Single-expression form (single-row updates, ad-hoc use). Lambda
+      * bodies re-evaluate referenced subtrees per element, so bulk paths
+      * must go through [[embedDf]], which BINDS intermediates as real
+      * projection columns first. */
+    def embedCol(text: Column, dim: Int): Column
+    /** Bulk form: attach `outCol` to `df`, binding the per-row
+      * intermediates (digest, token buckets) exactly once each. */
+    def embedDf(df: DataFrame, textCol: String, outCol: String, dim: Int): DataFrame
+    def embedLocal(text: String, dim: Int): Array[Float]
+  }
+
+  /** The default hash-point model (the object-level [[embed]] /
+    * [[Embedder.embedLocal]] pair): a pure function of the whole text,
+    * oracle-expressible, no semantic structure. */
+  case object Md5Model extends Model {
+    val name = "md5"
+    def embedCol(text: Column, dim: Int): Column =
+      embedFromHash(md5Int(text), dim)
+    def embedDf(df: DataFrame, textCol: String, outCol: String, dim: Int): DataFrame =
+      df.withColumn("__h", md5Int(col(textCol))) // bind the md5 once
+        .withColumn(outCol, embedFromHash(col("__h"), dim))
+        .drop("__h")
+    def embedLocal(text: String, dim: Int): Array[Float] =
+      Embedder.embedLocal(text, dim)
+  }
+
+  /** Feature-hashed bag-of-words, L2-normalized: dimension d counts the
+    * content tokens whose md5 bucket is d. Token overlap → cosine
+    * similarity, which is what lets the reference's RELEVANCE golden
+    * (the crypto-mining query of test_e2e.py:174-190, embedded there by
+    * a real semantic model) hold under a deterministic, network-free
+    * embedder: the golden chunk shares rare tokens with the query.
+    * Tokenization in BOTH forms: lowercase alphanumeric runs, a compact
+    * English stopword drop, and a 6-char prefix stem (so query "crypto"
+    * matches corpus "cryptocurrencies" — the cheap deterministic stand-in
+    * for real stemming). */
+  case object LexicalModel extends Model {
+    val name = "lexical"
+    /** High-frequency function words carrying no relevance signal. */
+    private[functions] val Stopwords: Seq[String] =
+      ("a an and are as at be by do for from has have he how i in is it its " +
+        "of on or that the this to was were what when where which will with you")
+        .split(" ").toSeq
+    private val StemLen = 6
+
+    /** md5 bucket per content token — the intermediate [[embedDf]] binds
+      * once (one digest per token). */
+    private def bucketsCol(text: Column, dim: Int): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val canon = regexp_replace(lower(text), "[^a-z0-9]+", " ")
+      val stop = typedLit(Stopwords)
+      val toks = filter(
+        split(canon, " ", -1),
+        t => length(t) > 0 && !array_contains(stop, t))
+      transform(
+        toks,
+        t =>
+          pmod(
+            ColumnBridge.column(Md5PrefixInt(
+              ColumnBridge.expression(substring(t, 1, StemLen).cast("binary")))),
+            lit(dim)))
+    }
+
+    private def countsCol(buckets: Column, dim: Int): Column =
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        d => size(filter(buckets, b => b === d)).cast("double"))
+
+    private def normalizeCol(counts: Column): Column = {
+      val nrm = sqrt(aggregate(counts, lit(0.0), (a, x) => a + x * x))
+      transform(counts,
+        x => when(nrm === 0.0, lit(0.0f)).otherwise((x / nrm).cast("float")))
+    }
+
+    def embedCol(text: Column, dim: Int): Column =
+      normalizeCol(countsCol(bucketsCol(text, dim), dim))
+
+    def embedDf(df: DataFrame, textCol: String, outCol: String, dim: Int): DataFrame =
+      df.withColumn("__buckets", bucketsCol(col(textCol), dim))
+        .withColumn("__counts", countsCol(col("__buckets"), dim))
+        .withColumn(outCol, normalizeCol(col("__counts")))
+        .drop("__buckets", "__counts")
+    def embedLocal(text: String, dim: Int): Array[Float] = {
+      val counts = new Array[Double](dim)
+      text.toLowerCase
+        .replaceAll("[^a-z0-9]+", " ")
+        .split(" ")
+        .filter(t => t.nonEmpty && !Stopwords.contains(t))
+        .foreach(t => counts((md5IntLocal(t.take(StemLen)) % dim).toInt) += 1.0)
+      val nrm = math.sqrt(counts.map(x => x * x).sum)
+      if (nrm == 0.0) new Array[Float](dim)
+      else counts.map(x => (x / nrm).toFloat)
+    }
+  }
+
+  /** Registry: meta.json records the model by name; recovery resolves
+    * it here (an unknown name fails loudly at load, not with silently
+    * wrong distances). */
+  val models: Map[String, Model] =
+    Seq(Md5Model, LexicalModel).map(m => m.name -> m).toMap
 }
