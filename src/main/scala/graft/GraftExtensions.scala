@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Conv, CreateArray, Divide, Expression, ExpressionInfo, Literal, Md5, Multiply, Pmod, Substring}
-import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, CreateArray, Divide, Expression, ExpressionInfo, Literal, Multiply, Pmod}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType, StringType}
 
-import graft.functions.{Embedder, VectorDistance}
+import graft.functions.{Embedder, Md5PrefixInt, VectorDistance}
 
 /** SQL surface for the engine's custom expressions.
   *
@@ -53,12 +53,10 @@ object GraftExtensions {
         // The same arithmetic as Embedder.embed, built from raw catalyst
         // nodes (a Column tree would reach the builder unresolved). Per
         // dim d: ((h*(d+1) + d) % 10000) / 10000 as float, with h = the
-        // md5-prefix int of the text.
-        val h = Cast(
-          Conv(
-            Substring(Md5(Cast(args.head, BinaryType)), Literal(1), Literal(8)),
-            Literal(16), Literal(10)),
-          LongType)
+        // digest-byte fast path (Md5PrefixInt — no hex round trip); the
+        // repeated h subtree collapses under codegen subexpression
+        // elimination, so the digest runs once per row, not per dim.
+        val h = Md5PrefixInt(Cast(args.head, BinaryType))
         CreateArray((0 until Embedder.Dim).map { d =>
           Cast(
             Divide(

@@ -134,13 +134,22 @@ class LibraryCatalog(
       .parquet(new Path(versionDir(name, m.version), "chunks").toString)
   }
 
-  /** Derived documents view: membership + counts by aggregation (A2). */
+  /** Derived documents view (Models.documentSchema, document.py:37-53):
+    * membership + counts by aggregation (A2), document-level
+    * title/description/source as the min non-null over the document's
+    * chunks (deterministic pick), tags as the sorted distinct union.
+    * chunk_ids are sorted — collect_list order is not deterministic. */
   def documents(name: String): DataFrame =
     chunks(name)
       .groupBy(col("document_id").as("id"))
       .agg(
+        min(col("metadata.title")).as("title"),
+        min(col("metadata.description")).as("description"),
+        min(col("metadata.source")).as("source"),
+        array_sort(array_distinct(flatten(collect_list(col("metadata.tags")))))
+          .as("tags"),
         count(lit(1)).as("chunk_count"),
-        collect_list(col("id")).as("chunk_ids"))
+        array_sort(collect_list(col("id"))).as("chunk_ids"))
 
   /** One persisted file-set of a library's index. `partitionBy` is the
     * physical layout the probe prunes on: table_idx for LSH, cell for

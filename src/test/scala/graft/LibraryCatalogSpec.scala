@@ -66,10 +66,19 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(metas.find(_.name == "lib_a").get.indexer === FlatIndexer)
   }
 
-  test("derived documents view counts chunks per document (A2)") {
+  test("derived documents view counts chunks per document (A2) with document fields") {
     val docs = catalog.documents("lib_a").collect()
     assert(docs.length === 8)
     assert(docs.map(_.getAs[Long]("chunk_count")).sum === 40L)
+    // document-level fields derive from chunk metadata (documentSchema):
+    // tags = sorted distinct union; every doc here carries "all"
+    docs.foreach { d =>
+      val tags = d.getAs[scala.collection.Seq[String]]("tags")
+      assert(tags.contains("all"), s"doc ${d.getAs[String]("id")} tags: $tags")
+      assert(tags === tags.sorted.distinct)
+      val ids = d.getAs[scala.collection.Seq[String]]("chunk_ids")
+      assert(ids === ids.sorted)
+    }
   }
 
   test("search returns k results with text/metadata payload; self-text ranks first") {
