@@ -376,8 +376,14 @@ object SparkEntry {
       cat.rebuildIndex("crud_demo")
       val rebuilt = cat.indexTable("crud_demo").get
         .select("id", "table_idx", "sig")
-      val nIndexDiff =
-        incremental.exceptAll(rebuilt).count() + rebuilt.exceptAll(incremental).count()
+      // multiset symmetric difference in ONE shuffle (tag +1/-1, group,
+      // sum) — two exceptAll jobs would shuffle the sig table 4 times
+      val nIndexDiff = incremental.withColumn("__s", lit(1L))
+        .unionByName(rebuilt.withColumn("__s", lit(-1L)))
+        .groupBy("id", "table_idx", "sig")
+        .agg(sum("__s").as("__d"))
+        .agg(coalesce(sum(abs(col("__d"))), lit(0L)))
+        .head().getLong(0)
       // M4: text change re-embeds (chunk_service.py:158-164)
       cat.updateChunk("crud_demo", "add5",
         newText = Some("updated synthetic chunk number five"))
@@ -488,7 +494,13 @@ object SparkEntry {
     //      path itself under the driver's hash compare. ----
     "q_hnsw_partitioned" -> ((s, dir) =>
       HnswIndex
-        .searchPartitioned(t(s, dir, "embeddings"), Seq((0L, queryVec(s, dir).toArray)), 10)
+        .searchPartitioned(
+          // the sf parquet is a single split; spread the graph builds
+          // across cores (what a real multi-executor layout gives for
+          // free). Layout-independence of the result is the point of
+          // the exact oracle + HnswProbe's 8-way check.
+          t(s, dir, "embeddings").repartition(32),
+          Seq((0L, queryVec(s, dir).toArray)), 10)
         .select(col("id").as("vec_id"), rn(col("dist"), 6).as("dist"))),
     // ---- sessionization (batch gaps-and-islands twin of the streaming
     //      session_window path): per-user sessions split on >30min gaps.
@@ -623,19 +635,28 @@ object SparkEntry {
           countDistinct(col("frame_hash")).as("n_distinct"))
         .orderBy("mime")
     }),
-    // ---- text analysis: winnowing fingerprints (rolling-hash k-grams,
-    //      window minima) summarized as set size + checksum ----
-    "q_fingerprint" -> ((s, dir) =>
+    // ---- text analysis: winnowing fingerprints (Karp-Rabin polynomial
+    //      k-gram hashes, window minima) summarized as set size +
+    //      checksum. One fused codegen expression per stage (GramHashes,
+    //      Winnow — single pass per row, no per-char allocations); the
+    //      column composition twins in TextAnalysis document the same
+    //      math and TextExpressionsSpec pins bit-equality. ----
+    "q_fingerprint" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val grams = ColumnBridge.column(
+        graft.functions.GramHashes(ColumnBridge.expression(col("text")), 8))
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.gramHashes(col("text"), 8).as("__grams"))
+        .select(col("doc_id"), grams.as("__grams"))
         .select(col("doc_id"), size(col("__grams")).as("n_grams"),
-          TextAnalysis.winnow(col("__grams"), 4).as("__fp"))
+          ColumnBridge.column(
+            graft.functions.Winnow(ColumnBridge.expression(col("__grams")), 4))
+            .as("__fp"))
         .select(
           col("doc_id"),
           col("n_grams"),
           size(col("__fp")).as("n_fp"),
-          aggregate(col("__fp"), lit(0L), (acc, x) => acc + x).as("fp_sum")))
+          aggregate(col("__fp"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
+    }),
   )
 
   /** Query text for q_embed_knn — embedded identically on the driver
@@ -921,19 +942,34 @@ object SparkEntry {
          |SELECT doc_a, doc_b, (round(cos, 6) + 0.0) AS cos_sim FROM sims
          |WHERE cos >= 0.999999 ORDER BY doc_a, doc_b""".stripMargin
     },
-    "q_fingerprint" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(text) < 8 THEN [('0x'||substr(md5(text),1,8))::BIGINT]
-        |         ELSE list_transform(range(1, length(text)-6), i -> ('0x'||substr(md5(substr(text,i,8)),1,8))::BIGINT) END AS grams
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, len(grams) AS n_grams,
-        |    CASE WHEN len(grams) < 4 THEN list_distinct(grams)
-        |         ELSE list_distinct(list_transform(range(1, len(grams)-2), j -> list_min(grams[j:j+3]))) END AS fp
-        |  FROM g)
-        |SELECT doc_id, n_grams, len(fp) AS n_fp, CAST(list_sum(fp) AS BIGINT) AS fp_sum
-        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" -> {
+      import TextAnalysis.{GramB => b, GramM => mM}
+      val k = 8
+      val pows = Array.iterate(1L, k)(p => p * b % mM)
+      val gramExpr = (0 until k)
+        .map(j => s"codes[i+$j]*${pows(k - 1 - j)}")
+        .mkString(" + ")
+      // same polynomial, same arithmetic: codes as BIGINT (DuckDB int32
+      // products would overflow), B^j mod M as literals, fold for the
+      // short-doc whole-text hash
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(codes) < $k
+         |         THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (h, x) -> (h*$b + x) % $mM)]
+         |         ELSE list_transform(range(1, len(codes)-${k - 2}), i -> ($gramExpr) % $mM) END AS grams
+         |  FROM c),
+         |f AS (
+         |  SELECT doc_id, len(grams) AS n_grams,
+         |    CASE WHEN len(grams) < 4 THEN list_distinct(grams)
+         |         ELSE list_distinct(list_transform(range(1, len(grams)-2), j -> list_min(grams[j:j+3]))) END AS fp
+         |  FROM g)
+         |SELECT doc_id, n_grams, len(fp) AS n_fp, CAST(list_sum(fp) AS BIGINT) AS fp_sum
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
     "q_neardup_pairs" -> {
       val p = NearDup.Params()
       val r = p.rowsPerBand

@@ -196,15 +196,22 @@ class LibraryCatalog(
   private def ivfParams = IvfIndex.Params()
 
   /** Write version v of the library state and swap the pointer. Index
-    * artifacts are written in their pruning layout (partitionBy). */
+    * artifacts are written in their pruning layout (partitionBy).
+    * `artifactsFor` receives the WRITTEN chunks (read back from the new
+    * version's parquet): a full index build re-reads the materialized
+    * table instead of re-executing the whole normalize/embed lineage a
+    * second time — write-once-read-back is the only shape that survives
+    * 100 TB ingest. */
   private def commitVersion(
       m: LibraryMeta,
       chunksDf: DataFrame,
-      artifacts: Seq[IndexArtifact]): LibraryMeta = {
+      artifactsFor: DataFrame => Seq[IndexArtifact]): LibraryMeta = {
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
-    chunksDf.write.mode("overwrite").parquet(new Path(vdir, "chunks").toString)
-    artifacts.foreach { a =>
+    val chunksPath = new Path(vdir, "chunks").toString
+    chunksDf.write.mode("overwrite").parquet(chunksPath)
+    val written = spark.read.schema(chunkSchema).parquet(chunksPath)
+    artifactsFor(written).foreach { a =>
       val w = a.df.write.mode("overwrite")
       (if (a.partitionBy.nonEmpty) w.partitionBy(a.partitionBy: _*) else w)
         .parquet(new Path(vdir, a.name).toString)
@@ -301,39 +308,54 @@ class LibraryCatalog(
     val m0 = LibraryMeta(name, indexer, dim, version = -1L, now(), now(),
       embedder = embedder)
     val normalized = normalize(chunksDf, dim, modelOf(m0))
-    commitVersion(m0, normalized, buildIndex(m0, normalized))
+    commitVersion(m0, normalized, written => buildIndex(m0, written))
   }
+
+  /** Index rows for just `added`, computed against the CURRENT index
+    * state (LSH: signatures; IVF: assignments against the FIXED
+    * persisted centroids — standard IVF practice, rebuildIndex
+    * re-derives them). None when the library has no index to extend —
+    * callers fall back to a full [[buildIndex]]. */
+  private def incrementalIndexRows(
+      m: LibraryMeta,
+      name: String,
+      added: DataFrame): Option[DataFrame] =
+    m.indexer match {
+      case LshIndexer =>
+        indexTable(name).map(_ =>
+          LshIndex.signatureTable(added, lshParams(m.dim), "id", "embedding"))
+      case IvfIndexer =>
+        centroidsTable(name).map(c =>
+          IvfIndex.assignmentsForWrite(
+            added, IvfIndex.centroidsOf(c), "id", "embedding"))
+      case _ => None
+    }
+
+  /** Patch the index artifacts: drop rows matching `dropPred` (if any),
+    * union `newRows` (if any); centroids carry forward untouched. */
+  private def patchedArtifacts(
+      name: String,
+      dropPred: Option[Column],
+      newRows: Option[DataFrame]): Seq[IndexArtifact] =
+    existingArtifacts(name).map {
+      case a if a.name == "index" =>
+        val dropped = dropPred.map(p => a.df.where(!p)).getOrElse(a.df)
+        a.copy(df = newRows.map(dropped.unionByName(_)).getOrElse(dropped))
+      case a => a
+    }
 
   /** M2/M3: append chunks. The chunk table is a union; the index is
     * maintained INCREMENTALLY (indexer.add, lsh.py:84-112): only the new
-    * rows' LSH signatures / IVF cell assignments are computed. IVF
-    * centroids stay FIXED on incremental add (standard IVF practice —
-    * rebuildIndex re-derives them). */
+    * rows' LSH signatures / IVF cell assignments are computed. */
   def addChunks(name: String, newChunks: DataFrame): LibraryMeta = {
     val m = requireMeta(name)
     val added = normalize(newChunks, m.dim, modelOf(m))
     val merged = chunks(name).unionByName(added)
-    val artifacts = m.indexer match {
-      case LshIndexer =>
-        (indexTable(name), buildIndex(m, added)) match {
-          case (Some(existing), Seq(sig)) =>
-            Seq(sig.copy(df = existing.unionByName(sig.df)))
-          case (_, built) => built
-        }
-      case IvfIndexer =>
-        (indexTable(name), centroidsTable(name)) match {
-          case (Some(existing), Some(centsDf)) =>
-            val cents = IvfIndex.centroidsOf(centsDf)
-            val newAsn =
-              IvfIndex.assignmentsForWrite(added, cents, "id", "embedding")
-            Seq(
-              IndexArtifact("index", existing.unionByName(newAsn), Seq("cell")),
-              IndexArtifact("centroids", centsDf, Nil))
-          case _ => buildIndex(m, merged)
-        }
-      case _ => Seq.empty
+    val artifacts = incrementalIndexRows(m, name, added) match {
+      case Some(newRows) => patchedArtifacts(name, None, Some(newRows))
+      case None          => buildIndex(m, merged)
     }
-    commitVersion(m, merged, artifacts)
+    commitVersion(m, merged, _ => artifacts)
   }
 
   /** M5: delete chunks by id — anti-join on both the data and the index
@@ -347,16 +369,23 @@ class LibraryCatalog(
         a.copy(df = a.df.where(!col("id").isin(ids: _*)))
       case a => a
     }
-    commitVersion(m, remaining, artifacts)
+    commitVersion(m, remaining, _ => artifacts)
   }
 
   /** M5 at scale: delete by predicate (ids arrive as a DataFrame, not a
-    * driver-side list) — pure anti-join. */
+    * driver-side list) — pure anti-join. The predicate may reference
+    * data columns the index lacks, but surviving rows' index entries are
+    * unchanged: semi-join the index against the survivors' ids instead
+    * of recomputing a single signature (indexer.delete, lsh.py:114-145). */
   def deleteChunksWhere(name: String, pred: Column): LibraryMeta = {
     val m = requireMeta(name)
     val remaining = chunks(name).where(!pred)
-    // predicate may reference data columns the index lacks → rebuild
-    commitVersion(m, remaining, buildIndex(m, remaining))
+    val artifacts = existingArtifacts(name).map {
+      case a if a.name == "index" =>
+        a.copy(df = a.df.join(remaining.select("id"), Seq("id"), "left_semi"))
+      case a => a
+    }
+    commitVersion(m, remaining, _ => artifacts)
   }
 
   /** M4: update one chunk. Re-embeds only if the text changed
@@ -384,11 +413,23 @@ class LibraryCatalog(
         case None => col("metadata")
       })
     val merged = all.where(col("id") =!= id).unionByName(updated)
-    commitVersion(m, merged, buildIndex(m, merged))
+    // incremental index patch: drop the old row's entries, add entries
+    // for the re-embedded row (indexer.delete + add — never a rebuild
+    // for a single-chunk update). Metadata-only updates leave the
+    // embedding — and therefore the index — untouched.
+    val artifacts =
+      if (newText.isEmpty) existingArtifacts(name)
+      else incrementalIndexRows(m, name, updated) match {
+        case Some(newRows) =>
+          patchedArtifacts(name, Some(col("id") === id), Some(newRows))
+        case None => buildIndex(m, merged)
+      }
+    commitVersion(m, merged, _ => artifacts)
   }
 
-  // (deleteChunksWhere / updateChunk / rebuildIndex rebuild the index;
-  //  updateMetadataWhere carries every artifact forward unchanged)
+  // (only createLibrary and rebuildIndex compute a full index; every
+  //  mutation patches incrementally, updateMetadataWhere carries every
+  //  artifact forward unchanged)
 
   /** M6: bulk metadata replace for every chunk matching `pred`,
     * preserving each row's created_at (document_service.py:82-102 — our
@@ -405,7 +446,7 @@ class LibraryCatalog(
       when(pred,
         newMetadata.withField("created_at", col("metadata.created_at")))
         .otherwise(col("metadata")))
-    commitVersion(m, updated, existingArtifacts(name))
+    commitVersion(m, updated, _ => existingArtifacts(name))
   }
 
   /** M7: delete a document — cascade to all its chunks + reindex
@@ -424,7 +465,7 @@ class LibraryCatalog(
   def rebuildIndex(name: String): LibraryMeta = {
     val m = requireMeta(name)
     val all = chunks(name)
-    commitVersion(m, all, buildIndex(m, all))
+    commitVersion(m, all, written => buildIndex(m, written))
   }
 
   // -------------------------------------------------------------- search

@@ -81,14 +81,45 @@ object TextAnalysis {
 
   // -------------------------------------------- winnowing fingerprints
 
-  /** Character k-gram hashes of a BOUND text column: md5-prefix ints of
-    * each k-char substring (the rolling-hash family used by winnowing /
-    * MOSS-style fingerprinting). */
-  def gramHashes(text: Column, k: Int): Column =
-    when(length(text) < k, array(Embedder.md5Int(text))).otherwise(
+  /** Polynomial gram-hash base/modulus (the Karp-Rabin family winnowing
+    * was defined over). M = 2^25 keeps every term bounded: char codes
+    * < 2^7, powers < 2^25, so products < 2^32 and 8-term sums < 2^35 —
+    * safe in Spark longs AND DuckDB BIGINTs (which raise on overflow). */
+  val GramB = 31L
+  val GramM = 1L << 25
+
+  /** Character codes of a text column, as a bindable ARRAY<LONG>. Bind
+    * this in its own projection before [[gramHashesFromCodes]]: an array
+    * subtree referenced inside a lambda re-evaluates per access. */
+  def charCodes(text: Column): Column =
+    when(length(text) === 0, typedLit(Seq.empty[Long])).otherwise(
       transform(
-        sequence(lit(1), length(text) - (k - 1)),
-        i => Embedder.md5Int(text.substr(i, lit(k)))))
+        sequence(lit(1), length(text)),
+        i => ascii(text.substr(i, lit(1))).cast("long")))
+
+  /** Polynomial k-gram hashes over BOUND char codes:
+    * h(i) = (Σ_j code(i+j)·B^(k-1-j)) mod M — O(k) integer math per
+    * position (the round-3 md5-per-position form cost one full digest
+    * per character; this is the Karp-Rabin upgrade the round-3 verdict
+    * asked for, with exact DuckDB parity). Documents shorter than k
+    * hash all their chars with the same polynomial. */
+  def gramHashesFromCodes(codes: Column, k: Int): Column = {
+    val pows = Array.iterate(1L, k)(p => p * GramB % GramM) // B^j mod M
+    val whole = aggregate(codes, lit(0L), (h, c) => (h * GramB + c) % GramM)
+    when(size(codes) < k, array(whole)).otherwise(
+      transform(
+        sequence(lit(1), size(codes) - (k - 1)),
+        i =>
+          (0 until k)
+            .map(j => element_at(codes, i + lit(j)) * lit(pows(k - 1 - j)))
+            .reduce(_ + _) % GramM))
+  }
+
+  /** Convenience one-shot form (tests / ad-hoc): binds nothing, so the
+    * codes subtree re-evaluates per gram — bulk paths must bind
+    * [[charCodes]] first (see q_fingerprint). */
+  def gramHashes(text: Column, k: Int): Column =
+    gramHashesFromCodes(charCodes(text), k)
 
   /** Winnowing: minimum gram hash of every w-length window. The distinct
     * set of window minima is the document's fingerprint. */

@@ -92,7 +92,8 @@ class PipelineOpsSpec extends SparkSpec {
   test("winnowing fingerprint is a subset of gram hashes and shrinks the set") {
     val out = docs
       .limit(20)
-      .select(col("doc_id"), TextAnalysis.gramHashes(col("text"), 8).as("g"))
+      .select(col("doc_id"), TextAnalysis.charCodes(col("text")).as("__codes"))
+      .select(col("doc_id"), TextAnalysis.gramHashesFromCodes(col("__codes"), 8).as("g"))
       .select(col("doc_id"), col("g"), TextAnalysis.winnow(col("g"), 4).as("fp"))
       .collect()
     out.foreach { r =>
