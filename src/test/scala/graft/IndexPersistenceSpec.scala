@@ -120,6 +120,16 @@ class IndexPersistenceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(asn.groupBy("id").count().where(col("count") =!= 1).isEmpty)
   }
 
+  test("persisted probes fall back to the full corpus when candidates < k") {
+    // k larger than the whole library: the under-k branch must widen to
+    // the corpus (lsh.py:199-202 semantics) through BOTH persisted paths
+    val all = catalog.chunks("lib_ivf").count()
+    val resIvf = catalog.search("lib_ivf", "zzz nothing matches this", k = all.toInt + 5)
+    assert(resIvf.count() === all)
+    val resLsh = catalog.search("lib_plsh", "zzz nothing matches this", k = 1000)
+    assert(resLsh.count() === catalog.chunks("lib_plsh").count())
+  }
+
   test("bucketBy(sig) variant: probe selects 1 bucket file set of 8") {
     val sig = catalog.indexTable("lib_plsh").get
     sig
