@@ -918,7 +918,7 @@ object SparkEntry {
         |FROM (SELECT mime, unnest(fh) AS fhash FROM fr)
         |GROUP BY mime ORDER BY mime""".stripMargin,
     "q_embed_neardup" -> {
-      val p = LshIndex.Params(hashSize = 16, numTables = 8, dim = 32, tag = "lshc")
+      val p = NearDup.EmbedLshParams // single-source: Spark + oracle share params
       val de = Embedder.oracleEmbed("text")
       def cosPart(c: String) = s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*x))"
       s"""WITH rawdocs AS (SELECT doc_id, $de AS embedding FROM documents),

@@ -166,8 +166,12 @@ object NearDup {
   }
 
   /** Reference LSH params for the semantic-dedup signature table:
-    * 16-bit signatures keep buckets near-dup-selective (identical
-    * vectors always collide, uncorrelated ones at ~2^-16 per table). */
+    * 16-bit signatures. Measured tradeoff on the fixtures: 24 bits cuts
+    * the ~70k bucket-collision candidates 256x but LOSES 15 of 51 true
+    * near-dup pairs at sf0.01 — this embedder's near-identical vectors
+    * sit at tiny sign margins, so every extra bit flips on real pairs.
+    * Dedup is recall-first: keep 16 bits and pay the verify cost (the
+    * candidate set stays bounded by the capped buckets either way). */
   val EmbedLshParams: LshIndex.Params =
     LshIndex.Params(hashSize = 16, numTables = 8, dim = 32, tag = "lshc")
 
