@@ -419,29 +419,7 @@ object SparkEntry {
     //      every step in SQL over the base table — a hash match proves
     //      the whole persisted read path, quirks included. ----
     "q_catalog_search" -> ((s, dir) => {
-      import graft.catalog.{LibraryCatalog, Models}
-      // warehouse keyed by code version + sf dir: Verify (sf0.01) and
-      // Bench (sf0.1) must not reuse each other's persisted library, and
-      // a library persisted by an older code version must never serve a
-      // newer round's query
-      val wh = cachePath("search_wh", dir)
-      val cat = new LibraryCatalog(s, wh)
-      if (!cat.exists("search_demo")) {
-        val src = t(s, dir, "documents").select(
-          concat(lit("c"), col("doc_id")).as("id"),
-          concat(lit("d"), pmod(col("doc_id"), lit(50))).as("document_id"),
-          col("text"),
-          struct(
-            col("lang").as("source"),
-            lit(null).cast("timestamp").as("created_at"),
-            array(col("lang")).as("tags"),
-            lit(null).cast("string").as("author"),
-            lit(null).cast("string").as("title"),
-            lit(null).cast("string").as("description"),
-            lit(null).cast("int").as("page")).as("metadata"))
-        cat.createLibrary("search_demo", Models.FlatIndexer, src, overwrite = true)
-      }
-      cat
+      searchDemoCatalog(s, dir)
         .search("search_demo", EmbedQueryText, k = 20, metric = Cosine,
           filterTags = Seq("en"))
         .select(
@@ -449,6 +427,21 @@ object SparkEntry {
           rn(col("dist"), 6).as("dist"),
           rn(col("score"), 6).as("score"))
     }),
+    // ---- A1/A2 + documentSchema: the DERIVED documents view of a
+    //      persisted library — membership, counts, and document-level
+    //      title/description/source/tags aggregated from chunk
+    //      metadata — hash-checked against an oracle that reproduces
+    //      the derivation over the base table. ----
+    "q_catalog_documents" -> ((s, dir) =>
+      searchDemoCatalog(s, dir)
+        .documents("search_demo")
+        .select(
+          col("id"), col("title"), col("description"), col("source"),
+          // arrays projected as joined strings: the driver's hash
+          // compare is only exercised on scalar columns elsewhere
+          array_join(col("tags"), ",").as("tags"),
+          col("chunk_count"),
+          array_join(col("chunk_ids"), ",").as("chunk_ids"))),
     // ---- training-pipeline: MinHash-banded near-duplicate pairs.
     //      shingle → minhash → band bucket join → exact Jaccard verify;
     //      no all-pairs anywhere (row order: see verifyOrder). ----
@@ -663,6 +656,33 @@ object SparkEntry {
     * (Embedder.embedLocal) and in the oracle SQL (Embedder.oracleEmbed). */
   private val EmbedQueryText = "how do i get started with vector search"
 
+  /** The shared persisted demo library for the catalog queries. The
+    * warehouse is keyed by code version + sf dir: Verify (sf0.01) and
+    * Bench (sf0.1) must not reuse each other's persisted library, and a
+    * library persisted by an older code version must never serve a newer
+    * round's query. */
+  private def searchDemoCatalog(
+      s: SparkSession, dir: String): graft.catalog.LibraryCatalog = {
+    import graft.catalog.{LibraryCatalog, Models}
+    val cat = new LibraryCatalog(s, cachePath("search_wh", dir))
+    if (!cat.exists("search_demo")) {
+      val src = t(s, dir, "documents").select(
+        concat(lit("c"), col("doc_id")).as("id"),
+        concat(lit("d"), pmod(col("doc_id"), lit(50))).as("document_id"),
+        col("text"),
+        struct(
+          col("lang").as("source"),
+          lit(null).cast("timestamp").as("created_at"),
+          array(col("lang")).as("tags"),
+          lit(null).cast("string").as("author"),
+          lit(null).cast("string").as("title"),
+          lit(null).cast("string").as("description"),
+          lit(null).cast("int").as("page")).as("metadata"))
+      cat.createLibrary("search_demo", Models.FlatIndexer, src, overwrite = true)
+    }
+    cat
+  }
+
   /** Dump-layer canonical row order for queries whose SEMANTICS need no
     * ordering (their only consumer is the driver's hash compare).
     *
@@ -684,6 +704,7 @@ object SparkEntry {
     "q_token_count" -> Seq("doc_id"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
     "q_catalog_search" -> Seq("dist", "id"),
+    "q_catalog_documents" -> Seq("id"),
     "q_token_bpe" -> Seq("doc_id"),
     "q_lang_id" -> Seq("doc_id"),
     "q_quality_score" -> Seq("doc_id"),
@@ -903,6 +924,20 @@ object SparkEntry {
          |FROM ranked WHERE lang = 'en'
          |ORDER BY dist, id""".stripMargin
     },
+    // derived documents view: same group-by-document derivation over the
+    // base table (normalize drops blank texts; chunk tags are [lang])
+    "q_catalog_documents" ->
+      """WITH src AS (
+        |  SELECT 'c'||doc_id AS cid, 'd'||(doc_id%50) AS id, lang
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT id,
+        |       CAST(NULL AS VARCHAR) AS title,
+        |       CAST(NULL AS VARCHAR) AS description,
+        |       min(lang) AS source,
+        |       array_to_string(list_sort(list_distinct(list(lang))), ',') AS tags,
+        |       count(*) AS chunk_count,
+        |       array_to_string(list_sort(list(cid)), ',') AS chunk_ids
+        |FROM src GROUP BY id ORDER BY id""".stripMargin,
     "q_media_frames" ->
       """WITH m AS (
         |  SELECT doc_id, text, ['audio/wav','image/png','video/mp4'][(doc_id % 3) + 1] AS mime
