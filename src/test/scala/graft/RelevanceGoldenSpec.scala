@@ -61,6 +61,15 @@ class RelevanceGoldenSpec extends SparkSpec with BeforeAndAfterAll {
       s"golden chunk not top-1; got: ${res.map(_.getAs[String]("text").take(60)).mkString(" | ")}")
   }
 
+  test("embedder survives recovery: a fresh catalog resolves lexical from meta.json") {
+    val fresh = new LibraryCatalog(spark, warehouse)
+    assert(fresh.readMeta("e2e_fixture").get.embedder === "lexical")
+    // the recovered catalog must embed the query with the SAME model —
+    // an md5-embedded query against lexical chunks would rank noise
+    val res = fresh.search("e2e_fixture", query, k = 5, metric = Cosine).collect()
+    assert(res.head.getAs[String]("text") === goldenText)
+  }
+
   test("lexical model: Catalyst and driver-local forms agree bit-exactly") {
     val texts = catalog.chunks("e2e_fixture").select("text").collect().map(_.getString(0))
     val viaCol = catalog.chunks("e2e_fixture")
