@@ -59,8 +59,13 @@ object CrudProbe {
     val incremental = cat.indexTable("crud_demo").get.select("id", "table_idx", "sig")
     timed("rebuildIndex")(cat.rebuildIndex("crud_demo"))
     val rebuilt = cat.indexTable("crud_demo").get.select("id", "table_idx", "sig")
-    timed("exceptAll x2")(
-      incremental.exceptAll(rebuilt).count() + rebuilt.exceptAll(incremental).count())
+    timed("index diff")(
+      incremental.withColumn("__s", lit(1L))
+        .unionByName(rebuilt.withColumn("__s", lit(-1L)))
+        .groupBy("id", "table_idx", "sig")
+        .agg(sum("__s").as("__d"))
+        .agg(coalesce(sum(abs(col("__d"))), lit(0L)))
+        .head().getLong(0))
     timed("updateChunk")(
       cat.updateChunk("crud_demo", "add5",
         newText = Some("updated synthetic chunk number five")))
