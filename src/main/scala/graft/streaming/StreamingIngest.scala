@@ -92,6 +92,54 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Per-text-hash dedup state: id kept for the hash + how many times
+    * the hash has been seen so far (across ALL batches). */
+  case class DedupState(keptId: String, seen: Long)
+
+  /** A kept (first-occurrence) document, with the duplicate count the
+    * stream had accumulated when it was admitted (always 0). */
+  case class KeptDoc(textHash: Long, id: String)
+
+  /** Streaming exact dedup with CROSS-BATCH state (keep-first): emits a
+    * document only the first time its text hash appears anywhere in the
+    * stream's history; later occurrences — same batch or any later
+    * batch — are dropped. This is the custom-state operator the built-in
+    * `dropDuplicates` also offers, expressed via
+    * `flatMapGroupsWithState` because the state (kept id + running dup
+    * count) is richer than a membership bit: [[dupCounts]] reads the
+    * same state shape back out as a metric stream.
+    *
+    * At scale: state is one (hash, id, count) triple per DISTINCT text —
+    * the same O(distinct) footprint a batch dedup's shuffle holds, kept
+    * in the state store. Unbounded by design (dedup history must not
+    * expire); a corpus-versioned restart is the compaction story. */
+  def streamingDedup(
+      docs: DataFrame, // streaming: (id STRING, text STRING)
+      idCol: String = "id",
+      textCol: String = "text"): Dataset[KeptDoc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(xxhash64(col(textCol)).as("h"), col(idCol).as("id"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DedupState, KeptDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (hash, rows, state: GroupState[DedupState]) =>
+          val batch = rows.toSeq
+          val prev = state.getOption
+          val kept = prev match {
+            case Some(_) => Iterator.empty // hash already admitted
+            case None    => Iterator.single(KeptDoc(hash, batch.map(_._2).min))
+          }
+          val keptId = prev.map(_.keptId).getOrElse(batch.map(_._2).min)
+          val seenBefore = prev.map(_.seen).getOrElse(0L)
+          state.update(DedupState(keptId, seenBefore + batch.size))
+          kept
+      }
+  }
+
   /** Streaming kNN: a stream of (qid, query vector) answered per
     * micro-batch against a STATIC corpus. Each batch runs the exact
     * batch kNN per query (broadcast query literal → codegen'd distance →

@@ -104,6 +104,30 @@ class StreamingIngestSpec extends SparkSpec with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("streamingDedup keeps first occurrences only, across batches (flatMapGroupsWithState)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val deduped = StreamingIngest.streamingDedup(mem.toDF().toDF("id", "text"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      // batch 1: A, B, and an in-batch duplicate of A
+      mem.addData(("a-1", "alpha text"), ("b-1", "beta text"), ("a-2", "alpha text"))
+      q.processAllAvailable()
+      val after1 = spark.table("dedup_out").collect()
+        .map(r => r.getAs[String]("id")).sorted
+      assert(after1 === Array("a-1", "b-1")) // min id kept for the dup group
+      // batch 2: a CROSS-batch duplicate of A and a new doc C
+      mem.addData(("a-3", "alpha text"), ("c-1", "gamma text"))
+      q.processAllAvailable()
+      val after2 = spark.table("dedup_out").collect()
+        .map(r => r.getAs[String]("id")).sorted
+      assert(after2 === Array("a-1", "b-1", "c-1"),
+        "cross-batch duplicate must be dropped by the persistent state")
+    } finally q.stop()
+  }
+
   test("streaming kNN answers match the batch path exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
