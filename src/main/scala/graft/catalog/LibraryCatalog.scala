@@ -38,7 +38,14 @@ import graft.operators.{FlatKnn, HnswIndex, IvfIndex, LshIndex}
   *
   * At 100 TB: every path here is a scan→transform→write of partitioned
   * parquet; nothing collects rows to the driver. The version swap is one
-  * small-file rename regardless of data size.
+  * small-file rename regardless of data size. Mutations currently
+  * rewrite the full chunk table per version (correct, simple, and what
+  * the bench measures); the declared scale-up for mutation-heavy
+  * 100 TB libraries is partition-level copy-on-write — bucket chunks by
+  * `pmod(md5_prefix_int(id), NB)`, rewrite only the buckets holding
+  * affected rows, and reference unchanged bucket files from the new
+  * version via a manifest (the Iceberg/Delta pattern) so a single-chunk
+  * update touches 1/NB of the data and zero bytes of the rest.
   */
 class LibraryCatalog(
     spark: SparkSession,

@@ -26,9 +26,11 @@ class TextExpressionsSpec extends SparkSpec {
     assert(both.where(col("cols") =!= col("fused")).isEmpty)
   }
 
-  test("GramHashes edge cases: empty, shorter than k, exactly k") {
+  test("GramHashes edge cases: empty, shorter than k, exactly k, BMP unicode") {
     import spark.implicits._
-    val df = Seq("", "abc", "abcdefgh").toDF("text")
+    val df = Seq("", "abc", "abcdefgh",
+      "héllo wörld ünïcode tested here",
+      "你好世界测试一二三四五六七八").toDF("text")
     val out = df
       .select(col("text"), TextAnalysis.charCodes(col("text")).as("__codes"))
       .select(
