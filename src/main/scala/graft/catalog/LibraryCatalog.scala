@@ -64,9 +64,10 @@ class LibraryCatalog(
   // ---------------------------------------------------------------- meta
 
   private def writeMeta(m: LibraryMeta): Unit = {
+    val tagsJson = m.tags.map(t => s""""$t"""").mkString("[", ",", "]")
     val json =
       s"""{"name":"${m.name}","indexer":"${m.indexer.name}","dim":${m.dim},""" +
-        s""""embedder":"${m.embedder}",""" +
+        s""""embedder":"${m.embedder}","tags":$tagsJson,""" +
         s""""version":${m.version},"created_at":"${m.createdAt}","updated_at":"${m.updatedAt}"}"""
     val tmp = new Path(libDir(m.name), "meta.json.tmp")
     val out = fs.create(tmp, true)
@@ -88,11 +89,16 @@ class LibraryCatalog(
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
     def num(k: String) =
       (s""""$k":(\\d+)""").r.findFirstMatchIn(json).map(_.group(1).toLong)
+    val tags = """"tags":\[([^\]]*)\]""".r
+      .findFirstMatchIn(json)
+      .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
     for {
       n <- str("name"); ix <- str("indexer"); d <- num("dim")
       v <- num("version"); c <- str("created_at"); u <- str("updated_at")
     } yield LibraryMeta(n, IndexerType.fromString(ix), d.toInt, v, c, u,
-      embedder = str("embedder").getOrElse("md5")) // pre-field metas default
+      embedder = str("embedder").getOrElse("md5"), // pre-field metas default
+      tags = tags)
   }
 
   /** The library's embedding model, resolved from meta — an unknown name
@@ -460,6 +466,31 @@ class LibraryCatalog(
     * (document_service.py:104-123). */
   def deleteDocument(name: String, documentId: String): LibraryMeta =
     deleteChunksWhere(name, col("document_id") === documentId)
+
+  /** Library-level update (library_service.py:156-170 / the PUT
+    * /libraries endpoint, test_e2e.py:124-145): rename and/or replace
+    * the library tags, preserving created_at and bumping updated_at.
+    * Rename is one directory move — version dirs are library-relative,
+    * so data, indexes, and the version pointer all ride along. */
+  def updateLibrary(
+      name: String,
+      newName: Option[String] = None,
+      newTags: Option[Seq[String]] = None): LibraryMeta = {
+    val m = requireMeta(name)
+    val target = newName.getOrElse(name)
+    if (target != name) {
+      if (exists(target))
+        throw new IllegalStateException(s"library already exists: $target")
+      if (!fs.rename(libDir(name), libDir(target)))
+        throw new IllegalStateException(s"rename failed: $name -> $target")
+    }
+    val updated = m.copy(
+      name = target,
+      tags = newTags.getOrElse(m.tags),
+      updatedAt = now())
+    writeMeta(updated)
+    updated
+  }
 
   /** M8: drop the library (the reference's endpoint is broken,
     * endpoints/libraries.py:104 — intended semantics implemented). */

@@ -53,9 +53,10 @@ object Models {
       .getOrElse(throw new IllegalArgumentException(s"unknown indexer: $s"))
   }
 
-  /** Library-level metadata persisted in meta.json. `embedder` names the
-    * registered embedding model (Embedder.models) the library's chunks
-    * were embedded with — queries must embed with the SAME model. */
+  /** Library-level metadata persisted in meta.json (library.py:18-29:
+    * created_at/updated_at/tags). `embedder` names the registered
+    * embedding model (Embedder.models) the library's chunks were
+    * embedded with — queries must embed with the SAME model. */
   case class LibraryMeta(
       name: String,
       indexer: IndexerType,
@@ -63,5 +64,6 @@ object Models {
       version: Long,
       createdAt: String,
       updatedAt: String,
-      embedder: String = "md5")
+      embedder: String = "md5",
+      tags: Seq[String] = Seq.empty)
 }

@@ -205,6 +205,26 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(catalog.indexTable("lib_lsh").map(_.count()) === before)
   }
 
+  test("updateLibrary renames and replaces tags, preserving created_at (PUT /libraries)") {
+    catalog.createLibrary("lib_ren", FlatIndexer, corpus(), overwrite = true)
+    val created = catalog.readMeta("lib_ren").get.createdAt
+    catalog.updateLibrary("lib_ren",
+      newName = Some("lib_renamed"), newTags = Some(Seq("test", "flat", "updated")))
+    assert(!catalog.exists("lib_ren"))
+    val fresh = new LibraryCatalog(spark, warehouse) // recovery sees the move
+    val m = fresh.readMeta("lib_renamed").get
+    assert(m.tags === Seq("test", "flat", "updated"))
+    assert(m.createdAt === created)
+    assert(fresh.chunks("lib_renamed").count() === 40L) // data rode along
+    // renaming onto an existing library refuses
+    fresh.createLibrary("lib_other", FlatIndexer, corpus(), overwrite = true)
+    intercept[IllegalStateException] {
+      fresh.updateLibrary("lib_renamed", newName = Some("lib_other"))
+    }
+    fresh.deleteLibrary("lib_renamed")
+    fresh.deleteLibrary("lib_other")
+  }
+
   test("M8: deleteLibrary removes it from disk and the listing") {
     catalog.createLibrary("lib_tmp", FlatIndexer, corpus(), overwrite = true)
     assert(catalog.exists("lib_tmp"))
