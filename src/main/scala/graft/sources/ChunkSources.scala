@@ -52,6 +52,42 @@ object ChunkSources {
           lit(null).cast("int").as("page")).as("metadata"))
   }
 
+  /** The reference's nested create-library request shape
+    * (endpoints/libraries.py:19, test_e2e.py:26-49): one JSON record per
+    * document — `{title, description, metadata: {source, tags}, chunks:
+    * [{text, metadata: ...}]}` — flattened to catalog-ready chunk rows.
+    * Document-level title/description ride into each chunk's metadata,
+    * which is exactly what the derived documents view re-aggregates. */
+  def fromNestedJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    require(raw.columns.contains("chunks") && raw.columns.contains("title"),
+      "nested source needs 'title' and 'chunks' fields")
+    val slug = regexp_replace(lower(trim(col("title"))), "[^a-z0-9]+", "-")
+    val docTags =
+      if (raw.select("metadata.*").columns.contains("tags")) col("metadata.tags")
+      else lit(null).cast("array<string>")
+    raw
+      .select(
+        col("title").as("__title"),
+        (if (raw.columns.contains("description")) col("description")
+         else lit(null).cast("string")).as("__description"),
+        docTags.cast("array<string>").as("__tags"),
+        slug.as("__slug"),
+        posexplode(col("chunks")).as(Seq("__ord", "__chunk")))
+      .select(
+        concat(col("__slug"), lit("#"), col("__ord") + 1).as("id"),
+        concat(lit("doc-"), col("__slug")).as("document_id"),
+        col("__chunk.text").as("text"),
+        struct(
+          lit("nested-json").as("source"),
+          lit(null).cast("timestamp").as("created_at"),
+          coalesce(col("__tags"), array().cast("array<string>")).as("tags"),
+          lit(null).cast("string").as("author"),
+          col("__title").as("title"),
+          col("__description").as("description"),
+          lit(null).cast("int").as("page")).as("metadata"))
+  }
+
   /** Generic JSONL adapter: one object per line with at least a `text`
     * field; optional `id`/`document_id`/`source` pass through, missing
     * pieces are normalized by the catalog on ingest. */

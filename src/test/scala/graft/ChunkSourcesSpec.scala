@@ -51,6 +51,36 @@ class ChunkSourcesSpec extends SparkSpec with BeforeAndAfterAll {
     assert(tagged.count() <= 5)
   }
 
+  test("nested create-library JSON flattens documents into catalog-ready chunks") {
+    val json = s"$dir/nested.json"
+    Files.writeString(Paths(json),
+      """[
+        |  {"title": "Space Telescope", "description": "optics",
+        |   "metadata": {"source": "string", "tags": ["test", "space"]},
+        |   "chunks": [{"text": "JWST observes infrared."},
+        |              {"text": "Mirrors are beryllium."}]},
+        |  {"title": "Crypto", "metadata": {"tags": ["test"]},
+        |   "chunks": [{"text": "Mining consumes electricity."}]}
+        |]""".stripMargin)
+    val chunks = ChunkSources.fromNestedJson(spark, json)
+    assert(chunks.count() === 3L)
+    val byId = chunks.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId.keySet === Set("space-telescope#1", "space-telescope#2", "crypto#1"))
+    assert(byId("space-telescope#1").getAs[String]("document_id") === "doc-space-telescope")
+
+    // end to end: ingest, then the derived documents view re-aggregates
+    // the document-level fields the nested shape carried
+    val catalog = new LibraryCatalog(spark, s"$dir/wh_nested")
+    catalog.createLibrary("nested_lib", FlatIndexer, chunks, overwrite = true)
+    val docs = catalog.documents("nested_lib").collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(docs.keySet === Set("doc-space-telescope", "doc-crypto"))
+    assert(docs("doc-space-telescope").getAs[String]("title") === "Space Telescope")
+    assert(docs("doc-space-telescope").getAs[String]("description") === "optics")
+    assert(docs("doc-space-telescope").getAs[Long]("chunk_count") === 2L)
+    assert(docs("doc-crypto").getAs[scala.collection.Seq[String]]("tags") === Seq("test"))
+  }
+
   test("JSONL source passes ids through and defaults missing documents") {
     val jsonl = s"$dir/docs.jsonl"
     Files.writeString(Paths(jsonl),
