@@ -274,6 +274,38 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), rn(avg("n_chars"), 4).as("avg_chars"))
         .orderBy("lang")),
+    // ---- corpus composition: ROLLUP over (lang, source) — the
+    //      dashboard shape for training-data mixture reports; partial
+    //      aggregation applies per grouping set ----
+    "q_lang_source_rollup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))),
+    // ---- corpus stats: exact length quantiles per lang — Spark's
+    //      `percentile` interpolates identically to DuckDB's
+    //      quantile_cont (verified bit-exact on the fixtures) ----
+    "q_length_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          rn(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          rn(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          rn(expr("percentile(n_chars, 0.99)"), 4).as("p99"))),
+    // ---- per-group top-k (top-3 longest docs per lang): window
+    //      row_number + filter — rank shuffle is on the group key, the
+    //      per-group sort is partition-local ----
+    "q_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= 3)
+        // long: DuckDB's row_number yields BIGINT and the schema compare
+        // is typed
+        .select(col("lang"), col("__rk").cast("long").as("rank"),
+          col("doc_id"), col("n_chars"))
+    }),
     // ---- S6 end-to-end: text → embedding → kNN (the reference's flagship
     //      read path starts by embedding the query text,
     //      library_service.py:196-204). Documents are embedded through the
@@ -705,6 +737,9 @@ object SparkEntry {
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
     "q_catalog_search" -> Seq("dist", "id"),
     "q_catalog_documents" -> Seq("id"),
+    "q_lang_source_rollup" -> Seq("lang", "source"),
+    "q_topk_per_group" -> Seq("lang", "rank"),
+    "q_length_quantiles" -> Seq("lang"),
     "q_token_bpe" -> Seq("doc_id"),
     "q_lang_id" -> Seq("doc_id"),
     "q_quality_score" -> Seq("doc_id"),
@@ -924,6 +959,25 @@ object SparkEntry {
          |FROM ranked WHERE lang = 'en'
          |ORDER BY dist, id""".stripMargin
     },
+    // NULLS FIRST mirrors Spark's asc_nulls_first dump order for the
+    // rolled-up grouping rows
+    "q_lang_source_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q_length_quantiles" ->
+      s"""SELECT lang,
+         |  ${oRound("quantile_cont(n_chars, 0.5)", 4)} AS p50,
+         |  ${oRound("quantile_cont(n_chars, 0.9)", 4)} AS p90,
+         |  ${oRound("quantile_cont(n_chars, 0.99)", 4)} AS p99
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT lang, rank, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
     // derived documents view: same group-by-document derivation over the
     // base table (normalize drops blank texts; chunk tags are [lang])
     "q_catalog_documents" ->
