@@ -22,6 +22,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // v2 commit: task files rename straight into the output dir (one
+      // fs op instead of two per file) — the write paths here commit
+      // many small parquet tables, and commit latency, not bandwidth,
+      // dominates them
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate()
