@@ -138,13 +138,72 @@ class LibraryCatalog(
     readMeta(name).getOrElse(
       throw new NoSuchElementException(s"library not found: $name"))
 
+  // ------------------------------------------- bucketed chunk manifests
+
+  /** Chunk rows are bucketed by a stable hash of their id; a version's
+    * `manifest.txt` maps each bucket to the version dirs whose
+    * `chunks/__b=<b>` leaves hold its CURRENT rows. Mutations write only
+    * the buckets they touch and REFERENCE the rest (Iceberg/Delta-style
+    * copy-on-write): appends add a leaf and extend the bucket's list,
+    * replaces repoint the bucket at the new version, and a full write
+    * (createLibrary / rebuildIndex) compacts every bucket back to one
+    * dir. At 100 TB a single-chunk update rewrites 1/NumBuckets of the
+    * data and zero bytes of the rest; an append rewrites nothing. */
+  private val NumBuckets = 8
+
+  /** Catalyst / driver twins of the bucket assignment (md5-prefix of the
+    * id — the one hash all engines of this codebase share). */
+  private def bucketCol: Column =
+    pmod(Embedder.md5Int(col("id")), lit(NumBuckets)).cast("int")
+  private def bucketOfId(id: String): Int =
+    (Embedder.md5IntLocal(id) % NumBuckets).toInt
+
+  private def manifestPath(vdir: Path) = new Path(vdir, "manifest.txt")
+
+  private def writeManifest(vdir: Path, mf: Map[Int, Seq[String]]): Unit = {
+    val body = mf.toSeq.sortBy(_._1)
+      .map { case (b, dirs) => s"$b=${dirs.mkString(",")}" }
+      .mkString("\n")
+    val out = fs.create(manifestPath(vdir), true)
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readManifest(name: String, v: Long): Map[Int, Seq[String]] = {
+    val p = manifestPath(versionDir(name, v))
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    body.linesIterator
+      .filter(_.contains("="))
+      .map { line =>
+        val Array(b, dirs) = line.split("=", 2)
+        b.toInt -> dirs.split(",").filter(_.nonEmpty).toSeq
+      }
+      .toMap
+  }
+
+  /** Leaf directories (one per (bucket, owning version)) of a manifest —
+    * version dir names are library-relative, so renames ride along. */
+  private def chunkLeafPaths(name: String, mf: Map[Int, Seq[String]]): Seq[String] =
+    mf.toSeq.sortBy(_._1).flatMap { case (b, dirs) =>
+      dirs.map(d => new Path(new Path(libDir(name), d), s"chunks/__b=$b").toString)
+    }
+
+  private def readChunksAt(name: String, mf: Map[Int, Seq[String]]): DataFrame = {
+    val paths = chunkLeafPaths(name, mf)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], chunkSchema)
+    else spark.read.schema(chunkSchema).parquet(paths: _*)
+  }
+
   /** Schema-enforced chunks load (S3): read with the declared schema so
     * drift fails loudly at the scan, not deep in a query. */
   def chunks(name: String): DataFrame = {
     val m = requireMeta(name)
-    spark.read
-      .schema(chunkSchema)
-      .parquet(new Path(versionDir(name, m.version), "chunks").toString)
+    readChunksAt(name, readManifest(name, m.version))
   }
 
   /** Derived documents view (Models.documentSchema, document.py:37-53):
@@ -208,32 +267,99 @@ class LibraryCatalog(
   private def lshParams(dim: Int) = LshIndex.Params(dim = dim)
   private def ivfParams = IvfIndex.Params()
 
-  /** Write version v of the library state and swap the pointer. Index
-    * artifacts are written in their pruning layout (partitionBy).
-    * `artifactsFor` receives the WRITTEN chunks (read back from the new
-    * version's parquet): a full index build re-reads the materialized
-    * table instead of re-executing the whole normalize/embed lineage a
-    * second time — write-once-read-back is the only shape that survives
-    * 100 TB ingest. */
-  private def commitVersion(
+  /** Buckets that got a leaf dir in this version's chunks write. */
+  private def presentBuckets(vdir: Path): Set[Int] = {
+    val cdir = new Path(vdir, "chunks")
+    if (!fs.exists(cdir)) return Set.empty
+    fs.listStatus(cdir)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("__b="))
+      .map(_.stripPrefix("__b=").toInt)
+      .toSet
+  }
+
+  private def writeArtifacts(vdir: Path, artifacts: Seq[IndexArtifact]): Unit =
+    artifacts.foreach { a =>
+      val w = a.df.write.mode("overwrite")
+      (if (a.partitionBy.nonEmpty) w.partitionBy(a.partitionBy: _*) else w)
+        .parquet(new Path(vdir, a.name).toString)
+    }
+
+  /** Swap the pointer, then GC: a version dir survives while the current
+    * or previous version's manifest references it (or IS one of those
+    * two versions — in-flight readers of v-1 stay whole). */
+  private def finishCommit(
+      m: LibraryMeta, v: Long, mf: Map[Int, Seq[String]]): LibraryMeta = {
+    val updated = m.copy(version = v, updatedAt = now())
+    writeMeta(updated)
+    val prevRefs =
+      if (v >= 1) readManifest(m.name, v - 1).values.flatten.toSet
+      else Set.empty[String]
+    val keep = mf.values.flatten.toSet ++ prevRefs +
+      versionDir(m.name, v).getName + versionDir(m.name, v - 1).getName
+    fs.listStatus(libDir(m.name))
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && !keep.contains(p.getName))
+      .foreach(fs.delete(_, true))
+    updated
+  }
+
+  /** FULL commit (createLibrary / rebuildIndex): write every row, point
+    * every bucket at this version — i.e. compaction of whatever delta
+    * history the manifest had accumulated. `artifactsFor` receives the
+    * WRITTEN chunks (read back from the new version's parquet): a full
+    * index build re-reads the materialized table instead of re-executing
+    * the whole normalize/embed lineage a second time —
+    * write-once-read-back is the only shape that survives 100 TB ingest. */
+  private def commitFull(
       m: LibraryMeta,
       chunksDf: DataFrame,
       artifactsFor: DataFrame => Seq[IndexArtifact]): LibraryMeta = {
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
-    val chunksPath = new Path(vdir, "chunks").toString
-    chunksDf.write.mode("overwrite").parquet(chunksPath)
-    val written = spark.read.schema(chunkSchema).parquet(chunksPath)
-    artifactsFor(written).foreach { a =>
-      val w = a.df.write.mode("overwrite")
-      (if (a.partitionBy.nonEmpty) w.partitionBy(a.partitionBy: _*) else w)
-        .parquet(new Path(vdir, a.name).toString)
+    val vname = vdir.getName
+    chunksDf
+      .withColumn("__b", bucketCol)
+      .write.mode("overwrite").partitionBy("__b")
+      .parquet(new Path(vdir, "chunks").toString)
+    val mf = presentBuckets(vdir).map(b => b -> Seq(vname)).toMap
+    writeManifest(vdir, mf)
+    writeArtifacts(vdir, artifactsFor(readChunksAt(m.name, mf)))
+    finishCommit(m, v, mf)
+  }
+
+  /** DELTA commit: write only `deltaRows`.
+    *  - `replaceBuckets = Some(A)`: the delta IS the new content of the
+    *    buckets in A — they repoint to this version (a bucket emptied by
+    *    a delete drops out of the manifest); every other bucket carries.
+    *  - `replaceBuckets = None` (append): each bucket the delta touched
+    *    gains this version at the end of its dir list; nothing old is
+    *    rewritten or even read. */
+  private def commitDelta(
+      m: LibraryMeta,
+      deltaRows: DataFrame,
+      replaceBuckets: Option[Set[Int]],
+      artifacts: Seq[IndexArtifact]): LibraryMeta = {
+    val v = m.version + 1
+    val vdir = versionDir(m.name, v)
+    val vname = vdir.getName
+    deltaRows
+      .withColumn("__b", bucketCol)
+      .write.mode("overwrite").partitionBy("__b")
+      .parquet(new Path(vdir, "chunks").toString)
+    val present = presentBuckets(vdir)
+    val old = readManifest(m.name, m.version)
+    val mf = replaceBuckets match {
+      case Some(repl) =>
+        (old -- repl) ++ present.map(b => b -> Seq(vname))
+      case None =>
+        old ++ present.map(b => b -> (old.getOrElse(b, Seq.empty) :+ vname))
     }
-    val updated = m.copy(version = v, updatedAt = now())
-    writeMeta(updated)
-    // GC: keep v-1 for in-flight readers, drop anything older
-    if (v >= 2) fs.delete(versionDir(m.name, v - 2), true)
-    updated
+    writeManifest(vdir, mf)
+    writeArtifacts(vdir, artifacts)
+    finishCommit(m, v, mf)
   }
 
   private def buildIndex(m: LibraryMeta, chunksDf: DataFrame): Seq[IndexArtifact] =
@@ -321,7 +447,7 @@ class LibraryCatalog(
     val m0 = LibraryMeta(name, indexer, dim, version = -1L, now(), now(),
       embedder = embedder)
     val normalized = normalize(chunksDf, dim, modelOf(m0))
-    commitVersion(m0, normalized, written => buildIndex(m0, written))
+    commitFull(m0, normalized, written => buildIndex(m0, written))
   }
 
   /** Index rows for just `added`, computed against the CURRENT index
@@ -357,48 +483,64 @@ class LibraryCatalog(
       case a => a
     }
 
-  /** M2/M3: append chunks. The chunk table is a union; the index is
+  /** M2/M3: append chunks — a PURE APPEND commit: only the new rows are
+    * written (no old bucket is rewritten or read); the index is
     * maintained INCREMENTALLY (indexer.add, lsh.py:84-112): only the new
     * rows' LSH signatures / IVF cell assignments are computed. */
   def addChunks(name: String, newChunks: DataFrame): LibraryMeta = {
     val m = requireMeta(name)
     val added = normalize(newChunks, m.dim, modelOf(m))
-    val merged = chunks(name).unionByName(added)
-    val artifacts = incrementalIndexRows(m, name, added) match {
-      case Some(newRows) => patchedArtifacts(name, None, Some(newRows))
-      case None          => buildIndex(m, merged)
+    incrementalIndexRows(m, name, added) match {
+      case Some(newRows) =>
+        commitDelta(m, added, None, patchedArtifacts(name, None, Some(newRows)))
+      case None if m.indexer == LshIndexer || m.indexer == IvfIndexer =>
+        // index table missing (shouldn't happen post-create): full rebuild
+        commitFull(m, chunks(name).unionByName(added), w => buildIndex(m, w))
+      case None =>
+        commitDelta(m, added, None, Seq.empty)
     }
-    commitVersion(m, merged, _ => artifacts)
   }
 
-  /** M5: delete chunks by id — anti-join on both the data and the index
-    * (indexer.delete, lsh.py:114-145); IVF centroids are a quantizer,
-    * not data, and are carried forward. */
+  /** M5: delete chunks by id — only the buckets holding the ids are
+    * rewritten (driver-computed bucket set, no scan needed); the index
+    * drops the ids' rows (indexer.delete, lsh.py:114-145); IVF centroids
+    * are a quantizer, not data, and are carried forward. */
   def deleteChunks(name: String, ids: Seq[String]): LibraryMeta = {
     val m = requireMeta(name)
-    val remaining = chunks(name).where(!col("id").isin(ids: _*))
+    val affected = ids.map(bucketOfId).toSet
+    val survivors = chunks(name)
+      .where(bucketCol.isin(affected.toSeq: _*) && !col("id").isin(ids: _*))
     val artifacts = existingArtifacts(name).map {
       case a if a.name == "index" =>
         a.copy(df = a.df.where(!col("id").isin(ids: _*)))
       case a => a
     }
-    commitVersion(m, remaining, _ => artifacts)
+    commitDelta(m, survivors, Some(affected), artifacts)
   }
 
-  /** M5 at scale: delete by predicate (ids arrive as a DataFrame, not a
-    * driver-side list) — pure anti-join. The predicate may reference
-    * data columns the index lacks, but surviving rows' index entries are
-    * unchanged: semi-join the index against the survivors' ids instead
-    * of recomputing a single signature (indexer.delete, lsh.py:114-145). */
+  /** M5 at scale: delete by predicate (ids arrive as a predicate, not a
+    * driver-side list). One small job finds the affected buckets; only
+    * those are rewritten. Rows where the predicate is NULL are KEPT
+    * (delete removes rows the predicate is TRUE for — the SQL DELETE
+    * semantics). Surviving rows' index entries are unchanged: semi-join
+    * the index against the survivors' ids instead of recomputing a
+    * single signature (indexer.delete, lsh.py:114-145). */
   def deleteChunksWhere(name: String, pred: Column): LibraryMeta = {
     val m = requireMeta(name)
-    val remaining = chunks(name).where(!pred)
+    val all = chunks(name)
+    val matches = coalesce(pred, lit(false))
+    val affected = all.where(matches)
+      .select(bucketCol.as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val survivors = all
+      .where(bucketCol.isin(affected.toSeq: _*) && !matches)
+    val remainingIds = all.where(!matches).select("id")
     val artifacts = existingArtifacts(name).map {
       case a if a.name == "index" =>
-        a.copy(df = a.df.join(remaining.select("id"), Seq("id"), "left_semi"))
+        a.copy(df = a.df.join(remainingIds, Seq("id"), "left_semi"))
       case a => a
     }
-    commitVersion(m, remaining, _ => artifacts)
+    commitDelta(m, survivors, Some(affected), artifacts)
   }
 
   /** M4: update one chunk. Re-embeds only if the text changed
@@ -425,7 +567,12 @@ class LibraryCatalog(
             .withField("created_at", col("metadata.created_at"))
         case None => col("metadata")
       })
-    val merged = all.where(col("id") =!= id).unionByName(updated)
+    // only the chunk's bucket is rewritten: its other rows + the
+    // updated row; every other bucket is referenced, not copied
+    val b = bucketOfId(id)
+    val bucketRows = all
+      .where(bucketCol === b && col("id") =!= id)
+      .unionByName(updated)
     // incremental index patch: drop the old row's entries, add entries
     // for the re-embedded row (indexer.delete + add — never a rebuild
     // for a single-chunk update). Metadata-only updates leave the
@@ -435,9 +582,10 @@ class LibraryCatalog(
       else incrementalIndexRows(m, name, updated) match {
         case Some(newRows) =>
           patchedArtifacts(name, Some(col("id") === id), Some(newRows))
-        case None => buildIndex(m, merged)
+        case None =>
+          buildIndex(m, all.where(col("id") =!= id).unionByName(updated))
       }
-    commitVersion(m, merged, _ => artifacts)
+    commitDelta(m, bucketRows, Some(Set(b)), artifacts)
   }
 
   // (only createLibrary and rebuildIndex compute a full index; every
@@ -454,12 +602,21 @@ class LibraryCatalog(
       pred: Column,
       newMetadata: Column): LibraryMeta = {
     val m = requireMeta(name)
-    val updated = chunks(name).withColumn(
-      "metadata",
-      when(pred,
-        newMetadata.withField("created_at", col("metadata.created_at")))
-        .otherwise(col("metadata")))
-    commitVersion(m, updated, _ => existingArtifacts(name))
+    val all = chunks(name)
+    val matches = coalesce(pred, lit(false))
+    val affected = all.where(matches)
+      .select(bucketCol.as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    // rewrite only the buckets holding matching rows, with the replace
+    // applied; untouched buckets are referenced, not copied
+    val bucketRows = all
+      .where(bucketCol.isin(affected.toSeq: _*))
+      .withColumn(
+        "metadata",
+        when(matches,
+          newMetadata.withField("created_at", col("metadata.created_at")))
+          .otherwise(col("metadata")))
+    commitDelta(m, bucketRows, Some(affected), existingArtifacts(name))
   }
 
   /** M7: delete a document — cascade to all its chunks + reindex
