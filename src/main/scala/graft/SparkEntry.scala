@@ -23,7 +23,7 @@ object SparkEntry {
     * warehouses / index tables): a stale artifact persisted by an OLDER
     * code version must never silently serve a newer round's query — bump
     * on any change to the persisted layouts or the queries over them. */
-  private val CacheVersion = "r4a"
+  private val CacheVersion = "r5a"
 
   /** Tmp path for a persisted demo artifact, keyed by code version + sf
     * dir (Verify at sf0.01 and Bench at sf0.1 must not share). */

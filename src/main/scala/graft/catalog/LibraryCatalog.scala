@@ -660,7 +660,7 @@ class LibraryCatalog(
   def rebuildIndex(name: String): LibraryMeta = {
     val m = requireMeta(name)
     val all = chunks(name)
-    commitVersion(m, all, written => buildIndex(m, written))
+    commitFull(m, all, written => buildIndex(m, written))
   }
 
   // -------------------------------------------------------------- search

@@ -246,10 +246,35 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(before.sameElements(after))
   }
 
-  test("version GC keeps at most two versions on disk") {
+  test("version GC: on-disk dirs are exactly the live set; full commits compact") {
+    // v2 delta commits legitimately keep every dir referenced by the
+    // current or previous manifest (in-flight readers of v-1 stay whole);
+    // anything else is garbage and must be gone.
     val dir = new java.io.File(s"$warehouse/lib_lsh")
-    val versions = dir.listFiles().map(_.getName).filter(_.startsWith("v"))
-    assert(versions.length <= 2, s"versions on disk: ${versions.mkString(",")}")
+    def versionsOnDisk: Set[String] =
+      dir.listFiles().map(_.getName).filter(_.startsWith("v")).toSet
+    def refs(vname: String): Set[String] = {
+      val mf = new java.io.File(dir, s"$vname/manifest.txt")
+      if (!mf.exists()) Set.empty
+      else {
+        val src = scala.io.Source.fromFile(mf, "UTF-8")
+        try src.getLines()
+          .filter(_.contains("="))
+          .flatMap(_.split("=", 2)(1).split(",")).filter(_.nonEmpty).toSet
+        finally src.close()
+      }
+    }
+    val cur = versionsOnDisk.max // zero-padded names sort numerically
+    val prev = f"v${cur.drop(1).toLong - 1}%06d"
+    val live = refs(cur) ++ refs(prev) + cur + prev
+    val onDisk = versionsOnDisk
+    assert(onDisk.subsetOf(live),
+      s"unreferenced versions on disk: ${(onDisk -- live).mkString(",")}")
+    // two consecutive FULL commits reference only themselves, so the
+    // retained set collapses to {vN, vN-1} regardless of delta history
+    catalog.rebuildIndex("lib_lsh")
+    val after = versionsOnDisk
+    assert(after.size <= 2, s"versions after compaction: ${after.mkString(",")}")
   }
 
   test("T5: flat search builds its plan without launching a counting job") {
