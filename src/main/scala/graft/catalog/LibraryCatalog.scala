@@ -38,14 +38,19 @@ import graft.operators.{FlatKnn, HnswIndex, IvfIndex, LshIndex}
   *
   * At 100 TB: every path here is a scan→transform→write of partitioned
   * parquet; nothing collects rows to the driver. The version swap is one
-  * small-file rename regardless of data size. Mutations currently
-  * rewrite the full chunk table per version (correct, simple, and what
-  * the bench measures); the declared scale-up for mutation-heavy
-  * 100 TB libraries is partition-level copy-on-write — bucket chunks by
-  * `pmod(md5_prefix_int(id), NB)`, rewrite only the buckets holding
-  * affected rows, and reference unchanged bucket files from the new
-  * version via a manifest (the Iceberg/Delta pattern) so a single-chunk
-  * update touches 1/NB of the data and zero bytes of the rest.
+  * small-file rename regardless of data size. Mutations are
+  * bucket-level copy-on-write — chunks are bucketed by
+  * `pmod(md5_prefix_int(id), NumBuckets)`, a mutation READS and rewrites
+  * only the buckets holding affected rows (the manifest names their leaf
+  * dirs; unchanged buckets are referenced, not copied — the
+  * Iceberg/Delta pattern), so a single-chunk update touches
+  * 1/NumBuckets of the data and zero bytes of the rest. The index gets
+  * the same treatment via `artifacts.txt` version lists: appends write
+  * only the new rows' part, deletes write only an id-tombstone part
+  * (deletion vectors), metadata-only mutations carry every artifact
+  * forward by reference, and full commits compact. All partitioned
+  * writes are clustered (one shuffle keyed by partition value + a small
+  * salt) so output files stay bounded per directory at any scale.
   */
 class LibraryCatalog(
     spark: SparkSession,
@@ -225,11 +230,13 @@ class LibraryCatalog(
 
   /** One persisted file-set of a library's index. `partitionBy` is the
     * physical layout the probe prunes on: table_idx for LSH, cell for
-    * IVF (see LshIndex/IvfIndex scale notes). */
+    * IVF (see LshIndex/IvfIndex scale notes); `sortWithin` orders rows
+    * inside each partition dir so equality probes skip row groups too. */
   private case class IndexArtifact(
       name: String,
       df: DataFrame,
-      partitionBy: Seq[String])
+      partitionBy: Seq[String],
+      sortWithin: Seq[String] = Nil)
 
   private def artifactPartitioning(ix: IndexerType, artifact: String): Seq[String] =
     (ix, artifact) match {
@@ -238,27 +245,93 @@ class LibraryCatalog(
       case _                     => Nil
     }
 
-  private def artifact(name: String, artifactName: String): Option[DataFrame] = {
-    val m = requireMeta(name)
-    val p = new Path(versionDir(name, m.version), artifactName)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  private def artifactSortWithin(ix: IndexerType, artifact: String): Seq[String] =
+    (ix, artifact) match {
+      case (LshIndexer, "index") => Seq("sig")
+      case _                     => Nil
+    }
+
+  // --------------------------------------- index artifact version lists
+
+  /** `artifacts.txt` gives each index artifact the same version-list
+    * treatment as chunk buckets: the CURRENT index = the union of the
+    * `index/` parts in the listed version dirs MINUS the ids in the
+    * listed `index_deletes/` parts — with a delete applying only to parts
+    * OLDER than itself, so a delete+append commit (updateChunk) keeps the
+    * re-added rows. Appends and deletes therefore write O(delta) bytes
+    * per mutation (the Delta-Lake deletion-vector pattern); full commits
+    * (createLibrary / rebuildIndex) compact the lists back to one entry,
+    * which also bounds the read-side part count between rebuilds. */
+  private def artifactRefsPath(vdir: Path) = new Path(vdir, "artifacts.txt")
+
+  private def writeArtifactRefs(
+      vdir: Path, refs: Map[String, Seq[String]]): Unit = {
+    val body = refs.toSeq.sortBy(_._1)
+      .map { case (a, dirs) => s"$a=${dirs.mkString(",")}" }
+      .mkString("\n")
+    val out = fs.create(artifactRefsPath(vdir), true)
+    out.write(body.getBytes("UTF-8"))
+    out.close()
   }
 
-  /** The persisted index table, when the library's indexer has one. */
+  private def readArtifactRefs(
+      name: String, v: Long): Map[String, Seq[String]] = {
+    if (v < 0) return Map.empty
+    val p = artifactRefsPath(versionDir(name, v))
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    body.linesIterator
+      .filter(_.contains("="))
+      .map { line =>
+        val Array(a, dirs) = line.split("=", 2)
+        a -> dirs.split(",").filter(_.nonEmpty).toSeq
+      }
+      .toMap
+  }
+
+  /** Union of an artifact's parts across its referenced version dirs,
+    * each row tagged with its part's version (`__pv`) for delete
+    * reconciliation. */
+  private def artifactParts(
+      name: String, artifactName: String, dirs: Seq[String]): DataFrame =
+    dirs.map { d =>
+      spark.read
+        .parquet(new Path(new Path(libDir(name), d), artifactName).toString)
+        .withColumn("__pv", lit(d.stripPrefix("v").toLong))
+    }.reduce(_ unionByName _)
+
+  private def artifact(name: String, artifactName: String): Option[DataFrame] = {
+    val m = requireMeta(name)
+    val refs = readArtifactRefs(name, m.version)
+    refs.get(artifactName).filter(_.nonEmpty).map { dirs =>
+      val parts = artifactParts(name, artifactName, dirs)
+      val reconciled =
+        refs.get(artifactName + "_deletes").filter(_.nonEmpty) match {
+          case Some(dd) =>
+            // tombstones are tiny (deleted ids only): broadcast them and
+            // keep a part row unless a STRICTLY NEWER delete covers it
+            val dels = artifactParts(name, artifactName + "_deletes", dd)
+              .groupBy("id").agg(max("__pv").as("__dv"))
+            parts
+              .join(broadcast(dels), Seq("id"), "left_outer")
+              .where(col("__dv").isNull || col("__pv") >= col("__dv"))
+              .drop("__dv")
+          case None => parts
+        }
+      reconciled.drop("__pv")
+    }
+  }
+
+  /** The LOGICAL index table: referenced parts unioned, deletion
+    * vectors applied. Directly after createLibrary/rebuildIndex this is
+    * one pruned parquet scan; between rebuilds it adds one scan per
+    * append and a broadcast anti-semantics join when deletes exist. */
   def indexTable(name: String): Option[DataFrame] = artifact(name, "index")
 
   /** The persisted IVF centroids table (cid, embedding), when present. */
   def centroidsTable(name: String): Option[DataFrame] = artifact(name, "centroids")
-
-  /** Every index artifact of the current version, with its layout —
-    * for carrying an index forward unchanged across a mutation that
-    * doesn't touch embeddings. */
-  private def existingArtifacts(name: String): Seq[IndexArtifact] = {
-    val m = requireMeta(name)
-    Seq("index", "centroids").flatMap(a =>
-      artifact(name, a).map(df =>
-        IndexArtifact(a, df, artifactPartitioning(m.indexer, a))))
-  }
 
   // ------------------------------------------------------------- writing
 
@@ -279,24 +352,72 @@ class LibraryCatalog(
       .toSet
   }
 
+  /** Files-per-partition-dir salt for clustered writes: without
+    * clustering every write task emits a file into EVERY partition dir
+    * (tasks × dirs small files per commit); with it, output is bounded
+    * at WriteSaltFiles files per dir. 1 is right for local benches
+    * (file/committer overhead dominates); raise it on a real cluster
+    * where per-bucket write bandwidth is the constraint. */
+  private val WriteSaltFiles = 1
+
+  /** Shared default for `postShuffle` so the write path can cheaply
+    * detect "no compute above the shuffle" (reference equality). */
+  private val identityDf: DataFrame => DataFrame = df => df
+
+  private def writeClustered(
+      df: DataFrame,
+      dest: Path,
+      partitionBy: Seq[String],
+      sortWithin: Seq[String],
+      postShuffle: DataFrame => DataFrame = identityDf): Unit = {
+    val keys =
+      (partitionBy.map(col) :+ pmod(xxhash64(col("id")), lit(WriteSaltFiles)))
+    val clustered =
+      if (partitionBy.isEmpty) df
+      else if (postShuffle eq identityDf)
+        // plain data write: let AQE byte-coalesce the reduce side —
+        // small deltas collapse to a handful of writer tasks
+        df.repartition(keys: _*)
+          .sortWithinPartitions((partitionBy ++ sortWithin).map(col): _*)
+      else
+        // compute rides ABOVE this shuffle (embedding): pin the reduce
+        // task count — AQE would byte-coalesce the tiny shuffled rows to
+        // one task and serialize per-ROW-expensive work
+        df.repartition(NumBuckets * WriteSaltFiles, keys: _*)
+          .sortWithinPartitions((partitionBy ++ sortWithin).map(col): _*)
+    val out = if (partitionBy.isEmpty) postShuffle(df) else postShuffle(clustered)
+    val w = out.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dest.toString)
+  }
+
+  private def writeChunks(
+      vdir: Path,
+      rows: DataFrame,
+      postShuffle: DataFrame => DataFrame = identityDf): Unit =
+    writeClustered(
+      rows.withColumn("__b", bucketCol),
+      new Path(vdir, "chunks"), Seq("__b"), Nil, postShuffle)
+
   private def writeArtifacts(vdir: Path, artifacts: Seq[IndexArtifact]): Unit =
-    artifacts.foreach { a =>
-      val w = a.df.write.mode("overwrite")
-      (if (a.partitionBy.nonEmpty) w.partitionBy(a.partitionBy: _*) else w)
-        .parquet(new Path(vdir, a.name).toString)
-    }
+    artifacts.foreach(a =>
+      writeClustered(a.df, new Path(vdir, a.name), a.partitionBy, a.sortWithin))
 
   /** Swap the pointer, then GC: a version dir survives while the current
-    * or previous version's manifest references it (or IS one of those
-    * two versions — in-flight readers of v-1 stay whole). */
+    * or previous version's manifest OR artifact list references it (or
+    * IS one of those two versions — in-flight readers of v-1 stay
+    * whole). */
   private def finishCommit(
       m: LibraryMeta, v: Long, mf: Map[Int, Seq[String]]): LibraryMeta = {
     val updated = m.copy(version = v, updatedAt = now())
     writeMeta(updated)
     val prevRefs =
-      if (v >= 1) readManifest(m.name, v - 1).values.flatten.toSet
+      if (v >= 1)
+        readManifest(m.name, v - 1).values.flatten.toSet ++
+          readArtifactRefs(m.name, v - 1).values.flatten.toSet
       else Set.empty[String]
-    val keep = mf.values.flatten.toSet ++ prevRefs +
+    val keep = mf.values.flatten.toSet ++
+      readArtifactRefs(m.name, v).values.flatten.toSet ++ prevRefs +
       versionDir(m.name, v).getName + versionDir(m.name, v - 1).getName
     fs.listStatus(libDir(m.name))
       .filter(_.isDirectory)
@@ -316,19 +437,34 @@ class LibraryCatalog(
   private def commitFull(
       m: LibraryMeta,
       chunksDf: DataFrame,
-      artifactsFor: DataFrame => Seq[IndexArtifact]): LibraryMeta = {
+      artifactsFor: DataFrame => Seq[IndexArtifact],
+      postShuffle: DataFrame => DataFrame = identityDf): LibraryMeta = {
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
-    chunksDf
-      .withColumn("__b", bucketCol)
-      .write.mode("overwrite").partitionBy("__b")
-      .parquet(new Path(vdir, "chunks").toString)
+    writeChunks(vdir, chunksDf, postShuffle)
     val mf = presentBuckets(vdir).map(b => b -> Seq(vname)).toMap
     writeManifest(vdir, mf)
-    writeArtifacts(vdir, artifactsFor(readChunksAt(m.name, mf)))
+    val arts = artifactsFor(readChunksAt(m.name, mf))
+    writeArtifacts(vdir, arts)
+    writeArtifactRefs(vdir, arts.map(a => a.name -> Seq(vname)).toMap)
     finishCommit(m, v, mf)
   }
+
+  /** What a delta commit does to the index artifacts — always O(delta)
+    * bytes, never a full index rewrite (that's what [[commitFull]] is
+    * for). */
+  private sealed trait ArtifactOp
+  /** Mutation doesn't touch embeddings: every artifact carries forward
+    * BY REFERENCE — zero index bytes read or written. */
+  private case object CarryArtifacts extends ArtifactOp
+  /** Append `newRows` to the index part list and/or tombstone
+    * `deleteIds` (an `id` column). A tombstone written in the same
+    * commit as an append does not cancel the appended rows
+    * (updateChunk's delete-old+add-new), see [[artifact]]. */
+  private case class PatchIndex(
+      newRows: Option[DataFrame],
+      deleteIds: Option[DataFrame]) extends ArtifactOp
 
   /** DELTA commit: write only `deltaRows`.
     *  - `replaceBuckets = Some(A)`: the delta IS the new content of the
@@ -341,14 +477,11 @@ class LibraryCatalog(
       m: LibraryMeta,
       deltaRows: DataFrame,
       replaceBuckets: Option[Set[Int]],
-      artifacts: Seq[IndexArtifact]): LibraryMeta = {
+      op: ArtifactOp): LibraryMeta = {
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
-    deltaRows
-      .withColumn("__b", bucketCol)
-      .write.mode("overwrite").partitionBy("__b")
-      .parquet(new Path(vdir, "chunks").toString)
+    writeChunks(vdir, deltaRows)
     val present = presentBuckets(vdir)
     val old = readManifest(m.name, m.version)
     val mf = replaceBuckets match {
@@ -358,21 +491,41 @@ class LibraryCatalog(
         old ++ present.map(b => b -> (old.getOrElse(b, Seq.empty) :+ vname))
     }
     writeManifest(vdir, mf)
-    writeArtifacts(vdir, artifacts)
+    val oldRefs = readArtifactRefs(m.name, m.version)
+    val refs = op match {
+      case CarryArtifacts => oldRefs
+      case PatchIndex(_, _) if !oldRefs.get("index").exists(_.nonEmpty) =>
+        oldRefs // flat library: nothing to patch or tombstone
+      case PatchIndex(newRows, deleteIds) =>
+        newRows.foreach(rows =>
+          writeArtifacts(vdir, Seq(IndexArtifact(
+            "index", rows,
+            artifactPartitioning(m.indexer, "index"),
+            artifactSortWithin(m.indexer, "index")))))
+        deleteIds.foreach(ids =>
+          ids.select("id").write.mode("overwrite")
+            .parquet(new Path(vdir, "index_deletes").toString))
+        var r = oldRefs
+        if (newRows.isDefined)
+          r = r.updated("index", r("index") :+ vname)
+        if (deleteIds.isDefined)
+          r = r.updated(
+            "index_deletes", r.getOrElse("index_deletes", Seq.empty) :+ vname)
+        r
+    }
+    writeArtifactRefs(vdir, refs)
     finishCommit(m, v, mf)
   }
 
   private def buildIndex(m: LibraryMeta, chunksDf: DataFrame): Seq[IndexArtifact] =
     m.indexer match {
       case LshIndexer =>
-        // one write task per table_idx, rows sorted by sig inside it →
-        // each partition dir's files are sig-ordered, so the probe's
-        // sig-equality pushdown skips row groups, not just partitions
-        val sig = LshIndex
-          .signatureTable(chunksDf, lshParams(m.dim), "id", "embedding")
-          .repartition(col("table_idx"))
-          .sortWithinPartitions("table_idx", "sig")
-        Seq(IndexArtifact("index", sig, Seq("table_idx")))
+        // clustered by table_idx, rows sorted by sig inside each dir
+        // (via writeClustered) → the probe's sig-equality pushdown skips
+        // row groups, not just partitions
+        val sig =
+          LshIndex.signatureTable(chunksDf, lshParams(m.dim), "id", "embedding")
+        Seq(IndexArtifact("index", sig, Seq("table_idx"), Seq("sig")))
       case IvfIndexer =>
         val cents = IvfIndex.centroids(chunksDf, ivfParams, "id", "embedding")
         Seq(
@@ -385,14 +538,13 @@ class LibraryCatalog(
       case _ => Seq.empty // flat needs no index table; hnsw is driver-local (K3)
     }
 
-  /** Ingest normalization (chunk.py:25-42,55-71): trimmed non-empty text,
-    * deduped tags (P6, array_distinct), uuid() for missing ids (§2.8),
-    * current_timestamp for missing created_at. Embeds rows that lack an
-    * embedding through the dedup-before-embed path (S6). */
-  private def normalize(
-      df: DataFrame,
-      dim: Int,
-      model: Embedder.Model): DataFrame = {
+  /** Ingest shape normalization (chunk.py:25-42,55-71): trimmed
+    * non-empty text, deduped tags (P6, array_distinct), uuid() for
+    * missing ids (§2.8), current_timestamp for missing created_at, a
+    * null-filled embedding column when the input has none. Cheap,
+    * per-row, no hashing — safe to run on the map side of the
+    * clustering shuffle. */
+  private def normalizeShape(df: DataFrame): DataFrame = {
     val emptyMeta = struct(
       chunkMetadataType.fields
         .map(f => lit(null).cast(f.dataType).as(f.name))
@@ -408,7 +560,7 @@ class LibraryCatalog(
             lit(null).cast(chunkSchema("embedding").dataType))
         case (d, _) => d
       }
-    val base = withCols
+    withCols
       .withColumn("text", trim(col("text")))
       .where(length(col("text")) > 0)
       .withColumn("id", coalesce(col("id"), expr("uuid()")))
@@ -417,17 +569,45 @@ class LibraryCatalog(
           .withField("tags", array_distinct(col("metadata.tags")))
           .withField("created_at",
             coalesce(col("metadata.created_at"), current_timestamp())))
-    // embed only the rows that arrived without an embedding (S6's
-    // dedup-before-embed path); rows with one pass through untouched
-    val withEmb = base
-      .where(col("embedding").isNotNull)
-      .unionByName(
-        Embedder
-          .withEmbedding(base.where(col("embedding").isNull).drop("embedding"),
-            dim = dim, model = model)
-          .select(base.columns.map(col).toIndexedSeq: _*))
-    withEmb.select(chunkSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  /** The embed step (S6's dedup-before-embed path): fill embeddings for
+    * rows that lack one, pass the rest through, preserving every input
+    * column (including write-side helpers like `__b`). When the caller
+    * knows the input carried no embedding column at all (the common
+    * ingest shape), a single branch embeds everything — the
+    * split-and-union would scan the lineage twice for an always-empty
+    * branch. Kept SEPARATE from [[normalizeShape]] so full commits can
+    * run it AFTER the clustering shuffle: hashing then parallelizes
+    * across the write tasks instead of the (possibly single-partition)
+    * source read. */
+  private def embedStage(
+      dim: Int,
+      model: Embedder.Model,
+      hadEmbedding: Boolean)(base: DataFrame): DataFrame = {
+    val cols = base.columns.toIndexedSeq
+    if (!hadEmbedding)
+      Embedder
+        .withEmbedding(base.drop("embedding"), dim = dim, model = model)
+        .select(cols.map(col): _*)
+    else
+      base
+        .where(col("embedding").isNotNull)
+        .unionByName(
+          Embedder
+            .withEmbedding(base.where(col("embedding").isNull).drop("embedding"),
+              dim = dim, model = model)
+            .select(cols.map(col): _*))
+  }
+
+  /** Full ingest normalization for DELTA paths, where the delta is small
+    * by construction and map-side embedding is fine. */
+  private def normalize(
+      df: DataFrame,
+      dim: Int,
+      model: Embedder.Model): DataFrame =
+    embedStage(dim, model, df.columns.contains("embedding"))(normalizeShape(df))
+      .select(chunkSchema.fieldNames.map(col).toIndexedSeq: _*)
 
   /** M1: create a library from a chunk DataFrame (missing columns are
     * filled by [[normalize]]; embeddings are computed when absent). */
@@ -446,8 +626,13 @@ class LibraryCatalog(
     fs.mkdirs(libDir(name))
     val m0 = LibraryMeta(name, indexer, dim, version = -1L, now(), now(),
       embedder = embedder)
-    val normalized = normalize(chunksDf, dim, modelOf(m0))
-    commitFull(m0, normalized, written => buildIndex(m0, written))
+    // shape on the map side, EMBED AFTER the clustering shuffle: hashing
+    // the whole corpus parallelizes across the write tasks instead of
+    // being bound to the source read's partition count
+    commitFull(m0, normalizeShape(chunksDf),
+      written => buildIndex(m0, written),
+      postShuffle =
+        embedStage(dim, modelOf(m0), chunksDf.columns.contains("embedding")))
   }
 
   /** Index rows for just `added`, computed against the CURRENT index
@@ -461,8 +646,10 @@ class LibraryCatalog(
       added: DataFrame): Option[DataFrame] =
     m.indexer match {
       case LshIndexer =>
-        indexTable(name).map(_ =>
-          LshIndex.signatureTable(added, lshParams(m.dim), "id", "embedding"))
+        // refs existence check only — the patch never reads the old index
+        if (readArtifactRefs(name, m.version).get("index").exists(_.nonEmpty))
+          Some(LshIndex.signatureTable(added, lshParams(m.dim), "id", "embedding"))
+        else None
       case IvfIndexer =>
         centroidsTable(name).map(c =>
           IvfIndex.assignmentsForWrite(
@@ -470,52 +657,50 @@ class LibraryCatalog(
       case _ => None
     }
 
-  /** Patch the index artifacts: drop rows matching `dropPred` (if any),
-    * union `newRows` (if any); centroids carry forward untouched. */
-  private def patchedArtifacts(
-      name: String,
-      dropPred: Option[Column],
-      newRows: Option[DataFrame]): Seq[IndexArtifact] =
-    existingArtifacts(name).map {
-      case a if a.name == "index" =>
-        val dropped = dropPred.map(p => a.df.where(!p)).getOrElse(a.df)
-        a.copy(df = newRows.map(dropped.unionByName(_)).getOrElse(dropped))
-      case a => a
-    }
+  /** Manifest-pruned read: only the leaf dirs of `buckets` are listed
+    * and scanned — a bucket-scoped mutation touches |buckets|/NumBuckets
+    * of the data at the FILE level, not via a post-scan filter. */
+  private def chunksInBuckets(
+      name: String, m: LibraryMeta, buckets: Set[Int]): DataFrame =
+    readChunksAt(name,
+      readManifest(name, m.version).filter { case (b, _) => buckets(b) })
+
+  private def idsDf(ids: Seq[String]): DataFrame =
+    spark
+      .createDataset(ids)(org.apache.spark.sql.Encoders.STRING)
+      .select(col("value").as("id"))
 
   /** M2/M3: append chunks — a PURE APPEND commit: only the new rows are
     * written (no old bucket is rewritten or read); the index is
     * maintained INCREMENTALLY (indexer.add, lsh.py:84-112): only the new
-    * rows' LSH signatures / IVF cell assignments are computed. */
+    * rows' LSH signatures / IVF cell assignments are computed and only
+    * they are written (a new part, never a rewrite). */
   def addChunks(name: String, newChunks: DataFrame): LibraryMeta = {
     val m = requireMeta(name)
     val added = normalize(newChunks, m.dim, modelOf(m))
     incrementalIndexRows(m, name, added) match {
       case Some(newRows) =>
-        commitDelta(m, added, None, patchedArtifacts(name, None, Some(newRows)))
+        commitDelta(m, added, None, PatchIndex(Some(newRows), None))
       case None if m.indexer == LshIndexer || m.indexer == IvfIndexer =>
         // index table missing (shouldn't happen post-create): full rebuild
         commitFull(m, chunks(name).unionByName(added), w => buildIndex(m, w))
       case None =>
-        commitDelta(m, added, None, Seq.empty)
+        commitDelta(m, added, None, CarryArtifacts)
     }
   }
 
   /** M5: delete chunks by id — only the buckets holding the ids are
-    * rewritten (driver-computed bucket set, no scan needed); the index
-    * drops the ids' rows (indexer.delete, lsh.py:114-145); IVF centroids
-    * are a quantizer, not data, and are carried forward. */
+    * read and rewritten (driver-computed bucket set, no scan needed);
+    * the index drops the ids via a TOMBSTONE part (indexer.delete,
+    * lsh.py:114-145 — O(ids) bytes, no index rewrite); IVF centroids
+    * are a quantizer, not data, and carry forward by reference. */
   def deleteChunks(name: String, ids: Seq[String]): LibraryMeta = {
     val m = requireMeta(name)
     val affected = ids.map(bucketOfId).toSet
-    val survivors = chunks(name)
-      .where(bucketCol.isin(affected.toSeq: _*) && !col("id").isin(ids: _*))
-    val artifacts = existingArtifacts(name).map {
-      case a if a.name == "index" =>
-        a.copy(df = a.df.where(!col("id").isin(ids: _*)))
-      case a => a
-    }
-    commitDelta(m, survivors, Some(affected), artifacts)
+    val survivors = chunksInBuckets(name, m, affected)
+      .where(!col("id").isin(ids: _*))
+    commitDelta(m, survivors, Some(affected),
+      PatchIndex(None, Some(idsDf(ids))))
   }
 
   /** M5 at scale: delete by predicate (ids arrive as a predicate, not a
@@ -529,18 +714,16 @@ class LibraryCatalog(
     val m = requireMeta(name)
     val all = chunks(name)
     val matches = coalesce(pred, lit(false))
+    // one column-pruned scan finds the touched buckets (id + predicate
+    // columns only); the survivor rewrite then reads just those buckets
     val affected = all.where(matches)
       .select(bucketCol.as("__b")).distinct()
       .collect().map(_.getInt(0)).toSet
-    val survivors = all
-      .where(bucketCol.isin(affected.toSeq: _*) && !matches)
-    val remainingIds = all.where(!matches).select("id")
-    val artifacts = existingArtifacts(name).map {
-      case a if a.name == "index" =>
-        a.copy(df = a.df.join(remainingIds, Seq("id"), "left_semi"))
-      case a => a
-    }
-    commitDelta(m, survivors, Some(affected), artifacts)
+    val survivors = chunksInBuckets(name, m, affected).where(!matches)
+    // index delete = a tombstone part holding the deleted ids — O(deleted)
+    val deletedIds = all.where(matches).select("id")
+    commitDelta(m, survivors, Some(affected),
+      PatchIndex(None, Some(deletedIds)))
   }
 
   /** M4: update one chunk. Re-embeds only if the text changed
@@ -552,10 +735,13 @@ class LibraryCatalog(
       newText: Option[String] = None,
       newMetadata: Option[Column] = None): LibraryMeta = {
     val m = requireMeta(name)
-    val all = chunks(name)
-    if (all.where(col("id") === id).isEmpty)
+    // only the chunk's bucket is READ or written: the manifest names its
+    // leaf dirs, every other bucket is referenced, not copied or scanned
+    val b = bucketOfId(id)
+    val bucket = chunksInBuckets(name, m, Set(b))
+    if (bucket.where(col("id") === id).isEmpty)
       throw new NoSuchElementException(s"chunk not found: $id")
-    val updated = all
+    val updated = bucket
       .where(col("id") === id)
       .withColumn("text", newText.map(lit).getOrElse(col("text")))
       .withColumn("embedding",
@@ -567,25 +753,21 @@ class LibraryCatalog(
             .withField("created_at", col("metadata.created_at"))
         case None => col("metadata")
       })
-    // only the chunk's bucket is rewritten: its other rows + the
-    // updated row; every other bucket is referenced, not copied
-    val b = bucketOfId(id)
-    val bucketRows = all
-      .where(bucketCol === b && col("id") =!= id)
+    val bucketRows = bucket
+      .where(col("id") =!= id)
       .unionByName(updated)
-    // incremental index patch: drop the old row's entries, add entries
-    // for the re-embedded row (indexer.delete + add — never a rebuild
-    // for a single-chunk update). Metadata-only updates leave the
-    // embedding — and therefore the index — untouched.
-    val artifacts =
-      if (newText.isEmpty) existingArtifacts(name)
+    // incremental index patch: tombstone the old row's entries, append a
+    // part with the re-embedded row's (indexer.delete + add — never a
+    // rebuild for a single-chunk update; the same-commit append
+    // outlives the tombstone, see artifact()). Metadata-only updates
+    // leave the embedding — and therefore the index — untouched.
+    val op =
+      if (newText.isEmpty) CarryArtifacts
       else incrementalIndexRows(m, name, updated) match {
-        case Some(newRows) =>
-          patchedArtifacts(name, Some(col("id") === id), Some(newRows))
-        case None =>
-          buildIndex(m, all.where(col("id") =!= id).unionByName(updated))
+        case Some(newRows) => PatchIndex(Some(newRows), Some(idsDf(Seq(id))))
+        case None          => CarryArtifacts // no index to maintain
       }
-    commitDelta(m, bucketRows, Some(Set(b)), artifacts)
+    commitDelta(m, bucketRows, Some(Set(b)), op)
   }
 
   // (only createLibrary and rebuildIndex compute a full index; every
@@ -607,16 +789,16 @@ class LibraryCatalog(
     val affected = all.where(matches)
       .select(bucketCol.as("__b")).distinct()
       .collect().map(_.getInt(0)).toSet
-    // rewrite only the buckets holding matching rows, with the replace
-    // applied; untouched buckets are referenced, not copied
-    val bucketRows = all
-      .where(bucketCol.isin(affected.toSeq: _*))
+    // rewrite only the buckets holding matching rows (read via the
+    // manifest, file-pruned), with the replace applied; untouched
+    // buckets — and the whole index — are referenced, not copied
+    val bucketRows = chunksInBuckets(name, m, affected)
       .withColumn(
         "metadata",
         when(matches,
           newMetadata.withField("created_at", col("metadata.created_at")))
           .otherwise(col("metadata")))
-    commitDelta(m, bucketRows, Some(affected), existingArtifacts(name))
+    commitDelta(m, bucketRows, Some(affected), CarryArtifacts)
   }
 
   /** M7: delete a document — cascade to all its chunks + reindex

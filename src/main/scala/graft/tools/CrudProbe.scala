@@ -17,10 +17,35 @@ object CrudProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.catalog.{LibraryCatalog, Models}
 
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val stages = new java.util.concurrent.atomic.AtomicInteger()
+    val tasks = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(js.stageInfos.size)
+          tasks.addAndGet(js.stageInfos.map(_.numTasks).sum)
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = (for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield c - s).getOrElse(-1L)
+          println(f"    stage ${si.stageId}%3d ${ms}%6d ms tasks=${si.numTasks}%4d  ${si.name.take(90)}")
+        }
+      })
+
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
+      val (j0, s0, k0) = (jobs.get(), stages.get(), tasks.get())
       val r = f
-      println(f"STAGE $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      Thread.sleep(120) // listener bus is async
+      println(f"STAGE $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        f"  jobs=${jobs.get() - j0}%3d stages=${stages.get() - s0}%3d" +
+        f" tasks=${tasks.get() - k0}%5d")
       r
     }
 

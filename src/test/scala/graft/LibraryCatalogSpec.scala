@@ -253,17 +253,19 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     val dir = new java.io.File(s"$warehouse/lib_lsh")
     def versionsOnDisk: Set[String] =
       dir.listFiles().map(_.getName).filter(_.startsWith("v")).toSet
-    def refs(vname: String): Set[String] = {
-      val mf = new java.io.File(dir, s"$vname/manifest.txt")
-      if (!mf.exists()) Set.empty
+    def refsIn(f: java.io.File): Set[String] =
+      if (!f.exists()) Set.empty
       else {
-        val src = scala.io.Source.fromFile(mf, "UTF-8")
+        val src = scala.io.Source.fromFile(f, "UTF-8")
         try src.getLines()
           .filter(_.contains("="))
           .flatMap(_.split("=", 2)(1).split(",")).filter(_.nonEmpty).toSet
         finally src.close()
       }
-    }
+    // live = chunk-manifest refs + index-artifact refs of a version
+    def refs(vname: String): Set[String] =
+      refsIn(new java.io.File(dir, s"$vname/manifest.txt")) ++
+        refsIn(new java.io.File(dir, s"$vname/artifacts.txt"))
     val cur = versionsOnDisk.max // zero-padded names sort numerically
     val prev = f"v${cur.drop(1).toLong - 1}%06d"
     val live = refs(cur) ++ refs(prev) + cur + prev
