@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, TextAnalysis, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{FlatKnn, HnswIndex, IvfIndex, LshIndex, Multimodal, NearDup, SimHash}
+import graft.operators.{BatchKnn, FlatKnn, HnswIndex, IvfIndex, LshIndex, Multimodal, NearDup, SimHash}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -141,6 +141,20 @@ object SparkEntry {
     "q_knn_cosine" -> (knnQuery(Cosine) _),
     "q_knn_dot" -> (knnQuery(DotProduct) _),
     "q_knn_manhattan" -> (knnQuery(Manhattan) _),
+    // ---- batched kNN: 8 query vectors, ONE corpus pass (per-partition
+    //      per-query k-heaps; only partitions × Q × k candidates shuffle
+    //      into the final per-query window rank) ----
+    "q_batch_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+        .toSeq
+      BatchKnn.search(emb, queries, k = 5)
+        .select(col("query_id"), col("vec_id"), rn(col("dist"), 6).as("dist"))
+    }),
     // ---- K5: rank in euclidean, score in requested metric (cosine) ----
     "q_knn_score_quirk" -> ((s, dir) =>
       FlatKnn
@@ -747,6 +761,7 @@ object SparkEntry {
     "q_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_embed_neardup" -> Seq("doc_a", "doc_b"),
     "q_sessions" -> Seq("user_id"),
+    "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
     "q_hnsw_partitioned" -> Seq("dist", "vec_id"))
@@ -758,6 +773,12 @@ object SparkEntry {
     "q_hnsw_small" -> oHnsw(10, corpusFilter = "WHERE e.vec_id < 8", limit = false),
     "q_hnsw_partitioned" -> oHnsw(10),
     "q_knn_euclidean" -> oKnn(oEuclid),
+    "q_batch_knn" ->
+      s"""SELECT query_id, vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, $oEuclid AS dist_exact,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $oEuclid, e.vec_id) AS rn
+         |  FROM embeddings e, (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 8) q
+         |) WHERE rn <= 5""".stripMargin,
     "q_knn_cosine" -> oKnn(oCosine),
     "q_knn_dot" -> oKnn(s"(-$oDot)"),
     "q_knn_manhattan" -> oKnn(oManhattan),

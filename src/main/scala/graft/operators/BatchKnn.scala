@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{Cosine, DotProduct, Euclidean, Manhattan, Metric}
+
+/** Batched exact kNN: top-k nearest corpus rows for EACH of Q query
+  * vectors in ONE pass over the corpus.
+  *
+  * The reference serves one query per request (`flat_index.py:69-110`);
+  * at pipeline scale (dedup sweeps, eval-set scoring, retrieval
+  * backfills) the natural unit is a query BATCH, and running Q
+  * single-query jobs scans the corpus Q times. The other declarative
+  * option — `corpus CROSS JOIN queries` + a per-query window rank —
+  * shuffles N×Q rows because Catalyst cannot know the cross product is
+  * partition-local. So this is one of the rare operators where
+  * `mapPartitions` is the right Spark shape (SURVEY.md §preference (d)):
+  *
+  *  - Phase 1: each input partition keeps a bounded k-heap PER QUERY;
+  *    every corpus row dies inside its partition. Only
+  *    partitions × Q × k candidate rows (id + dist, no embeddings) are
+  *    emitted.
+  *  - Phase 2: per-query global top-k over that tiny candidate set via
+  *    a window rank — the only shuffle, P×Q×k rows.
+  *
+  * At 100 TB / 1000 executors: phase 1 is embarrassingly parallel and
+  * reads each corpus byte once for the whole batch; phase 2 shuffles
+  * kilobytes. Distances use the same double-accumulation kernels as
+  * [[graft.functions.VectorDistance]], so results are bit-identical to
+  * the single-query operators (and the SQL oracle).
+  */
+object BatchKnn {
+
+  /** Local twin of VectorDistance.nullSafeEval — same accumulation
+    * order, same zero-norm cosine guard (indexer.py:117-119). */
+  private[operators] def distLocal(
+      metric: Metric, x: Array[Float], y: Array[Float]): Double =
+    metric match {
+      case Euclidean =>
+        var s = 0.0
+        var i = 0
+        while (i < x.length) {
+          val d = x(i).toDouble - y(i).toDouble
+          s += d * d
+          i += 1
+        }
+        math.sqrt(s)
+      case Manhattan =>
+        var s = 0.0
+        var i = 0
+        while (i < x.length) {
+          s += math.abs(x(i).toDouble - y(i).toDouble)
+          i += 1
+        }
+        s
+      case DotProduct =>
+        var s = 0.0
+        var i = 0
+        while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+        -s
+      case Cosine =>
+        var na = 0.0
+        var i = 0
+        while (i < x.length) { val v = x(i).toDouble; na += v * v; i += 1 }
+        var nb = 0.0
+        i = 0
+        while (i < y.length) { val v = y(i).toDouble; nb += v * v; i += 1 }
+        if (na == 0.0 || nb == 0.0) 1.0
+        else {
+          var dot = 0.0
+          i = 0
+          while (i < x.length) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+          1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+    }
+
+  /** Top-k per query over `corpus`. Output: (query_id, idCol, dist),
+    * exactly k rows per query (fewer when the corpus is smaller), ties
+    * broken by id ascending like FlatKnn (FIXTURES.md §C). */
+  def search(
+      corpus: DataFrame,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      metric: Metric = Euclidean,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] =
+      queries.map { case (qid, v) => (qid, v.toArray) }.toArray
+    val bc = spark.sparkContext.broadcast(qArr)
+
+    // candidate rows leave each partition WITHOUT embeddings: the heap
+    // evicts on (dist, id), so surviving entries are the partition-local
+    // top-k per query — deterministic regardless of input order
+    val candidates = corpus
+      .select(col(idCol).cast("long").as("id"), col(embCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // max-heap on (dist, id): the root is the WORST kept candidate
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        while (it.hasNext) {
+          val (id, emb) = it.next()
+          var qi = 0
+          while (qi < qs.length) {
+            val d = distLocal(metric, emb, qs(qi)._2)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((d, id))
+            else if (ord.lt((d, id), h.head)) { h.dequeue(); h.enqueue((d, id)) }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = qs(qi)._1
+          h.iterator.map { case (d, id) => (qid, id, d) }
+        }
+      }
+      .toDF("query_id", idCol, "dist")
+
+    // phase 2: the only shuffle — partitions × Q × k candidate rows
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col(idCol).asc)
+    candidates
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Convenience: embed a batch of query texts with the library's model
+    * semantics and search — one corpus pass for the whole batch. */
+  def searchTexts(
+      corpus: DataFrame,
+      queryTexts: Seq[String],
+      embed: String => Array[Float],
+      k: Int,
+      metric: Metric = Euclidean,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    search(
+      corpus,
+      queryTexts.zipWithIndex.map { case (t, i) => (i.toLong, embed(t).toSeq) },
+      k, metric, idCol, embCol)
+}
