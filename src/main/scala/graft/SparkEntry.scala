@@ -23,7 +23,7 @@ object SparkEntry {
     * warehouses / index tables): a stale artifact persisted by an OLDER
     * code version must never silently serve a newer round's query — bump
     * on any change to the persisted layouts or the queries over them. */
-  private val CacheVersion = "r5a"
+  private val CacheVersion = "r5b"
 
   /** Tmp path for a persisted demo artifact, keyed by code version + sf
     * dir (Verify at sf0.01 and Bench at sf0.1 must not share). */
@@ -282,6 +282,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
         .orderBy("keep_id")
         .limit(100)),
+    // ---- training-pipeline: deterministic hash train/val/test split.
+    //      Membership = pmod(md5_prefix_int(doc_id), 100) — a pure
+    //      per-row codegen'd filter, no shuffle, no state: the split is
+    //      REPRODUCIBLE across runs/clusters and new data lands in a
+    //      stable split (the property rand()-sampling lacks). ----
+    "q_train_split" -> ((s, dir) => {
+      val h = pmod(Embedder.md5Int(col("doc_id").cast("string")), lit(100))
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "validation").otherwise("test"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_len"),
+          countDistinct(col("lang")).as("n_lang"))
+        .orderBy("split")
+    }),
+    // ---- training-pipeline: stratified downsampling — per-stratum
+    //      deterministic rates (en is the majority class: keep 5%,
+    //      everything else 20%) via the same hash-threshold trick; the
+    //      filter is codegen'd and pushes the lang column into the scan.
+    //      This is the corpus-rebalancing shape of a data mixture. ----
+    "q_stratified_sample" -> ((s, dir) => {
+      val h = pmod(
+        Embedder.md5Int(concat(lit("s|"), col("doc_id").cast("string"))),
+        lit(1000))
+      t(s, dir, "documents")
+        .where(h < when(col("lang") === "en", 50).otherwise(200))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_len"))
+        .orderBy("lang")
+    }),
     // ---- lang rollup (corpus stats) ----
     "q_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -855,6 +887,23 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id, length(string_split(text, ' ')) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_train_split" ->
+      """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_len,
+        |  count(DISTINCT lang) AS n_lang
+        |FROM (
+        |  SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'validation' ELSE 'test' END AS split,
+        |    n_chars, lang
+        |  FROM (SELECT n_chars, lang,
+        |          ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 AS h
+        |        FROM documents)
+        |) GROUP BY split ORDER BY split""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_len
+        |FROM (SELECT lang, n_chars,
+        |        ('0x'||substr(md5('s|'||doc_id::VARCHAR),1,8))::BIGINT % 1000 AS h
+        |      FROM documents)
+        |WHERE h < (CASE WHEN lang = 'en' THEN 50 ELSE 200 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_exact_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup
