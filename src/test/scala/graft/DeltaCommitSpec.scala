@@ -146,4 +146,27 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     // and the library still reads back whole
     assert(catalog.chunks("dlib").count() === 65) // 64 created + 2 added - 1 deleted
   }
+
+  test("pruned probe survives multi-part + tombstone reconciliation") {
+    // state from the previous tests: a compacted part + an updateChunk
+    // part, with a tombstone — the exact shape a probe sees between
+    // rebuilds. Pushdown must reach EVERY part scan through the
+    // reconciliation join.
+    val refs = refsOf(versionDirs.max)
+    assert(refs("index").length === 2, s"want 2 index parts, got $refs")
+    assert(refs("index_deletes").nonEmpty)
+    val idx = catalog.indexTable("dlib").get
+    val plan = idx.where(col("table_idx") === 0 && col("sig") === 42L)
+      .queryExecution.executedPlan.toString
+    val partitionPruned =
+      "PartitionFilters: \\[isnotnull\\(table_idx".r.findAllIn(plan).length
+    assert(partitionPruned === 2,
+      s"every index part scan must be partition-pruned on table_idx:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(sig), EqualTo(sig,"),
+      s"sig equality not pushed into the part scans:\n$plan")
+    // the updated chunk ranks by its NEW signatures only
+    val c9 = idx.where(col("id") === "c9")
+      .groupBy("table_idx").count().select(max("count")).head().getLong(0)
+    assert(c9 === 1L)
+  }
 }
