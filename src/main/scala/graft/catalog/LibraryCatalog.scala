@@ -151,8 +151,9 @@ class LibraryCatalog(
     * the buckets they touch and REFERENCE the rest (Iceberg/Delta-style
     * copy-on-write): appends add a leaf and extend the bucket's list,
     * replaces repoint the bucket at the new version, and a full write
-    * (createLibrary / rebuildIndex) compacts every bucket back to one
-    * dir. At 100 TB a single-chunk update rewrites 1/NumBuckets of the
+    * (createLibrary) compacts every bucket back to one dir
+    * (rebuildIndex compacts only the INDEX refs — chunk data is
+    * untouched by a rebuild). At 100 TB a single-chunk update rewrites 1/NumBuckets of the
     * data and zero bytes of the rest; an append rewrites nothing. */
   private val NumBuckets = 8
 
@@ -360,44 +361,51 @@ class LibraryCatalog(
     * where per-bucket write bandwidth is the constraint. */
   private val WriteSaltFiles = 1
 
-  /** Shared default for `postShuffle` so the write path can cheaply
-    * detect "no compute above the shuffle" (reference equality). */
-  private val identityDf: DataFrame => DataFrame = df => df
+  /** A delta whose whole input fits in one scan partition doesn't need
+    * the clustering shuffle at all: its writer-task count is already
+    * bounded by the (coalesced) input split count, so files per dir stay
+    * bounded without paying a shuffle + its AQE scheduling jobs per tiny
+    * commit. Logical stats (file sizes for pruned parquet reads, row
+    * estimates for literal sources) make the test free — no job, no
+    * physical planning. A large delta fails the test and keeps the
+    * clustered write, so behavior at 100 TB is unchanged. */
+  private def fitsOneSplit(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
 
   private def writeClustered(
       df: DataFrame,
       dest: Path,
       partitionBy: Seq[String],
-      sortWithin: Seq[String],
-      postShuffle: DataFrame => DataFrame = identityDf): Unit = {
-    val keys =
-      (partitionBy.map(col) :+ pmod(xxhash64(col("id")), lit(WriteSaltFiles)))
+      sortWithin: Seq[String]): Unit = {
+    val sortCols = (partitionBy ++ sortWithin).map(col)
     val clustered =
       if (partitionBy.isEmpty) df
-      else if (postShuffle eq identityDf)
-        // plain data write: let AQE byte-coalesce the reduce side —
-        // small deltas collapse to a handful of writer tasks
-        df.repartition(keys: _*)
-          .sortWithinPartitions((partitionBy ++ sortWithin).map(col): _*)
+      else if (fitsOneSplit(df))
+        // small delta: write straight from the scan — the writer-task
+        // count is the (coalesced) input split count, so no shuffle and
+        // no AQE scheduling jobs; rows are still sorted so each dir's
+        // file keeps its row-group order
+        df.sortWithinPartitions(sortCols: _*)
       else
-        // compute rides ABOVE this shuffle (embedding): pin the reduce
-        // task count — AQE would byte-coalesce the tiny shuffled rows to
-        // one task and serialize per-ROW-expensive work
-        df.repartition(NumBuckets * WriteSaltFiles, keys: _*)
-          .sortWithinPartitions((partitionBy ++ sortWithin).map(col): _*)
-    val out = if (partitionBy.isEmpty) postShuffle(df) else postShuffle(clustered)
-    val w = out.write.mode("overwrite")
+        // big write: one clustering shuffle bounds output files per
+        // partition dir at WriteSaltFiles; AQE byte-coalesces the
+        // reduce side. Per-row compute (embedding) runs BEFORE this
+        // shuffle, on the scan side, where parallelism is the input
+        // split count — at 100 TB that is the whole cluster.
+        df.repartition(
+          partitionBy.map(col) :+
+            pmod(xxhash64(col("id")), lit(WriteSaltFiles)): _*)
+          .sortWithinPartitions(sortCols: _*)
+    val w = clustered.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dest.toString)
   }
 
-  private def writeChunks(
-      vdir: Path,
-      rows: DataFrame,
-      postShuffle: DataFrame => DataFrame = identityDf): Unit =
+  private def writeChunks(vdir: Path, rows: DataFrame): Unit =
     writeClustered(
       rows.withColumn("__b", bucketCol),
-      new Path(vdir, "chunks"), Seq("__b"), Nil, postShuffle)
+      new Path(vdir, "chunks"), Seq("__b"), Nil)
 
   private def writeArtifacts(vdir: Path, artifacts: Seq[IndexArtifact]): Unit =
     artifacts.foreach(a =>
@@ -437,12 +445,11 @@ class LibraryCatalog(
   private def commitFull(
       m: LibraryMeta,
       chunksDf: DataFrame,
-      artifactsFor: DataFrame => Seq[IndexArtifact],
-      postShuffle: DataFrame => DataFrame = identityDf): LibraryMeta = {
+      artifactsFor: DataFrame => Seq[IndexArtifact]): LibraryMeta = {
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
-    writeChunks(vdir, chunksDf, postShuffle)
+    writeChunks(vdir, chunksDf)
     val mf = presentBuckets(vdir).map(b => b -> Seq(vname)).toMap
     writeManifest(vdir, mf)
     val arts = artifactsFor(readChunksAt(m.name, mf))
@@ -577,10 +584,7 @@ class LibraryCatalog(
     * knows the input carried no embedding column at all (the common
     * ingest shape), a single branch embeds everything — the
     * split-and-union would scan the lineage twice for an always-empty
-    * branch. Kept SEPARATE from [[normalizeShape]] so full commits can
-    * run it AFTER the clustering shuffle: hashing then parallelizes
-    * across the write tasks instead of the (possibly single-partition)
-    * source read. */
+    * branch. */
   private def embedStage(
       dim: Int,
       model: Embedder.Model,
@@ -600,8 +604,10 @@ class LibraryCatalog(
             .select(cols.map(col): _*))
   }
 
-  /** Full ingest normalization for DELTA paths, where the delta is small
-    * by construction and map-side embedding is fine. */
+  /** Full ingest normalization: shape + embed, all on the scan side of
+    * any downstream shuffle. Embedding parallelism is therefore the
+    * input split count — at 100 TB that is the whole cluster; for a tiny
+    * delta it is one task whose cost is proportional to the delta. */
   private def normalize(
       df: DataFrame,
       dim: Int,
@@ -626,13 +632,8 @@ class LibraryCatalog(
     fs.mkdirs(libDir(name))
     val m0 = LibraryMeta(name, indexer, dim, version = -1L, now(), now(),
       embedder = embedder)
-    // shape on the map side, EMBED AFTER the clustering shuffle: hashing
-    // the whole corpus parallelizes across the write tasks instead of
-    // being bound to the source read's partition count
-    commitFull(m0, normalizeShape(chunksDf),
-      written => buildIndex(m0, written),
-      postShuffle =
-        embedStage(dim, modelOf(m0), chunksDf.columns.contains("embedding")))
+    commitFull(m0, normalize(chunksDf, dim, modelOf(m0)),
+      written => buildIndex(m0, written))
   }
 
   /** Index rows for just `added`, computed against the CURRENT index
@@ -719,9 +720,13 @@ class LibraryCatalog(
     val affected = all.where(matches)
       .select(bucketCol.as("__b")).distinct()
       .collect().map(_.getInt(0)).toSet
-    val survivors = chunksInBuckets(name, m, affected).where(!matches)
+    // every deleted row lives in an affected bucket by definition, so the
+    // survivor rewrite AND the tombstone part both read only the pruned
+    // bucket leaves — the full-leaf set is scanned exactly once (above)
+    val pruned = chunksInBuckets(name, m, affected)
+    val survivors = pruned.where(!matches)
     // index delete = a tombstone part holding the deleted ids — O(deleted)
-    val deletedIds = all.where(matches).select("id")
+    val deletedIds = pruned.where(matches).select("id")
     commitDelta(m, survivors, Some(affected),
       PatchIndex(None, Some(deletedIds)))
   }
@@ -838,11 +843,24 @@ class LibraryCatalog(
     ()
   }
 
-  /** M9: rebuild the index table from the current chunks. */
+  /** M9: rebuild the index table from the current chunks. The chunk data
+    * is UNCHANGED by a rebuild, so the manifest carries forward by
+    * reference and only the index artifacts are recomputed and written —
+    * at 100 TB a rebuild costs O(index), never a rewrite of the corpus.
+    * The fresh artifact list also compacts away any accumulated delta
+    * parts and deletion vectors (the read side goes back to one pruned
+    * scan). */
   def rebuildIndex(name: String): LibraryMeta = {
     val m = requireMeta(name)
-    val all = chunks(name)
-    commitFull(m, all, written => buildIndex(m, written))
+    val v = m.version + 1
+    val vdir = versionDir(m.name, v)
+    val vname = vdir.getName
+    val mf = readManifest(m.name, m.version)
+    writeManifest(vdir, mf)
+    val arts = buildIndex(m, readChunksAt(m.name, mf))
+    writeArtifacts(vdir, arts)
+    writeArtifactRefs(vdir, arts.map(a => a.name -> Seq(vname)).toMap)
+    finishCommit(m, v, mf)
   }
 
   // -------------------------------------------------------------- search

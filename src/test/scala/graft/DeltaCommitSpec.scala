@@ -126,12 +126,29 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     assert(live.sameElements(rebuilt))
   }
 
+  test("rebuildIndex compacts index refs without touching chunk data") {
+    // the rebuild in the previous test wrote a version with index
+    // artifacts ONLY: one compacted index ref, no tombstones, and —
+    // crucially — NO chunks dir (a rebuild must never rewrite the
+    // corpus; at 100 TB that is the difference between O(index) and
+    // O(data))
+    val v = versionDirs.max
+    assert(refsOf(v)("index") === Seq(v), "refs must compact to the rebuild")
+    assert(!refsOf(v).contains("index_deletes"))
+    assert(!new java.io.File(libRoot, s"$v/chunks").exists(),
+      "rebuild must not rewrite chunk data")
+    // the carried-forward manifest still reads back whole
+    assert(catalog.chunks("dlib").count() === 65) // 64 created + 2 added - 1 deleted
+  }
+
   test("point mutation reads only its bucket's leaf dirs (file-level pruning)") {
-    // re-add a chunk whose bucket we can compute via the written layout:
-    // find c9's bucket from the compacted v's dir listing by reading ids
-    val vdir = versionDirs.max
-    val buckets = new java.io.File(libRoot, s"$vdir/chunks")
-      .listFiles().map(_.getName).filter(_.startsWith("__b=")).sorted
+    // chunk leaves live in pre-rebuild versions (the manifest carries
+    // them forward); collect the bucket dirs across all versions
+    val buckets = versionDirs
+      .map(v => new java.io.File(libRoot, s"$v/chunks"))
+      .filter(_.exists())
+      .flatMap(_.listFiles().map(_.getName).filter(_.startsWith("__b=")))
+      .distinct.sorted
     assert(buckets.length > 1, "need multiple buckets to demonstrate pruning")
     // updateChunk(c9) must list ONLY c9's bucket leaf: assert via the
     // inputFiles of the df the catalog builds for that bucket — we

@@ -272,11 +272,18 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     val onDisk = versionsOnDisk
     assert(onDisk.subsetOf(live),
       s"unreferenced versions on disk: ${(onDisk -- live).mkString(",")}")
-    // two consecutive FULL commits reference only themselves, so the
-    // retained set collapses to {vN, vN-1} regardless of delta history
+    // a rebuild compacts the INDEX refs to itself but carries the chunk
+    // manifest forward — every version a manifest references stays live
+    // (a rebuild must never rewrite the corpus); the GC invariant is
+    // "on-disk ⊆ live", not a fixed count
     catalog.rebuildIndex("lib_lsh")
-    val after = versionsOnDisk
-    assert(after.size <= 2, s"versions after compaction: ${after.mkString(",")}")
+    val cur2 = versionsOnDisk.max
+    assert(refsIn(new java.io.File(dir, s"$cur2/artifacts.txt")) === Set(cur2),
+      "rebuild must compact index refs to itself")
+    val prev2 = f"v${cur2.drop(1).toLong - 1}%06d"
+    val live2 = refs(cur2) ++ refs(prev2) + cur2 + prev2
+    assert(versionsOnDisk.subsetOf(live2),
+      s"unreferenced versions on disk: ${(versionsOnDisk -- live2).mkString(",")}")
   }
 
   test("T5: flat search builds its plan without launching a counting job") {
