@@ -40,11 +40,12 @@ import graft.operators.{FlatKnn, HnswIndex, IvfIndex, LshIndex}
   * parquet; nothing collects rows to the driver. The version swap is one
   * small-file rename regardless of data size. Mutations are
   * bucket-level copy-on-write — chunks are bucketed by
-  * `pmod(md5_prefix_int(id), NumBuckets)`, a mutation READS and rewrites
+  * `pmod(md5_prefix_int(id), meta.buckets)` (bucket count fixed per
+  * library at create time), a mutation READS and rewrites
   * only the buckets holding affected rows (the manifest names their leaf
   * dirs; unchanged buckets are referenced, not copied — the
   * Iceberg/Delta pattern), so a single-chunk update touches
-  * 1/NumBuckets of the data and zero bytes of the rest. The index gets
+  * 1/buckets of the data and zero bytes of the rest. The index gets
   * the same treatment via `artifacts.txt` version lists: appends write
   * only the new rows' part, deletes write only an id-tombstone part
   * (deletion vectors), metadata-only mutations carry every artifact
@@ -72,7 +73,7 @@ class LibraryCatalog(
     val tagsJson = m.tags.map(t => s""""$t"""").mkString("[", ",", "]")
     val json =
       s"""{"name":"${m.name}","indexer":"${m.indexer.name}","dim":${m.dim},""" +
-        s""""embedder":"${m.embedder}","tags":$tagsJson,""" +
+        s""""embedder":"${m.embedder}","tags":$tagsJson,"buckets":${m.buckets},""" +
         s""""version":${m.version},"created_at":"${m.createdAt}","updated_at":"${m.updatedAt}"}"""
     val tmp = new Path(libDir(m.name), "meta.json.tmp")
     val out = fs.create(tmp, true)
@@ -103,7 +104,8 @@ class LibraryCatalog(
       v <- num("version"); c <- str("created_at"); u <- str("updated_at")
     } yield LibraryMeta(n, IndexerType.fromString(ix), d.toInt, v, c, u,
       embedder = str("embedder").getOrElse("md5"), // pre-field metas default
-      tags = tags)
+      tags = tags,
+      buckets = num("buckets").map(_.toInt).getOrElse(8))
   }
 
   /** The library's embedding model, resolved from meta — an unknown name
@@ -153,16 +155,21 @@ class LibraryCatalog(
     * replaces repoint the bucket at the new version, and a full write
     * (createLibrary) compacts every bucket back to one dir
     * (rebuildIndex compacts only the INDEX refs — chunk data is
-    * untouched by a rebuild). At 100 TB a single-chunk update rewrites 1/NumBuckets of the
-    * data and zero bytes of the rest; an append rewrites nothing. */
-  private val NumBuckets = 8
+    * untouched by a rebuild). At 100 TB a single-chunk update rewrites
+    * 1/buckets of the data and zero bytes of the rest; an append
+    * rewrites nothing. The bucket COUNT is per-library (LibraryMeta
+    * .buckets, fixed at create): the id→bucket mapping must be stable
+    * across every mutation of a library's lifetime, but different
+    * libraries need different granularity — 8 dirs is right for
+    * gigabytes, thousands are right for 100 TB. */
+  private val DefaultBuckets = 8
 
   /** Catalyst / driver twins of the bucket assignment (md5-prefix of the
     * id — the one hash all engines of this codebase share). */
-  private def bucketCol: Column =
-    pmod(Embedder.md5Int(col("id")), lit(NumBuckets)).cast("int")
-  private def bucketOfId(id: String): Int =
-    (Embedder.md5IntLocal(id) % NumBuckets).toInt
+  private def bucketCol(buckets: Int): Column =
+    pmod(Embedder.md5Int(col("id")), lit(buckets)).cast("int")
+  private def bucketOfId(id: String, buckets: Int): Int =
+    (Embedder.md5IntLocal(id) % buckets).toInt
 
   private def manifestPath(vdir: Path) = new Path(vdir, "manifest.txt")
 
@@ -402,9 +409,9 @@ class LibraryCatalog(
       .parquet(dest.toString)
   }
 
-  private def writeChunks(vdir: Path, rows: DataFrame): Unit =
+  private def writeChunks(vdir: Path, rows: DataFrame, buckets: Int): Unit =
     writeClustered(
-      rows.withColumn("__b", bucketCol),
+      rows.withColumn("__b", bucketCol(buckets)),
       new Path(vdir, "chunks"), Seq("__b"), Nil)
 
   private def writeArtifacts(vdir: Path, artifacts: Seq[IndexArtifact]): Unit =
@@ -449,7 +456,7 @@ class LibraryCatalog(
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
-    writeChunks(vdir, chunksDf)
+    writeChunks(vdir, chunksDf, m.buckets)
     val mf = presentBuckets(vdir).map(b => b -> Seq(vname)).toMap
     writeManifest(vdir, mf)
     val arts = artifactsFor(readChunksAt(m.name, mf))
@@ -488,7 +495,7 @@ class LibraryCatalog(
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
-    writeChunks(vdir, deltaRows)
+    writeChunks(vdir, deltaRows, m.buckets)
     val present = presentBuckets(vdir)
     val old = readManifest(m.name, m.version)
     val mf = replaceBuckets match {
@@ -623,7 +630,9 @@ class LibraryCatalog(
       chunksDf: DataFrame,
       dim: Int = Embedder.Dim,
       overwrite: Boolean = false,
-      embedder: String = "md5"): LibraryMeta = {
+      embedder: String = "md5",
+      numBuckets: Int = DefaultBuckets): LibraryMeta = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
     if (exists(name)) {
       if (!overwrite)
         throw new IllegalStateException(s"library already exists: $name")
@@ -631,7 +640,7 @@ class LibraryCatalog(
     }
     fs.mkdirs(libDir(name))
     val m0 = LibraryMeta(name, indexer, dim, version = -1L, now(), now(),
-      embedder = embedder)
+      embedder = embedder, buckets = numBuckets)
     commitFull(m0, normalize(chunksDf, dim, modelOf(m0)),
       written => buildIndex(m0, written))
   }
@@ -697,7 +706,7 @@ class LibraryCatalog(
     * are a quantizer, not data, and carry forward by reference. */
   def deleteChunks(name: String, ids: Seq[String]): LibraryMeta = {
     val m = requireMeta(name)
-    val affected = ids.map(bucketOfId).toSet
+    val affected = ids.map(bucketOfId(_, m.buckets)).toSet
     val survivors = chunksInBuckets(name, m, affected)
       .where(!col("id").isin(ids: _*))
     commitDelta(m, survivors, Some(affected),
@@ -718,7 +727,7 @@ class LibraryCatalog(
     // one column-pruned scan finds the touched buckets (id + predicate
     // columns only); the survivor rewrite then reads just those buckets
     val affected = all.where(matches)
-      .select(bucketCol.as("__b")).distinct()
+      .select(bucketCol(m.buckets).as("__b")).distinct()
       .collect().map(_.getInt(0)).toSet
     // every deleted row lives in an affected bucket by definition, so the
     // survivor rewrite AND the tombstone part both read only the pruned
@@ -742,7 +751,7 @@ class LibraryCatalog(
     val m = requireMeta(name)
     // only the chunk's bucket is READ or written: the manifest names its
     // leaf dirs, every other bucket is referenced, not copied or scanned
-    val b = bucketOfId(id)
+    val b = bucketOfId(id, m.buckets)
     val bucket = chunksInBuckets(name, m, Set(b))
     if (bucket.where(col("id") === id).isEmpty)
       throw new NoSuchElementException(s"chunk not found: $id")
@@ -792,7 +801,7 @@ class LibraryCatalog(
     val all = chunks(name)
     val matches = coalesce(pred, lit(false))
     val affected = all.where(matches)
-      .select(bucketCol.as("__b")).distinct()
+      .select(bucketCol(m.buckets).as("__b")).distinct()
       .collect().map(_.getInt(0)).toSet
     // rewrite only the buckets holding matching rows (read via the
     // manifest, file-pruned), with the replace applied; untouched
@@ -841,6 +850,18 @@ class LibraryCatalog(
   def deleteLibrary(name: String): Unit = {
     fs.delete(libDir(name), true)
     ()
+  }
+
+  /** Maintenance compaction (the Delta/Iceberg OPTIMIZE analog): rewrite
+    * the current rows as one fresh full commit, collapsing however many
+    * delta parts, carried-forward leaf dirs, and deletion vectors the
+    * mutation history accumulated back to one leaf per bucket and one
+    * index artifact. Mutations never pay this cost implicitly — delta
+    * commits stay O(delta) and an operator schedules compaction when
+    * read amplification (part count) warrants it. */
+  def compactLibrary(name: String): LibraryMeta = {
+    val m = requireMeta(name)
+    commitFull(m, chunks(name), written => buildIndex(m, written))
   }
 
   /** M9: rebuild the index table from the current chunks. The chunk data

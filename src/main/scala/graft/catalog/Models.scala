@@ -56,7 +56,12 @@ object Models {
   /** Library-level metadata persisted in meta.json (library.py:18-29:
     * created_at/updated_at/tags). `embedder` names the registered
     * embedding model (Embedder.models) the library's chunks were
-    * embedded with — queries must embed with the SAME model. */
+    * embedded with — queries must embed with the SAME model. `buckets`
+    * is the chunk-bucket count chosen at create time: every later
+    * mutation must agree on the id→bucket mapping, so it is immutable
+    * per library and persisted with it (8 suits small libraries; size it
+    * so a bucket's rows fit one executor comfortably — a 100 TB corpus
+    * wants thousands). */
   case class LibraryMeta(
       name: String,
       indexer: IndexerType,
@@ -65,5 +70,6 @@ object Models {
       createdAt: String,
       updatedAt: String,
       embedder: String = "md5",
-      tags: Seq[String] = Seq.empty)
+      tags: Seq[String] = Seq.empty,
+      buckets: Int = 8)
 }

@@ -54,12 +54,16 @@ object Embedder {
         (pmod(h * (d + lit(1)) + d, lit(10000)).cast("double") / lit(10000.0))
           .cast("float"))
 
-  /** `ARRAY<FLOAT>` embedding of a text column. Pure built-ins — stays
-    * inside whole-stage codegen, no UDF. Convenience single-expression
-    * form; bulk paths go through [[withEmbedding]], which binds the
-    * hash in its own projection first. */
-  def embed(text: Column, dim: Int = Dim): Column =
-    embedFromHash(md5Int(text), dim)
+  /** `ARRAY<FLOAT>` embedding of a text column: the fused [[Md5Embed]]
+    * expression — ONE digest per row, codegen'd. The composition twin
+    * ([[embedFromHash]] over a bound [[md5Int]]) computes identical
+    * values (asserted bitwise in EmbedderSpec) but is dim× slower in
+    * practice: CollapseProject inlines the bound hash into the
+    * transform lambda, which re-evaluates the md5 per dimension. */
+  def embed(text: Column, dim: Int = Dim): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(Md5Embed(ColumnBridge.expression(text.cast("binary")), dim))
+  }
 
   /** Driver-local md5-prefix integer — the seed primitive shared by the
     * embedder and the LSH hyperplane generator. Equals [[md5Int]] (the
@@ -105,13 +109,25 @@ object Embedder {
       outCol: String = "embedding",
       dim: Int = Dim,
       model: Model = Md5Model): DataFrame = {
-    val key = "__text_hash"
-    val hashed = df.withColumn(key, xxhash64(col(textCol)))
-    val embedded = model.embedDf(
-      hashed.select(col(key), col(textCol)).dropDuplicates(key),
-      textCol, outCol, dim)
-      .select(col(key), col(outCol))
-    hashed.join(embedded, Seq(key)).drop(key)
+    // Dedup-before-embed pays for itself when the corpus is large (it
+    // turns O(rows) embedding into O(distinct texts)); for a small input
+    // — a delta append, a single-chunk update — its shuffle + join-back
+    // cost more scheduling than the embedding they save. Logical stats
+    // make the size test free: small inputs embed directly on the scan
+    // side, zero extra exchanges.
+    val small =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    if (small) model.embedDf(df, textCol, outCol, dim)
+    else {
+      val key = "__text_hash"
+      val hashed = df.withColumn(key, xxhash64(col(textCol)))
+      val embedded = model.embedDf(
+        hashed.select(col(key), col(textCol)).dropDuplicates(key),
+        textCol, outCol, dim)
+        .select(col(key), col(outCol))
+      hashed.join(embedded, Seq(key)).drop(key)
+    }
   }
 
   /** A pluggable embedding model — the Spark mirror of the reference's
@@ -139,11 +155,9 @@ object Embedder {
   case object Md5Model extends Model {
     val name = "md5"
     def embedCol(text: Column, dim: Int): Column =
-      embedFromHash(md5Int(text), dim)
+      Embedder.embed(text, dim) // fused Md5Embed: one digest per row
     def embedDf(df: DataFrame, textCol: String, outCol: String, dim: Int): DataFrame =
-      df.withColumn("__h", md5Int(col(textCol))) // bind the md5 once
-        .withColumn(outCol, embedFromHash(col("__h"), dim))
-        .drop("__h")
+      df.withColumn(outCol, embedCol(col(textCol), dim))
     def embedLocal(text: String, dim: Int): Array[Float] =
       Embedder.embedLocal(text, dim)
   }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Digest-to-integer md5 expressions for the hash-heavy pipeline paths
@@ -25,6 +25,23 @@ object Md5Expressions {
 
   def digestOf(bytes: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
+
+  /** The whole md5 embedding from one digest: dim d is
+    * `((h*(d+1)+d) % 10000) / 10000` with h = [[chunk]](digest, 0) —
+    * exactly `Embedder.embedLocal` / the oracle's SQL fragment. Shared
+    * by [[Md5Embed]]'s interpreted eval AND its generated code (one
+    * static call keeps Janino happy and the two paths identical). */
+  def embedArray(
+      digest: Array[Byte], dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h = chunk(digest, 0)
+    val out = new Array[Float](dim)
+    var d = 0
+    while (d < dim) {
+      out(d) = (((h * (d + 1) + d) % 10000L) / 10000.0).toFloat
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
 
   private[functions] def inputBytes(input: Any): Array[Byte] = input match {
     case s: UTF8String  => s.getBytes
@@ -68,6 +85,46 @@ case class Md5PrefixInt(child: Expression) extends UnaryExpression {
       s"""
       |byte[] $d = $md.digest($bytes);
       |${ev.value} = graft.functions.Md5Expressions.chunk($d, 0);
+      |""".stripMargin
+    })
+}
+
+/** The fused md5 embedding: ARRAY<FLOAT> of `dim` dims from ONE digest
+  * per row. The composition form (`transform` over a bound hash column)
+  * is algebraically identical but operationally fragile: CollapseProject
+  * inlines the bound hash into the lambda body — "referenced once" by
+  * static count — and the transform then re-evaluates the full-text md5
+  * once PER DIMENSION at runtime (measured: the entire ingest embed cost
+  * was dim× what it should be). A single expression is immune to what
+  * the optimizer does to projections around it. */
+case class Md5Embed(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING or BINARY, got $other")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "md5_embed"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Expressions.embedArray(
+      Md5Expressions.digestOf(Md5Expressions.inputBytes(input)), dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val md = ctx.addMutableState(
+        "java.security.MessageDigest", "md5EmbedDigest",
+        n => s"""try { $n = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+                |""".stripMargin)
+      val bytes =
+        if (child.dataType == StringType) s"$v.getBytes()" else v
+      // Static helper call for the same Janino reason as Md5PrefixInt.
+      s"""
+      |${ev.value} = graft.functions.Md5Expressions.embedArray($md.digest($bytes), $dim);
       |""".stripMargin
     })
 }

@@ -49,6 +49,9 @@ object CrudProbe {
       r
     }
 
+    for (iter <- 1 to 2) {
+    println(s"== ITER $iter ==")
+    val iterT0 = System.nanoTime()
     val wh = s"/tmp/graft_crudprobe_wh"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
     val cat = new LibraryCatalog(spark, wh)
@@ -108,6 +111,8 @@ object CrudProbe {
     timed("recover+agg")(
       new LibraryCatalog(spark, wh).chunks("crud_demo")
         .groupBy(col("metadata.source")).agg(count(lit(1))).collect())
+    println(f"== ITER $iter TOTAL ${(System.nanoTime() - iterT0) / 1e9}%.2f s ==")
+    }
     spark.stop()
   }
 }

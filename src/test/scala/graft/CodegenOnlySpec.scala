@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
-import graft.functions.{LshSignature, Md5Chunks, Md5PrefixInt, VectorDistance}
+import graft.functions.{LshSignature, Md5Chunks, Md5Embed, Md5PrefixInt, VectorDistance}
 
 /** Every custom codegen expression must actually COMPILE. Round 3's md5
   * doGenCode failed Janino compilation and silently ran interpreted —
@@ -53,6 +53,34 @@ class CodegenOnlySpec extends SparkSpec {
       rows.foreach { r =>
         assert(r.getAs[scala.collection.Seq[Long]]("fast") ===
           r.getAs[scala.collection.Seq[Long]]("slow"))
+      }
+    }
+  }
+
+  test("Md5Embed compiles under CODEGEN_ONLY and matches the transform composition") {
+    import spark.implicits._
+    withCodegenOnly {
+      val rows = texts.toDF("t").select(
+        ColumnBridge.column(
+          Md5Embed(ColumnBridge.expression(col("t").cast("binary")), 32)).as("fast"),
+        graft.functions.Embedder.embedFromHash(
+          conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long"), 32).as("slow"))
+        .collect()
+      rows.foreach { r =>
+        val fast = r.getAs[scala.collection.Seq[Float]]("fast")
+        val slow = r.getAs[scala.collection.Seq[Float]]("slow")
+        assert(fast.map(java.lang.Float.floatToIntBits) ===
+          slow.map(java.lang.Float.floatToIntBits))
+      }
+      // and it matches the driver-local form bit-for-bit
+      texts.foreach { t =>
+        val local = graft.functions.Embedder.embedLocal(t, 32)
+        val cat = texts.toDF("t").where(col("t") === t).select(
+          ColumnBridge.column(
+            Md5Embed(ColumnBridge.expression(col("t").cast("binary")), 32)))
+          .head().getAs[scala.collection.Seq[Float]](0)
+        assert(cat.map(java.lang.Float.floatToIntBits).toSeq ===
+          local.map(java.lang.Float.floatToIntBits).toSeq)
       }
     }
   }

@@ -186,4 +186,28 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
       .groupBy("table_idx").count().select(max("count")).head().getLong(0)
     assert(c9 === 1L)
   }
+
+  test("compactLibrary collapses the delta history to one full commit") {
+    catalog.compactLibrary("dlib")
+    val v = versionDirs.max
+    // one leaf per bucket, all owned by the compaction version
+    val mfFile = new java.io.File(libRoot, s"$v/manifest.txt")
+    val src = scala.io.Source.fromFile(mfFile, "UTF-8")
+    val owners = try src.getLines().filter(_.contains("="))
+      .flatMap(_.split("=", 2)(1).split(",")).toSet
+    finally src.close()
+    assert(owners === Set(v), s"manifest must point every bucket at $v, got $owners")
+    // index refs compacted, deletion vectors gone
+    assert(refsOf(v)("index") === Seq(v))
+    assert(!refsOf(v).contains("index_deletes"))
+    // one compaction keeps what the PREVIOUS version still references
+    // (in-flight readers of v-1 stay whole); a second consecutive full
+    // commit references only itself, so the history collapses to
+    // {vN, vN-1}
+    catalog.compactLibrary("dlib")
+    assert(versionDirs.size <= 2, s"versions on disk: ${versionDirs.mkString(",")}")
+    // content is untouched by compaction
+    assert(catalog.chunks("dlib").count() === 65)
+    assert(catalog.indexTable("dlib").get.where(col("id") === "c3").isEmpty)
+  }
 }

@@ -326,4 +326,27 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(catalog.chunks("lib_blank").count() === 1L)
     catalog.deleteLibrary("lib_blank")
   }
+
+  test("per-library bucket count persists and every mutation agrees on it") {
+    catalog.createLibrary("lib_b3", LshIndexer, corpus(), overwrite = true,
+      numBuckets = 3)
+    // the choice survives the meta round-trip AND a fresh catalog
+    assert(catalog.readMeta("lib_b3").get.buckets === 3)
+    val fresh = new LibraryCatalog(spark, warehouse)
+    assert(fresh.readMeta("lib_b3").get.buckets === 3)
+    // on-disk layout has at most 3 bucket dirs
+    val libRoot = new java.io.File(s"$warehouse/lib_b3")
+    val bucketDirs = libRoot.listFiles().filter(_.getName.startsWith("v"))
+      .flatMap(v => Option(new java.io.File(v, "chunks").listFiles()).getOrElse(Array.empty))
+      .map(_.getName).filter(_.startsWith("__b=")).distinct
+    assert(bucketDirs.nonEmpty && bucketDirs.length <= 3, bucketDirs.mkString(","))
+    // a point mutation through the FRESH catalog (different instance,
+    // same persisted bucket count) still finds and rewrites the row
+    fresh.updateChunk("lib_b3", "chunk-7", newText = Some("rebucketed text"))
+    val got = fresh.chunks("lib_b3").where(col("id") === "chunk-7")
+      .select("text").head().getString(0)
+    assert(got === "rebucketed text")
+    assert(fresh.chunks("lib_b3").count() === 40L)
+    catalog.deleteLibrary("lib_b3")
+  }
 }
