@@ -592,6 +592,29 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(max("__sid").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
+    // ---- backward as-of join (temporal feature backfill): each
+    //      purchase gets the user's most recent click at-or-before it —
+    //      union + one keyed shuffle + running-last window, never the
+    //      quadratic range join. Right side pre-aggregated to unique
+    //      (user_id, ts) so the matched row is deterministic. The oracle
+    //      is DuckDB's native ASOF LEFT JOIN — an independent
+    //      implementation of the same semantics. ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.operators.AsOfJoin
+        .asOfBackward(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("ts", "click_value"))
+        .select(
+          col("event_id"), col("user_id"), col("purchase_value"),
+          col("asof_click_value"),
+          rn((unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+            .cast("double") / 1000000.0, 6).as("gap_s"))
+    }),
     // ---- text analysis: regex ("BPE-ish") vs whitespace token counts ----
     "q_token_bpe" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -793,6 +816,7 @@ object SparkEntry {
     "q_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_embed_neardup" -> Seq("doc_a", "doc_b"),
     "q_sessions" -> Seq("user_id"),
+    "q_asof_join" -> Seq("event_id"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -927,6 +951,23 @@ object SparkEntry {
         |  FROM o)
         |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Spark compares µs-truncated timestamps (events() does ts DIV
+    // 1000), so the oracle truncates ns→µs BEFORE the ASOF comparison —
+    // comparing at ns here could flip equal-µs edge cases.
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+        |         max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.purchase_value,
+        |  c.click_value AS asof_click_value,
+        |  (round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) + 0.0) AS gap_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q_token_bpe" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern}')) AS n_bpe_tokens,
