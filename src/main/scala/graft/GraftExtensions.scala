@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, CreateArray, Divide, Expression, ExpressionInfo, Literal, Multiply, Pmod}
-import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BinaryType, StringType}
 
-import graft.functions.{Embedder, Md5PrefixInt, VectorDistance}
+import graft.functions.{Embedder, VectorDistance}
 
 /** SQL surface for the engine's custom expressions.
   *
@@ -50,24 +50,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.Embedder.type].getName, "graft_embed"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_embed(text)")
-        // The same arithmetic as Embedder.embed, built from raw catalyst
-        // nodes (a Column tree would reach the builder unresolved). Per
-        // dim d: ((h*(d+1) + d) % 10000) / 10000 as float, with h = the
-        // digest-byte fast path (Md5PrefixInt — no hex round trip); the
-        // repeated h subtree collapses under codegen subexpression
-        // elimination, so the digest runs once per row, not per dim.
-        val h = Md5PrefixInt(Cast(args.head, BinaryType))
-        CreateArray((0 until Embedder.Dim).map { d =>
-          Cast(
-            Divide(
-              Cast(
-                Pmod(
-                  Add(Multiply(h, Literal((d + 1).toLong)), Literal(d.toLong)),
-                  Literal(10000L)),
-                DoubleType),
-              Literal(10000.0)),
-            FloatType)
-        })
+        // The fused Md5Embed expression: one digest per row by
+        // construction (the earlier CreateArray-of-32-exprs form relied
+        // on codegen subexpression elimination to deduplicate the digest
+        // subtree — correct, but one optimizer behavior away from dim×
+        // the cost; see Md5Embed's scaladoc).
+        graft.functions.Md5Embed(Cast(args.head, BinaryType), Embedder.Dim)
       }))
 
   /** Programmatic registration on an existing session. */
