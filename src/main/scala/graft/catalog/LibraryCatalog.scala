@@ -389,11 +389,12 @@ class LibraryCatalog(
     val clustered =
       if (partitionBy.isEmpty) df
       else if (fitsOneSplit(df))
-        // small delta: write straight from the scan — the writer-task
-        // count is the (coalesced) input split count, so no shuffle and
-        // no AQE scheduling jobs; rows are still sorted so each dir's
-        // file keeps its row-group order
-        df.sortWithinPartitions(sortCols: _*)
+        // small delta: write straight from the scan, coalesced to ONE
+        // task — no shuffle, no AQE scheduling jobs, one file per
+        // touched dir, and a sub-split delta is one task's worth of
+        // work by definition (a 100-row append was otherwise scheduling
+        // input-partition-count tasks per write)
+        df.coalesce(1).sortWithinPartitions(sortCols: _*)
       else
         // big write: one clustering shuffle bounds output files per
         // partition dir at WriteSaltFiles; AQE byte-coalesces the
