@@ -47,6 +47,79 @@ object Md5Expressions {
     case s: UTF8String  => s.getBytes
     case b: Array[Byte] => b
   }
+
+  /** One-pass MinHash: for shingle set S and hash h in [0,H), the min
+    * over S of chunk h%4 of md5("(h/4)|" + s) — value-identical to the
+    * composed per-group `transform` + `array_min` pipeline (and to the
+    * oracle's substr/conv SQL), computed with one digest buffer and one
+    * pass over S instead of materializing ceil(H/4) chunk arrays and
+    * re-scanning them H times. Shared by [[MinhashSigs]]'s interpreted
+    * and generated paths. */
+  def minhashSigs(
+      shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val groups = (numHashes + 3) / 4
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(groups)(g => (g.toString + "|").getBytes("UTF-8"))
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      val sBytes = shingles.getUTF8String(i).getBytes
+      var g = 0
+      while (g < groups) {
+        md.reset()
+        md.update(prefixes(g))
+        md.update(sBytes)
+        val d = md.digest()
+        var c = 0
+        while (c < 4) {
+          val h = g * 4 + c
+          if (h < numHashes) {
+            val v = chunk(d, c * 4)
+            if (v < mins(h)) mins(h) = v
+          }
+          c += 1
+        }
+        g += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  /** One-pass SimHash from a token array: md5-prefix hash per token
+    * ([[chunk]] 0 of its digest — identical to `Embedder.md5Int`), then
+    * bit b of the result is set iff the sign-vote over tokens is
+    * positive. Value-identical to the composed transform + `bits`
+    * aggregate passes; one digest buffer, one pass, `bits` counters.
+    * Shared by [[SimhashFromTokens]]'s interpreted and generated
+    * paths. */
+  def simhashFromTokens(
+      tokens: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int): Long = {
+    val votes = new Array[Long](bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      md.reset()
+      val d = md.digest(tokens.getUTF8String(i).getBytes)
+      val h = chunk(d, 0)
+      var b = 0
+      while (b < bits) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0L) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }
 
 /** First 4 md5-digest bytes as an unsigned int (== the first 8 hex
@@ -125,6 +198,66 @@ case class Md5Embed(child: Expression, dim: Int) extends UnaryExpression {
       // Static helper call for the same Janino reason as Md5PrefixInt.
       s"""
       |${ev.value} = graft.functions.Md5Expressions.embedArray($md.digest($bytes), $dim);
+      |""".stripMargin
+    })
+}
+
+/** Fused one-pass MinHash signature over a shingle-array column:
+  * ARRAY<LONG> of `numHashes` minima (see [[Md5Expressions.minhashSigs]]
+  * for the exact hash family — identical to the composed form and the
+  * DuckDB oracle). Returns null for a null input array; inputs are
+  * non-empty by construction upstream (docShingles emits at least the
+  * whole-text shingle). */
+case class MinhashSigs(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<STRING>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Expressions.minhashSigs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      // Static helper call for the same Janino reason as Md5PrefixInt.
+      s"""
+      |${ev.value} = graft.functions.Md5Expressions.minhashSigs($v, $numHashes);
+      |""".stripMargin
+    })
+}
+
+/** Fused one-pass SimHash over a token-array column: LONG fingerprint
+  * of `bits` sign-vote bits (see [[Md5Expressions.simhashFromTokens]]).
+  * The composed form (transform to a bound hash array + `bits`
+  * aggregate lambdas) re-scans the hash array once per bit. */
+case class SimhashFromTokens(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<STRING>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_from_tokens"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Expressions.simhashFromTokens(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      // Static helper call for the same Janino reason as Md5PrefixInt.
+      s"""
+      |${ev.value} = graft.functions.Md5Expressions.simhashFromTokens($v, $bits);
       |""".stripMargin
     })
 }

@@ -77,10 +77,26 @@ object NearDup {
     * shingles of a 32-bit hash of the shingle. Hash h is chunk h%4 of
     * md5("(h/4)|shingle") — one md5 call yields FOUR independent 32-bit
     * hash functions (md5 output bits are independent), so a document of
-    * S shingles costs ceil(H/4)*S md5 evaluations instead of H*S. The
-    * md5 hex arrays are materialized as intermediate columns so each is
-    * computed once, not once per extracted chunk. */
+    * S shingles costs ceil(H/4)*S md5 evaluations instead of H*S.
+    * Computed by the fused one-pass [[graft.functions.MinhashSigs]]
+    * kernel (one digest buffer, H running minima — no intermediate
+    * chunk arrays, no H re-scans); [[withMinhashSignatureComposed]] is
+    * the built-in-composition twin NearDupSpec pins it against. */
   def withMinhashSignature(
+      df: DataFrame,
+      shingleCol: String,
+      outCol: String,
+      numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.withColumn(outCol,
+      ColumnBridge.column(graft.functions.MinhashSigs(
+        ColumnBridge.expression(col(shingleCol)), numHashes)))
+  }
+
+  /** The same signature from built-in compositions only (the shape the
+    * DuckDB oracle mirrors in SQL) — kept as the equivalence twin for
+    * the fused kernel. */
+  def withMinhashSignatureComposed(
       df: DataFrame,
       shingleCol: String,
       outCol: String,

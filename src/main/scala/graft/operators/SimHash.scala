@@ -48,8 +48,26 @@ object SimHash {
       }
       .reduce(_ + _)
 
-  /** (id, simhash) for every document. */
+  /** (id, simhash) for every document — the fused one-pass
+    * [[graft.functions.SimhashFromTokens]] kernel (the composed
+    * [[fingerprintsComposed]] form re-scans the token-hash array once
+    * per bit; SimHashSpec pins their equality). */
   def fingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      p: Params = Params()): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(
+      col(idCol),
+      ColumnBridge.column(graft.functions.SimhashFromTokens(
+        ColumnBridge.expression(split(col(textCol), " ", -1)), p.bits))
+        .as("simhash"))
+  }
+
+  /** Built-in-composition twin of [[fingerprints]] (the shape the DuckDB
+    * oracle mirrors in SQL). */
+  def fingerprintsComposed(
       df: DataFrame,
       idCol: String,
       textCol: String,

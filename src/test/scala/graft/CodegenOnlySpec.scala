@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
-import graft.functions.{LshSignature, Md5Chunks, Md5Embed, Md5PrefixInt, VectorDistance}
+import graft.functions.{LshSignature, Md5Chunks, Md5Embed, Md5PrefixInt, MinhashSigs, SimhashFromTokens, VectorDistance}
 
 /** Every custom codegen expression must actually COMPILE. Round 3's md5
   * doGenCode failed Janino compilation and silently ran interpreted —
@@ -82,6 +82,52 @@ class CodegenOnlySpec extends SparkSpec {
         assert(cat.map(java.lang.Float.floatToIntBits).toSeq ===
           local.map(java.lang.Float.floatToIntBits).toSeq)
       }
+    }
+  }
+
+  test("MinhashSigs compiles under CODEGEN_ONLY and matches interpreted eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val shingleSets = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("single"),
+      Seq("ünïcode 中文", "🙂 emoji"))
+    withCodegenOnly {
+      val rows = shingleSets.toDF("sh")
+        .select(ColumnBridge.column(
+          MinhashSigs(ColumnBridge.expression(col("sh")), 12)).as("sig"))
+        .collect()
+      val expected = shingleSets.map { s =>
+        MinhashSigs(Literal.create(
+          ArrayData.toArrayData(s.map(org.apache.spark.unsafe.types.UTF8String.fromString)),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)), 12)
+          .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      }
+      assert(rows.map(_.getAs[scala.collection.Seq[Long]]("sig").toSeq).toSeq === expected)
+    }
+  }
+
+  test("SimhashFromTokens compiles under CODEGEN_ONLY and matches interpreted eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val tokenSets = Seq(
+      Seq("a", "b", "c", "a"),
+      Seq("lone"),
+      Seq("ünïcode", "中文", "🙂"))
+    withCodegenOnly {
+      val rows = tokenSets.toDF("tk")
+        .select(ColumnBridge.column(
+          SimhashFromTokens(ColumnBridge.expression(col("tk")), 32)).as("fp"))
+        .collect()
+      val expected = tokenSets.map { s =>
+        SimhashFromTokens(Literal.create(
+          ArrayData.toArrayData(s.map(org.apache.spark.unsafe.types.UTF8String.fromString)),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)), 32)
+          .eval(null).asInstanceOf[Long]
+      }
+      assert(rows.map(_.getLong(0)).toSeq === expected)
     }
   }
 

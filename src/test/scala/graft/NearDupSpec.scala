@@ -14,6 +14,20 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.count() > 0L)
   }
 
+  test("fused MinhashSigs kernel equals the built-in composition bit-for-bit") {
+    val sh = NearDup.docShingles(docs, "doc_id", "text", NearDup.Params())
+    val fused = NearDup
+      .withMinhashSignature(sh, "shingles", "sig", 12)
+      .select(col("doc_id"), col("sig"))
+    val composed = NearDup
+      .withMinhashSignatureComposed(sh, "shingles", "sig", 12)
+      .select(col("doc_id"), col("sig").as("sig_c"))
+    val mismatches = fused.join(composed, "doc_id")
+      .where(col("sig") =!= col("sig_c"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("every reported pair clears the Jaccard threshold and is ordered a < b") {
     val rows = pairs.collect()
     assert(rows.forall(_.getAs[Double]("jac") >= 0.7))

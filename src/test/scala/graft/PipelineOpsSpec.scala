@@ -27,6 +27,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("simhash: fused kernel equals the built-in composition bit-for-bit") {
+    val fused = SimHash.fingerprints(docs, "doc_id", "text")
+    val composed = SimHash.fingerprintsComposed(docs, "doc_id", "text")
+      .withColumnRenamed("simhash", "simhash_c")
+    val mismatches = fused.join(composed, "doc_id")
+      .where(col("simhash") =!= col("simhash_c"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("simhash: identical token multisets give identical fingerprints") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
