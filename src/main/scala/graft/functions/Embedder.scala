@@ -138,13 +138,14 @@ object Embedder {
     * query strings on the driver, and search compares their outputs. */
   sealed trait Model {
     def name: String
-    /** Single-expression form (single-row updates, ad-hoc use). Lambda
-      * bodies re-evaluate referenced subtrees per element, so bulk paths
-      * must go through [[embedDf]], which BINDS intermediates as real
-      * projection columns first. */
+    /** Single-expression form (single-row updates, ad-hoc use). */
     def embedCol(text: Column, dim: Int): Column
-    /** Bulk form: attach `outCol` to `df`, binding the per-row
-      * intermediates (digest, token buckets) exactly once each. */
+    /** Bulk form: attach `outCol` to `df`. Both models route the
+      * per-row heavy lifting through fused kernel expressions
+      * ([[Md5Embed]], [[LexicalBuckets]]) — binding intermediates as
+      * projection columns does NOT survive CollapseProject, which
+      * inlines a once-referenced binding into lambda bodies and
+      * multiplies the work per element. */
     def embedDf(df: DataFrame, textCol: String, outCol: String, dim: Int): DataFrame
     def embedLocal(text: String, dim: Int): Array[Float]
   }
@@ -179,11 +180,13 @@ object Embedder {
       ("a an and are as at be by do for from has have he how i in is it its " +
         "of on or that the this to was were what when where which will with you")
         .split(" ").toSeq
-    private val StemLen = 6
+    private[functions] val StopwordSet: Set[String] = Stopwords.toSet
+    private[functions] val StemLen = 6
 
-    /** md5 bucket per content token — the intermediate [[embedDf]] binds
-      * once (one digest per token). */
-    private def bucketsCol(text: Column, dim: Int): Column = {
+    /** md5 bucket per content token — composed built-ins; kept as the
+      * equivalence twin of the fused [[LexicalBuckets]] kernel (the
+      * shape a SQL oracle would mirror). */
+    private[graft] def bucketsCol(text: Column, dim: Int): Column = {
       import org.apache.spark.sql.graft.ColumnBridge
       val canon = regexp_replace(lower(text), "[^a-z0-9]+", " ")
       val stop = typedLit(Stopwords)
@@ -199,25 +202,34 @@ object Embedder {
             lit(dim)))
     }
 
-    private def countsCol(buckets: Column, dim: Int): Column =
+    private[graft] def countsCol(buckets: Column, dim: Int): Column =
       transform(
         sequence(lit(0), lit(dim - 1)),
         d => size(filter(buckets, b => b === d)).cast("double"))
 
-    private def normalizeCol(counts: Column): Column = {
+    private[graft] def normalizeCol(counts: Column): Column = {
       val nrm = sqrt(aggregate(counts, lit(0.0), (a, x) => a + x * x))
       transform(counts,
         x => when(nrm === 0.0, lit(0.0f)).otherwise((x / nrm).cast("float")))
     }
 
+    /** Fused bucket counts (one pass, one digest buffer) + composed
+      * normalization. The counts column is referenced twice by
+      * [[normalizeCol]] (norm + scale), so CollapseProject keeps the
+      * binding; the per-token work lives in [[LexicalBuckets]], which no
+      * projection rewrite can multiply. */
+    private def countsKernel(text: Column, dim: Int): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(LexicalBuckets(ColumnBridge.expression(text), dim))
+    }
+
     def embedCol(text: Column, dim: Int): Column =
-      normalizeCol(countsCol(bucketsCol(text, dim), dim))
+      normalizeCol(countsKernel(text, dim))
 
     def embedDf(df: DataFrame, textCol: String, outCol: String, dim: Int): DataFrame =
-      df.withColumn("__buckets", bucketsCol(col(textCol), dim))
-        .withColumn("__counts", countsCol(col("__buckets"), dim))
+      df.withColumn("__counts", countsKernel(col(textCol), dim))
         .withColumn(outCol, normalizeCol(col("__counts")))
-        .drop("__buckets", "__counts")
+        .drop("__counts")
     def embedLocal(text: String, dim: Int): Array[Float] = {
       val counts = new Array[Double](dim)
       text.toLowerCase
@@ -236,4 +248,27 @@ object Embedder {
     * wrong distances). */
   val models: Map[String, Model] =
     Seq(Md5Model, LexicalModel).map(m => m.name -> m).toMap
+
+  /** One-pass token-bucket counts for [[LexicalModel]]: canonicalize,
+    * tokenize, stopword-drop, 6-char-prefix stem, md5 bucket, count —
+    * per row, one digest buffer, no intermediate token/bucket arrays.
+    * Value-identical to the composed `bucketsCol`/`countsCol` pipeline
+    * (EmbedderSpec pins it); shared by [[LexicalBuckets]]'s interpreted
+    * and generated paths. */
+  def lexicalBucketCounts(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val counts = new Array[Double](dim)
+    val canon = text.toLowerCase.toString.replaceAll("[^a-z0-9]+", " ")
+    val md = MessageDigest.getInstance("MD5")
+    canon.split(" ", -1).foreach { t =>
+      if (t.nonEmpty && !LexicalModel.StopwordSet.contains(t)) {
+        md.reset()
+        val d = md.digest(t.take(LexicalModel.StemLen).getBytes("UTF-8"))
+        val h = Md5Expressions.chunk(d, 0)
+        counts((h % dim).toInt) += 1.0 // h is an unsigned 32-bit value
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
+  }
 }

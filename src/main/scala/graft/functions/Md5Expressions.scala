@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Digest-to-integer md5 expressions for the hash-heavy pipeline paths
@@ -258,6 +258,36 @@ case class SimhashFromTokens(child: Expression, bits: Int) extends UnaryExpressi
       // Static helper call for the same Janino reason as Md5PrefixInt.
       s"""
       |${ev.value} = graft.functions.Md5Expressions.simhashFromTokens($v, $bits);
+      |""".stripMargin
+    })
+}
+
+/** Fused token-bucket counts for the lexical embedder: ARRAY<DOUBLE> of
+  * `dim` per-bucket token counts from one pass over the text (see
+  * [[Embedder.lexicalBucketCounts]]). The composed form bound a token
+  * bucket array and counted it per dimension — the same CollapseProject
+  * lambda-inlining hazard as [[Md5Embed]], at dim× the tokenize+digest
+  * cost when it fires. */
+case class LexicalBuckets(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "lexical_buckets"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Embedder.lexicalBucketCounts(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      // Static helper call for the same Janino reason as Md5PrefixInt.
+      s"""
+      |${ev.value} = graft.functions.Embedder.lexicalBucketCounts($v, $dim);
       |""".stripMargin
     })
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
-import graft.functions.{LshSignature, Md5Chunks, Md5Embed, Md5PrefixInt, MinhashSigs, SimhashFromTokens, VectorDistance}
+import graft.functions.{LexicalBuckets, LshSignature, Md5Chunks, Md5Embed, Md5PrefixInt, MinhashSigs, SimhashFromTokens, VectorDistance}
 
 /** Every custom codegen expression must actually COMPILE. Round 3's md5
   * doGenCode failed Janino compilation and silently ran interpreted —
@@ -128,6 +128,25 @@ class CodegenOnlySpec extends SparkSpec {
           .eval(null).asInstanceOf[Long]
       }
       assert(rows.map(_.getLong(0)).toSeq === expected)
+    }
+  }
+
+  test("LexicalBuckets compiles under CODEGEN_ONLY and matches interpreted eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    withCodegenOnly {
+      val rows = texts.toDF("t")
+        .select(ColumnBridge.column(
+          LexicalBuckets(ColumnBridge.expression(col("t")), 32)).as("c"))
+        .collect()
+      val expected = texts.map { t =>
+        LexicalBuckets(Literal.create(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType), 32)
+          .eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq
+      }
+      assert(rows.map(_.getAs[scala.collection.Seq[Double]]("c").toSeq).toSeq === expected)
     }
   }
 

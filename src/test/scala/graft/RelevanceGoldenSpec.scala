@@ -70,6 +70,23 @@ class RelevanceGoldenSpec extends SparkSpec with BeforeAndAfterAll {
     assert(res.head.getAs[String]("text") === goldenText)
   }
 
+  test("lexical model: fused LexicalBuckets kernel equals the composed pipeline") {
+    val chunks = catalog.chunks("e2e_fixture").select(col("text"))
+    val fused = Embedder.LexicalModel
+      .embedDf(chunks, "text", "emb", Embedder.Dim)
+    val composed = chunks
+      .withColumn("__buckets",
+        Embedder.LexicalModel.bucketsCol(col("text"), Embedder.Dim))
+      .withColumn("__counts",
+        Embedder.LexicalModel.countsCol(col("__buckets"), Embedder.Dim))
+      .withColumn("emb_c", Embedder.LexicalModel.normalizeCol(col("__counts")))
+      .select(col("text"), col("emb_c"))
+    val mismatches = fused.join(composed, "text")
+      .where(col("emb") =!= col("emb_c"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("lexical model: Catalyst and driver-local forms agree bit-exactly") {
     val texts = catalog.chunks("e2e_fixture").select("text").collect().map(_.getString(0))
     val viaCol = catalog.chunks("e2e_fixture")
