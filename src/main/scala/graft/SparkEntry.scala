@@ -751,6 +751,37 @@ object SparkEntry {
           size(col("__fp")).as("n_fp"),
           aggregate(col("__fp"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
     }),
+    // ---- benchmark decontamination (LLM data hygiene): flag corpus
+    //      documents sharing winnowed fingerprints with a held-out eval
+    //      set (doc_id % 97 == 0 stands in for the benchmark). The eval
+    //      fingerprint set is tiny by construction (benchmarks are MBs,
+    //      corpora are TBs) so it BROADCASTS; the corpus side is one
+    //      fused gram+winnow pass, one explode, one broadcast join, one
+    //      groupBy — per-doc stats, never an all-pairs comparison. ----
+    "q_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      def fps(df: DataFrame) = df.select(
+        col("doc_id"),
+        ColumnBridge.column(graft.functions.Winnow(
+          graft.functions.GramHashes(ColumnBridge.expression(col("text")), 8),
+          4)).as("__fp"))
+      val all = fps(t(s, dir, "documents"))
+      val evalFps = all.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(col("__fp")).as("fp")).distinct()
+        .withColumn("__hit", lit(1L))
+      all.where(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), size(col("__fp")).as("n_fp"),
+          explode(col("__fp")).as("fp"))
+        .join(broadcast(evalFps), Seq("fp"), "left_outer")
+        .groupBy("doc_id")
+        .agg(
+          first("n_fp").as("n_fp"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+        .withColumn("contaminated",
+          (col("n_shared") * 4 >= col("n_fp")).cast("int"))
+        .orderBy(col("n_shared").desc, col("doc_id"))
+        .limit(100)
+    }),
   )
 
   /** Query text for q_embed_knn — embedded identically on the driver
@@ -821,6 +852,36 @@ object SparkEntry {
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
     "q_hnsw_partitioned" -> Seq("dist", "vec_id"))
+
+  /** Shared winnowing-fingerprint CTE chain (codes → Karp-Rabin k-grams
+    * → window-minima fingerprint set): the same polynomial and
+    * arithmetic as the fused GramHashes/Winnow kernels — codes as
+    * BIGINT (DuckDB int32 products would overflow), B^j mod M as
+    * literals, fold for the short-doc whole-text hash. Used by the
+    * q_fingerprint and q_decontaminate oracles. */
+  private lazy val oFingerprintCtes: String = {
+    import TextAnalysis.{GramB => b, GramM => mM}
+    val k = 8
+    val pows = Array.iterate(1L, k)(p => p * b % mM)
+    val gramExpr = (0 until k)
+      .map(j => s"codes[i+$j]*${pows(k - 1 - j)}")
+      .mkString(" + ")
+    s"""c AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(codes) < $k
+       |         THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (h, x) -> (h*$b + x) % $mM)]
+       |         ELSE list_transform(range(1, len(codes)-${k - 2}), i -> ($gramExpr) % $mM) END AS grams
+       |  FROM c),
+       |f AS (
+       |  SELECT doc_id, len(grams) AS n_grams,
+       |    CASE WHEN len(grams) < 4 THEN list_distinct(grams)
+       |         ELSE list_distinct(list_transform(range(1, len(grams)-2), j -> list_min(grams[j:j+3]))) END AS fp
+       |  FROM g)""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1142,34 +1203,22 @@ object SparkEntry {
          |SELECT doc_a, doc_b, (round(cos, 6) + 0.0) AS cos_sim FROM sims
          |WHERE cos >= 0.999999 ORDER BY doc_a, doc_b""".stripMargin
     },
-    "q_fingerprint" -> {
-      import TextAnalysis.{GramB => b, GramM => mM}
-      val k = 8
-      val pows = Array.iterate(1L, k)(p => p * b % mM)
-      val gramExpr = (0 until k)
-        .map(j => s"codes[i+$j]*${pows(k - 1 - j)}")
-        .mkString(" + ")
-      // same polynomial, same arithmetic: codes as BIGINT (DuckDB int32
-      // products would overflow), B^j mod M as literals, fold for the
-      // short-doc whole-text hash
-      s"""WITH c AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(codes) < $k
-         |         THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (h, x) -> (h*$b + x) % $mM)]
-         |         ELSE list_transform(range(1, len(codes)-${k - 2}), i -> ($gramExpr) % $mM) END AS grams
-         |  FROM c),
-         |f AS (
-         |  SELECT doc_id, len(grams) AS n_grams,
-         |    CASE WHEN len(grams) < 4 THEN list_distinct(grams)
-         |         ELSE list_distinct(list_transform(range(1, len(grams)-2), j -> list_min(grams[j:j+3]))) END AS fp
-         |  FROM g)
+    "q_fingerprint" ->
+      s"""WITH $oFingerprintCtes
          |SELECT doc_id, n_grams, len(fp) AS n_fp, CAST(list_sum(fp) AS BIGINT) AS fp_sum
-         |FROM f ORDER BY doc_id""".stripMargin
-    },
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH $oFingerprintCtes,
+         |ev AS (
+         |  SELECT DISTINCT unnest(fp) AS fp FROM f WHERE doc_id % 97 = 0),
+         |co AS (
+         |  SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS fp FROM f WHERE doc_id % 97 <> 0),
+         |sh AS (
+         |  SELECT co.doc_id, any_value(co.n_fp) AS n_fp, count(ev.fp) AS n_shared
+         |  FROM co LEFT JOIN ev ON co.fp = ev.fp GROUP BY co.doc_id)
+         |SELECT doc_id, n_fp, n_shared,
+         |  CAST(n_shared * 4 >= n_fp AS INT) AS contaminated
+         |FROM sh ORDER BY n_shared DESC, doc_id LIMIT 100""".stripMargin,
     "q_neardup_pairs" -> {
       val p = NearDup.Params()
       val r = p.rowsPerBand
