@@ -62,6 +62,17 @@ class LibraryCatalog(
   private def fs: FileSystem =
     new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Per-library writer serialization within this JVM (the reference's
+    * per-library lock, library.py:59/dependencies.py:28-32 — writers
+    * only; readers need no lock because versions are immutable).
+    * Cross-process writers are caught by [[claimVersion]]'s atomic
+    * claim instead. Keyed by warehouse + name so independent catalogs
+    * in one process don't contend. */
+  private def withWriteLock[T](name: String)(f: => T): T =
+    LibraryCatalog.writeLocks
+      .computeIfAbsent(s"$warehouse#$name", _ => new Object)
+      .synchronized(f)
+
   private def libDir(name: String) = new Path(warehouse, name)
   private def metaPath(name: String) = new Path(libDir(name), "meta.json")
   private def versionDir(name: String, v: Long) =
@@ -419,6 +430,53 @@ class LibraryCatalog(
     artifacts.foreach(a =>
       writeClustered(a.df, new Path(vdir, a.name), a.partitionBy, a.sortWithin))
 
+  /** A cross-process claim survives this long before a conflicting
+    * writer may treat it as a dead writer's leftover (provided the
+    * version pointer never advanced to it). */
+  private val StaleClaimMs = 15L * 60 * 1000
+
+  /** Claim version `v` of a library by atomically creating its
+    * `_claim` marker (create with overwrite=false — the filesystem's
+    * compare-and-set). Two writers racing from the same base version
+    * both compute the same v; exactly one claim succeeds and the loser
+    * fails HERE, before writing a byte of data, instead of silently
+    * colliding in the version dir or last-wins-clobbering the meta
+    * pointer. Same-process writers never even race: mutations
+    * serialize on a per-library JVM lock (the reference's per-library
+    * lock, library.py:59/dependencies.py:28-32, kept for writers —
+    * readers still need no lock thanks to version immutability).
+    *
+    * A writer that died mid-commit leaves an orphan claim; it is
+    * reclaimed (dir deleted, claim retried) once it is older than
+    * [[StaleClaimMs]] AND the pointer never advanced to its version —
+    * a live writer's claim is either young or already committed. */
+  private def claimVersion(name: String, vdir: Path): Unit = {
+    val claim = new Path(vdir, "_claim")
+    def tryClaim(): Boolean =
+      try { fs.create(claim, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(claim)          => false
+      }
+    if (tryClaim()) return
+    val vNum = vdir.getName.stripPrefix("v").toLong
+    val stale =
+      try {
+        val age =
+          System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+        age > StaleClaimMs && !readMeta(name).exists(_.version >= vNum)
+      } catch { case _: java.io.FileNotFoundException => true }
+    if (stale) {
+      log.warn(s"library '$name': reclaiming stale uncommitted version " +
+        s"${vdir.getName} left by a dead writer")
+      fs.delete(vdir, true)
+      if (tryClaim()) return
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"library '$name': version ${vdir.getName} is already claimed by " +
+        "another writer — re-read the library and retry the mutation")
+  }
+
   /** Swap the pointer, then GC: a version dir survives while the current
     * or previous version's manifest OR artifact list references it (or
     * IS one of those two versions — in-flight readers of v-1 stay
@@ -457,6 +515,7 @@ class LibraryCatalog(
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
+    claimVersion(m.name, vdir)
     writeChunks(vdir, chunksDf, m.buckets)
     val mf = presentBuckets(vdir).map(b => b -> Seq(vname)).toMap
     writeManifest(vdir, mf)
@@ -496,6 +555,7 @@ class LibraryCatalog(
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
+    claimVersion(m.name, vdir)
     writeChunks(vdir, deltaRows, m.buckets)
     val present = presentBuckets(vdir)
     val old = readManifest(m.name, m.version)
@@ -632,7 +692,7 @@ class LibraryCatalog(
       dim: Int = Embedder.Dim,
       overwrite: Boolean = false,
       embedder: String = "md5",
-      numBuckets: Int = DefaultBuckets): LibraryMeta = {
+      numBuckets: Int = DefaultBuckets): LibraryMeta = withWriteLock(name) {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
     if (exists(name)) {
       if (!overwrite)
@@ -686,7 +746,7 @@ class LibraryCatalog(
     * maintained INCREMENTALLY (indexer.add, lsh.py:84-112): only the new
     * rows' LSH signatures / IVF cell assignments are computed and only
     * they are written (a new part, never a rewrite). */
-  def addChunks(name: String, newChunks: DataFrame): LibraryMeta = {
+  def addChunks(name: String, newChunks: DataFrame): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
     val added = normalize(newChunks, m.dim, modelOf(m))
     incrementalIndexRows(m, name, added) match {
@@ -705,7 +765,7 @@ class LibraryCatalog(
     * the index drops the ids via a TOMBSTONE part (indexer.delete,
     * lsh.py:114-145 — O(ids) bytes, no index rewrite); IVF centroids
     * are a quantizer, not data, and carry forward by reference. */
-  def deleteChunks(name: String, ids: Seq[String]): LibraryMeta = {
+  def deleteChunks(name: String, ids: Seq[String]): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
     val affected = ids.map(bucketOfId(_, m.buckets)).toSet
     val survivors = chunksInBuckets(name, m, affected)
@@ -721,7 +781,7 @@ class LibraryCatalog(
     * semantics). Surviving rows' index entries are unchanged: semi-join
     * the index against the survivors' ids instead of recomputing a
     * single signature (indexer.delete, lsh.py:114-145). */
-  def deleteChunksWhere(name: String, pred: Column): LibraryMeta = {
+  def deleteChunksWhere(name: String, pred: Column): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
     val all = chunks(name)
     val matches = coalesce(pred, lit(false))
@@ -748,7 +808,7 @@ class LibraryCatalog(
       name: String,
       id: String,
       newText: Option[String] = None,
-      newMetadata: Option[Column] = None): LibraryMeta = {
+      newMetadata: Option[Column] = None): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
     // only the chunk's bucket is READ or written: the manifest names its
     // leaf dirs, every other bucket is referenced, not copied or scanned
@@ -797,7 +857,7 @@ class LibraryCatalog(
   def updateMetadataWhere(
       name: String,
       pred: Column,
-      newMetadata: Column): LibraryMeta = {
+      newMetadata: Column): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
     val all = chunks(name)
     val matches = coalesce(pred, lit(false))
@@ -829,7 +889,7 @@ class LibraryCatalog(
   def updateLibrary(
       name: String,
       newName: Option[String] = None,
-      newTags: Option[Seq[String]] = None): LibraryMeta = {
+      newTags: Option[Seq[String]] = None): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
     val target = newName.getOrElse(name)
     if (target != name) {
@@ -848,7 +908,7 @@ class LibraryCatalog(
 
   /** M8: drop the library (the reference's endpoint is broken,
     * endpoints/libraries.py:104 — intended semantics implemented). */
-  def deleteLibrary(name: String): Unit = {
+  def deleteLibrary(name: String): Unit = withWriteLock(name) {
     fs.delete(libDir(name), true)
     ()
   }
@@ -860,7 +920,7 @@ class LibraryCatalog(
     * index artifact. Mutations never pay this cost implicitly — delta
     * commits stay O(delta) and an operator schedules compaction when
     * read amplification (part count) warrants it. */
-  def compactLibrary(name: String): LibraryMeta = {
+  def compactLibrary(name: String): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
     commitFull(m, chunks(name), written => buildIndex(m, written))
   }
@@ -872,11 +932,12 @@ class LibraryCatalog(
     * The fresh artifact list also compacts away any accumulated delta
     * parts and deletion vectors (the read side goes back to one pruned
     * scan). */
-  def rebuildIndex(name: String): LibraryMeta = {
+  def rebuildIndex(name: String): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
+    claimVersion(m.name, vdir)
     val mf = readManifest(m.name, m.version)
     writeManifest(vdir, mf)
     val arts = buildIndex(m, readChunksAt(m.name, mf))
@@ -1003,6 +1064,8 @@ class LibraryCatalog(
 object LibraryCatalog {
 
   private val log = LoggerFactory.getLogger(classOf[LibraryCatalog])
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
   private val observedSessions = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())

@@ -187,6 +187,36 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     assert(c9 === 1L)
   }
 
+  test("a foreign claim on the next version fails the mutation loudly") {
+    // simulate a concurrent writer from another process: pre-claim v+1
+    val cur = versionDirs.max.stripPrefix("v").toLong
+    val next = new java.io.File(libRoot, f"v${cur + 1}%06d")
+    next.mkdirs()
+    val claim = new java.io.File(next, "_claim")
+    assert(claim.createNewFile())
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      catalog.addChunks("dlib", chunkRows(Seq(("cx", "conflicting write"))))
+    }
+    assert(ex.getMessage.contains("claimed"))
+    // a STALE claim (old mtime, pointer never advanced) is reclaimed:
+    // the same mutation now succeeds and takes over the version number
+    assert(claim.setLastModified(System.currentTimeMillis() - 16L * 60 * 1000))
+    catalog.addChunks("dlib", chunkRows(Seq(("cx", "conflicting write"))))
+    assert(catalog.chunks("dlib").where(col("id") === "cx").count() === 1L)
+  }
+
+  test("concurrent same-process writers serialize and both commit") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = catalog.chunks("dlib").count()
+    val writes = (1 to 4).map(i => Future {
+      catalog.addChunks("dlib", chunkRows(Seq((s"par$i", s"parallel write $i"))))
+    })
+    Await.result(Future.sequence(writes), 120.seconds)
+    assert(catalog.chunks("dlib").count() === before + 4)
+  }
+
   test("compactLibrary collapses the delta history to one full commit") {
     catalog.compactLibrary("dlib")
     val v = versionDirs.max
@@ -206,8 +236,9 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     // {vN, vN-1}
     catalog.compactLibrary("dlib")
     assert(versionDirs.size <= 2, s"versions on disk: ${versionDirs.mkString(",")}")
-    // content is untouched by compaction
-    assert(catalog.chunks("dlib").count() === 65)
+    // content is untouched by compaction (65 from the earlier tests
+    // + 1 claim-conflict chunk + 4 parallel-writer chunks)
+    assert(catalog.chunks("dlib").count() === 70)
     assert(catalog.indexTable("dlib").get.where(col("id") === "c3").isEmpty)
   }
 }
