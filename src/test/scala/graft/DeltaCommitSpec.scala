@@ -217,6 +217,38 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     assert(catalog.chunks("dlib").count() === before + 4)
   }
 
+  test("over-split writes take the clustered shuffle path with bounded files per dir") {
+    // the size gate reads spark.sql.files.maxPartitionBytes: shrink it
+    // so this corpus counts as "large" and the clustered-shuffle write
+    // branch — otherwise unreachable at test scale — actually executes
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "64")
+      catalog.createLibrary("biglib", LshIndexer,
+        chunkRows((0 until 64).map(i => (s"b$i", s"clustered write text $i"))),
+        overwrite = true)
+      catalog.addChunks("biglib",
+        chunkRows((64 until 96).map(i => (s"b$i", s"clustered append text $i"))))
+      assert(catalog.chunks("biglib").count() === 96L)
+      // clustering bounds output at WriteSaltFiles (=1) parquet file per
+      // bucket dir per commit — without the shuffle every writer task
+      // would emit a file into every dir
+      val bigRoot = new java.io.File(s"$warehouse/biglib")
+      bigRoot.listFiles().filter(_.getName.startsWith("v")).foreach { v =>
+        val chunksDir = new java.io.File(v, "chunks")
+        if (chunksDir.exists()) {
+          chunksDir.listFiles().filter(_.getName.startsWith("__b=")).foreach { b =>
+            val files = b.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+            assert(files.length <= 1,
+              s"${v.getName}/${b.getName} has ${files.length} files: ${files.mkString(",")}")
+          }
+        }
+      }
+      catalog.deleteLibrary("biglib")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("compactLibrary collapses the delta history to one full commit") {
     catalog.compactLibrary("dlib")
     val v = versionDirs.max

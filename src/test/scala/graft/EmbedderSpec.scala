@@ -84,4 +84,34 @@ class EmbedderSpec extends SparkSpec {
     assert(e8.length === 8 && e32.length === 32)
     assert(e8.sameElements(e32.take(8)))
   }
+
+  test("large inputs take the dedup-before-embed shape; small take the direct one") {
+    import spark.implicits._
+    val df = corpus.toDF("text")
+    // the size gate reads spark.sql.files.maxPartitionBytes: shrink it so
+    // this corpus counts as "large" and the dedup branch — otherwise
+    // unreachable at test scale — actually executes and is plan-checked
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "64")
+      val deduped = Embedder.withEmbedding(df)
+      val plan = deduped.queryExecution.optimizedPlan.toString
+      // (xxhash64 itself constant-folds into the LocalRelation here; the
+      // branch's signature is the hash-keyed dedup aggregate + join-back)
+      assert(plan.contains("__text_hash"),
+        s"large path must dedup on the text hash:\n$plan")
+      assert(plan.contains("Join") && plan.contains("Aggregate"),
+        s"large path must dedup and join back:\n$plan")
+      // identical values through either branch
+      val viaDedup = deduped.collect()
+        .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+      spark.conf.set(key, prev)
+      val direct = Embedder.withEmbedding(df)
+      assert(!direct.queryExecution.optimizedPlan.toString.contains("__text_hash"))
+      direct.collect().foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Float]](1) === viaDedup(r.getString(0)))
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }
