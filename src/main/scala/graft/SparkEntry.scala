@@ -751,6 +751,21 @@ object SparkEntry {
           size(col("__fp")).as("n_fp"),
           aggregate(col("__fp"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
     }),
+    // ---- quality: within-document repetition ratio (the Gopher-style
+    //      "fraction of duplicate 2-grams" rule — boilerplate and
+    //      looping generations score high). Pure per-row column work on
+    //      bound token arrays (NearDup.docShingles at k=2), no shuffle. ----
+    "q_repetition" -> ((s, dir) =>
+      NearDup
+        .docShingles(t(s, dir, "documents"), "doc_id", "text",
+          NearDup.Params(shingleSize = 2))
+        .select(
+          col("doc_id"),
+          size(col("shingles")).as("n_2grams"),
+          size(array_distinct(col("shingles"))).as("n_distinct"))
+        .withColumn("rep_ratio",
+          rn(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_2grams").cast("double"), 6))),
     // ---- benchmark decontamination (LLM data hygiene): flag corpus
     //      documents sharing winnowed fingerprints with a held-out eval
     //      set (doc_id % 97 == 0 stands in for the benchmark). The eval
@@ -843,6 +858,7 @@ object SparkEntry {
     "q_token_bpe" -> Seq("doc_id"),
     "q_lang_id" -> Seq("doc_id"),
     "q_quality_score" -> Seq("doc_id"),
+    "q_repetition" -> Seq("doc_id"),
     "q_fingerprint" -> Seq("doc_id"),
     "q_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_embed_neardup" -> Seq("doc_a", "doc_b"),
@@ -1207,6 +1223,16 @@ object SparkEntry {
       s"""WITH $oFingerprintCtes
          |SELECT doc_id, n_grams, len(fp) AS n_fp, CAST(list_sum(fp) AS BIGINT) AS fp_sum
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk, text FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 2 THEN [text]
+        |         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS g2
+        |  FROM toks)
+        |SELECT doc_id, len(g2) AS n_2grams, len(list_distinct(g2)) AS n_distinct,
+        |  (round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6) + 0.0) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH $oFingerprintCtes,
          |ev AS (

@@ -56,6 +56,27 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!plan.contains("Exchange rangepartitioning"), "global sort planned")
   }
 
+  test("as-of join: event_type pushed to both scans, one keyed exchange, no join") {
+    val plan = planOf("q_asof_join")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
+      s"purchase filter not pushed:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)"),
+      s"click filter not pushed:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    // exactly two exchanges: the click-dedup aggregation + the window key
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"want 2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("decontamination broadcasts the eval fingerprint side") {
+    val plan = planOf("q_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval fp set must broadcast:\n$plan")
+    assert(plan.contains("LeftOuter"), s"overlap join must be left-outer:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must never sort-merge against the eval set:\n$plan")
+  }
+
   test("order-only queries carry no global sort inside the query plan") {
     SparkEntry.verifyOrder.keys
       .filterNot(_ == "q_neardup_pairs") // pair output, sorted only in Verify dump
