@@ -314,6 +314,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_len"))
         .orderBy("lang")
     }),
+    // ---- balanced downsampling with DATA-DERIVED rates: equalize the
+    //      language mixture to (approximately) the smallest group by
+    //      hashing each doc against a per-group threshold computed from
+    //      the group counts. The threshold is PURE INTEGER math
+    //      ((min_n * 10000) DIV n) so both engines derive bit-identical
+    //      cutoffs — a double rate would gamble on float rounding at
+    //      the boundary. One agg for counts (broadcast back: group
+    //      cardinality, not data), one codegen'd filter pass. ----
+    "q_balanced_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("__n"))
+      val thr = counts
+        .withColumn("__min_n", min("__n").over())
+        .withColumn("__thr", expr("(__min_n * 10000) DIV __n"))
+        .select(col("lang"), col("__thr"))
+      val h = pmod(
+        Embedder.md5Int(concat(lit("b|"), col("doc_id").cast("string"))),
+        lit(10000))
+      docs.join(broadcast(thr), "lang")
+        .where(h < col("__thr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_len"))
+        .orderBy("lang")
+    }),
     // ---- lang rollup (corpus stats) ----
     "q_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -998,6 +1022,13 @@ object SparkEntry {
         |          ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 AS h
         |        FROM documents)
         |) GROUP BY split ORDER BY split""".stripMargin,
+    "q_balanced_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT lang, ((SELECT min(n) FROM c) * 10000) // n AS thr FROM c)
+        |SELECT d.lang, count(*) AS n_sampled, CAST(sum(d.n_chars) AS BIGINT) AS sum_len
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE ('0x'||substr(md5('b|'||d.doc_id::VARCHAR),1,8))::BIGINT % 10000 < t.thr
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_len
         |FROM (SELECT lang, n_chars,
