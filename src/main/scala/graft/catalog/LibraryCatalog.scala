@@ -230,6 +230,20 @@ class LibraryCatalog(
     readChunksAt(name, readManifest(name, m.version))
   }
 
+  /** Time-travel read: the chunks exactly as of `version`. Falls out of
+    * the versioned design for free — every version's manifest is a
+    * complete, immutable snapshot description; a version is readable
+    * while GC retains it (current and previous always are; see
+    * [[finishCommit]]). Reading a GC'd version fails loudly. */
+  def chunksAt(name: String, version: Long): DataFrame = {
+    requireMeta(name) // library must exist
+    val mf = readManifest(name, version)
+    require(mf.nonEmpty || fs.exists(manifestPath(versionDir(name, version))),
+      s"library '$name' has no readable version $version " +
+        "(never committed, or already garbage-collected)")
+    readChunksAt(name, mf)
+  }
+
   /** Derived documents view (Models.documentSchema, document.py:37-53):
     * membership + counts by aggregation (A2), document-level
     * title/description/source as the min non-null over the document's
@@ -911,6 +925,31 @@ class LibraryCatalog(
   def deleteLibrary(name: String): Unit = withWriteLock(name) {
     fs.delete(libDir(name), true)
     ()
+  }
+
+  /** Maintenance/observability detail of a library (the DESCRIBE DETAIL
+    * analog): the version pointer plus the read-amplification counters
+    * an operator schedules [[compactLibrary]] by — how many leaf dirs
+    * each bucket's read touches, and how many index parts + deletion-
+    * vector parts every probe reconciles. Pure driver-side metadata
+    * (manifest + artifact lists); no data is scanned. */
+  case class LibraryDetail(
+      meta: LibraryMeta,
+      chunkLeafDirs: Int,
+      maxLeavesPerBucket: Int,
+      indexParts: Int,
+      indexDeleteParts: Int)
+
+  def describeLibrary(name: String): LibraryDetail = {
+    val m = requireMeta(name)
+    val mf = readManifest(name, m.version)
+    val refs = readArtifactRefs(name, m.version)
+    LibraryDetail(
+      meta = m,
+      chunkLeafDirs = mf.values.map(_.size).sum,
+      maxLeavesPerBucket = if (mf.isEmpty) 0 else mf.values.map(_.size).max,
+      indexParts = refs.get("index").map(_.size).getOrElse(0),
+      indexDeleteParts = refs.get("index_deletes").map(_.size).getOrElse(0))
   }
 
   /** Maintenance compaction (the Delta/Iceberg OPTIMIZE analog): rewrite

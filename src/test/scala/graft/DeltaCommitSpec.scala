@@ -217,6 +217,36 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     assert(catalog.chunks("dlib").count() === before + 4)
   }
 
+  test("time travel: the previous version reads back exactly as committed") {
+    val m0 = catalog.readMeta("dlib").get
+    val before = catalog.chunks("dlib").count()
+    catalog.addChunks("dlib", chunkRows(Seq(("tt1", "time travel probe"))))
+    // the current version sees the append; the previous one does not
+    assert(catalog.chunks("dlib").count() === before + 1)
+    val old = catalog.chunksAt("dlib", m0.version)
+    assert(old.count() === before)
+    assert(old.where(col("id") === "tt1").isEmpty)
+    // a never-committed / GC'd version fails loudly
+    intercept[IllegalArgumentException] {
+      catalog.chunksAt("dlib", 9999L)
+    }
+  }
+
+  test("describeLibrary reports the read-amplification counters") {
+    val d = catalog.describeLibrary("dlib")
+    assert(d.meta.version === catalog.readMeta("dlib").get.version)
+    // the time-travel append above added a delta leaf and an index part
+    // on top of the multi-part state from the earlier tests
+    assert(d.chunkLeafDirs > 0)
+    assert(d.maxLeavesPerBucket >= 2, s"append should stack a leaf: $d")
+    assert(d.indexParts >= 2, s"append should add an index part: $d")
+    // compaction collapses every counter back to the floor
+    catalog.compactLibrary("dlib")
+    val c = catalog.describeLibrary("dlib")
+    assert(c.maxLeavesPerBucket === 1, s"post-compaction: $c")
+    assert(c.indexParts === 1 && c.indexDeleteParts === 0, s"post-compaction: $c")
+  }
+
   test("over-split writes take the clustered shuffle path with bounded files per dir") {
     // the size gate reads spark.sql.files.maxPartitionBytes: shrink it
     // so this corpus counts as "large" and the clustered-shuffle write
@@ -268,9 +298,11 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     // {vN, vN-1}
     catalog.compactLibrary("dlib")
     assert(versionDirs.size <= 2, s"versions on disk: ${versionDirs.mkString(",")}")
-    // content is untouched by compaction (65 from the earlier tests
-    // + 1 claim-conflict chunk + 4 parallel-writer chunks)
-    assert(catalog.chunks("dlib").count() === 70)
+    // content is untouched by compaction (65 from the earlier tests + 1
+    // claim-conflict chunk + 4 parallel-writer chunks + 1 time-travel
+    // probe; the describeLibrary test compacted once already — a second
+    // compaction of a compacted library is a no-op shape-wise)
+    assert(catalog.chunks("dlib").count() === 71)
     assert(catalog.indexTable("dlib").get.where(col("id") === "c3").isEmpty)
   }
 }
