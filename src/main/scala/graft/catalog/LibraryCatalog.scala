@@ -193,12 +193,28 @@ class LibraryCatalog(
     out.close()
   }
 
+  private def readSmallTextFile(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Tombstones whose ids the driver already holds (point deletes,
+    * small predicate deletes) are written as ONE flat text file by the
+    * driver — no 1-task Spark job per mutation just to persist a handful
+    * of ids. Reads reconstruct a local relation ([[artifactParts]]).
+    * Larger deletes keep the distributed parquet part. */
+  private val InlineIdsFile = "ids.txt"
+  private def writeInlineTombstone(vdir: Path, ids: Seq[String]): Unit = {
+    val out = fs.create(new Path(new Path(vdir, "index_deletes"), InlineIdsFile), true)
+    try out.write(ids.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private def readManifest(name: String, v: Long): Map[Int, Seq[String]] = {
     val p = manifestPath(versionDir(name, v))
     if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val body = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    in.close()
+    val body = readSmallTextFile(p)
     body.linesIterator
       .filter(_.contains("="))
       .map { line =>
@@ -312,10 +328,7 @@ class LibraryCatalog(
     if (v < 0) return Map.empty
     val p = artifactRefsPath(versionDir(name, v))
     if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val body = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    in.close()
-    body.linesIterator
+    readSmallTextFile(p).linesIterator
       .filter(_.contains("="))
       .map { line =>
         val Array(a, dirs) = line.split("=", 2)
@@ -326,13 +339,18 @@ class LibraryCatalog(
 
   /** Union of an artifact's parts across its referenced version dirs,
     * each row tagged with its part's version (`__pv`) for delete
-    * reconciliation. */
+    * reconciliation. A part is either a parquet dir or an inline
+    * driver-written id list (see [[writeInlineTombstone]]) — the latter
+    * becomes a local relation, so reading it schedules no scan. */
   private def artifactParts(
       name: String, artifactName: String, dirs: Seq[String]): DataFrame =
     dirs.map { d =>
-      spark.read
-        .parquet(new Path(new Path(libDir(name), d), artifactName).toString)
-        .withColumn("__pv", lit(d.stripPrefix("v").toLong))
+      val part = new Path(new Path(libDir(name), d), artifactName)
+      val inline = new Path(part, InlineIdsFile)
+      val base =
+        if (fs.exists(inline)) idsDf(readSmallTextFile(inline).linesIterator.toSeq)
+        else spark.read.parquet(part.toString)
+      base.withColumn("__pv", lit(d.stripPrefix("v").toLong))
     }.reduce(_ unionByName _)
 
   private def artifact(name: String, artifactName: String): Option[DataFrame] = {
@@ -547,12 +565,19 @@ class LibraryCatalog(
     * BY REFERENCE — zero index bytes read or written. */
   private case object CarryArtifacts extends ArtifactOp
   /** Append `newRows` to the index part list and/or tombstone
-    * `deleteIds` (an `id` column). A tombstone written in the same
-    * commit as an append does not cancel the appended rows
-    * (updateChunk's delete-old+add-new), see [[artifact]]. */
+    * `deleteIds`. A tombstone written in the same commit as an append
+    * does not cancel the appended rows (updateChunk's
+    * delete-old+add-new), see [[artifact]]. */
   private case class PatchIndex(
       newRows: Option[DataFrame],
-      deleteIds: Option[DataFrame]) extends ArtifactOp
+      deleteIds: Option[Tombstone]) extends ArtifactOp
+
+  /** How a delete's ids reach the tombstone part: driver-held id lists
+    * are written inline (no Spark job); predicate deletes too large to
+    * hold on the driver stay a distributed parquet write. */
+  private sealed trait Tombstone
+  private case class InlineIds(ids: Seq[String]) extends Tombstone
+  private case class IdsFrame(df: DataFrame) extends Tombstone
 
   /** DELTA commit: write only `deltaRows`.
     *  - `replaceBuckets = Some(A)`: the delta IS the new content of the
@@ -565,12 +590,22 @@ class LibraryCatalog(
       m: LibraryMeta,
       deltaRows: DataFrame,
       replaceBuckets: Option[Set[Int]],
-      op: ArtifactOp): LibraryMeta = {
+      op: ArtifactOp,
+      postWrite: () => Unit = () => ()): LibraryMeta = {
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
     claimVersion(m.name, vdir)
-    writeChunks(vdir, deltaRows, m.buckets)
+    try {
+      writeChunks(vdir, deltaRows, m.buckets)
+      // abort hook: runs with the delta written but NOTHING published —
+      // a throw here deletes the claimed dir and the library is untouched
+      // (updateChunk's 404 check rides the write's observed metrics
+      // instead of a separate existence-scan job)
+      postWrite()
+    } catch {
+      case e: Throwable => fs.delete(vdir, true); throw e
+    }
     val present = presentBuckets(vdir)
     val old = readManifest(m.name, m.version)
     val mf = replaceBuckets match {
@@ -591,9 +626,12 @@ class LibraryCatalog(
             "index", rows,
             artifactPartitioning(m.indexer, "index"),
             artifactSortWithin(m.indexer, "index")))))
-        deleteIds.foreach(ids =>
-          ids.select("id").write.mode("overwrite")
-            .parquet(new Path(vdir, "index_deletes").toString))
+        deleteIds.foreach {
+          case InlineIds(ids) => writeInlineTombstone(vdir, ids)
+          case IdsFrame(ids) =>
+            ids.select("id").write.mode("overwrite")
+              .parquet(new Path(vdir, "index_deletes").toString)
+        }
         var r = oldRefs
         if (newRows.isDefined)
           r = r.updated("index", r("index") :+ vname)
@@ -755,6 +793,36 @@ class LibraryCatalog(
       .createDataset(ids)(org.apache.spark.sql.Encoders.STRING)
       .select(col("value").as("id"))
 
+  /** Largest id list the driver will hold/write inline (~a few hundred
+    * KB of text; also the reconciliation broadcast stays trivially
+    * small). Beyond it, tombstones take the distributed parquet path. */
+  private val MaxInlineTombstone = 10000
+
+  private def tombstoneFor(ids: Seq[String]): Tombstone =
+    if (ids.size <= MaxInlineTombstone) InlineIds(ids) else IdsFrame(idsDf(ids))
+
+  /** One column-pruned job that TRIES to pull a predicate's whole match
+    * set — (id, bucket) pairs — to the driver under [[MaxInlineTombstone]].
+    * `Some(hits)` is the COMPLETE match set (possibly empty: the caller
+    * can skip the commit entirely); `None` means the cap tripped and the
+    * caller must take its distributed path. A sub-split probe coalesces
+    * to one task so the limit-collect is a single job (the progressive
+    * CollectLimit would otherwise scale up through 1-, 4-, 16-partition
+    * jobs); a large table keeps the distributed progressive scan. */
+  private def probeMatches(
+      all: DataFrame,
+      matches: Column,
+      buckets: Int): Option[Array[(String, Int)]] = {
+    val probe = all.where(matches)
+      .select(col("id"), bucketCol(buckets).as("__b"))
+    val hits =
+      (if (fitsOneSplit(probe)) probe.coalesce(1) else probe)
+        .limit(MaxInlineTombstone + 1)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+    if (hits.length <= MaxInlineTombstone) Some(hits) else None
+  }
+
   /** M2/M3: append chunks — a PURE APPEND commit: only the new rows are
     * written (no old bucket is rewritten or read); the index is
     * maintained INCREMENTALLY (indexer.add, lsh.py:84-112): only the new
@@ -785,7 +853,7 @@ class LibraryCatalog(
     val survivors = chunksInBuckets(name, m, affected)
       .where(!col("id").isin(ids: _*))
     commitDelta(m, survivors, Some(affected),
-      PatchIndex(None, Some(idsDf(ids))))
+      PatchIndex(None, Some(tombstoneFor(ids))))
   }
 
   /** M5 at scale: delete by predicate (ids arrive as a predicate, not a
@@ -799,20 +867,29 @@ class LibraryCatalog(
     val m = requireMeta(name)
     val all = chunks(name)
     val matches = coalesce(pred, lit(false))
-    // one column-pruned scan finds the touched buckets (id + predicate
-    // columns only); the survivor rewrite then reads just those buckets
-    val affected = all.where(matches)
-      .select(bucketCol(m.buckets).as("__b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    // every deleted row lives in an affected bucket by definition, so the
-    // survivor rewrite AND the tombstone part both read only the pruned
-    // bucket leaves — the full-leaf set is scanned exactly once (above)
-    val pruned = chunksInBuckets(name, m, affected)
-    val survivors = pruned.where(!matches)
-    // index delete = a tombstone part holding the deleted ids — O(deleted)
-    val deletedIds = pruned.where(matches).select("id")
-    commitDelta(m, survivors, Some(affected),
-      PatchIndex(None, Some(deletedIds)))
+    // one column-pruned scan (id + predicate columns only) TRIES to pull
+    // the whole match set to the driver under a cap: a small delete then
+    // needs no second pass at all — the buckets AND the tombstone ids
+    // both fall out of this one job, and the only other job is the
+    // survivor rewrite of the pruned buckets
+    probeMatches(all, matches, m.buckets) match {
+      case Some(hits) if hits.isEmpty => m // nothing matched: no new version
+      case Some(hits) =>
+        val affected = hits.map(_._2).toSet
+        val survivors = chunksInBuckets(name, m, affected).where(!matches)
+        commitDelta(m, survivors, Some(affected),
+          PatchIndex(None, Some(InlineIds(hits.map(_._1).toSeq))))
+      case None =>
+        // at-scale path (the cap tripped): re-derive the exact affected
+        // bucket set, rewrite those buckets, and write the tombstone as a
+        // distributed parquet part — every step O(matched buckets/rows)
+        val affected = all.where(matches)
+          .select(bucketCol(m.buckets).as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val pruned = chunksInBuckets(name, m, affected)
+        commitDelta(m, pruned.where(!matches), Some(affected),
+          PatchIndex(None, Some(IdsFrame(pruned.where(matches).select("id")))))
+    }
   }
 
   /** M4: update one chunk. Re-embeds only if the text changed
@@ -828,8 +905,6 @@ class LibraryCatalog(
     // leaf dirs, every other bucket is referenced, not copied or scanned
     val b = bucketOfId(id, m.buckets)
     val bucket = chunksInBuckets(name, m, Set(b))
-    if (bucket.where(col("id") === id).isEmpty)
-      throw new NoSuchElementException(s"chunk not found: $id")
     val updated = bucket
       .where(col("id") === id)
       .withColumn("text", newText.map(lit).getOrElse(col("text")))
@@ -842,9 +917,15 @@ class LibraryCatalog(
             .withField("created_at", col("metadata.created_at"))
         case None => col("metadata")
       })
+    // the 404 check rides the rewrite itself: an observed metric counts
+    // how many written rows carry the target id, so no separate
+    // existence-scan job ever reads the bucket, and a miss aborts the
+    // commit (nothing published) before any index write
+    val obs = org.apache.spark.sql.Observation()
     val bucketRows = bucket
       .where(col("id") =!= id)
       .unionByName(updated)
+      .observe(obs, count(when(col("id") === id, 1)).as("hits"))
     // incremental index patch: tombstone the old row's entries, append a
     // part with the re-embedded row's (indexer.delete + add — never a
     // rebuild for a single-chunk update; the same-commit append
@@ -853,10 +934,13 @@ class LibraryCatalog(
     val op =
       if (newText.isEmpty) CarryArtifacts
       else incrementalIndexRows(m, name, updated) match {
-        case Some(newRows) => PatchIndex(Some(newRows), Some(idsDf(Seq(id))))
+        case Some(newRows) => PatchIndex(Some(newRows), Some(InlineIds(Seq(id))))
         case None          => CarryArtifacts // no index to maintain
       }
-    commitDelta(m, bucketRows, Some(Set(b)), op)
+    commitDelta(m, bucketRows, Some(Set(b)), op,
+      postWrite = () =>
+        if (obs.get("hits").asInstanceOf[Long] == 0L)
+          throw new NoSuchElementException(s"chunk not found: $id"))
   }
 
   // (only createLibrary and rebuildIndex compute a full index; every
@@ -875,19 +959,29 @@ class LibraryCatalog(
     val m = requireMeta(name)
     val all = chunks(name)
     val matches = coalesce(pred, lit(false))
-    val affected = all.where(matches)
-      .select(bucketCol(m.buckets).as("__b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    // rewrite only the buckets holding matching rows (read via the
-    // manifest, file-pruned), with the replace applied; untouched
-    // buckets — and the whole index — are referenced, not copied
-    val bucketRows = chunksInBuckets(name, m, affected)
-      .withColumn(
-        "metadata",
-        when(matches,
-          newMetadata.withField("created_at", col("metadata.created_at")))
-          .otherwise(col("metadata")))
-    commitDelta(m, bucketRows, Some(affected), CarryArtifacts)
+    // one fused probe job finds the affected buckets (and skips the
+    // commit entirely when nothing matches); past the cap, fall back to
+    // the distributed distinct — the probe only needs the bucket SET
+    val affected = probeMatches(all, matches, m.buckets) match {
+      case Some(hits) => hits.map(_._2).toSet
+      case None =>
+        all.where(matches)
+          .select(bucketCol(m.buckets).as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+    }
+    if (affected.isEmpty) m // nothing matched: no new version
+    else {
+      // rewrite only the buckets holding matching rows (read via the
+      // manifest, file-pruned), with the replace applied; untouched
+      // buckets — and the whole index — are referenced, not copied
+      val bucketRows = chunksInBuckets(name, m, affected)
+        .withColumn(
+          "metadata",
+          when(matches,
+            newMetadata.withField("created_at", col("metadata.created_at")))
+            .otherwise(col("metadata")))
+      commitDelta(m, bucketRows, Some(affected), CarryArtifacts)
+    }
   }
 
   /** M7: delete a document — cascade to all its chunks + reindex

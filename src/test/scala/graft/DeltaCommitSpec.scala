@@ -68,13 +68,26 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!new java.io.File(libRoot, s"$v1/index_deletes").exists())
   }
 
+  /** Tombstone ids of a version, whichever form the commit chose:
+    * driver-inlined ids.txt (small deletes) or a parquet part. */
+  private def tombstoneIds(v: String): Seq[String] = {
+    val inline = new java.io.File(libRoot, s"$v/index_deletes/ids.txt")
+    if (inline.exists())
+      scala.io.Source.fromFile(inline, "UTF-8").getLines().toSeq
+    else
+      spark.read.parquet(s"${libRoot}/$v/index_deletes")
+        .collect().map(_.getString(0)).toSeq
+  }
+
   test("delete writes a tombstone part, not a rewritten index") {
     val before = versionDirs.max
     catalog.deleteChunks("dlib", Seq("c3"))
     val v = versionDirs.max
-    // tombstone part exists and holds exactly the deleted id
-    val dels = spark.read.parquet(s"${libRoot}/$v/index_deletes")
-    assert(dels.collect().map(_.getString(0)).toSeq === Seq("c3"))
+    // tombstone exists, holds exactly the deleted id, and a point delete
+    // writes it INLINE from the driver — no Spark job for one id
+    assert(new java.io.File(libRoot, s"$v/index_deletes/ids.txt").exists(),
+      "a driver-known small delete must inline its tombstone")
+    assert(tombstoneIds(v) === Seq("c3"))
     // no index part was written in this version (no rewrite)
     assert(!new java.io.File(libRoot, s"$v/index").exists())
     assert(refsOf(v)("index") === refsOf(before)("index"))
@@ -108,8 +121,7 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     // the commit wrote BOTH a fresh part for c7 and a tombstone for c7
     val part = spark.read.parquet(s"${libRoot}/$v/index")
     assert(part.select("id").distinct().collect().map(_.getString(0)).toSet === Set("c7"))
-    val dels = spark.read.parquet(s"${libRoot}/$v/index_deletes")
-    assert(dels.collect().map(_.getString(0)).toSeq === Seq("c7"))
+    assert(tombstoneIds(v) === Seq("c7"))
     // reconciliation: exactly ONE signature set per table for c7 — the
     // new one (old part rows dropped, same-version part rows kept)
     val idx = catalog.indexTable("dlib").get
