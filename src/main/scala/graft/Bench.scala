@@ -27,6 +27,12 @@ object Bench {
       // many small parquet tables, and commit latency, not bandwidth,
       // dominates them
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // size small reduce sides by BYTES, not local parallelism: the many
+      // sub-64MB shuffles here otherwise schedule 32 tasks each, and task
+      // overhead — not bandwidth — dominates them (this is the setting's
+      // documented production recommendation; large shuffles still fan
+      // out by bytes, so nothing changes at 100 TB)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -513,6 +513,44 @@ object SparkEntry {
         .withColumn("n_index_diff", lit(nIndexDiff))
         .orderBy("source")
     }),
+    // ---- time travel over the versioned catalog (S2's design,
+    //      beyond-parity): read a library AS OF a previous version.
+    //      Built once per code version+sf: create (v0), then delete a
+    //      slice (v1). The query aggregates BOTH snapshots — the
+    //      pre-delete rows must read back bit-for-bit from the old
+    //      version's immutable manifest while the current version
+    //      serves the post-delete state. Oracle = the same two set
+    //      algebras over the base table. ----
+    "q_time_travel" -> ((s, dir) => {
+      import graft.catalog.{LibraryCatalog, Models}
+      val cat = new LibraryCatalog(s, cachePath("tt_wh", dir))
+      if (!cat.exists("tt_demo")) {
+        val src = t(s, dir, "documents")
+          .where(pmod(col("doc_id"), lit(5)) === 0)
+          .select(
+            concat(lit("c"), col("doc_id")).as("id"),
+            concat(lit("d"), pmod(col("doc_id"), lit(20))).as("document_id"),
+            col("text"),
+            struct(
+              col("lang").as("source"),
+              lit(null).cast("timestamp").as("created_at"),
+              array(col("lang")).as("tags"),
+              lit(null).cast("string").as("author"),
+              lit(null).cast("string").as("title"),
+              lit(null).cast("string").as("description"),
+              pmod(col("doc_id"), lit(10)).cast("int").as("page")).as("metadata"))
+        cat.createLibrary("tt_demo", Models.FlatIndexer, src, overwrite = true)
+        cat.deleteChunksWhere("tt_demo", col("metadata.page") === 0)
+      }
+      val v = cat.readMeta("tt_demo").get.version
+      def snap(label: String, df: DataFrame) =
+        df.select(lit(label).as("snap"), length(col("text")).as("len"))
+      snap("as_of_v0", cat.chunksAt("tt_demo", v - 1))
+        .unionByName(snap("current", cat.chunks("tt_demo")))
+        .groupBy("snap")
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("sum_len"))
+        .orderBy("snap")
+    }),
     // ---- the FULL catalog search read path, end to end: build a
     //      library from the documents table (persist to parquet), search
     //      a query text with a tag post-filter through
@@ -1333,6 +1371,17 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS n_null_created,
         |       CAST(0 AS BIGINT) AS n_index_diff
         |FROM m7 GROUP BY source ORDER BY source""".stripMargin,
+    "q_time_travel" ->
+      """WITH base AS (
+        |  SELECT 'c'||doc_id AS id, trim(text) AS text, (doc_id%10) AS page
+        |  FROM documents
+        |  WHERE (doc_id%5) = 0 AND length(trim(text)) > 0)
+        |SELECT 'as_of_v0' AS snap, count(*) AS n,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len FROM base
+        |UNION ALL
+        |SELECT 'current', count(*),
+        |       CAST(sum(length(text)) AS BIGINT) FROM base WHERE page <> 0
+        |ORDER BY snap""".stripMargin,
     "q_ivf_knn" -> {
       val p = IvfIndex.Params()
       val k = 10

@@ -17,6 +17,8 @@ object Verify {
       // many small parquet tables, and commit latency, not bandwidth,
       // dominates them
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // bytes-sized small reduce sides (see Bench.scala for rationale)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,6 +27,8 @@ object SparkSpec {
       // many small parquet tables, and commit latency, not bandwidth,
       // dominates them
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // bytes-sized small reduce sides (see Bench.scala for rationale)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate()
