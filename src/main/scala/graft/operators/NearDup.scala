@@ -226,8 +226,10 @@ object NearDup {
       minCosine: Double = 0.999999,
       maxBucket: Int = 5000): DataFrame = {
     val capped = capBuckets(sig, Seq("table_idx", "sig"), idCol, maxBucket)
-    // pairs checkpointed: the verify joins consume them twice, and they
-    // are small by construction (bucketed + capped)
+    // the verify below is a LINEAR join chain — pairs stream through it
+    // once, so nothing is materialized (a localCheckpoint here measured
+    // ~25% slower at sf0.1 AND pinned the pair set in executor memory,
+    // the one thing a 100 TB run can't afford)
     val pairs = capped
       .select(col(idCol).as("id_a"), col("table_idx"), col("sig"))
       .join(
@@ -236,7 +238,6 @@ object NearDup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-      .localCheckpoint(true)
     val withVecs = pairs
       .join(df.select(col(idCol).as("id_a"), col(embCol).as("__va")), Seq("id_a"))
       .join(df.select(col(idCol).as("id_b"), col(embCol).as("__vb")), Seq("id_b"))
