@@ -265,6 +265,31 @@ object SparkEntry {
           col("doc_id"),
           size(split(col("text"), " ", -1)).as("n_tokens"),
           col("n_chars"))),
+    // ---- training-pipeline: sequence packing — assign documents to
+    //      fixed token-budget training sequences (budget 512 ws-tokens)
+    //      and emit the packed-sequence manifest (docs + token fill per
+    //      sequence). SHARDED running sum: the assignment window
+    //      parallelizes per shard (never a global single-partition
+    //      window), and the manifest groupBy reuses the shard
+    //      partitioning — ONE shuffle end to end at any scale. Docs
+    //      straddling a boundary go to the earlier sequence (the
+    //      standard doc-level packing approximation). ----
+    "q_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          pmod(col("doc_id"), lit(16)).as("shard"),
+          size(split(col("text"), " ", -1)).as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("seq",
+          floor((col("cum") - col("tokens")) / lit(512.0)).cast("long"))
+        .groupBy("shard", "seq")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("tokens").cast("long").as("sum_tokens"))
+    }),
     // ---- training-pipeline: exact dedup stats. distinct-count goes over
     //      md5(text), NOT raw text: the grouping key shuffled cluster-wide
     //      is 16 bytes instead of whole document bodies. The oracle
@@ -911,6 +936,7 @@ object SparkEntry {
     "q_events_hourly" -> Seq("hour_start", "event_type"),
     "q_user_event_counts" -> Seq("user_id"),
     "q_token_count" -> Seq("doc_id"),
+    "q_pack_sequences" -> Seq("shard", "seq"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
     "q_catalog_search" -> Seq("dist", "id"),
     "q_catalog_documents" -> Seq("id"),
@@ -1050,6 +1076,20 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id, length(string_split(text, ' ')) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id%16 AS shard,
+        |         length(string_split(text, ' ')) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, tokens,
+        |         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT shard,
+        |       CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS seq,
+        |       count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
     "q_train_split" ->
       """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_len,
         |  count(DISTINCT lang) AS n_lang

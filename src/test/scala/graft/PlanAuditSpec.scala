@@ -56,6 +56,18 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!plan.contains("Exchange rangepartitioning"), "global sort planned")
   }
 
+  test("sequence packing: one shuffle — the manifest groupBy reuses the shard partitioning") {
+    val plan = planOf("q_pack_sequences")
+    // the running-sum window shuffles by shard once; the (shard, seq)
+    // aggregation is then co-partitioned (subset rule) and must NOT
+    // shuffle again, at any scale
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"want 1 exchange, got $exchanges:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "no partial aggregation")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned:\n$plan")
+  }
+
   test("as-of join: event_type pushed to both scans, one keyed exchange, no join") {
     val plan = planOf("q_asof_join")
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
