@@ -538,6 +538,60 @@ object SparkEntry {
         .withColumn("n_index_diff", lit(nIndexDiff))
         .orderBy("source")
     }),
+    // ---- maintenance compaction (the OPTIMIZE analog) + the
+    //      describeLibrary read-amplification counters, hash-checked:
+    //      build once per code version+sf — create (v0), append 100
+    //      synthetic chunks (v1 delta), predicate-delete a slice (v2,
+    //      tombstone) — then compactLibrary. The query aggregates the
+    //      compacted content (the oracle's set algebra proves compaction
+    //      changed NOTHING) and pins the post-compaction layout floor:
+    //      one leaf per bucket, one index part, zero tombstones. ----
+    "q_compaction" -> ((s, dir) => {
+      import graft.catalog.{LibraryCatalog, Models}
+      val cat = new LibraryCatalog(s, cachePath("cmp_wh", dir))
+      if (!cat.exists("cmp_demo")) {
+        val src = t(s, dir, "documents")
+          .where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(
+            concat(lit("c"), col("doc_id")).as("id"),
+            concat(lit("d"), pmod(col("doc_id"), lit(25))).as("document_id"),
+            col("text"),
+            struct(
+              col("lang").as("source"),
+              lit(null).cast("timestamp").as("created_at"),
+              array(col("lang")).as("tags"),
+              lit(null).cast("string").as("author"),
+              lit(null).cast("string").as("title"),
+              lit(null).cast("string").as("description"),
+              pmod(col("doc_id"), lit(10)).cast("int").as("page")).as("metadata"))
+        cat.createLibrary("cmp_demo", Models.LshIndexer, src, overwrite = true)
+        val extra = s.range(100).select(
+          concat(lit("cmp"), col("id")).as("id"),
+          lit("dcmp").as("document_id"),
+          concat(lit("compaction demo chunk "), col("id")).as("text"),
+          struct(
+            lit("synthetic").as("source"),
+            lit(null).cast("timestamp").as("created_at"),
+            array(lit("synthetic")).as("tags"),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("title"),
+            lit(null).cast("string").as("description"),
+            lit(null).cast("int").as("page")).as("metadata"))
+        cat.addChunks("cmp_demo", extra)
+        cat.deleteChunksWhere("cmp_demo", col("metadata.page") === 1)
+        cat.compactLibrary("cmp_demo")
+      }
+      val d = cat.describeLibrary("cmp_demo")
+      cat.chunks("cmp_demo")
+        .groupBy(col("metadata.source").as("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("long").as("sum_len"))
+        .withColumn("max_leaves_per_bucket", lit(d.maxLeavesPerBucket.toLong))
+        .withColumn("index_parts", lit(d.indexParts.toLong))
+        .withColumn("tombstone_parts", lit(d.indexDeleteParts.toLong))
+        .orderBy("source")
+    }),
     // ---- time travel over the versioned catalog (S2's design,
     //      beyond-parity): read a library AS OF a previous version.
     //      Built once per code version+sf: create (v0), then delete a
@@ -1411,6 +1465,23 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS n_null_created,
         |       CAST(0 AS BIGINT) AS n_index_diff
         |FROM m7 GROUP BY source ORDER BY source""".stripMargin,
+    "q_compaction" ->
+      """WITH raw AS (
+        |  SELECT trim(text) AS text, lang AS source, (doc_id%10) AS page
+        |  FROM documents
+        |  WHERE (doc_id%3) = 0 AND length(trim(text)) > 0),
+        |added AS (
+        |  SELECT 'compaction demo chunk '||i AS text, 'synthetic' AS source,
+        |         NULL AS page
+        |  FROM range(0,100) t(i)),
+        |merged AS (SELECT * FROM raw UNION ALL SELECT * FROM added),
+        |kept AS (SELECT * FROM merged WHERE page IS NULL OR page <> 1)
+        |SELECT source, count(*) AS n,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |       CAST(1 AS BIGINT) AS max_leaves_per_bucket,
+        |       CAST(1 AS BIGINT) AS index_parts,
+        |       CAST(0 AS BIGINT) AS tombstone_parts
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     "q_time_travel" ->
       """WITH base AS (
         |  SELECT 'c'||doc_id AS id, trim(text) AS text, (doc_id%10) AS page
