@@ -1,7 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, EqualTo, Expression, Literal, Or, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Cast, EqualTo, Expression, LessThan, Literal, Or, ScalarSubquery, SortOrder}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.internal.SQLConf
@@ -20,13 +22,23 @@ import graft.operators.LshIndex
   * probe + exact re-rank — the same plan LshIndex.search builds by
   * hand, chosen by the optimizer instead of the caller.
   *
+  * The runtime path's under-k fallback is preserved: the injected
+  * filter is `candidate_count < k OR signature_match`, where
+  * candidate_count is an uncorrelated scalar subquery counting the
+  * probe's bucket members. An under-filled probe degenerates the
+  * predicate to literally-true row-by-row — the exact full scan — so
+  * the rewrite can never return fewer rows than the exact plan. The
+  * honest cost: the count is one extra signature pass over the child
+  * (a rule has no persisted signature table to count instead; the
+  * catalog path, LshIndex.search, counts materialized candidates).
+  *
   * Semantics are deliberately conf-gated (`spark.graft.ann.probe=true`)
-  * because the rewrite is APPROXIMATE (recall < 1, and — unlike the
-  * runtime path — a rule cannot count candidates, so there is no
-  * under-k fallback). Exactly like the reference, someone must opt into
-  * approximate search; here it's a session conf instead of a per-call
-  * index choice. Installed via `spark.experimental.extraOptimizations`
-  * or an extensions `injectOptimizerRule`.
+  * because the rewrite is APPROXIMATE within its k (recall < 1 when the
+  * bucket holds ≥ k members). Exactly like the reference, someone must
+  * opt into approximate search; here it's a session conf instead of a
+  * per-call index choice. Installed via
+  * `spark.experimental.extraOptimizations` or an extensions
+  * `injectOptimizerRule`.
   */
 object AnnProbeRule extends Rule[LogicalPlan] {
 
@@ -40,13 +52,23 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     case _            => None
   }
 
+  /** Idempotence guard: the optimizer runs extra rules to FIXPOINT, and
+    * the rewritten shape still matches the kNN pattern — without this
+    * check every iteration would stack another probe filter (the fresh
+    * subquery expr-ids keep the predicates from ever comparing equal). */
+  private def alreadyProbed(p: LogicalPlan): Boolean = p match {
+    case Filter(cond, _) => cond.exists(_.isInstanceOf[LshSignature])
+    case _               => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
       case gl @ GlobalLimit(_,
             ll @ LocalLimit(_,
               sort @ Sort(Seq(SortOrder(distAttr, Ascending, _, _), _*), true,
-                proj @ Project(projList, child), _))) =>
+                proj @ Project(projList, child), _)))
+          if !alreadyProbed(child) =>
         val distAlias = projList.collectFirst {
           case a @ Alias(VectorDistance(emb, q: Literal, metric), _)
               if a.toAttribute.semanticEquals(distAttr) ||
@@ -62,9 +84,20 @@ object AnnProbeRule extends Rule[LogicalPlan] {
               .map(t =>
                 EqualTo(LshSignature(emb, planes(t)), Literal(sigs(t))): Expression)
               .reduce(Or)
+            // under-k fallback: count the bucket members in an
+            // uncorrelated scalar subquery; an under-filled probe turns
+            // the whole predicate true and the plan is the exact scan
+            val candCount = Aggregate(
+              Nil,
+              Seq(Alias(
+                AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
+                "cand_n")()),
+              Filter(cond, child))
+            val underK: Expression =
+              LessThan(ScalarSubquery(candCount), Cast(gl.limitExpr, LongType))
             gl.copy(child =
               ll.copy(child =
-                sort.copy(child = proj.copy(child = Filter(cond, child)))))
+                sort.copy(child = proj.copy(child = Filter(Or(underK, cond), child)))))
           }
         }.getOrElse(gl)
     }

@@ -58,6 +58,35 @@ class AnnProbeRuleSpec extends SparkSpec with BeforeAndAfterAll {
     } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
   }
 
+  test("under-filled probe falls back to the exact scan (never fewer than k rows)") {
+    spark.conf.set(AnnProbeRule.ConfKey, "true")
+    try {
+      // a far-corner query vector: its sign-buckets hold (almost) no
+      // corpus members, so the probe alone would under-fill k — the
+      // scalar-subquery fallback must widen to the exact scan
+      val far = Array.fill(q0.length)(100.0f)
+      val ps = graft.operators.LshIndex.planes(
+        graft.operators.LshIndex.Params(dim = far.length))
+      val qSigs = ps.map(graft.operators.LshIndex.signatureLocal(far, _))
+      val nCand = emb
+        .where(ps.indices
+          .map(t => graft.operators.LshIndex.signatureCol(col("embedding"), ps(t)) === qSigs(t))
+          .reduce(_ || _))
+        .count()
+      val k = (nCand + 5).toInt // strictly more than the probe can fill
+      val df = FlatKnn.search(emb, far.toSeq, k)
+      assert(df.queryExecution.optimizedPlan.toString.contains("scalar-subquery"),
+        "fallback count subquery missing from the rewritten plan")
+      val got = df.collect()
+      assert(got.length === k, s"probe returned ${got.length} of $k")
+      // and the fallback result is the EXACT top-k
+      spark.conf.set(AnnProbeRule.ConfKey, "false")
+      val exact = FlatKnn.search(emb, far.toSeq, k).collect()
+      assert(got.map(_.getAs[Long]("vec_id")).toSeq ===
+        exact.map(_.getAs[Long]("vec_id")).toSeq)
+    } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
+  }
+
   test("the rewrite leaves non-kNN sorts alone") {
     spark.conf.set(AnnProbeRule.ConfKey, "true")
     try {
