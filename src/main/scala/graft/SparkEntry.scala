@@ -290,6 +290,29 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum("tokens").cast("long").as("sum_tokens"))
     }),
+    // ---- training-pipeline: PII redaction. The fixtures carry no
+    //      natural emails (verified: zero '@' in any text), so the
+    //      query plants two deterministic synthetic addresses per doc
+    //      and then redacts them — the redaction path (match count +
+    //      global replace, pure codegen'd regexp over the scan, no
+    //      shuffle) is exercised for real and the oracle reproduces it
+    //      with the same pattern. ----
+    "q_redact_pii" -> ((s, dir) => {
+      val pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(
+            col("text"), lit(" contact: user"), col("doc_id"),
+            lit("@example.com or UsEr."), col("doc_id"),
+            lit("@mail.example.org")).as("text"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_hits"),
+          length(regexp_replace(col("text"), pat, "<EMAIL>"))
+            .cast("long").as("len_redacted"))
+    }),
     // ---- training-pipeline: exact dedup stats. distinct-count goes over
     //      md5(text), NOT raw text: the grouping key shuffled cluster-wide
     //      is 16 bytes instead of whole document bodies. The oracle
@@ -991,6 +1014,7 @@ object SparkEntry {
     "q_user_event_counts" -> Seq("user_id"),
     "q_token_count" -> Seq("doc_id"),
     "q_pack_sequences" -> Seq("shard", "seq"),
+    "q_redact_pii" -> Seq("doc_id"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
     "q_catalog_search" -> Seq("dist", "id"),
     "q_catalog_documents" -> Seq("id"),
@@ -1130,6 +1154,19 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id, length(string_split(text, ' ')) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_redact_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact: user' || doc_id || '@example.com or UsEr.'
+        |              || doc_id || '@mail.example.org' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_hits,
+        |  CAST(length(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS BIGINT)
+        |    AS len_redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id%16 AS shard,
