@@ -290,6 +290,30 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum("tokens").cast("long").as("sum_tokens"))
     }),
+    // ---- training-pipeline: corpus-vocabulary familiarity scoring
+    //      (the shape of a CCNet-style LM quality filter, made
+    //      integer-exact so the oracle can't drift on float summation
+    //      order): build the top-1024 token vocabulary in ONE bounded
+    //      aggregation (driver-collects 1024 rows — the IVF-centroids
+    //      pattern), then score every document as a pure per-row
+    //      expression against the broadcast map literal — counting
+    //      in-vocab occurrences and frequency-weighted familiarity.
+    //      No join, no shuffle on the scoring side at any scale. ----
+    "q_vocab_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ", -1)
+      val vocab = docs.select(explode(toks).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(1024)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val vm = typedLit(vocab)
+      val counts = transform(toks, tk => coalesce(element_at(vm, tk), lit(0L)))
+      docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(counts, c => c > 0)).cast("long").as("n_invocab"),
+        aggregate(counts, lit(0L), _ + _).as("familiarity"))
+    }),
     // ---- training-pipeline: PII redaction. The fixtures carry no
     //      natural emails (verified: zero '@' in any text), so the
     //      query plants two deterministic synthetic addresses per doc
@@ -1015,6 +1039,7 @@ object SparkEntry {
     "q_token_count" -> Seq("doc_id"),
     "q_pack_sequences" -> Seq("shard", "seq"),
     "q_redact_pii" -> Seq("doc_id"),
+    "q_vocab_score" -> Seq("doc_id"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
     "q_catalog_search" -> Seq("dist", "id"),
     "q_catalog_documents" -> Seq("id"),
@@ -1154,6 +1179,18 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id, length(string_split(text, ' ')) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vocab_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |top AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 1024)
+        |SELECT tok.doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN top.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_invocab,
+        |  CAST(sum(coalesce(top.c, 0)) AS BIGINT) AS familiarity
+        |FROM tok LEFT JOIN top ON tok.t = top.t
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     "q_redact_pii" ->
       """WITH p AS (
         |  SELECT doc_id,
