@@ -715,6 +715,56 @@ object SparkEntry {
       NearDup
         .nearDuplicatePairs(t(s, dir, "documents"))
         .select(col("doc_a"), col("doc_b"), rn(col("jac"), 6).as("jaccard"))),
+    // ---- training-pipeline: near-duplicate CLUSTERS — the step after
+    //      pair generation in a real dedup pipeline (pick one canonical
+    //      doc per connected component, drop the rest). Connected
+    //      components by iterative min-label propagation: each round is
+    //      one shuffle join + one aggregation over (id, label) rows
+    //      ONLY, converging in O(component diameter) rounds — the
+    //      standard scale-out CC shape (GraphX's is the same loop).
+    //      Labels are checkpointed per round (genuinely re-consumed:
+    //      next join + convergence count), edge pairs are a persisted
+    //      artifact (built once per code version + sf — pair generation
+    //      is q_neardup_pairs' job). The members projection is for the
+    //      oracle compare; at 100 TB you keep (id, cluster_rep).
+    //      Oracle = recursive transitive closure over the same edges. ----
+    "q_dedup_clusters" -> ((s, dir) => {
+      val base = cachePath("ndedges", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        NearDup.nearDuplicatePairs(t(s, dir, "documents"))
+          .select(col("doc_a"), col("doc_b"))
+          .write.mode("overwrite").parquet(s"$base/edges")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      val e = s.read.parquet(s"$base/edges")
+      val bi = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(true)
+      var labels = bi.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val prop = bi.join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("lbl"))
+        val next = labels.unionByName(prop)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+          .where(col("lbl") =!= col("old")).count()
+        labels = next
+        rounds += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $rounds rounds")
+      labels
+        .groupBy(col("lbl").as("cluster_rep"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          array_join(
+            transform(sort_array(collect_list(col("id"))), x => x.cast("string")),
+            ",").as("members"))
+    }),
     // ---- K3/T3: HNSW approximate kNN (driver-local graph). The graph
     //      traversal itself isn't SQL-expressible, but its EXPECTED
     //      output is: HNSW ranks by euclidean over L2-NORMALIZED vectors
@@ -1041,6 +1091,7 @@ object SparkEntry {
     "q_redact_pii" -> Seq("doc_id"),
     "q_vocab_score" -> Seq("doc_id"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
+    "q_dedup_clusters" -> Seq("cluster_rep"),
     "q_catalog_search" -> Seq("dist", "id"),
     "q_catalog_documents" -> Seq("id"),
     "q_lang_source_rollup" -> Seq("lang", "source"),
@@ -1066,6 +1117,43 @@ object SparkEntry {
     * BIGINT (DuckDB int32 products would overflow), B^j mod M as
     * literals, fold for the short-doc whole-text hash. Used by the
     * q_fingerprint and q_decontaminate oracles. */
+  /** Shared MinHash near-dup CTE chain (tokens → shingles → minhash →
+    * band keys → candidate pairs → exact-Jaccard `verified` pairs):
+    * the q_neardup_pairs oracle selects thresholded pairs from it, and
+    * the q_dedup_clusters oracle grows a recursive transitive closure
+    * over the same edges. */
+  private lazy val oNearDupVerifiedCtes: String = {
+    val p = NearDup.Params()
+    val r = p.rowsPerBand
+    val bandKey = (1 to r)
+      .map(i => s"sig[${r}*b+$i]::VARCHAR")
+      .mkString(" || '_' || ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk, text FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) < ${p.shingleSize} THEN [text]
+       |         ELSE list_transform(range(1, len(tk)-${p.shingleSize - 2}), i -> ${(0 until p.shingleSize)
+        .map(o => s"tk[i+$o]").mkString(" || ' ' || ")}) END AS shingles
+       |  FROM toks),
+       |mh AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(range(0, ${p.numHashes}), h ->
+       |      list_min(list_transform(shingles, s -> ('0x' || substr(md5((h//4) || '|' || s), 1 + 8*(h%4), 8))::BIGINT))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b, $bandKey AS bandkey
+       |  FROM mh, range(0,${p.bands}) bb(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bandkey = c.bandkey AND a.doc_id < c.doc_id),
+       |verified AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    len(list_intersect(list_distinct(sa.shingles), list_distinct(sc.shingles)))::DOUBLE /
+       |    (len(list_distinct(sa.shingles)) + len(list_distinct(sc.shingles))
+       |      - len(list_intersect(list_distinct(sa.shingles), list_distinct(sc.shingles))))::DOUBLE AS jac
+       |  FROM pairs p JOIN sh sa ON p.doc_a = sa.doc_id JOIN sh sc ON p.doc_b = sc.doc_id)""".stripMargin
+  }
+
   private lazy val oFingerprintCtes: String = {
     import TextAnalysis.{GramB => b, GramM => mM}
     val k = 8
@@ -1482,39 +1570,24 @@ object SparkEntry {
          |SELECT doc_id, n_fp, n_shared,
          |  CAST(n_shared * 4 >= n_fp AS INT) AS contaminated
          |FROM sh ORDER BY n_shared DESC, doc_id LIMIT 100""".stripMargin,
-    "q_neardup_pairs" -> {
-      val p = NearDup.Params()
-      val r = p.rowsPerBand
-      val bandKey = (1 to r)
-        .map(i => s"sig[${r}*b+$i]::VARCHAR")
-        .mkString(" || '_' || ")
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk, text FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(tk) < ${p.shingleSize} THEN [text]
-         |         ELSE list_transform(range(1, len(tk)-${p.shingleSize - 2}), i -> ${(0 until p.shingleSize)
-          .map(o => s"tk[i+$o]").mkString(" || ' ' || ")}) END AS shingles
-         |  FROM toks),
-         |mh AS (
-         |  SELECT doc_id, shingles,
-         |    list_transform(range(0, ${p.numHashes}), h ->
-         |      list_min(list_transform(shingles, s -> ('0x' || substr(md5((h//4) || '|' || s), 1 + 8*(h%4), 8))::BIGINT))) AS sig
-         |  FROM sh),
-         |bands AS (
-         |  SELECT doc_id, b, $bandKey AS bandkey
-         |  FROM mh, range(0,${p.bands}) bb(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bandkey = c.bandkey AND a.doc_id < c.doc_id),
-         |verified AS (
-         |  SELECT p.doc_a, p.doc_b,
-         |    len(list_intersect(list_distinct(sa.shingles), list_distinct(sc.shingles)))::DOUBLE /
-         |    (len(list_distinct(sa.shingles)) + len(list_distinct(sc.shingles))
-         |      - len(list_intersect(list_distinct(sa.shingles), list_distinct(sc.shingles))))::DOUBLE AS jac
-         |  FROM pairs p JOIN sh sa ON p.doc_a = sa.doc_id JOIN sh sc ON p.doc_b = sc.doc_id)
+    "q_neardup_pairs" ->
+      s"""WITH $oNearDupVerifiedCtes
          |SELECT doc_a, doc_b, (round(jac, 6) + 0.0) AS jaccard FROM verified
-         |WHERE jac >= ${p.threshold} ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |WHERE jac >= ${NearDup.Params().threshold} ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $oNearDupVerifiedCtes,
+         |edges AS (SELECT doc_a, doc_b FROM verified
+         |          WHERE jac >= ${NearDup.Params().threshold}),
+         |bi AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+         |       UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM bi
+         |  UNION
+         |  SELECT bi.dst AS id, reach.r FROM reach JOIN bi ON reach.id = bi.src),
+         |lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id)
+         |SELECT lbl AS cluster_rep, count(*) AS n_docs,
+         |  array_to_string(list(id ORDER BY id), ',') AS members
+         |FROM lab GROUP BY lbl ORDER BY lbl""".stripMargin,
     "q_crud_pipeline" ->
       """WITH raw AS (
         |  SELECT 'c'||doc_id AS id, 'd'||(doc_id%50) AS document_id,
