@@ -68,6 +68,17 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"documents scan not pruned:\n$plan")
   }
 
+  test("scan-side scoring queries plan zero exchanges") {
+    // vocab scoring (after the bounded vocab collect) and PII redaction
+    // are pure per-row work: any Exchange here is a regression
+    Seq("q_vocab_score", "q_redact_pii").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q: unexpected shuffle:\n$plan")
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q: documents scan not pruned:\n$plan")
+    }
+  }
+
   test("as-of join: event_type pushed to both scans, one keyed exchange, no join") {
     val plan = planOf("q_asof_join")
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
