@@ -316,5 +316,13 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     // compaction of a compacted library is a no-op shape-wise)
     assert(catalog.chunks("dlib").count() === 71)
     assert(catalog.indexTable("dlib").get.where(col("id") === "c3").isEmpty)
+    // GC'd history is not silently resurrectable: only {vN, vN-1}
+    // survive compaction, so time travel to anything older fails loudly
+    val live = versionDirs.map(_.stripPrefix("v").toLong).sorted
+    intercept[IllegalArgumentException] {
+      catalog.chunksAt("dlib", live.min - 1)
+    }
+    // while the retained previous version still reads back whole
+    assert(catalog.chunksAt("dlib", live.min).count() > 0)
   }
 }
