@@ -83,6 +83,17 @@ object SparkEntry {
         .head()
         .getSeq[Float](0))
 
+  /** q_bm25's fixed query term set (high/mid-frequency corpus tokens —
+    * the synthetic corpus has a 31-token vocabulary, so idf spread comes
+    * from df differences, not rare terms). */
+  private val Bm25Terms = Seq("hash", "join", "window", "spark")
+
+  /** q_pivot_lang_source's pivoted column domain — the generator's fixed
+    * 20 sources, sorted, so the pivot needs no values-discovery job and
+    * both engines emit identical column sets. */
+  private val PivotSources: Seq[String] =
+    (0 until 20).map(i => s"src$i").sorted
+
   /** Shared DuckDB oracle fragments. */
   private val oq = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q"
   private def oDouble(e: String) = s"CAST($e AS DOUBLE)"
@@ -368,6 +379,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
         .orderBy("keep_id")
         .limit(100)),
+    // ---- KMV (k-minimum-values) distinct-count sketch: the mergeable
+    //      cardinality estimator behind theta sketches. Distinct 48-bit
+    //      md5-prefix hashes → k smallest via TakeOrdered (per-partition
+    //      top-k then merge — no global sort), estimate = (k-1)·2^48 /
+    //      kth_min. Only the 8-byte hash ever shuffles; the same query
+    //      emits the exact count so the result row IS the sketch-vs-
+    //      exact comparison. Hash collisions (~n²/2^49) hit both engines
+    //      identically, so the oracle stays bit-green regardless. ----
+    "q_kmv_distinct" -> ((s, dir) => {
+      val h = conv(substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 12),
+        16, 10).cast("long")
+      val li = t(s, dir, "lineitem")
+      val kmin = li.select(h.as("h")).distinct().orderBy("h").limit(256)
+      val sk = kmin.agg(count(lit(1)).as("k_n"), max("h").as("m_k"))
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      sk.crossJoin(exact).select(
+        col("k_n"), col("m_k"),
+        rn((col("k_n") - 1L) * lit(281474976710656.0) / col("m_k"), 4)
+          .as("est_distinct"),
+        col("n_exact"))
+    }),
+    // ---- pivot (cross-tab): docs per (lang × source) with the source
+    //      domain pivoted into columns — explicit value list, so the
+    //      plan is ONE pass of conditional aggregation (no values-
+    //      discovery job, no second shuffle). ----
+    "q_pivot_lang_source" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .pivot("source", PivotSources)
+        .agg(count(lit(1)))
+        .na.fill(0L, PivotSources)),
     // ---- training-pipeline: deterministic hash train/val/test split.
     //      Membership = pmod(md5_prefix_int(doc_id), 100) — a pure
     //      per-row codegen'd filter, no shuffle, no state: the split is
@@ -892,6 +934,18 @@ object SparkEntry {
         .groupBy("win_id")
         .agg(count(lit(1)).as("n_events"), rn(sum("value"), 4).as("total_value"))
     }),
+    // ---- BM25 lexical search: rank documents against a fixed query
+    //      term set. Scan-side term frequencies (size∘filter, no
+    //      explode/inverted index), ONE bounded stats aggregate
+    //      broadcast back, top-k via TakeOrdered. Ordering is on the
+    //      ROUNDED score (ties → doc_id) so a last-ulp ln() difference
+    //      between engines cannot flip the cut. ----
+    "q_bm25" -> ((s, dir) =>
+      graft.functions.Bm25
+        .score(t(s, dir, "documents").select("doc_id", "text"), "text", Bm25Terms)
+        .select(col("doc_id"), rn(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(15)),
     // ---- text analysis: regex ("BPE-ish") vs whitespace token counts ----
     "q_token_bpe" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1146,6 +1200,7 @@ object SparkEntry {
     "q_sessions" -> Seq("user_id"),
     "q_asof_join" -> Seq("event_id"),
     "q_range_join" -> Seq("win_id"),
+    "q_pivot_lang_source" -> Seq("lang"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -1427,6 +1482,25 @@ object SparkEntry {
         |  (round(sum(e.value), 4) + 0.0) AS total_value
         |FROM w JOIN events e ON epoch_ns(e.ts)//1000 BETWEEN w.w_start AND w.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bm25" -> graft.functions.Bm25.oracleSql(Bm25Terms, 15),
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,12))::BIGINT AS h
+        |           FROM lineitem),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |s AS (SELECT count(*) AS k_n, max(h) AS m_k FROM k),
+        |e AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+        |SELECT k_n, m_k,
+        |  (round((k_n - 1) * 281474976710656.0 / m_k, 4) + 0.0) AS est_distinct,
+        |  n_exact
+        |FROM s, e""".stripMargin,
+    "q_pivot_lang_source" -> {
+      val cells = PivotSources
+        .map(src => s"count(*) FILTER (WHERE source = '$src') AS \"$src\"")
+        .mkString(",\n  ")
+      s"""SELECT lang,
+         |  $cells
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_token_bpe" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern}')) AS n_bpe_tokens,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bm25
+
+/** Bm25.score pinned against an independent inverted-index formulation
+  * (explode → per-(doc, term) tf → df join), plus the plan property the
+  * scan-side shape exists for: no join shuffle — the only exchanges are
+  * the one bounded stats aggregate and its broadcast back. */
+class Bm25Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val terms = Seq("hash", "join", "window", "spark")
+  private val k1 = 1.2
+  private val b = 0.75
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "text")
+
+  test("matches the inverted-index formulation") {
+    val fast = Bm25.score(docs, "text", terms)
+      .select(col("doc_id"), col("bm25"))
+      .as[(Long, Double)].collect().toMap
+
+    // independent path: explode tokens, aggregate tf per (doc, term),
+    // join df + corpus stats, sum per-term scores
+    val toks = docs.select(col("doc_id"),
+      size(split(lower(col("text")), " ", -1)).as("dl"),
+      explode(split(lower(col("text")), " ", -1)).as("tok"))
+    val tf = toks.where(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val st = docs.select(size(split(lower(col("text")), " ", -1)).as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val (n, avgdl) = (st.getLong(0), st.getDouble(1))
+    val expected = docs.select(col("doc_id"),
+      size(split(lower(col("text")), " ", -1)).as("dl"))
+      .join(tf, Seq("doc_id"), "left")
+      .join(df, Seq("tok"), "left")
+      .withColumn("s",
+        coalesce(
+          log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf").cast("double") * (k1 + 1.0)) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))),
+          lit(0.0)))
+      .groupBy("doc_id").agg(sum("s").as("bm25"))
+      .as[(Long, Double)].collect().toMap
+
+    assert(fast.keySet === expected.keySet)
+    fast.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-9, s"doc $id: $s vs ${expected(id)}")
+    }
+    // sanity: scores discriminate (not all equal) and are non-negative
+    assert(fast.values.toSet.size > 1)
+    assert(fast.values.forall(_ >= 0.0))
+  }
+
+  test("plan: no join shuffle — stats broadcast over the scoring scan") {
+    val plan = Bm25.score(docs, "text", terms)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+}
