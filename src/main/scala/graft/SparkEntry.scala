@@ -946,6 +946,46 @@ object SparkEntry {
         .select(col("doc_id"), rn(col("bm25"), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(15)),
+    // ---- document chunking: split each document into token windows
+    //      (width 40, stride 20) — the pre-embedding step of every
+    //      RAG/training ingestion pipeline (the reference's "chunks"
+    //      are exactly this, produced upstream). Pure per-row array
+    //      ops: sequence → explode → 1-based slice → join; no shuffle,
+    //      no UDF. Chunk text travels as its md5 so the result stays
+    //      narrow. ----
+    "q_chunk_docs" -> ((s, dir) => {
+      val W = 40
+      val S = 20
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("__tk"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), greatest(size(col("__tk")), lit(1)), lit(S)))
+            .as("__start"),
+          col("__tk"))
+        .select(
+          col("doc_id"),
+          ((col("__start") - 1) / S).cast("long").as("chunk_idx"),
+          size(slice(col("__tk"), col("__start"), lit(W))).as("n_tok"),
+          md5(array_join(slice(col("__tk"), col("__start"), lit(W)), " ")
+            .cast("binary")).as("chunk_hash"))
+    }),
+    // ---- rolling event-count features: per event, how many events the
+    //      same user produced in the preceding hour / day (exclusive) —
+    //      the leakage-safe "past-only" feature window. RANGE frames
+    //      over integer micros: one shuffle on user_id serves both
+    //      widths. Counts only (a float sum's accumulation order inside
+    //      a window frame is engine-specific). ----
+    "q_rolling_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val us = unix_micros(col("ts"))
+      def prevW(micros: Long) = Window.partitionBy("user_id").orderBy("__us")
+        .rangeBetween(-micros, -1L)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), us.as("__us"))
+        .withColumn("n_prev_1h", count(lit(1)).over(prevW(3600L * 1000000L)))
+        .withColumn("n_prev_24h", count(lit(1)).over(prevW(86400L * 1000000L)))
+        .drop("__us")
+    }),
     // ---- text analysis: regex ("BPE-ish") vs whitespace token counts ----
     "q_token_bpe" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1201,6 +1241,8 @@ object SparkEntry {
     "q_asof_join" -> Seq("event_id"),
     "q_range_join" -> Seq("win_id"),
     "q_pivot_lang_source" -> Seq("lang"),
+    "q_chunk_docs" -> Seq("doc_id", "chunk_idx"),
+    "q_rolling_features" -> Seq("event_id"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -1483,6 +1525,26 @@ object SparkEntry {
         |FROM w JOIN events e ON epoch_ns(e.ts)//1000 BETWEEN w.w_start AND w.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bm25" -> graft.functions.Bm25.oracleSql(Bm25Terms, 15),
+    // Both engines slice 1-based; Spark's slice(arr, start, len)
+    // truncates at the array end, the oracle's list_slice gets the
+    // explicit least() bound. chunk_idx = (start-1)//stride.
+    "q_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |st AS (SELECT doc_id, tk,
+        |         unnest(generate_series(1, greatest(len(tk), 1), 20)) AS start
+        |       FROM d)
+        |SELECT doc_id, (start - 1)//20 AS chunk_idx,
+        |  len(list_slice(tk, start, least(start + 39, len(tk)))) AS n_tok,
+        |  md5(array_to_string(list_slice(tk, start, least(start + 39, len(tk))), ' ')) AS chunk_hash
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_rolling_features" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS n_prev_1h,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS n_prev_24h
+        |FROM e ORDER BY event_id""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,12))::BIGINT AS h
         |           FROM lineitem),
