@@ -392,13 +392,15 @@ object SparkEntry {
         16, 10).cast("long")
       val li = t(s, dir, "lineitem")
       val kmin = li.select(h.as("h")).distinct().orderBy("h").limit(256)
-      val sk = kmin.agg(count(lit(1)).as("k_n"), max("h").as("m_k"))
-      val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
-      sk.crossJoin(exact).select(
-        col("k_n"), col("m_k"),
-        rn((col("k_n") - 1L) * lit(281474976710656.0) / col("m_k"), 4)
-          .as("est_distinct"),
-        col("n_exact"))
+      // exact count inlined as a literal (bounded one-row aggregate) so
+      // the returned plan carries no cross join
+      val nExact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+      kmin.agg(count(lit(1)).as("k_n"), max("h").as("m_k"))
+        .select(
+          col("k_n"), col("m_k"),
+          rn((col("k_n") - 1L) * lit(281474976710656.0) / col("m_k"), 4)
+            .as("est_distinct"),
+          lit(nExact).as("n_exact"))
     }),
     // ---- pivot (cross-tab): docs per (lang × source) with the source
     //      domain pivoted into columns — explicit value list, so the

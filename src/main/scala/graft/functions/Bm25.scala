@@ -50,25 +50,28 @@ object Bm25 {
       .withColumns(terms.zipWithIndex.map { case (term, i) =>
         s"__tf$i" -> tf(toks, term)
       }.toMap)
-    // one bounded aggregate: N, total length, and one df per term
+    // one bounded aggregate: N, total length, and one df per term — a
+    // single row, collected and inlined as literals (the vocab-score /
+    // IVF-centroids pattern) so the scoring plan is a pure scan-side
+    // projection with no join node at all
     val statCols =
       count(lit(1)).as("__n") +: sum(col("__dl")).as("__sl") +:
         terms.indices.map(i =>
           sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
-    val stats = withTf.agg(statCols.head, statCols.tail: _*)
-    val avgdl = col("__sl").cast("double") / col("__n")
+    val stats = withTf.agg(statCols.head, statCols.tail: _*).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
     val termScore: Int => Column = { i =>
+      val dfI = stats.getLong(2 + i)
       val tfD = col(s"__tf$i").cast("double")
       val idf = log(lit(1.0) +
-        (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+        (lit(n) - lit(dfI) + lit(0.5)) / (lit(dfI) + lit(0.5)))
       idf * (tfD * (k1 + 1.0)) /
-        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
     }
     withTf
-      .crossJoin(broadcast(stats))
       .withColumn("bm25", terms.indices.map(termScore).reduce(_ + _))
-      .drop("__dl" +: "__n" +: "__sl" +:
-        terms.indices.flatMap(i => Seq(s"__tf$i", s"__df$i")): _*)
+      .drop("__dl" +: terms.indices.map(i => s"__tf$i"): _*)
   }
 
   /** Oracle twin: DuckDB SQL computing the same score over `documents`,

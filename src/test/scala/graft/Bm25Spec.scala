@@ -58,11 +58,10 @@ class Bm25Spec extends SparkSpec {
     assert(fast.values.forall(_ >= 0.0))
   }
 
-  test("plan: no join shuffle — stats broadcast over the scoring scan") {
+  test("plan: scoring is a pure scan-side projection — no join, no exchange") {
     val plan = Bm25.score(docs, "text", terms)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("SortMergeJoin"), plan)
-    assert(!plan.contains("ShuffledHashJoin"), plan)
-    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
   }
 }
