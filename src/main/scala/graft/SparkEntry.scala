@@ -988,6 +988,29 @@ object SparkEntry {
         .withColumn("n_prev_24h", count(lit(1)).over(prevW(86400L * 1000000L)))
         .drop("__us")
     }),
+    // ---- JSON property extraction (events.props is a JSON string):
+    //      get_json_object stays inside whole-stage codegen — no UDF,
+    //      no shuffle beyond the final aggregate. ----
+    "q_parse_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
+    // ---- salted two-phase aggregation, oracle-checked: the hot-key
+    //      GROUP BY escape hatch. The oracle is the PLAIN group-by —
+    //      hash-equality proves salting is semantically invisible.
+    //      Aggregates here are integer-exact (count/sum/max of JSON
+    //      ints), so partial-combine order cannot drift the result. ----
+    "q_salted_agg" -> ((s, dir) =>
+      graft.operators.Salting.saltedAggregate(
+        events(s, dir).select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+        keys = Seq("user_id"),
+        aggs = Seq(
+          "n_events" -> ("k", "count"),
+          "sum_k" -> ("k", "sum"),
+          "max_k" -> ("k", "max")))),
     // ---- text analysis: regex ("BPE-ish") vs whitespace token counts ----
     "q_token_bpe" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1245,6 +1268,8 @@ object SparkEntry {
     "q_pivot_lang_source" -> Seq("lang"),
     "q_chunk_docs" -> Seq("doc_id", "chunk_idx"),
     "q_rolling_features" -> Seq("event_id"),
+    "q_parse_props" -> Seq("event_type"),
+    "q_salted_agg" -> Seq("user_id"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -1527,6 +1552,18 @@ object SparkEntry {
         |FROM w JOIN events e ON epoch_ns(e.ts)//1000 BETWEEN w.w_start AND w.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bm25" -> graft.functions.Bm25.oracleSql(Bm25Terms, 15),
+    "q_parse_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle is the UNSALTED group-by: hash equality proves the
+    // salted two-phase rewrite is semantically invisible
+    "q_salted_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Both engines slice 1-based; Spark's slice(arr, start, len)
     // truncates at the array end, the oracle's list_slice gets the
     // explicit least() bound. chunk_idx = (start-1)//stride.
