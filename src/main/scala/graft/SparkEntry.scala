@@ -379,6 +379,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
         .orderBy("keep_id")
         .limit(100)),
+    // ---- correlation from exact integer moments: naive float moment
+    //      sums are non-associative (Spark's own corr() is partial-
+    //      order-dependent, so no two runs need agree at the ulp). The
+    //      deterministic-at-scale shape: quantize to integers per row,
+    //      aggregate EXACT int64 moment sums (one map-side-combined
+    //      pass), form Pearson's r from the six sums in one fixed-order
+    //      double expression. Any cluster size, any partitioning → the
+    //      same bits. ----
+    "q_corr_moments" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity"), 0).cast("long").as("q"),
+          round(col("l_extendedprice"), 0).cast("long").as("p"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("q").as("sx"), sum("p").as("sy"),
+          sum(col("q") * col("q")).as("sxx"),
+          sum(col("p") * col("p")).as("syy"),
+          sum(col("q") * col("p")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          rn((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+            .as("corr_qp"))
+    }),
     // ---- KMV (k-minimum-values) distinct-count sketch: the mergeable
     //      cardinality estimator behind theta sketches. Distinct 48-bit
     //      md5-prefix hashes → k smallest via TakeOrdered (per-partition
@@ -1270,6 +1296,7 @@ object SparkEntry {
     "q_rolling_features" -> Seq("event_id"),
     "q_parse_props" -> Seq("event_type"),
     "q_salted_agg" -> Seq("user_id"),
+    "q_corr_moments" -> Seq("l_returnflag"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -1584,6 +1611,24 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY user_id ORDER BY us
         |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS n_prev_24h
         |FROM e ORDER BY event_id""".stripMargin,
+    // moment sums stay exact integers; every double op after them is a
+    // fixed-order expression both engines evaluate identically
+    "q_corr_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS sx, CAST(sum(p) AS DOUBLE) AS sy,
+        |    CAST(sum(q*q) AS DOUBLE) AS sxx, CAST(sum(p*p) AS DOUBLE) AS syy,
+        |    CAST(sum(q*p) AS DOUBLE) AS sxy
+        |  FROM (SELECT l_returnflag,
+        |          CAST(round(l_quantity, 0) AS BIGINT) AS q,
+        |          CAST(round(l_extendedprice, 0) AS BIGINT) AS p
+        |        FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |         sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |              (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0) AS corr_qp
+        |FROM m ORDER BY 1""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,12))::BIGINT AS h
         |           FROM lineitem),
