@@ -79,6 +79,27 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("round-5 shapes: chunking scan-side, rolling one exchange, bm25 join-free top-k") {
+    // document chunking is explode+slice per row — a shuffle would mean
+    // the operator stopped being embarrassingly parallel
+    assert(!planOf("q_chunk_docs").contains("Exchange"),
+      s"q_chunk_docs: unexpected shuffle:\n${planOf("q_chunk_docs")}")
+    // both rolling windows share the user_id partitioning: ONE exchange
+    val roll = planOf("q_rolling_features")
+    assert("Exchange hashpartitioning".r.findAllIn(roll).length === 1,
+      s"rolling features must reuse one keyed exchange:\n$roll")
+    // bm25: stats are inlined literals, so the ranked output is a
+    // TakeOrdered over a pure projection — no join node anywhere
+    val bm = planOf("q_bm25")
+    assert(bm.contains("TakeOrderedAndProject"), s"q_bm25: no top-k:\n$bm")
+    assert(!bm.contains("Join"), s"q_bm25: unexpected join:\n$bm")
+    // range join: the bucketed equi-join, never a nested loop (blanket
+    // no-BNLJ test covers it too; this pins the positive shape)
+    val rj = planOf("q_range_join")
+    assert(rj.contains("BroadcastHashJoin") || rj.contains("SortMergeJoin") ||
+      rj.contains("ShuffledHashJoin"), s"q_range_join: no equi-join in plan:\n$rj")
+  }
+
   test("as-of join: event_type pushed to both scans, one keyed exchange, no join") {
     val plan = planOf("q_asof_join")
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
