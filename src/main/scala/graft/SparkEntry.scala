@@ -799,6 +799,21 @@ object SparkEntry {
       NearDup
         .nearDuplicatePairs(t(s, dir, "documents"))
         .select(col("doc_a"), col("doc_b"), rn(col("jac"), 6).as("jaccard"))),
+    // ---- incremental near-dup: dedupe an INCOMING batch (odd doc_ids)
+    //      against the EXISTING corpus (even doc_ids) — band-key join
+    //      between the sides, never a corpus self-join. The oracle
+    //      re-derives the full verified-pair set in SQL and keeps only
+    //      the cross-side pairs: hash equality proves the incremental
+    //      path finds exactly the pairs the batch formulation would. ----
+    "q_neardup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      NearDup
+        .incrementalNearDupPairs(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          docs.where(pmod(col("doc_id"), lit(2)) === 1))
+        .select(col("id_new").as("doc_new"), col("id_old").as("doc_old"),
+          rn(col("jac"), 6).as("jaccard"))
+    }),
     // ---- training-pipeline: near-duplicate CLUSTERS — the step after
     //      pair generation in a real dedup pipeline (pick one canonical
     //      doc per connected component, drop the rest). Connected
@@ -1275,6 +1290,7 @@ object SparkEntry {
     "q_redact_pii" -> Seq("doc_id"),
     "q_vocab_score" -> Seq("doc_id"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
+    "q_neardup_incremental" -> Seq("doc_new", "doc_old"),
     "q_dedup_clusters" -> Seq("cluster_rep"),
     "q_catalog_search" -> Seq("dist", "id"),
     "q_catalog_documents" -> Seq("id"),
@@ -1851,6 +1867,16 @@ object SparkEntry {
       s"""WITH $oNearDupVerifiedCtes
          |SELECT doc_a, doc_b, (round(jac, 6) + 0.0) AS jaccard FROM verified
          |WHERE jac >= ${NearDup.Params().threshold} ORDER BY doc_a, doc_b""".stripMargin,
+    // cross-side restriction of the SAME verified-pair derivation: the
+    // incremental operator must find exactly the batch pipeline's pairs
+    "q_neardup_incremental" ->
+      s"""WITH $oNearDupVerifiedCtes
+         |SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_new,
+         |       CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS doc_old,
+         |       (round(jac, 6) + 0.0) AS jaccard
+         |FROM verified
+         |WHERE jac >= ${NearDup.Params().threshold} AND (doc_a % 2) <> (doc_b % 2)
+         |ORDER BY doc_new, doc_old""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $oNearDupVerifiedCtes,
          |edges AS (SELECT doc_a, doc_b FROM verified

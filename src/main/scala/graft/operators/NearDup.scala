@@ -181,6 +181,50 @@ object NearDup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jac"))
   }
 
+  /** Incremental near-dup: candidates between an INCOMING batch and an
+    * EXISTING corpus only — the shape a growing corpus actually needs.
+    * A full self-join re-pays O(corpus) band work per ingest; here the
+    * corpus side contributes band rows once (at 100 TB: the persisted
+    * band table of the current corpus version, exactly like the
+    * catalog's LSH signature table) and the batch side joins into it,
+    * so cost per ingest is O(batch + matched buckets). Same-side pairs
+    * are intentionally NOT emitted (in-batch dup handling is the batch's
+    * own pre-dedup; corpus-internal pairs were found when those docs
+    * were ingested). The existing side's buckets are capped as usual;
+    * an incoming doc landing in a capped-out bucket still verifies
+    * against the bucket's retained members.
+    *
+    * Returns (id_new, id_old, jac) for pairs at-or-above threshold. */
+  def incrementalNearDupPairs(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      p: Params = Params()): DataFrame = {
+    val exSh = docShingles(existing, idCol, textCol, p)
+    val inSh = docShingles(incoming, idCol, textCol, p)
+    val exBands = capBuckets(
+      bandRows(exSh, idCol, p), Seq("band", "band_key"), idCol, p.maxBucket)
+    val pairs = bandRows(inSh, idCol, p)
+      .select(col(idCol).as("id_new"), col("band"), col("band_key"))
+      .join(
+        exBands.select(col(idCol).as("id_old"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select("id_new", "id_old")
+      .distinct()
+    val verified = pairs
+      .join(inSh.select(col(idCol).as("id_new"), col("shingles").as("sh_a")), Seq("id_new"))
+      .join(exSh.select(col(idCol).as("id_old"), col("shingles").as("sh_b")), Seq("id_old"))
+    val da = array_distinct(col("sh_a"))
+    val db = array_distinct(col("sh_b"))
+    val inter = size(array_intersect(da, db)).cast("double")
+    val jac = inter / (size(da) + size(db) - inter).cast("double")
+    verified
+      .withColumn("jac", jac)
+      .where(col("jac") >= p.threshold)
+      .select(col("id_new"), col("id_old"), col("jac"))
+  }
+
   /** Reference LSH params for the semantic-dedup signature table:
     * 16-bit signatures. Measured tradeoff on the fixtures: 24 bits cuts
     * the ~70k bucket-collision candidates 256x but LOSES 15 of 51 true
