@@ -405,6 +405,36 @@ object SparkEntry {
               (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
             .as("corr_qp"))
     }),
+    // ---- grouped embedding centroids WITHOUT float drift: element-wise
+    //      mean per label via posexplode → exact int64 sums of 1e6-
+    //      quantized components (map-side combine collapses each
+    //      partition to |labels|·dim rows before the shuffle), mean as
+    //      one fixed-order double expression at the end. The naive
+    //      sum-of-float-arrays is partial-order-dependent; this is the
+    //      deterministic k-means/centroid building block. ----
+    "q_label_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v").cast("double") * 1000000.0, 0).cast("long")).as("sq"))
+        .select(col("label"), col("dim"), col("n"),
+          rn(col("sq").cast("double") / col("n") / 1000000.0, 6).as("mean_v"))),
+    // ---- per-group min-max feature normalization: one event_type
+    //      shuffle serves both extrema; scaling is exact-selection
+    //      (min/max) + a fixed-order scalar — no float accumulation. ----
+    "q_normalize_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+      events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("__mn", min("value").over(w))
+        .withColumn("__mx", max("value").over(w))
+        .select(col("event_id"), col("event_type"),
+          rn(when(col("__mx") === col("__mn"), 0.0)
+            .otherwise((col("value") - col("__mn")) / (col("__mx") - col("__mn"))), 6)
+            .as("value_scaled"))
+    }),
     // ---- KMV (k-minimum-values) distinct-count sketch: the mergeable
     //      cardinality estimator behind theta sketches. Distinct 48-bit
     //      md5-prefix hashes → k smallest via TakeOrdered (per-partition
@@ -1313,6 +1343,8 @@ object SparkEntry {
     "q_parse_props" -> Seq("event_type"),
     "q_salted_agg" -> Seq("user_id"),
     "q_corr_moments" -> Seq("l_returnflag"),
+    "q_label_centroids" -> Seq("label", "dim"),
+    "q_normalize_features" -> Seq("event_id"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -1627,6 +1659,28 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY user_id ORDER BY us
         |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS n_prev_24h
         |FROM e ORDER BY event_id""".stripMargin,
+    // parallel unnests zip in DuckDB, giving the 0-based dim to pair
+    // with Spark's posexplode; quantized sums are exact int64 so the
+    // shuffle's combine order can't show
+    "q_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, len(embedding))) - 1 AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT label, dim, count(*) AS n,
+        |  (round(CAST(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |         / count(*) / 1000000.0, 6) + 0.0) AS mean_v
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q_normalize_features" ->
+      """WITH w AS (
+        |  SELECT event_id, event_type, value,
+        |    min(value) OVER (PARTITION BY event_type) AS mn,
+        |    max(value) OVER (PARTITION BY event_type) AS mx
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |  (round(CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END, 6) + 0.0) AS value_scaled
+        |FROM w ORDER BY event_id""".stripMargin,
     // moment sums stay exact integers; every double op after them is a
     // fixed-order expression both engines evaluate identically
     "q_corr_moments" ->
