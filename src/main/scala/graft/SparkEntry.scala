@@ -88,6 +88,11 @@ object SparkEntry {
     * from df differences, not rare terms). */
   private val Bm25Terms = Seq("hash", "join", "window", "spark")
 
+  /** q_mixture_sample's target language proportions (relative weights —
+    * the training-mix recipe). */
+  private val MixtureWeights: Map[String, Long] =
+    Map("en" -> 4L, "es" -> 2L, "fr" -> 1L, "de" -> 1L, "zh" -> 2L)
+
   /** q_pivot_lang_source's pivoted column domain — the generator's fixed
     * 20 sources, sorted, so the pivot needs no values-discovery job and
     * both engines emit identical column sets. */
@@ -523,6 +528,45 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_len"))
         .orderBy("lang")
+    }),
+    // ---- training-mix sampling: resample the corpus toward TARGET
+    //      language proportions (the "data mixing" step of LLM training
+    //      runs — e.g. upweight en, downweight the rest). Capacity
+    //      scale t = min_l (n_l·10000 DIV w_l) maximizes data use while
+    //      every per-lang keep-rate stays ≤ 1; acceptance is the usual
+    //      reproducible md5-threshold, thresholds all integer. ----
+    "q_mixture_sample" -> ((s, dir) => {
+      val weights = typedLit(MixtureWeights)
+      val docs = t(s, dir, "documents")
+      val thr = docs.groupBy("lang").agg(count(lit(1)).as("__n"))
+        .withColumn("__w", weights(col("lang")))
+        .withColumn("__t", min(expr("(__n * 10000) DIV __w")).over())
+        .withColumn("__thr", expr("(__t * __w) DIV __n"))
+        .select(col("lang"), col("__thr"))
+      val h = pmod(
+        Embedder.md5Int(concat(lit("m|"), col("doc_id").cast("string"))),
+        lit(10000))
+      docs.join(broadcast(thr), "lang")
+        .where(h < col("__thr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_len"))
+        .orderBy("lang")
+    }),
+    // ---- incremental aggregate maintenance: merging per-partition
+    //      aggregate STATES (count, exact cent sums) over a base and a
+    //      delta equals the full recompute — the Delta-style
+    //      incremental-materialized-view contract, proven by hashing
+    //      against the full-scan oracle. Cents are exact int64 so the
+    //      merge order cannot drift the result. ----
+    "q_incremental_agg" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        round(col("value") * 100.0, 0).cast("long").as("__cents"))
+      def part(df: DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).as("__n"), sum("__cents").as("__sc"))
+      part(ev.where(pmod(col("event_id"), lit(10)) < 8))
+        .unionByName(part(ev.where(pmod(col("event_id"), lit(10)) >= 8)))
+        .groupBy("user_id")
+        .agg(sum("__n").as("n_events"), sum("__sc").as("sum_cents"))
     }),
     // ---- lang rollup (corpus stats) ----
     "q_lang_stats" -> ((s, dir) =>
@@ -1345,6 +1389,7 @@ object SparkEntry {
     "q_corr_moments" -> Seq("l_returnflag"),
     "q_label_centroids" -> Seq("label", "dim"),
     "q_normalize_features" -> Seq("event_id"),
+    "q_incremental_agg" -> Seq("user_id"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -1562,6 +1607,22 @@ object SparkEntry {
         |FROM documents d JOIN t ON d.lang = t.lang
         |WHERE ('0x'||substr(md5('b|'||d.doc_id::VARCHAR),1,8))::BIGINT % 10000 < t.thr
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_mixture_sample" -> {
+      val vals = MixtureWeights.toSeq.sorted
+        .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |w AS (SELECT * FROM (VALUES $vals) AS w(lang, wt)),
+         |x AS (SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang)),
+         |thr AS (SELECT lang, ((SELECT min((n * 10000) // wt) FROM x) * wt) // n AS thr FROM x)
+         |SELECT d.lang, count(*) AS n_sampled, CAST(sum(d.n_chars) AS BIGINT) AS sum_len
+         |FROM documents d JOIN thr ON d.lang = thr.lang
+         |WHERE ('0x'||substr(md5('m|'||d.doc_id::VARCHAR),1,8))::BIGINT % 10000 < thr.thr
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
+    "q_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_len
         |FROM (SELECT lang, n_chars,
