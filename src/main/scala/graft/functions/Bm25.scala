@@ -35,6 +35,32 @@ object Bm25 {
   private def tf(toks: Column, term: String): Column =
     size(filter(toks, x => x === lit(term)))
 
+  /** Composed-builtin twin of the fused [[TermCounts]] kernel — the
+    * form the DuckDB oracle mirrors; Bm25Spec pins both equal. */
+  def withTermCountsComposed(docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("__dl", size(toks).cast("long"))
+      .withColumns(terms.zipWithIndex.map { case (term, i) =>
+        s"__tf$i" -> tf(toks, term).cast("long")
+      }.toMap)
+  }
+
+  /** One fused pass: ARRAY<LONG> [tf_0..tf_{K-1}, dl] per row, consumed
+    * through its own projection boundary (a non-cheap expression used
+    * K+1 times blocks CollapseProject) so the text is scanned once. */
+  def withTermCountsFused(docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tc = ColumnBridge.column(
+      TermCounts(ColumnBridge.expression(col(textCol)), terms))
+    docs
+      .withColumn("__tc", tc)
+      .withColumns(terms.indices.map(i =>
+        s"__tf$i" -> element_at(col("__tc"), i + 1)).toMap)
+      .withColumn("__dl", element_at(col("__tc"), terms.size + 1))
+      .drop("__tc")
+  }
+
   /** Adds a `bm25` (double) column scoring `textCol` against `terms`.
     * All input columns pass through. */
   def score(
@@ -44,12 +70,7 @@ object Bm25 {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    val toks = tokens(col(textCol))
-    val withTf = docs
-      .withColumn("__dl", size(toks))
-      .withColumns(terms.zipWithIndex.map { case (term, i) =>
-        s"__tf$i" -> tf(toks, term)
-      }.toMap)
+    val withTf = withTermCountsFused(docs, textCol, terms)
     // one bounded aggregate: N, total length, and one df per term — a
     // single row, collected and inlined as literals (the vocab-score /
     // IVF-centroids pattern) so the scoring plan is a pure scan-side

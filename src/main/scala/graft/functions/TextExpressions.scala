@@ -126,3 +126,76 @@ case class Winnow(child: Expression, w: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.TextFingerprint.winnow($v, $w);")
 }
+
+/** One-pass term-frequency counter for a FIXED query term set: scans
+  * the lowercased text once and returns ARRAY<LONG> of
+  * [tf(term_0), …, tf(term_{K-1}), token_count] — the per-document
+  * numbers BM25 needs. The column composition (K × size∘filter∘split +
+  * one size∘split) allocates the token array per referencing expression
+  * unless common-subexpression elimination happens to fire; this kernel
+  * is one scan, zero allocations beyond the result, and its single
+  * array output is consumed through a projection boundary (multi-use
+  * non-cheap expressions block CollapseProject) so it runs once per row
+  * by construction.
+  *
+  * Tokenization parity: split on every single 0x20 (empty tokens count,
+  * matching `split(text, " ", -1)` / DuckDB `string_split(text, ' ')`),
+  * term compare over lowercased UTF-8 bytes. */
+object TermCounter {
+
+  def counts(s: UTF8String, terms: Array[Array[Byte]]): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val k = terms.length
+    val out = new Array[Long](k + 1)
+    val n = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        out(k) += 1L
+        val len = i - start
+        var t = 0
+        while (t < k) {
+          val tb = terms(t)
+          if (tb.length == len) {
+            var j = 0
+            while (j < len && bytes(start + j) == tb(j)) j += 1
+            if (j == len) out(t) += 1L
+          }
+          t += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  def termBytes(terms: Seq[String]): Array[Array[Byte]] =
+    terms.map(_.toLowerCase.getBytes("UTF-8")).toArray
+}
+
+/** Catalyst wrapper over [[TermCounter.counts]]. */
+case class TermCounts(child: Expression, terms: Seq[String]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "term_counts"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  @transient private lazy val tb = TermCounter.termBytes(terms)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TermCounter.counts(input.asInstanceOf[UTF8String], tb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("termBytes", tb, "byte[][]")
+      s"${ev.value} = graft.functions.TermCounter.counts($v, $ref);"
+    })
+}

@@ -58,6 +58,27 @@ class Bm25Spec extends SparkSpec {
     assert(fast.values.forall(_ >= 0.0))
   }
 
+  test("fused TermCounts kernel == composed size∘filter∘split form") {
+    val fused = Bm25.withTermCountsFused(docs, "text", terms)
+      .select("doc_id", "__dl", "__tf0", "__tf1", "__tf2", "__tf3")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val composed = Bm25.withTermCountsComposed(docs, "text", terms)
+      .select("doc_id", "__dl", "__tf0", "__tf1", "__tf2", "__tf3")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fused === composed)
+    // empty string / consecutive-space semantics (string_split parity)
+    import spark.implicits._
+    val edge = Seq("", "hash  hash", " hash", "HASH Join").toDF("text")
+    val f = Bm25.withTermCountsFused(edge, "text", Seq("hash", "join"))
+      .select("__tf0", "__tf1", "__dl").as[(Long, Long, Long)].collect().toSeq
+    val c = Bm25.withTermCountsComposed(edge, "text", Seq("hash", "join"))
+      .select("__tf0", "__tf1", "__dl").as[(Long, Long, Long)].collect().toSeq
+    assert(f === c)
+    assert(f.head === ((0L, 0L, 1L))) // "" is one empty token
+    assert(f(1) === ((2L, 0L, 3L)))   // double space → empty middle token
+    assert(f(3) === ((1L, 1L, 2L)))   // case-insensitive
+  }
+
   test("plan: scoring is a pure scan-side projection — no join, no exchange") {
     val plan = Bm25.score(docs, "text", terms)
       .queryExecution.executedPlan.toString

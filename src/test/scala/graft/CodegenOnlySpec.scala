@@ -195,4 +195,23 @@ class CodegenOnlySpec extends SparkSpec {
       assert(rows.map(_.getLong(0)).toSeq === expected)
     }
   }
+
+  test("TermCounts compiles under CODEGEN_ONLY and matches the composed form") {
+    import spark.implicits._
+    withCodegenOnly {
+      val terms = Seq("hello", "the")
+      val rows = texts.toDF("t").select(
+        ColumnBridge.column(graft.functions.TermCounts(
+          ColumnBridge.expression(col("t")), terms)).as("fast"),
+        array(
+          size(filter(split(lower(col("t")), " ", -1), x => x === lit("hello"))).cast("long"),
+          size(filter(split(lower(col("t")), " ", -1), x => x === lit("the"))).cast("long"),
+          size(split(lower(col("t")), " ", -1)).cast("long")).as("slow"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Long]]("fast") ===
+          r.getAs[scala.collection.Seq[Long]]("slow"))
+      }
+    }
+  }
 }
