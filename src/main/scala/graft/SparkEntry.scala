@@ -568,6 +568,54 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(sum("__n").as("n_events"), sum("__sc").as("sum_cents"))
     }),
+    // ---- bucketed co-located join, oracle-checked: both sides
+    //      pre-bucketed on the join key at write time (the amortize-
+    //      the-shuffle-once pattern for recurring 100 TB fact-to-fact
+    //      joins), then a sort-merge join that plans NO exchange on
+    //      either input — the only shuffle in the plan is the final
+    //      small groupBy (PlanAuditSpec pins exactly that). Tables are
+    //      rebuilt once per session (the in-memory catalog holds their
+    //      metadata; data lands under spark-warehouse keyed by code
+    //      version + sf dir). ----
+    "q_bucketed_join" -> ((s, dir) => {
+      val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val liT = s"graft_bli_${CacheVersion}_$slug"
+      val ordT = s"graft_bord_${CacheVersion}_$slug"
+      if (!s.catalog.tableExists(liT)) {
+        // a PREVIOUS session's managed-table dir survives under
+        // spark-warehouse while the in-memory catalog metadata doesn't;
+        // clear the location or saveAsTable rejects the name
+        val hconf = s.sparkContext.hadoopConfiguration
+        Seq(liT, ordT).foreach { tn =>
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + "/" + tn)
+          val fs = p.getFileSystem(hconf)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+          .repartition(16, col("l_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liT)
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority")
+          .repartition(16, col("o_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ordT)
+      }
+      s.table(liT)
+        .join(s.table(ordT).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          rn(sum("l_quantity"), 4).as("sum_qty"),
+          rn(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
     // ---- lang rollup (corpus stats) ----
     "q_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1607,6 +1655,12 @@ object SparkEntry {
         |FROM documents d JOIN t ON d.lang = t.lang
         |WHERE ('0x'||substr(md5('b|'||d.doc_id::VARCHAR),1,8))::BIGINT % 10000 < t.thr
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  (round(sum(l.l_quantity), 4) + 0.0) AS sum_qty,
+        |  (round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) + 0.0) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mixture_sample" -> {
       val vals = MixtureWeights.toSeq.sorted
         .map { case (l, w) => s"('$l', $w)" }.mkString(", ")

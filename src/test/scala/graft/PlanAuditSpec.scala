@@ -100,6 +100,17 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       rj.contains("ShuffledHashJoin"), s"q_range_join: no equi-join in plan:\n$rj")
   }
 
+  test("bucketed join: both scans bucketed, no exchange before the join") {
+    val plan = planOf("q_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).length === 2,
+      s"both sides must read bucketed:\n$plan")
+    // the ONLY exchange is the final small groupBy — the join itself
+    // reuses the write-time bucketing
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"bucketed join must not shuffle its inputs:\n$plan")
+  }
+
   test("as-of join: event_type pushed to both scans, one keyed exchange, no join") {
     val plan = planOf("q_asof_join")
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
