@@ -171,6 +171,38 @@ object SparkEntry {
     "q_knn_cosine" -> (knnQuery(Cosine) _),
     "q_knn_dot" -> (knnQuery(DotProduct) _),
     "q_knn_manhattan" -> (knnQuery(Manhattan) _),
+    // ---- hybrid search: reciprocal-rank fusion of the lexical (BM25)
+    //      and vector (exact cosine) rankings — the standard two-tower
+    //      retrieval fusion (RRF, Cormack et al.). Each side is a
+    //      bounded top-50 (TakeOrdered / shuffle-free), ranks are
+    //      assigned by a window over 50 rows, and the fused score
+    //      1/(60+r_bm) + 1/(60+r_knn) is a fixed-order scalar over
+    //      INTEGER ranks — nothing in the fusion can drift between
+    //      engines. Docs ranked by only one side still surface (full
+    //      outer join + coalesce), exactly like production RRF. ----
+    "q_hybrid_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val C = 60
+      val n = 50
+      val bmRank = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val bm = graft.functions.Bm25
+        .score(t(s, dir, "documents").select("doc_id", "text"), "text", Bm25Terms)
+        .select(col("doc_id"), rn(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(n)
+        .withColumn("r_bm", row_number().over(bmRank))
+        .select("doc_id", "r_bm")
+      val knnRank = Window.orderBy(col("dist"), col("vec_id"))
+      val knn = FlatKnn
+        .search(t(s, dir, "embeddings"), queryVec(s, dir), n, Cosine)
+        .withColumn("r_knn", row_number().over(knnRank))
+        .select(col("vec_id").as("doc_id"), col("r_knn"))
+      bm.join(knn, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          rn(coalesce(lit(1.0) / (lit(C) + col("r_bm")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(C) + col("r_knn")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
     // ---- batched kNN: 8 query vectors, ONE corpus pass (per-partition
     //      per-query k-heaps; only partitions × Q × k candidates shuffle
     //      into the final per-query window rank) ----
@@ -1655,6 +1687,28 @@ object SparkEntry {
         |FROM documents d JOIN t ON d.lang = t.lang
         |WHERE ('0x'||substr(md5('b|'||d.doc_id::VARCHAR),1,8))::BIGINT % 10000 < t.thr
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // ranks are integers and the fused score is a fixed-order scalar
+    // over them; 1.0 must be cast — DuckDB's bare 1.0 is DECIMAL and
+    // decimal division would not match Spark's double division
+    "q_hybrid_search" -> {
+      val bmSub = graft.functions.Bm25.oracleSql(Bm25Terms, 50)
+      s"""WITH bmr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+         |  FROM ($bmSub)),
+         |knn50 AS (
+         |  SELECT vec_id AS doc_id, dist_exact FROM (
+         |    SELECT e.vec_id, $oCosine AS dist_exact
+         |    FROM embeddings e, $oq
+         |  ) ORDER BY dist_exact, vec_id LIMIT 50),
+         |knnr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY dist_exact, doc_id) AS r_knn
+         |  FROM knn50)
+         |SELECT doc_id,
+         |  (round(COALESCE(CAST(1.0 AS DOUBLE)/(60 + b.r_bm), 0.0) +
+         |         COALESCE(CAST(1.0 AS DOUBLE)/(60 + k.r_knn), 0.0), 6) + 0.0) AS rrf
+         |FROM bmr b FULL OUTER JOIN knnr k USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
     "q_bucketed_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,
         |  (round(sum(l.l_quantity), 4) + 0.0) AS sum_qty,
