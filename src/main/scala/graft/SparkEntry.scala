@@ -472,6 +472,22 @@ object SparkEntry {
             .otherwise((col("value") - col("__mn")) / (col("__mx") - col("__mn"))), 6)
             .as("value_scaled"))
     }),
+    // ---- order-invariant table fingerprint: count + BIT_XOR of a
+    //      row hash per group — how you verify a 100 TB copy/replica
+    //      without sorting anything: xor is commutative-associative
+    //      (partitioning-independent) and cannot overflow, and the row
+    //      hash is the same md5-prefix both engines compute. One
+    //      map-side-combined pass. ----
+    "q_table_checksum" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          Embedder.md5Int(concat_ws("|",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"),
+            col("l_suppkey").cast("string"))).as("__h"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("xor_hash"))
+        .orderBy("l_returnflag")),
     // ---- KMV (k-minimum-values) distinct-count sketch: the mergeable
     //      cardinality estimator behind theta sketches. Distinct 48-bit
     //      md5-prefix hashes → k smallest via TakeOrdered (per-partition
@@ -1868,6 +1884,13 @@ object SparkEntry {
         |         sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
         |              (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0) AS corr_qp
         |FROM m ORDER BY 1""".stripMargin,
+    // integer columns only in the hashed tuple — float→string
+    // formatting is engine-specific (Java E-notation thresholds), ints
+    // are not
+    "q_table_checksum" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  bit_xor(('0x'||substr(md5(l_orderkey::VARCHAR||'|'||l_linenumber::VARCHAR||'|'||l_suppkey::VARCHAR),1,8))::BIGINT) AS xor_hash
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,12))::BIGINT AS h
         |           FROM lineitem),
