@@ -304,6 +304,18 @@ object SparkEntry {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), rn(sum("value"), 4).as("sum_value"))),
+    // ---- sliding event-time windows (1 h window, 15 min slide): each
+    //      event lands in 4 overlapping windows — Spark's window() with
+    //      a slide, the batch twin of the streaming windowed-agg path.
+    //      The oracle re-derives the window set arithmetically
+    //      (epoch-aligned starts, slide divides duration → exactly 4). ----
+    "q_sliding_windows" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(
+          window(col("ts"), "1 hour", "15 minutes").as("__w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("__w.start").as("win_start"), col("event_type"), col("n"))),
     // ---- A2: counts per group (events per user) ----
     "q_user_event_counts" -> ((s, dir) =>
       events(s, dir)
@@ -1454,6 +1466,7 @@ object SparkEntry {
     "q_semi_customers_with_orders" -> Seq("c_custkey"),
     "q_anti_customers_without_orders" -> Seq("c_custkey"),
     "q_events_hourly" -> Seq("hour_start", "event_type"),
+    "q_sliding_windows" -> Seq("win_start", "event_type"),
     "q_user_event_counts" -> Seq("user_id"),
     "q_token_count" -> Seq("doc_id"),
     "q_pack_sequences" -> Seq("shard", "seq"),
@@ -1633,6 +1646,18 @@ object SparkEntry {
         |  (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin,
+    // slide P = 900e6 µs, duration 4P: the 4 epoch-aligned starts for an
+    // event at t are (t DIV P - 3)·P … (t DIV P)·P — same alignment rule
+    // as Spark's window()
+    "q_sliding_windows" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |x AS (SELECT event_type,
+        |        unnest(generate_series((us//900000000 - 3) * 900000000,
+        |                               (us//900000000) * 900000000,
+        |                               900000000)) AS ws
+        |      FROM e)
+        |SELECT make_timestamp(ws) AS win_start, event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, (round(sum(value), 4) + 0.0) AS sum_value
