@@ -676,6 +676,18 @@ object SparkEntry {
             .as("revenue"))
         .orderBy("o_orderpriority")
     }),
+    // ---- grouped top-k through the CUSTOM OPERATOR (LogicalPlan →
+    //      SparkStrategy → partial/final bounded-heap exec): top-3
+    //      longest docs per lang. Unlike the window form (shuffle all
+    //      rows + sort every group) only partial survivors shuffle and
+    //      nothing sorts; GroupedTopKSpec pins plan + partitioning-
+    //      invariance, the oracle pins values against the window
+    //      formulation. ----
+    "q_grouped_topk" -> ((s, dir) =>
+      graft.plans.GroupedTopK
+        .topKPerGroup(
+          t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+          Seq("lang"), "n_chars", 3, descending = true, tieCol = "doc_id")),
     // ---- lang rollup (corpus stats) ----
     "q_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1499,6 +1511,7 @@ object SparkEntry {
     "q_label_centroids" -> Seq("label", "dim"),
     "q_normalize_features" -> Seq("event_id"),
     "q_incremental_agg" -> Seq("user_id"),
+    "q_grouped_topk" -> Seq("lang", "doc_id"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -1756,6 +1769,12 @@ object SparkEntry {
         |  (round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) + 0.0) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouped_topk" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r
+        |  FROM documents)
+        |WHERE r <= 3 ORDER BY lang, doc_id""".stripMargin,
     "q_mixture_sample" -> {
       val vals = MixtureWeights.toSeq.sorted
         .map { case (l, w) => s"('$l', $w)" }.mkString(", ")

@@ -1,0 +1,157 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Grouped top-k as a first-class operator: LogicalPlan node →
+  * SparkStrategy → partial/final physical pair — the whole-operator
+  * Catalyst extension path (the ANN rule covers `Rule[LogicalPlan]`;
+  * this covers custom planning + execution).
+  *
+  * Spark's idiomatic per-group top-k is `row_number().over(Window
+  * .partitionBy(keys).orderBy(...)) <= k`: one hash exchange of EVERY
+  * row plus a full per-partition SORT of every group — O(n log n) per
+  * group, all n rows shuffled. This operator is the grouped analog of
+  * `TakeOrderedAndProject`: a PARTIAL stage keeps a bounded k-heap per
+  * key inside each input partition (no sort, O(n log k), and at most
+  * partitions × keys × k rows survive), the exchange moves only those
+  * survivors, and a FINAL stage re-heaps per key. At 100 TB with
+  * k ≪ rows-per-group the shuffle shrinks by rows/(partitions·k) and
+  * the full sort disappears — the same reason Spark plans global top-k
+  * as TakeOrdered instead of Sort+Limit.
+  *
+  * Semantics: keep each group's k smallest rows by `(orderCol, tieCol)`
+  * — descending flips `orderCol` only. `orderCol`/`tieCol` must be
+  * LongType (the API wrapper casts); output row order within a group is
+  * unspecified, as with any unsorted relational result. Ties beyond k
+  * cut deterministically on `tieCol`, so results are reproducible for a
+  * total (orderCol, tieCol) order regardless of partitioning.
+  */
+case class GroupedTopK(
+    keys: Seq[String],
+    orderCol: String,
+    descending: Boolean,
+    tieCol: String,
+    k: Int,
+    child: LogicalPlan)
+  extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  // keys/order/tie live as STRINGS, so the default (expression-derived)
+  // references is empty and ColumnPruning would push a Project below
+  // that drops them; declare the whole child output referenced — the
+  // operator passes every column through anyway
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    child.outputSet
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopK =
+    copy(child = newChild)
+}
+
+object GroupedTopK {
+
+  /** Public API: each group's top-k rows. Installs the planner strategy
+    * on first use (idempotent). Long-castable order/tie columns only —
+    * the cast happens here so the physical operator can read fixed-width
+    * longs without per-row type dispatch. */
+  def topKPerGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      k: Int,
+      descending: Boolean = false,
+      tieCol: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[GroupedTopKStrategy.type]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    val typed = df
+      .withColumn(orderCol, col(orderCol).cast("long"))
+      .withColumn(tieCol, col(tieCol).cast("long"))
+    ColumnBridge.ofRows(spark,
+      GroupedTopK(keys, orderCol, descending, tieCol, k,
+        typed.queryExecution.analyzed))
+  }
+}
+
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GroupedTopK =>
+      def attr(n: String): Attribute = g.child.output
+        .find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(
+          s"GroupedTopK: column $n not in ${g.child.output.map(_.name)}"))
+      val keys = g.keys.map(attr)
+      val partial = GroupedTopKExec(
+        keys, attr(g.orderCol), g.descending, attr(g.tieCol), g.k,
+        isFinal = false, planLater(g.child))
+      GroupedTopKExec(
+        keys, attr(g.orderCol), g.descending, attr(g.tieCol), g.k,
+        isFinal = true, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical bounded-heap top-k per key. The partial instance runs on
+  * whatever partitioning the child has; the final instance declares
+  * `ClusteredDistribution(keys)` and lets EnsureRequirements insert the
+  * one hash exchange — over partial survivors only. */
+case class GroupedTopKExec(
+    keys: Seq[Expression],
+    order: Expression,
+    descending: Boolean,
+    tie: Expression,
+    k: Int,
+    isFinal: Boolean,
+    child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def nodeName: String =
+    if (isFinal) "GroupedTopKFinal" else "GroupedTopKPartial"
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (isFinal) Seq(ClusteredDistribution(keys)) else Seq(UnspecifiedDistribution)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val ordExprs = Seq(order, tie)
+    val childOutput = child.output
+    val desc = descending
+    val kk = k
+    child.execute().mapPartitions ({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordProj = UnsafeProjection.create(ordExprs, childOutput)
+      // max-heap under the keep-order: head is the WORST retained row,
+      // evicted when a better one arrives
+      val cmp: Ordering[(Long, Long, UnsafeRow)] = new Ordering[(Long, Long, UnsafeRow)] {
+        override def compare(a: (Long, Long, UnsafeRow), b: (Long, Long, UnsafeRow)): Int = {
+          val c = if (desc) java.lang.Long.compare(b._1, a._1)
+                  else java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Long, Long, UnsafeRow)]]
+      iter.foreach { row =>
+        val o = ordProj(row)
+        val entry = (o.getLong(0), o.getLong(1), row.asInstanceOf[UnsafeRow].copy())
+        val heap = heaps.getOrElseUpdate(
+          keyProj(row).copy(),
+          mutable.PriorityQueue.empty[(Long, Long, UnsafeRow)](cmp))
+        if (heap.size < kk) heap.enqueue(entry)
+        else if (cmp.compare(entry, heap.head) < 0) { heap.dequeue(); heap.enqueue(entry) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }, preservesPartitioning = true)
+  }
+}
