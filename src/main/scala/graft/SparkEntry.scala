@@ -388,6 +388,30 @@ object SparkEntry {
         size(filter(counts, c => c > 0)).cast("long").as("n_invocab"),
         aggregate(counts, lit(0L), _ + _).as("familiarity"))
     }),
+    // ---- tokenizer application: text → vocab-id sequence (the step
+    //      between cleaning and sequence packing in a training
+    //      pipeline). Vocab = top-24 tokens by (count desc, token),
+    //      derived by one bounded aggregation and applied as a
+    //      broadcast map literal — per-row transform, no join, no
+    //      shuffle on the mapping side; OOV → id 0. The id sequence
+    //      travels as its md5 so the oracle hashes order too. ----
+    "q_tokenize_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ", -1)
+      val vocab = docs.select(explode(toks).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(24)
+        .collect().zipWithIndex
+        .map { case (r, i) => r.getString(0) -> (i + 1).toLong }.toMap
+      val vm = typedLit(vocab)
+      val ids = transform(toks, tk => coalesce(element_at(vm, tk), lit(0L)))
+      docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(ids, i => i === 0L)).cast("long").as("n_oov"),
+        md5(array_join(transform(ids, i => i.cast("string")), ",")
+          .cast("binary")).as("ids_hash"))
+    }),
     // ---- training-pipeline: PII redaction. The fixtures carry no
     //      natural emails (verified: zero '@' in any text), so the
     //      query plants two deterministic synthetic addresses per doc
@@ -1512,6 +1536,7 @@ object SparkEntry {
     "q_normalize_features" -> Seq("event_id"),
     "q_incremental_agg" -> Seq("user_id"),
     "q_grouped_topk" -> Seq("lang", "doc_id"),
+    "q_tokenize_ids" -> Seq("doc_id"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -1769,6 +1794,24 @@ object SparkEntry {
         |  (round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) + 0.0) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // vocab ids re-derived in SQL as row_number over (count DESC, token)
+    // — identical to the Spark side's sorted-collect zipWithIndex; the
+    // ordered string_agg hashes the id SEQUENCE, not just its multiset
+    "q_tokenize_ids" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |cnt AS (SELECT t, count(*) AS c
+        |        FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t),
+        |voc AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) AS id
+        |        FROM cnt ORDER BY c DESC, t LIMIT 24),
+        |ex AS (SELECT doc_id, unnest(tk) AS t,
+        |         unnest(generate_series(1, len(tk))) AS ord
+        |       FROM tk),
+        |mapped AS (SELECT e.doc_id, e.ord, COALESCE(v.id, 0) AS id
+        |           FROM ex e LEFT JOIN voc v ON e.t = v.t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY ord)) AS ids_hash
+        |FROM mapped GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_grouped_topk" ->
       """SELECT lang, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,
