@@ -144,12 +144,29 @@ case class GroupedTopKExec(
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Long, Long, UnsafeRow)]]
       iter.foreach { row =>
         val o = ordProj(row)
-        val entry = (o.getLong(0), o.getLong(1), row.asInstanceOf[UnsafeRow].copy())
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(),
-          mutable.PriorityQueue.empty[(Long, Long, UnsafeRow)](cmp))
-        if (heap.size < kk) heap.enqueue(entry)
-        else if (cmp.compare(entry, heap.head) < 0) { heap.dequeue(); heap.enqueue(entry) }
+        val oVal = o.getLong(0)
+        val tVal = o.getLong(1)
+        // probe with the projection's reused buffer; copy the key only
+        // when it is actually inserted
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[(Long, Long, UnsafeRow)](cmp)
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kk) {
+          heap.enqueue((oVal, tVal, row.asInstanceOf[UnsafeRow].copy()))
+        } else {
+          val worst = heap.head
+          val c = if (desc) java.lang.Long.compare(worst._1, oVal)
+                  else java.lang.Long.compare(oVal, worst._1)
+          if (c < 0 || (c == 0 && tVal < worst._2)) {
+            heap.dequeue()
+            heap.enqueue((oVal, tVal, row.asInstanceOf[UnsafeRow].copy()))
+          }
+        }
       }
       heaps.valuesIterator.flatMap(_.iterator.map(_._3))
     }, preservesPartitioning = true)

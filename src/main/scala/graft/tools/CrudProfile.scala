@@ -22,9 +22,12 @@ object CrudProfile {
     import graft.catalog.{LibraryCatalog, Models}
 
     def phase[T](name: String)(f: => T): T = {
+      val st = spark.sparkContext.statusTracker
+      val j0 = st.getJobIdsForGroup(null).length
       val t0 = System.nanoTime()
       val r = f
-      println(f"[crudprof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val dj = st.getJobIdsForGroup(null).length - j0
+      println(f"[crudprof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s  $dj%3d jobs")
       r
     }
 
