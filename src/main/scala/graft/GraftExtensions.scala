@@ -56,7 +56,39 @@ object GraftExtensions {
         // subtree — correct, but one optimizer behavior away from dim×
         // the cost; see Md5Embed's scaladoc).
         graft.functions.Md5Embed(Cast(args.head, BinaryType), Embedder.Dim)
+      }),
+    (
+      "term_counts",
+      new ExpressionInfo(classOf[graft.functions.TermCounts].getName, "term_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "term_counts(text, 'term1', 'term2', ...)")
+        val terms = args.tail.map {
+          case Literal(s, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"term_counts terms must be string literals, got $other")
+        }
+        graft.functions.TermCounts(args.head, terms)
+      }),
+    (
+      "gram_hashes",
+      new ExpressionInfo(classOf[graft.functions.GramHashes].getName, "gram_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "gram_hashes(text, k)")
+        graft.functions.GramHashes(args.head, intLiteral(args(1), "gram_hashes k"))
+      }),
+    (
+      "winnow",
+      new ExpressionInfo(classOf[graft.functions.Winnow].getName, "winnow"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "winnow(grams, w)")
+        graft.functions.Winnow(args.head, intLiteral(args(1), "winnow w"))
       }))
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
 
   /** Programmatic registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -57,4 +57,14 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id"))
     assert(viaSql.sameElements(viaApi))
   }
+
+  test("text kernels are callable from SQL: term_counts, gram_hashes, winnow") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT term_counts('hash join hash', 'hash', 'join') AS tc,
+        |       winnow(gram_hashes('hash join hash', 5), 4) AS fp""".stripMargin)
+      .head()
+    assert(r.getAs[scala.collection.Seq[Long]]("tc") === Seq(2L, 1L, 3L))
+    assert(r.getAs[scala.collection.Seq[Long]]("fp").nonEmpty)
+  }
 }
