@@ -524,6 +524,45 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("xor_hash"))
         .orderBy("l_returnflag")),
+    // ---- data-quality outlier detection: per-type z-score flags from
+    //      EXACT integer moments (cents), same determinism discipline
+    //      as q_corr_moments — mean/variance from int64 sums, the
+    //      threshold test a fixed-order double expression. Two passes
+    //      (bounded stats inlined as literals), zero joins. ----
+    "q_value_outliers" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        round(col("value") * 100.0, 0).cast("long").as("__c"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("__c").as("sc"),
+          sum(col("__c") * col("__c")).as("scc"))
+        .collect()
+        .map { r =>
+          val (n, sc, scc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+          val mean = sc.toDouble / n
+          val variance = scc.toDouble / n - mean * mean
+          r.getString(0) -> (mean, math.sqrt(variance))
+        }.toMap
+      val meanCol = stats.foldLeft(lit(0.0)) { case (acc, (t, (m, _))) =>
+        when(col("event_type") === t, lit(m)).otherwise(acc) }
+      val sdCol = stats.foldLeft(lit(1.0)) { case (acc, (t, (_, sd))) =>
+        when(col("event_type") === t, lit(sd)).otherwise(acc) }
+      ev.withColumn("__z", (col("__c").cast("double") - meanCol) / sdCol)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs(col("__z")) > 2.0, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+    // ---- dataset profiling: per-column null and distinct counts over
+    //      orders — the schema-profile step of pipeline intake. Exact
+    //      distincts (Spark expands multi-countDistinct into one
+    //      Expand + aggregation); all-integer output. ----
+    "q_schema_profile" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("d_custkey"),
+        countDistinct(col("o_orderpriority")).as("d_priority"),
+        countDistinct(col("o_orderstatus")).as("d_status"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"))),
     // ---- KMV (k-minimum-values) distinct-count sketch: the mergeable
     //      cardinality estimator behind theta sketches. Distinct 48-bit
     //      md5-prefix hashes → k smallest via TakeOrdered (per-partition
@@ -1537,6 +1576,7 @@ object SparkEntry {
     "q_incremental_agg" -> Seq("user_id"),
     "q_grouped_topk" -> Seq("lang", "doc_id"),
     "q_tokenize_ids" -> Seq("doc_id"),
+    "q_schema_profile" -> Seq("n_rows"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
@@ -1978,6 +2018,28 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows,
         |  bit_xor(('0x'||substr(md5(l_orderkey::VARCHAR||'|'||l_linenumber::VARCHAR||'|'||l_suppkey::VARCHAR),1,8))::BIGINT) AS xor_hash
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same moment arithmetic as the Spark side: integer cent sums,
+    // then one fixed-order mean/variance/z expression
+    "q_value_outliers" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS cc FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(cc) AS BIGINT) AS sc, CAST(sum(cc*cc) AS BIGINT) AS scc
+        |      FROM c GROUP BY 1),
+        |s AS (SELECT event_type,
+        |        CAST(sc AS DOUBLE) / n AS mean,
+        |        sqrt(CAST(scc AS DOUBLE) / n - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) AS sd
+        |      FROM m)
+        |SELECT c.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN abs((CAST(cc AS DOUBLE) - s.mean) / s.sd) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM c JOIN s ON c.event_type = s.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_schema_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT o_custkey) AS d_custkey,
+        |  count(DISTINCT o_orderpriority) AS d_priority,
+        |  count(DISTINCT o_orderstatus) AS d_status,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate
+        |FROM orders""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,12))::BIGINT AS h
         |           FROM lineitem),
