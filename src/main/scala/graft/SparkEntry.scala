@@ -751,6 +751,27 @@ object SparkEntry {
         .topKPerGroup(
           t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
           Seq("lang"), "n_chars", 3, descending = true, tieCol = "doc_id")),
+    // ---- JSONL source roundtrip: write documents as JSON lines once
+    //      per code version + sf, read back with an EXPLICIT schema (no
+    //      inference job — at 100 TB schema inference is a full extra
+    //      scan), aggregate. The oracle computes the same aggregates
+    //      from the parquet originals, so hash-equality proves the
+    //      JSON write→read path preserves the data. ----
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val base = cachePath("jsonl", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+          .write.mode("overwrite").json(s"$base/docs")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .json(s"$base/docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(col("source")).as("d_source"))
+        .orderBy("lang")
+    }),
     // ---- lang rollup (corpus stats) ----
     "q_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1858,6 +1879,11 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r
         |  FROM documents)
         |WHERE r <= 3 ORDER BY lang, doc_id""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT source) AS d_source
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_mixture_sample" -> {
       val vals = MixtureWeights.toSeq.sorted
         .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
