@@ -1444,6 +1444,27 @@ object SparkEntry {
           countDistinct(col("frame_hash")).as("n_distinct"))
         .orderBy("mime")
     }),
+    // ---- multimodal: bounded-box resize (stub resampling, real
+    //      dims/plumbing) — decode per partition, resize to ≤256×256,
+    //      integer dim sums per mime so the oracle hash is exact. ----
+    "q_media_resize" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").select(
+          col("doc_id").as("id"),
+          col("text").cast("binary").as("media"),
+          element_at(
+            typedLit(Seq("audio/wav", "image/png", "video/mp4")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime")))
+      import s.implicits._
+      Multimodal.decode(media)
+        .map(d => Multimodal.resizeStub(d, 256, 256))
+        .groupBy("mime")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("height").cast("long")).as("sum_h"))
+        .orderBy("mime")
+    }),
     // ---- text analysis: winnowing fingerprints (Karp-Rabin polynomial
     //      k-gram hashes, window minima) summarized as set size +
     //      checksum. One fused codegen expression per stage (GramHashes,
@@ -2164,6 +2185,27 @@ object SparkEntry {
         |  SELECT text, ['audio/wav','image/png','video/mp4'][(doc_id % 3) + 1] AS mime
         |  FROM documents
         |) GROUP BY mime ORDER BY mime""".stripMargin,
+    // dims from the stub decoder's formulas; resize scale/floor mirror
+    // resizeStub's double arithmetic exactly (trunc of positive =
+    // floor; DECIMAL literals cast to DOUBLE)
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT strlen(text) AS n,
+        |         ['audio/wav','image/png','video/mp4'][(doc_id % 3) + 1] AS mime
+        |  FROM documents),
+        |d AS (SELECT mime, CAST(n % 1920 AS BIGINT) AS w,
+        |             CAST((n * 7) % 1080 AS BIGINT) AS h FROM m),
+        |r AS (SELECT mime,
+        |  greatest(1, CAST(floor(w * least(CAST(1.0 AS DOUBLE),
+        |    CAST(256.0 AS DOUBLE)/greatest(1, w),
+        |    CAST(256.0 AS DOUBLE)/greatest(1, h))) AS BIGINT)) AS rw,
+        |  greatest(1, CAST(floor(h * least(CAST(1.0 AS DOUBLE),
+        |    CAST(256.0 AS DOUBLE)/greatest(1, w),
+        |    CAST(256.0 AS DOUBLE)/greatest(1, h))) AS BIGINT)) AS rh
+        |FROM d)
+        |SELECT mime, count(*) AS n_media,
+        |  CAST(sum(rw) AS BIGINT) AS sum_w, CAST(sum(rh) AS BIGINT) AS sum_h
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_catalog_search" -> {
       val de = Embedder.oracleEmbed("text")
       val qe = Embedder.oracleEmbed(s"'$EmbedQueryText'")
