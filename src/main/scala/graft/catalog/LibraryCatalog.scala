@@ -696,7 +696,38 @@ class LibraryCatalog(
           .withField("tags", array_distinct(col("metadata.tags")))
           .withField("created_at",
             coalesce(col("metadata.created_at"), current_timestamp())))
+      // Field-validation parity (chunk.py:25-42): page must be
+      // non-negative, tag strings must be non-blank. Runs distributed on
+      // the scan side; a bad row fails the ingest job with a named error
+      // instead of persisting corrupt metadata.
+      .withColumn("metadata",
+        when(col("metadata.page") < 0,
+          raise_error(concat(
+            lit("graft ingest validation: page must be non-negative, got "),
+            col("metadata.page"))).cast(chunkMetadataType))
+          .when(
+            org.apache.spark.sql.functions
+              .exists(col("metadata.tags"), t => length(trim(t)) === 0),
+            raise_error(
+              lit("graft ingest validation: tags cannot be empty strings"))
+              .cast(chunkMetadataType))
+          .otherwise(col("metadata")))
   }
+
+  /** Embedding-dimension validation at ingest (chunk.py:63-71 — 1-D,
+    * non-empty — and hnsw.py:553-563 — dim consistency on load). A
+    * caller-supplied embedding of the wrong length would otherwise NULL
+    * every distance downstream; rejecting it here keeps every persisted
+    * embedding exactly `dim`-wide. Null embeddings pass through (the embed
+    * stage fills them). Codegen'd per-row check, no extra job. */
+  private def validateEmbeddingDim(df: DataFrame, dim: Int): DataFrame =
+    if (!df.columns.contains("embedding")) df
+    else df.withColumn("embedding",
+      when(col("embedding").isNull, col("embedding"))
+        .when(size(col("embedding")) === lit(dim), col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"graft ingest validation: embedding dimension mismatch, expected $dim got "),
+          size(col("embedding")))).cast(chunkSchema("embedding").dataType)))
 
   /** The embed step (S6's dedup-before-embed path): fill embeddings for
     * rows that lack one, pass the rest through, preserving every input
@@ -732,7 +763,8 @@ class LibraryCatalog(
       df: DataFrame,
       dim: Int,
       model: Embedder.Model): DataFrame =
-    embedStage(dim, model, df.columns.contains("embedding"))(normalizeShape(df))
+    embedStage(dim, model, df.columns.contains("embedding"))(
+      validateEmbeddingDim(normalizeShape(df), dim))
       .select(chunkSchema.fieldNames.map(col).toIndexedSeq: _*)
 
   /** M1: create a library from a chunk DataFrame (missing columns are

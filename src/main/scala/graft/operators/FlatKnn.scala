@@ -16,6 +16,13 @@ import graft.functions.VectorFunctions.Metric
   * driver, so the plan scales linearly over 1000 executors with no full
   * sort and no shuffle. Column pruning pushes only (id, embedding) into the
   * parquet scan.
+  *
+  * Distances are ordered `asc_nulls_last`: `VectorDistance` yields NULL for
+  * a dimension-mismatched embedding, and Spark's default ascending sort is
+  * NULLS FIRST — without the explicit null ordering a single wrong-dim row
+  * would rank at the top of every result. Ingest-side dimension validation
+  * (`LibraryCatalog.normalizeShape`) is the first line of defense; this is
+  * the belt-and-suspenders second.
   */
 object FlatKnn {
 
@@ -34,7 +41,7 @@ object FlatKnn {
     df.select(
         col(idCol),
         VectorFunctions.distance(col(embCol), q, metric).as("dist"))
-      .orderBy(col("dist").asc, col(idCol).asc)
+      .orderBy(col("dist").asc_nulls_last, col(idCol).asc)
       .limit(k)
   }
 
@@ -51,7 +58,7 @@ object FlatKnn {
     df.select(
         (col(idCol) +: extra.map(col)) :+
           VectorFunctions.distance(col(embCol), q, metric).as("dist"): _*)
-      .orderBy(col("dist").asc, col(idCol).asc)
+      .orderBy(col("dist").asc_nulls_last, col(idCol).asc)
       .limit(k)
   }
 
@@ -73,7 +80,7 @@ object FlatKnn {
         col(idCol),
         VectorFunctions.distance(col(embCol), q, rankMetric).as("dist"),
         VectorFunctions.distance(col(embCol), q, scoreMetric).as("score"))
-      .orderBy(col("dist").asc, col(idCol).asc)
+      .orderBy(col("dist").asc_nulls_last, col(idCol).asc)
       .limit(k)
   }
 }
