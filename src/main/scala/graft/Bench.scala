@@ -46,7 +46,17 @@ object Bench {
         case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName))
       }
 
+    // Optional comma-separated query filter for local iteration; the
+    // driver never sets it, so the recorded bench always covers everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    // min-of-N samples; validated once (a bad env value falls back to 3,
+    // a sub-1 value clamps to 1 so samples.min below can't be empty)
+    val nSamples = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_SAMPLES")
+        .flatMap(_.toIntOption).getOrElse(3))
     // Warm-up: run one representative query untimed (codegen + classloading).
     names.headOption.foreach(runOnce)
 
@@ -61,7 +71,6 @@ object Bench {
       // localCheckpoint/cache blocks left by the previous query
       // (ContextCleaner frees them only after a driver GC) so
       // block-manager pressure doesn't bleed across queries.
-      val nSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
       val samples = (1 to nSamples).map { _ =>
         System.gc()
         val t0 = System.nanoTime()

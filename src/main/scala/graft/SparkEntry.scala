@@ -912,29 +912,55 @@ object SparkEntry {
       cat.rebuildIndex("crud_demo")
       val rebuilt = cat.indexTable("crud_demo").get
         .select("id", "table_idx", "sig")
-      // multiset symmetric difference in ONE shuffle (tag +1/-1, group,
-      // sum) — two exceptAll jobs would shuffle the sig table 4 times
-      val nIndexDiff = incremental.withColumn("__s", lit(1L))
+      // multiset equality in ONE job, NO shuffle: a signed order-invariant
+      // digest (sum of per-row xxhash64, +1/-1 per side, in decimal(38) so
+      // ANSI sums can't overflow) plus the signed row count. Equal digests
+      // + equal counts => diff 0 without grouping half a million sig rows;
+      // only an actual mismatch pays the exact grouped symmetric-difference
+      // pass to report the true row count.
+      val signed = incremental.withColumn("__s", lit(1L))
         .unionByName(rebuilt.withColumn("__s", lit(-1L)))
-        .groupBy("id", "table_idx", "sig")
-        .agg(sum("__s").as("__d"))
-        .agg(coalesce(sum(abs(col("__d"))), lit(0L)))
-        .head().getLong(0)
-      // M4: text change re-embeds (chunk_service.py:158-164)
-      cat.updateChunk("crud_demo", "add5",
-        newText = Some("updated synthetic chunk number five"))
-      // M6: bulk metadata replace, created_at preserved (document_service.py:82-102)
-      cat.updateMetadataWhere("crud_demo", col("document_id") === "d7",
-        struct(
-          lit("relabeled").as("source"),
-          lit(null).cast("timestamp").as("created_at"),
-          array(lit("relabeled")).as("tags"),
-          lit(null).cast("string").as("author"),
-          lit(null).cast("string").as("title"),
-          lit(null).cast("string").as("description"),
-          lit(null).cast("int").as("page")))
-      // M7: delete-document cascade (document_service.py:104-123)
-      cat.deleteDocument("crud_demo", "d4")
+      // AQE would materialize this one-row global agg as a chain of query
+      // stages (a job per exchange); static planning runs it as ONE job —
+      // the right trade for a fixed two-scan-one-row plan
+      val digest = {
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val prevAqe = s.conf.get(aqeKey)
+        s.conf.set(aqeKey, "false")
+        try signed
+          .agg(
+            coalesce(sum(col("__s").cast("decimal(38,0)") *
+              xxhash64(col("id"), col("table_idx"), col("sig"))
+                .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h"),
+            coalesce(sum(col("__s")), lit(0L)).as("n"))
+          .head()
+        finally s.conf.set(aqeKey, prevAqe)
+      }
+      val nIndexDiff =
+        if (digest.getDecimal(0).signum == 0 && digest.getLong(1) == 0L) 0L
+        else signed
+          .groupBy("id", "table_idx", "sig")
+          .agg(sum("__s").as("__d"))
+          .agg(coalesce(sum(abs(col("__d"))), lit(0L)))
+          .head().getLong(0)
+      // M4 (text change re-embeds, chunk_service.py:158-164) + M6 (bulk
+      // metadata replace, created_at preserved, document_service.py:82-102)
+      // + M7 (delete-document cascade, document_service.py:104-123) —
+      // batched: one probe, one bucket rewrite, one commit, sequential
+      // semantics (BatchMutationSpec pins batch == sequential bitwise)
+      cat.applyBatch("crud_demo", Seq(
+        LibraryCatalog.UpdateChunkOp("add5",
+          newText = Some("updated synthetic chunk number five")),
+        LibraryCatalog.UpdateMetadataWhereOp(col("document_id") === "d7",
+          struct(
+            lit("relabeled").as("source"),
+            lit(null).cast("timestamp").as("created_at"),
+            array(lit("relabeled")).as("tags"),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("title"),
+            lit(null).cast("string").as("description"),
+            lit(null).cast("int").as("page"))),
+        LibraryCatalog.DeleteDocumentOp("d4")))
       val recovered = new LibraryCatalog(s, wh) // startup recovery (S4)
       recovered
         .chunks("crud_demo")

@@ -423,44 +423,86 @@ class LibraryCatalog(
     df.queryExecution.optimizedPlan.stats.sizeInBytes <=
       BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
 
+  /** Run `f` with session confs temporarily overridden. The overrides are
+    * read at the physical planning of any action inside `f`; originals are
+    * restored on exit. Concurrent writers racing the restore can at worst
+    * plan under the ORIGINAL values — losing an optimization, never
+    * correctness. */
+  private def withScopedConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Forces one scan task per input FILE (openCost >= bin size closes
+    * every bin after a single file) — the leaf files of a bucketed chunk
+    * table are single-bucket by construction, so a rewrite planned this
+    * way gets file-aligned parallelism with ~1 output file per dir and no
+    * shuffle. */
+  private val OneTaskPerFileConf = Seq(
+    "spark.sql.files.maxPartitionBytes" -> (8L * 1024 * 1024).toString,
+    "spark.sql.files.openCostInBytes" -> (8L * 1024 * 1024).toString)
+
   private def writeClustered(
       df: DataFrame,
       dest: Path,
       partitionBy: Seq[String],
-      sortWithin: Seq[String]): Unit = {
+      sortWithin: Seq[String],
+      fileParallel: Boolean = false): Unit = {
     val sortCols = (partitionBy ++ sortWithin).map(col)
-    val clustered =
-      if (partitionBy.isEmpty) df
-      else if (fitsOneSplit(df))
-        // small delta: write straight from the scan, coalesced to ONE
-        // task — no shuffle, no AQE scheduling jobs, one file per
-        // touched dir, and a sub-split delta is one task's worth of
-        // work by definition (a 100-row append was otherwise scheduling
-        // input-partition-count tasks per write)
-        df.coalesce(1).sortWithinPartitions(sortCols: _*)
+    def write(clustered: DataFrame): Unit = {
+      val w = clustered.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(dest.toString)
+    }
+    if (partitionBy.isEmpty) write(df)
+    else if (fitsOneSplit(df)) {
+      if (fileParallel)
+        // sub-split REWRITE of file-backed data: plan one task per input
+        // leaf file instead of coalescing to one — the serial parquet
+        // encode of a whole small table was the single biggest fixed cost
+        // of a mutation commit, and since every leaf file holds exactly
+        // one bucket, task-per-file keeps ~1 output file per dir
+        withScopedConf(OneTaskPerFileConf: _*)(
+          write(df.sortWithinPartitions(sortCols: _*)))
       else
-        // big write: one clustering shuffle bounds output files per
-        // partition dir at WriteSaltFiles; AQE byte-coalesces the
-        // reduce side. Per-row compute (embedding) runs BEFORE this
-        // shuffle, on the scan side, where parallelism is the input
-        // split count — at 100 TB that is the whole cluster.
-        df.repartition(
-          partitionBy.map(col) :+
-            pmod(xxhash64(col("id")), lit(WriteSaltFiles)): _*)
-          .sortWithinPartitions(sortCols: _*)
-    val w = clustered.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(dest.toString)
+        // small NEW delta (ingest lineage, often a local/range relation
+        // with many empty partitions): coalesce to ONE task — no shuffle,
+        // no AQE scheduling jobs, one file per touched dir, and a
+        // sub-split delta is one task's worth of work by definition
+        write(df.coalesce(1).sortWithinPartitions(sortCols: _*))
+    } else
+      // big write: one clustering shuffle bounds output files per
+      // partition dir at WriteSaltFiles; AQE byte-coalesces the
+      // reduce side. Per-row compute (embedding) runs BEFORE this
+      // shuffle, on the scan side, where parallelism is the input
+      // split count — at 100 TB that is the whole cluster.
+      write(df.repartition(
+        partitionBy.map(col) :+
+          pmod(xxhash64(col("id")), lit(WriteSaltFiles)): _*)
+        .sortWithinPartitions(sortCols: _*))
   }
 
-  private def writeChunks(vdir: Path, rows: DataFrame, buckets: Int): Unit =
+  private def writeChunks(
+      vdir: Path,
+      rows: DataFrame,
+      buckets: Int,
+      fileParallel: Boolean = false): Unit =
     writeClustered(
       rows.withColumn("__b", bucketCol(buckets)),
-      new Path(vdir, "chunks"), Seq("__b"), Nil)
+      new Path(vdir, "chunks"), Seq("__b"), Nil, fileParallel)
 
-  private def writeArtifacts(vdir: Path, artifacts: Seq[IndexArtifact]): Unit =
+  private def writeArtifacts(
+      vdir: Path,
+      artifacts: Seq[IndexArtifact],
+      fileParallel: Boolean = false): Unit =
     artifacts.foreach(a =>
-      writeClustered(a.df, new Path(vdir, a.name), a.partitionBy, a.sortWithin))
+      writeClustered(a.df, new Path(vdir, a.name), a.partitionBy,
+        a.sortWithin, fileParallel))
 
   /** A cross-process claim survives this long before a conflicting
     * writer may treat it as a dead writer's leftover (provided the
@@ -544,15 +586,43 @@ class LibraryCatalog(
       m: LibraryMeta,
       chunksDf: DataFrame,
       artifactsFor: DataFrame => Seq[IndexArtifact]): LibraryMeta = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
     claimVersion(m.name, vdir)
-    writeChunks(vdir, chunksDf, m.buckets)
+    val arts =
+      if (fitsOneSplit(chunksDf)) {
+        // Small ingest: cache the normalized delta (embedding runs ONCE,
+        // in memory) and write chunks + index artifacts CONCURRENTLY from
+        // the cache — the read-back path below would serialize the two
+        // writes behind each other. At scale caching the corpus is not an
+        // option and read-back is the only shape that avoids re-executing
+        // the embed lineage, so this stays gated on one-split stats.
+        val cached = chunksDf.persist()
+        try {
+          val built = artifactsFor(cached)
+          val chunkWrite = Future(writeChunks(vdir, cached, m.buckets))
+          val artifactWrite = Future(writeArtifacts(vdir, built))
+          val results = Seq(chunkWrite, artifactWrite)
+            .map(f => Await.ready(f, Duration.Inf).value.get)
+          results.collectFirst { case scala.util.Failure(e) => e }.foreach {
+            e => fs.delete(vdir, true); throw e
+          }
+          built
+        } finally cached.unpersist()
+      } else {
+        writeChunks(vdir, chunksDf, m.buckets)
+        val built = artifactsFor(
+          readChunksAt(m.name,
+            presentBuckets(vdir).map(b => b -> Seq(vname)).toMap))
+        writeArtifacts(vdir, built)
+        built
+      }
     val mf = presentBuckets(vdir).map(b => b -> Seq(vname)).toMap
     writeManifest(vdir, mf)
-    val arts = artifactsFor(readChunksAt(m.name, mf))
-    writeArtifacts(vdir, arts)
     writeArtifactRefs(vdir, arts.map(a => a.name -> Seq(vname)).toMap)
     finishCommit(m, v, mf)
   }
@@ -578,6 +648,17 @@ class LibraryCatalog(
   private sealed trait Tombstone
   private case class InlineIds(ids: Seq[String]) extends Tombstone
   private case class IdsFrame(df: DataFrame) extends Tombstone
+  /** Ids that only become known once the chunk write's observed metrics
+    * resolve (the single-pass mutation path) — evaluated at tombstone
+    * write time, which is after that job completes. */
+  private case class LazyIds(ids: () => Seq[String]) extends Tombstone
+
+  /** Control-flow signal: the observed single-pass mutation discovered,
+    * post-write, that no row matched — the claimed version dir is
+    * discarded and the mutation is a published no-op. */
+  private object NoopMutation extends RuntimeException("noop mutation") {
+    override def fillInStackTrace(): Throwable = this
+  }
 
   /** DELTA commit: write only `deltaRows`.
     *  - `replaceBuckets = Some(A)`: the delta IS the new content of the
@@ -592,19 +673,67 @@ class LibraryCatalog(
       replaceBuckets: Option[Set[Int]],
       op: ArtifactOp,
       postWrite: () => Unit = () => ()): LibraryMeta = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val v = m.version + 1
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
     claimVersion(m.name, vdir)
-    try {
-      writeChunks(vdir, deltaRows, m.buckets)
-      // abort hook: runs with the delta written but NOTHING published —
-      // a throw here deletes the claimed dir and the library is untouched
-      // (updateChunk's 404 check rides the write's observed metrics
-      // instead of a separate existence-scan job)
+    val oldRefs = readArtifactRefs(m.name, m.version)
+    val patch = op match {
+      case CarryArtifacts => None
+      case PatchIndex(_, _) if !oldRefs.get("index").exists(_.nonEmpty) =>
+        None // flat library: nothing to patch or tombstone
+      case PatchIndex(newRows, deleteIds) => Some((newRows, deleteIds))
+    }
+    // The chunk-delta write and the index-artifact writes have
+    // independent lineages (index rows are computed from the delta
+    // expression, never read back from the written chunks), so they run
+    // CONCURRENTLY: per-commit latency is max(write, write) instead of
+    // the sum — the dominant cost of a small commit is per-job fixed
+    // overhead, not bytes. An abort (postWrite throw, e.g. the
+    // updateChunk 404 riding the chunk write's observed metric) deletes
+    // the whole claimed dir, artifacts included — nothing is published
+    // until finishCommit swaps the pointer. Both futures are awaited to
+    // completion BEFORE any cleanup so a failed write never races a
+    // still-running sibling against the dir delete.
+    val chunkWrite = Future {
+      // bucket REWRITES (replaceBuckets set) re-encode file-backed data —
+      // file-aligned parallel write; pure appends are new-data lineages
+      // and keep the one-task one-file-per-dir shape
+      writeChunks(vdir, deltaRows, m.buckets,
+        fileParallel = replaceBuckets.isDefined)
+      // abort hook: runs with the delta written but NOTHING published
       postWrite()
-    } catch {
-      case e: Throwable => fs.delete(vdir, true); throw e
+      // tombstones ride this thread AFTER the abort hook: a LazyIds
+      // tombstone reads the chunk write's observed metrics, which resolve
+      // with that job — evaluating it on the sibling thread could block
+      // forever if this write failed before the metrics resolved
+      patch.foreach { case (_, deleteIds) =>
+        deleteIds.foreach {
+          case InlineIds(ids) => writeInlineTombstone(vdir, ids)
+          case LazyIds(ids)   => writeInlineTombstone(vdir, ids())
+          case IdsFrame(ids) =>
+            ids.select("id").write.mode("overwrite")
+              .parquet(new Path(vdir, "index_deletes").toString)
+        }
+      }
+    }
+    val artifactWrite = Future {
+      patch.foreach { case (newRows, _) =>
+        newRows.foreach(rows =>
+          writeArtifacts(vdir, Seq(IndexArtifact(
+            "index", rows,
+            artifactPartitioning(m.indexer, "index"),
+            artifactSortWithin(m.indexer, "index")))))
+      }
+    }
+    val results = Seq(chunkWrite, artifactWrite)
+      .map(f => Await.ready(f, Duration.Inf).value.get)
+    results.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
+      fs.delete(vdir, true)
+      throw e
     }
     val present = presentBuckets(vdir)
     val old = readManifest(m.name, m.version)
@@ -615,23 +744,9 @@ class LibraryCatalog(
         old ++ present.map(b => b -> (old.getOrElse(b, Seq.empty) :+ vname))
     }
     writeManifest(vdir, mf)
-    val oldRefs = readArtifactRefs(m.name, m.version)
-    val refs = op match {
-      case CarryArtifacts => oldRefs
-      case PatchIndex(_, _) if !oldRefs.get("index").exists(_.nonEmpty) =>
-        oldRefs // flat library: nothing to patch or tombstone
-      case PatchIndex(newRows, deleteIds) =>
-        newRows.foreach(rows =>
-          writeArtifacts(vdir, Seq(IndexArtifact(
-            "index", rows,
-            artifactPartitioning(m.indexer, "index"),
-            artifactSortWithin(m.indexer, "index")))))
-        deleteIds.foreach {
-          case InlineIds(ids) => writeInlineTombstone(vdir, ids)
-          case IdsFrame(ids) =>
-            ids.select("id").write.mode("overwrite")
-              .parquet(new Path(vdir, "index_deletes").toString)
-        }
+    val refs = patch match {
+      case None => oldRefs
+      case Some((newRows, deleteIds)) =>
         var r = oldRefs
         if (newRows.isDefined)
           r = r.updated("index", r("index") :+ vname)
@@ -899,6 +1014,11 @@ class LibraryCatalog(
     val m = requireMeta(name)
     val all = chunks(name)
     val matches = coalesce(pred, lit(false))
+    // small-library regime: one observed rewrite pass, no probe job at
+    // all (applyBatch's single-pass arm — same semantics, fewer jobs)
+    if (fitsOneSplit(all))
+      applyBatch(name, Seq(LibraryCatalog.DeleteChunksWhereOp(pred)))
+    else
     // one column-pruned scan (id + predicate columns only) TRIES to pull
     // the whole match set to the driver under a cap: a small delete then
     // needs no second pass at all — the buckets AND the tombstone ids
@@ -991,6 +1111,10 @@ class LibraryCatalog(
     val m = requireMeta(name)
     val all = chunks(name)
     val matches = coalesce(pred, lit(false))
+    if (fitsOneSplit(all))
+      // small-library regime: one observed rewrite pass, no probe job
+      applyBatch(name, Seq(LibraryCatalog.UpdateMetadataWhereOp(pred, newMetadata)))
+    else {
     // one fused probe job finds the affected buckets (and skips the
     // commit entirely when nothing matches); past the cap, fall back to
     // the distributed distinct — the probe only needs the bucket SET
@@ -1014,12 +1138,237 @@ class LibraryCatalog(
             .otherwise(col("metadata")))
       commitDelta(m, bucketRows, Some(affected), CarryArtifacts)
     }
+    }
   }
 
   /** M7: delete a document — cascade to all its chunks + reindex
     * (document_service.py:104-123). */
   def deleteDocument(name: String, documentId: String): LibraryMeta =
     deleteChunksWhere(name, col("document_id") === documentId)
+
+  /** Apply several mutations in ONE commit — exact sequential semantics
+    * (each op's predicate sees the state after all earlier ops; a chunk
+    * deleted by op i cannot be matched by op i+1), but one probe job, one
+    * bucket rewrite, one index patch, one version. The single-commit
+    * methods pay their fixed cost (probe job + write job + fs commit) per
+    * mutation; a mutation-heavy workload batching N adjacent ops pays it
+    * once. Per-row transforms compose as column expressions, so the
+    * rewrite stays a single codegen'd pass over only the affected buckets.
+    *
+    * Past the inline-probe cap the batch degrades to sequential
+    * application (same final state, N versions) — at that size per-commit
+    * fixed cost no longer dominates the job anyway. */
+  def applyBatch(
+      name: String,
+      ops: Seq[LibraryCatalog.Mutation]): LibraryMeta = withWriteLock(name) {
+    import LibraryCatalog._
+    val m = requireMeta(name)
+    // desugar document cascade to its predicate form (M7 == M5-by-pred)
+    val norm: Seq[Mutation] = ops.map {
+      case DeleteDocumentOp(d) => DeleteChunksWhereOp(col("document_id") === d)
+      case o                   => o
+    }
+    if (norm.isEmpty) m
+    else {
+      val nOps = norm.size
+      def hitCol(i: Int) = s"__hit_$i"
+      // Sequential-state fold: materialize each op's match as a column
+      // computed AFTER all earlier transforms, then apply the op's own
+      // per-row effect. `__alive` carries delete visibility forward.
+      def staged(df0: DataFrame): DataFrame = {
+        var df = df0.withColumn("__alive", lit(true))
+        norm.zipWithIndex.foreach { case (op, i) =>
+          op match {
+            case UpdateChunkOp(id, newText, newMetadata) =>
+              df = df.withColumn(hitCol(i),
+                col("__alive") && col("id") === lit(id))
+              newText.foreach { t =>
+                df = df
+                  .withColumn("text",
+                    when(col(hitCol(i)), lit(t)).otherwise(col("text")))
+                  .withColumn("embedding",
+                    when(col(hitCol(i)), modelOf(m).embedCol(col("text"), m.dim))
+                      .otherwise(col("embedding")))
+              }
+              newMetadata.foreach { nm =>
+                df = df.withColumn("metadata",
+                  when(col(hitCol(i)),
+                    nm.cast(chunkMetadataType)
+                      .withField("created_at", col("metadata.created_at")))
+                    .otherwise(col("metadata")))
+              }
+            case UpdateMetadataWhereOp(pred, nm) =>
+              df = df
+                .withColumn(hitCol(i),
+                  col("__alive") && coalesce(pred, lit(false)))
+                .withColumn("metadata",
+                  when(col(hitCol(i)),
+                    nm.cast(chunkMetadataType)
+                      .withField("created_at", col("metadata.created_at")))
+                    .otherwise(col("metadata")))
+            case DeleteChunksOp(ids) =>
+              df = df
+                .withColumn(hitCol(i),
+                  col("__alive") && col("id").isin(ids: _*))
+                .withColumn("__alive", col("__alive") && !col(hitCol(i)))
+            case DeleteChunksWhereOp(pred) =>
+              df = df
+                .withColumn(hitCol(i),
+                  col("__alive") && coalesce(pred, lit(false)))
+                .withColumn("__alive", col("__alive") && !col(hitCol(i)))
+            case DeleteDocumentOp(_) =>
+              throw new IllegalStateException("desugared above")
+          }
+        }
+        df
+      }
+      val all = chunks(name)
+      if (fitsOneSplit(all)) {
+        // Small-library regime: the whole table is one split's worth of
+        // bytes, so bucket pruning buys nothing — skip the probe job
+        // entirely and let the per-op match counts (404 / no-op checks)
+        // and the deleted-id lists ride the single rewrite pass as
+        // OBSERVED metrics. One observed write job + one concurrent
+        // index-append job is the entire batch.
+        val helperCols = "__alive" +: (0 until nOps).map(hitCol)
+        val deleteIdx = norm.zipWithIndex.collect {
+          case (_: DeleteChunksOp, i)      => i
+          case (_: DeleteChunksWhereOp, i) => i
+        }
+        val obs = org.apache.spark.sql.Observation()
+        val aggs: Seq[Column] =
+          (0 until nOps).map(i =>
+            sum(when(col(hitCol(i)), 1L).otherwise(0L)).as(s"n_$i")) ++
+            deleteIdx.map(i =>
+              collect_list(when(col(hitCol(i)), col("id"))).as(s"ids_$i"))
+        val bucketRows = staged(all)
+          .observe(obs, aggs.head, aggs.tail: _*)
+          .where(col("__alive"))
+          .drop(helperCols: _*)
+        // ids of point updates that re-embed are known statically from the
+        // ops themselves — the append lineage needs no observed state and
+        // runs concurrently with the observed chunk write
+        val textUpdatedIds = norm.collect {
+          case UpdateChunkOp(id, Some(_), _) => id
+        }
+        val appends =
+          if (textUpdatedIds.isEmpty) None
+          else incrementalIndexRows(m, name,
+            staged(all).where(col("__alive"))
+              .where(col("id").isin(textUpdatedIds: _*))
+              .drop(helperCols: _*))
+        val deletedIds = () => deleteIdx.flatMap(i =>
+          obs.get(s"ids_$i").asInstanceOf[scala.collection.Seq[String]])
+        val hasTombstones = deleteIdx.nonEmpty || textUpdatedIds.nonEmpty
+        val op =
+          if (!hasTombstones && appends.isEmpty) CarryArtifacts
+          else PatchIndex(appends,
+            if (!hasTombstones) None
+            else Some(LazyIds(() =>
+              (deletedIds() ++ textUpdatedIds).distinct.toSeq)))
+        // every manifest bucket repoints to the rewrite (emptied buckets
+        // drop out via presentBuckets)
+        val replaceAll = readManifest(name, m.version).keySet
+        try {
+          commitDelta(m, bucketRows, Some(replaceAll), op, postWrite = () => {
+            norm.zipWithIndex.foreach {
+              case (UpdateChunkOp(id, _, _), i)
+                  if obs.get(s"n_$i").asInstanceOf[Long] == 0L =>
+                throw new NoSuchElementException(s"chunk not found: $id")
+              case _ => ()
+            }
+            if ((0 until nOps)
+                .map(i => obs.get(s"n_$i").asInstanceOf[Long]).sum == 0L)
+              throw NoopMutation
+          })
+        } catch {
+          case NoopMutation => m // nothing matched: no new version
+        }
+      } else applyBatchProbed(name, m, norm, ops, staged _)
+    }
+  }
+
+  /** The at-scale arm of [[applyBatch]]: one column-pruned probe job pulls
+    * every matched (id, bucket, per-op hit) to the driver under the inline
+    * cap, then only the affected buckets are rewritten. Past the cap the
+    * batch degrades to sequential single-commit application. */
+  private def applyBatchProbed(
+      name: String,
+      m: LibraryMeta,
+      norm: Seq[LibraryCatalog.Mutation],
+      ops: Seq[LibraryCatalog.Mutation],
+      staged: DataFrame => DataFrame): LibraryMeta = {
+    import LibraryCatalog._
+    val nOps = norm.size
+    def hitCol(i: Int): String = s"__hit_$i"
+      // ONE probe job: (id, bucket, per-op hit) for rows any op touched.
+      // Column pruning drops the text/embedding transforms unless a later
+      // predicate actually reads them.
+      val anyHit = (0 until nOps).map(i => col(hitCol(i))).reduce(_ || _)
+      val probe = staged(chunks(name))
+        .where(anyHit)
+        .select(col("id") +: bucketCol(m.buckets).as("__b") +:
+          (0 until nOps).map(i => col(hitCol(i))): _*)
+      val rows =
+        (if (fitsOneSplit(probe)) probe.coalesce(1) else probe)
+          .limit(MaxInlineTombstone + 1)
+          .collect()
+      if (rows.length > MaxInlineTombstone) {
+        // cap tripped: fall back to the sequential single-commit methods
+        ops.foldLeft(m) { (_, op) =>
+          op match {
+            case UpdateChunkOp(id, t, md)       => updateChunk(name, id, t, md)
+            case UpdateMetadataWhereOp(p, nm)   => updateMetadataWhere(name, p, nm)
+            case DeleteChunksOp(ids)            => deleteChunks(name, ids)
+            case DeleteChunksWhereOp(p)         => deleteChunksWhere(name, p)
+            case DeleteDocumentOp(d)            => deleteDocument(name, d)
+          }
+        }
+      } else {
+        // 404 parity (chunk_service.py:193-217): a point update that
+        // matched nothing aborts the whole batch before anything writes
+        norm.zipWithIndex.foreach {
+          case (UpdateChunkOp(id, _, _), i)
+              if !rows.exists(_.getBoolean(2 + i)) =>
+            throw new NoSuchElementException(s"chunk not found: $id")
+          case _ => ()
+        }
+        if (rows.isEmpty) m // nothing matched: no new version
+        else {
+          val affected = rows.map(_.getInt(1)).toSet
+          val helperCols = "__alive" +: (0 until nOps).map(hitCol)
+          val bucketRows = staged(chunksInBuckets(name, m, affected))
+            .where(col("__alive"))
+            .drop(helperCols: _*)
+          // index patch: tombstone every deleted id plus every re-embedded
+          // id; append fresh signature rows for surviving re-embedded rows
+          // (same same-commit append-outlives-tombstone semantics as
+          // updateChunk)
+          val deleteIdx = norm.zipWithIndex.collect {
+            case (_: DeleteChunksOp, i)      => i
+            case (_: DeleteChunksWhereOp, i) => i
+          }
+          val deletedIds = rows
+            .filter(r => deleteIdx.exists(i => r.getBoolean(2 + i)))
+            .map(_.getString(0))
+          val textUpdatedIds = norm.zipWithIndex.collect {
+            case (UpdateChunkOp(id, Some(_), _), i)
+                if rows.exists(r => r.getBoolean(2 + i)) => id
+          }
+          val tombstoneIds = (deletedIds ++ textUpdatedIds).distinct
+          val appends =
+            if (textUpdatedIds.isEmpty) None
+            else incrementalIndexRows(m, name,
+              bucketRows.where(col("id").isin(textUpdatedIds: _*)))
+          val op =
+            if (tombstoneIds.isEmpty && appends.isEmpty) CarryArtifacts
+            else PatchIndex(appends,
+              if (tombstoneIds.isEmpty) None
+              else Some(InlineIds(tombstoneIds.toSeq)))
+          commitDelta(m, bucketRows, Some(affected), op)
+        }
+      }
+  }
 
   /** Library-level update (library_service.py:156-170 / the PUT
     * /libraries endpoint, test_e2e.py:124-145): rename and/or replace
@@ -1106,7 +1455,7 @@ class LibraryCatalog(
     val mf = readManifest(m.name, m.version)
     writeManifest(vdir, mf)
     val arts = buildIndex(m, readChunksAt(m.name, mf))
-    writeArtifacts(vdir, arts)
+    writeArtifacts(vdir, arts, fileParallel = true)
     writeArtifactRefs(vdir, arts.map(a => a.name -> Seq(vname)).toMap)
     finishCommit(m, v, mf)
   }
@@ -1227,6 +1576,19 @@ class LibraryCatalog(
 }
 
 object LibraryCatalog {
+
+  /** Mutations expressible in [[LibraryCatalog.applyBatch]] — each the
+    * batched twin of the corresponding single-commit method. */
+  sealed trait Mutation
+  final case class UpdateChunkOp(
+      id: String,
+      newText: Option[String] = None,
+      newMetadata: Option[Column] = None) extends Mutation
+  final case class UpdateMetadataWhereOp(
+      pred: Column, newMetadata: Column) extends Mutation
+  final case class DeleteChunksOp(ids: Seq[String]) extends Mutation
+  final case class DeleteChunksWhereOp(pred: Column) extends Mutation
+  final case class DeleteDocumentOp(documentId: String) extends Mutation
 
   private val log = LoggerFactory.getLogger(classOf[LibraryCatalog])
   private val writeLocks =

@@ -82,22 +82,31 @@ object CrudProfile {
         .agg(coalesce(sum(abs(col("__d"))), lit(0L)))
         .head().getLong(0)
     }
-    phase("updateChunk") {
-      cat.updateChunk("crud_demo", "add5",
-        newText = Some("updated synthetic chunk number five"))
+    phase("index-diff-digest") {
+      incremental.withColumn("__s", lit(1L))
+        .unionByName(rebuilt.withColumn("__s", lit(-1L)))
+        .agg(
+          coalesce(sum(col("__s").cast("decimal(38,0)") *
+            xxhash64(col("id"), col("table_idx"), col("sig"))
+              .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)),
+          coalesce(sum(col("__s")), lit(0L)))
+        .head()
     }
-    phase("updateMetadataWhere") {
-      cat.updateMetadataWhere("crud_demo", col("document_id") === "d7",
-        struct(
-          lit("relabeled").as("source"),
-          lit(null).cast("timestamp").as("created_at"),
-          array(lit("relabeled")).as("tags"),
-          lit(null).cast("string").as("author"),
-          lit(null).cast("string").as("title"),
-          lit(null).cast("string").as("description"),
-          lit(null).cast("int").as("page")))
+    phase("applyBatch(M4+M6+M7)") {
+      cat.applyBatch("crud_demo", Seq(
+        LibraryCatalog.UpdateChunkOp("add5",
+          newText = Some("updated synthetic chunk number five")),
+        LibraryCatalog.UpdateMetadataWhereOp(col("document_id") === "d7",
+          struct(
+            lit("relabeled").as("source"),
+            lit(null).cast("timestamp").as("created_at"),
+            array(lit("relabeled")).as("tags"),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("title"),
+            lit(null).cast("string").as("description"),
+            lit(null).cast("int").as("page"))),
+        LibraryCatalog.DeleteDocumentOp("d4")))
     }
-    phase("deleteDocument")(cat.deleteDocument("crud_demo", "d4"))
     phase("recover+aggregate") {
       new LibraryCatalog(spark, wh)
         .chunks("crud_demo")

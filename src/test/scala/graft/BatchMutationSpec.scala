@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.LibraryCatalog
+import graft.catalog.LibraryCatalog._
+import graft.catalog.Models._
+
+/** [[LibraryCatalog.applyBatch]] semantics: a batch of mutations in one
+  * commit must be BITWISE equivalent to applying the same mutations
+  * sequentially — including the ordering rules (an op's predicate sees
+  * earlier ops' effects; a deleted chunk cannot be matched later) and the
+  * index side (tombstones + appends reconcile to the sequential state).
+  */
+class BatchMutationSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-batch-").toString
+  private lazy val catalog = new LibraryCatalog(spark, warehouse)
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(warehouse))
+    super.afterAll()
+  }
+
+  private def corpus(): DataFrame =
+    spark.range(60).select(
+      concat(lit("c"), col("id")).as("id"),
+      concat(lit("d"), pmod(col("id"), lit(6))).as("document_id"),
+      concat(lit("batch spec chunk number "), col("id")).as("text"),
+      struct(
+        lit("orig").as("source"),
+        lit(null).cast("timestamp").as("created_at"),
+        array(lit("orig")).as("tags"),
+        lit(null).cast("string").as("author"),
+        lit(null).cast("string").as("title"),
+        lit(null).cast("string").as("description"),
+        pmod(col("id"), lit(4)).cast("int").as("page")).as("metadata"))
+
+  private val relabel = struct(
+    lit("relabeled").as("source"),
+    lit(null).cast("timestamp").as("created_at"),
+    array(lit("relabeled")).as("tags"),
+    lit(null).cast("string").as("author"),
+    lit(null).cast("string").as("title"),
+    lit(null).cast("string").as("description"),
+    lit(null).cast("int").as("page"))
+
+  private val ops = Seq(
+    UpdateChunkOp("c5", newText = Some("rewritten text for chunk five")),
+    UpdateMetadataWhereOp(col("document_id") === "d2", relabel),
+    DeleteDocumentOp("d4"),
+    DeleteChunksOp(Seq("c0", "c6")))
+
+  /** Canonical sorted snapshot of a library's chunks (created_at dropped:
+    * it is ingest-time-dependent across the two libraries). */
+  private def snapshot(name: String): Array[String] =
+    catalog.chunks(name)
+      .select(col("id"), col("document_id"), col("text"), col("embedding"),
+        col("metadata").dropFields("created_at").as("m"))
+      .orderBy("id")
+      .collect()
+      .map(_.toString)
+
+  private def indexSnapshot(name: String): Array[String] =
+    catalog.indexTable(name).get
+      .select("id", "table_idx", "sig")
+      .orderBy("id", "table_idx", "sig")
+      .collect()
+      .map(_.toString)
+
+  test("applyBatch == sequential application, chunks and index bitwise") {
+    catalog.createLibrary("b_seq", LshIndexer, corpus(), overwrite = true)
+    catalog.createLibrary("b_bat", LshIndexer, corpus(), overwrite = true)
+
+    val mSeq = ops.foldLeft(catalog.readMeta("b_seq").get) { (_, op) =>
+      op match {
+        case UpdateChunkOp(id, t, md)     => catalog.updateChunk("b_seq", id, t, md)
+        case UpdateMetadataWhereOp(p, nm) => catalog.updateMetadataWhere("b_seq", p, nm)
+        case DeleteChunksOp(ids)          => catalog.deleteChunks("b_seq", ids)
+        case DeleteChunksWhereOp(p)       => catalog.deleteChunksWhere("b_seq", p)
+        case DeleteDocumentOp(d)          => catalog.deleteDocument("b_seq", d)
+      }
+    }
+    val mBat = catalog.applyBatch("b_bat", ops)
+
+    assert(snapshot("b_seq") === snapshot("b_bat"))
+    assert(indexSnapshot("b_seq") === indexSnapshot("b_bat"))
+    // one commit for the whole batch vs one per op
+    assert(mBat.version === 1L)
+    assert(mSeq.version === ops.size.toLong)
+  }
+
+  test("an op's predicate sees earlier ops' effects in the same batch") {
+    catalog.createLibrary("b_chain", FlatIndexer, corpus(), overwrite = true)
+    catalog.applyBatch("b_chain", Seq(
+      UpdateMetadataWhereOp(col("id") === "c7", relabel),
+      // matches ONLY because the previous op just relabeled c7
+      DeleteChunksWhereOp(col("metadata.source") === "relabeled")))
+    val left = catalog.chunks("b_chain")
+    assert(left.where(col("id") === "c7").count() === 0L)
+    assert(left.count() === 59L)
+  }
+
+  test("a chunk deleted earlier in the batch cannot be matched later (404)") {
+    catalog.createLibrary("b_dead", FlatIndexer, corpus(), overwrite = true)
+    val before = catalog.readMeta("b_dead").get.version
+    val e = intercept[NoSuchElementException](
+      catalog.applyBatch("b_dead", Seq(
+        DeleteChunksOp(Seq("c3")),
+        UpdateChunkOp("c3", newText = Some("too late")))))
+    assert(e.getMessage.contains("c3"))
+    // the failed batch published nothing
+    assert(catalog.readMeta("b_dead").get.version === before)
+    assert(catalog.chunks("b_dead").count() === 60L)
+  }
+
+  test("a batch matching nothing commits no new version") {
+    catalog.createLibrary("b_noop", FlatIndexer, corpus(), overwrite = true)
+    val before = catalog.readMeta("b_noop").get.version
+    val after = catalog.applyBatch("b_noop",
+      Seq(DeleteChunksWhereOp(col("metadata.source") === "nope")))
+    assert(after.version === before)
+  }
+}
