@@ -1125,11 +1125,20 @@ object SparkEntry {
     //      one shuffle join + one aggregation over (id, label) rows
     //      ONLY, converging in O(component diameter) rounds — the
     //      standard scale-out CC shape (GraphX's is the same loop).
-    //      Labels are checkpointed per round (genuinely re-consumed:
-    //      next join + convergence count), edge pairs are a persisted
-    //      artifact (built once per code version + sf — pair generation
-    //      is q_neardup_pairs' job). The members projection is for the
-    //      oracle compare; at 100 TB you keep (id, cluster_rep).
+    //      Labels are persisted to parquet per round (genuinely
+    //      re-consumed: next join + convergence count) — the DURABLE
+    //      twin of the edge artifact below, not executor-pinned
+    //      localCheckpoint blocks: at 100 TB the label set is one row
+    //      per document and an executor loss mid-loop must replay one
+    //      round's files, not kill the job. Each round's read also
+    //      resets the logical plan, so the loop stays O(diameter) in
+    //      plan size too. Edge pairs are a persisted artifact (built
+    //      once per code version + sf — pair generation is
+    //      q_neardup_pairs' job); the bidirectional view is re-derived
+    //      per round from that parquet, which keeps every round
+    //      replayable from durable storage alone. The members
+    //      projection is for the oracle compare; at 100 TB you keep
+    //      (id, cluster_rep).
     //      Oracle = recursive transitive closure over the same edges. ----
     "q_dedup_clusters" -> ((s, dir) => {
       val base = cachePath("ndedges", dir)
@@ -1142,20 +1151,37 @@ object SparkEntry {
       val e = s.read.parquet(s"$base/edges")
       val bi = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint(true)
-      var labels = bi.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .localCheckpoint(true)
+      def persistRound(df: DataFrame, r: Int): DataFrame = {
+        val p = s"$base/labels_r$r"
+        df.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      }
+      var labels = persistRound(
+        bi.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id")), 0)
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 25) {
         val prop = bi.join(labels.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), col("lbl"))
-        val next = labels.unionByName(prop)
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-          .where(col("lbl") =!= col("old")).count()
+          .select(col("dst").as("id"), col("lbl"),
+            lit(null).cast("long").as("__old"))
+        // the convergence count rides the round's ONE write job as an
+        // observed metric: every id carries its previous label through
+        // the aggregation (labels rows tag __old, propagated rows don't;
+        // min ignores nulls and each id has exactly one previous label),
+        // so no separate join-and-count job per round
+        val obs = org.apache.spark.sql.Observation()
+        val next = persistRound(
+          labels.withColumn("__old", col("lbl"))
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(min("lbl").as("lbl"), min("__old").as("__old"))
+            .observe(obs,
+              sum(when(col("lbl") =!= col("__old"), 1L).otherwise(0L))
+                .as("changed"))
+            .drop("__old"),
+          rounds + 1)
+        changed = obs.get("changed").asInstanceOf[Long]
         labels = next
         rounds += 1
       }
