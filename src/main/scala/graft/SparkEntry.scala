@@ -830,6 +830,41 @@ object SparkEntry {
       LshIndex
         .search(t(s, dir, "embeddings"), queryVec(s, dir), 10)
         .select(col("vec_id"), rn(col("dist"), 6).as("dist"))),
+    // ---- §2.11 stretch: the OPT-IN Catalyst ANN rewrite under the
+    //      oracle hash. AnnProbeRule recognizes the exact-kNN plan shape
+    //      and injects the LSH sign-signature probe filter; two branches
+    //      exercise BOTH runtime regimes against the same EXACT SQL
+    //      oracle: k=10 takes the probe (bucket top-10 == exact top-10 on
+    //      this corpus — any recall regression fails the hash), and
+    //      k=2000 trips the under-k scalar-subquery guard (bucket way
+    //      under k), degenerating the predicate to true — provably the
+    //      exact scan. Plans are FORCED while the conf is set, then the
+    //      conf is restored so no other query's kNN silently turns
+    //      approximate; PlanAuditSpec pins the probe filter into branch
+    //      one's physical plan. ----
+    "q_ann_probe_rule" -> ((s, dir) => {
+      import graft.plans.AnnProbeRule
+      if (!s.experimental.extraOptimizations.contains(AnnProbeRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ AnnProbeRule
+      val emb = t(s, dir, "embeddings")
+      val qv = queryVec(s, dir)
+      s.conf.set(AnnProbeRule.ConfKey, "true")
+      try {
+        val probed = FlatKnn.search(emb, qv, 10, Euclidean)
+          .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
+          .withColumn("branch", lit("probe"))
+        val fallback = FlatKnn.search(emb, qv, 2000, Euclidean)
+          .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
+          .withColumn("branch", lit("under_k_fallback"))
+        val out = probed.unionByName(fallback)
+        // pin the rewrite NOW: the optimized plan is cached on the
+        // QueryExecution, so later execution (after the conf reset
+        // below) keeps the probe
+        out.queryExecution.executedPlan
+        out
+      } finally s.conf.set(AnnProbeRule.ConfKey, "false")
+    }),
     // ---- K2-adjacent: IVF approximate kNN over a PERSISTED index —
     //      assignments written partitionBy(cell) (a probe reads nProbe
     //      partition dirs, never the corpus) + a small centroids table.
@@ -1645,6 +1680,7 @@ object SparkEntry {
     "q_neardup_incremental" -> Seq("doc_new", "doc_old"),
     "q_dedup_clusters" -> Seq("cluster_rep"),
     "q_catalog_search" -> Seq("dist", "id"),
+    "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
     "q_catalog_documents" -> Seq("id"),
     "q_lang_source_rollup" -> Seq("lang", "source"),
     "q_topk_per_group" -> Seq("lang", "rank"),
@@ -2513,6 +2549,15 @@ object SparkEntry {
          |  FROM base e, q
          |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
     },
+    // Both branches of the Catalyst probe rewrite against the EXACT
+    // ranking: the probe branch is a hard recall signal (bucket top-10
+    // must equal exact top-10), the 2000-branch proves the under-k
+    // scalar-subquery guard degenerates to the exact scan.
+    "q_ann_probe_rule" ->
+      s"""SELECT vec_id, dist, 'probe' AS branch FROM (${oKnn(oEuclid)}) p
+         |UNION ALL
+         |SELECT vec_id, dist, 'under_k_fallback' AS branch
+         |FROM (${oKnn(oEuclid, 2000)}) f""".stripMargin,
     "q_embed_knn" -> {
       val de = Embedder.oracleEmbed("d.text")
       val qe = Embedder.oracleEmbed(s"'$EmbedQueryText'")

@@ -61,45 +61,67 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     case _               => false
   }
 
+  /** Inject the probe filter + under-k guard below `sort`'s projection;
+    * None when the sort key isn't a literal-query vector distance. */
+  private def probedSort(
+      gl: GlobalLimit,
+      sort: Sort,
+      distAttr: Expression,
+      proj: Project,
+      child: LogicalPlan): Option[Sort] = {
+    val distAlias = proj.projectList.collectFirst {
+      case a @ Alias(VectorDistance(emb, q: Literal, metric), _)
+          if a.toAttribute.semanticEquals(distAttr) ||
+            distAttr.references.contains(a.toAttribute) =>
+        (emb, q, metric)
+    }
+    distAlias.flatMap { case (emb, qLit, _) =>
+      queryVector(qLit).map { qv =>
+        val params = LshIndex.Params(dim = qv.length)
+        val planes = LshIndex.planes(params)
+        val sigs = planes.map(LshIndex.signatureLocal(qv, _))
+        val cond: Expression = planes.indices
+          .map(t =>
+            EqualTo(LshSignature(emb, planes(t)), Literal(sigs(t))): Expression)
+          .reduce(Or)
+        // under-k fallback: count the bucket members in an
+        // uncorrelated scalar subquery; an under-filled probe turns
+        // the whole predicate true and the plan is the exact scan
+        val candCount = Aggregate(
+          Nil,
+          Seq(Alias(
+            AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
+            "cand_n")()),
+          Filter(cond, child))
+        val underK: Expression =
+          LessThan(ScalarSubquery(candCount), Cast(gl.limitExpr, LongType))
+        sort.copy(child = proj.copy(child = Filter(Or(underK, cond), child)))
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
+    // The optimizer may push a post-limit projection (e.g. rounding the
+    // distance for output) between LocalLimit and Sort, so both
+    //   GlobalLimit → LocalLimit → Sort → Project
+    //   GlobalLimit → LocalLimit → Project → Sort → Project
+    // are the exact-kNN shape.
     plan.transformDown {
-      case gl @ GlobalLimit(_,
-            ll @ LocalLimit(_,
-              sort @ Sort(Seq(SortOrder(distAttr, Ascending, _, _), _*), true,
-                proj @ Project(projList, child), _)))
-          if !alreadyProbed(child) =>
-        val distAlias = projList.collectFirst {
-          case a @ Alias(VectorDistance(emb, q: Literal, metric), _)
-              if a.toAttribute.semanticEquals(distAttr) ||
-                distAttr.references.contains(a.toAttribute) =>
-            (emb, q, metric)
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, mid)) =>
+        val rewritten = mid match {
+          case sort @ Sort(Seq(SortOrder(distAttr, Ascending, _, _), _*), true,
+                proj @ Project(_, child), _) if !alreadyProbed(child) =>
+            probedSort(gl, sort, distAttr, proj, child)
+              .map(s => ll.copy(child = s))
+          case mp @ Project(_,
+                sort @ Sort(Seq(SortOrder(distAttr, Ascending, _, _), _*), true,
+                  proj @ Project(_, child), _)) if !alreadyProbed(child) =>
+            probedSort(gl, sort, distAttr, proj, child)
+              .map(s => ll.copy(child = mp.copy(child = s)))
+          case _ => None
         }
-        distAlias.flatMap { case (emb, qLit, metric) =>
-          queryVector(qLit).map { qv =>
-            val params = LshIndex.Params(dim = qv.length)
-            val planes = LshIndex.planes(params)
-            val sigs = planes.map(LshIndex.signatureLocal(qv, _))
-            val cond: Expression = planes.indices
-              .map(t =>
-                EqualTo(LshSignature(emb, planes(t)), Literal(sigs(t))): Expression)
-              .reduce(Or)
-            // under-k fallback: count the bucket members in an
-            // uncorrelated scalar subquery; an under-filled probe turns
-            // the whole predicate true and the plan is the exact scan
-            val candCount = Aggregate(
-              Nil,
-              Seq(Alias(
-                AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
-                "cand_n")()),
-              Filter(cond, child))
-            val underK: Expression =
-              LessThan(ScalarSubquery(candCount), Cast(gl.limitExpr, LongType))
-            gl.copy(child =
-              ll.copy(child =
-                sort.copy(child = proj.copy(child = Filter(Or(underK, cond), child)))))
-          }
-        }.getOrElse(gl)
+        rewritten.map(c => gl.copy(child = c)).getOrElse(gl)
     }
   }
 }

@@ -157,4 +157,19 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // documents scan must not read source/n_chars (only doc_id, text, lang)
     assert(!plan.contains("n_chars:bigint"), "documents scan reads unused columns")
   }
+
+  test("q_ann_probe_rule: the optimizer-injected LSH probe filter is in the plan") {
+    val plan = planOf("q_ann_probe_rule")
+    assert(plan.contains("lsh_signature"), "probe filter missing from the rewritten plan")
+    // the under-k guard plans as an uncorrelated scalar subquery
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      "under-k scalar-subquery guard missing")
+    // the conf is scoped inside the query body: a kNN built AFTERWARDS
+    // must NOT be rewritten (other queries' exactness is untouched)
+    val after = graft.operators.FlatKnn
+      .search(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        Seq.fill(16)(0.1f), 5)
+      .queryExecution.optimizedPlan.toString
+    assert(!after.contains("lsh_signature"), "probe conf leaked out of the query body")
+  }
 }
