@@ -99,9 +99,19 @@ class LibraryCatalog(
   /** Schema-checked meta load (S3's validation analog for the pointer). */
   def readMeta(name: String): Option[LibraryMeta] = {
     if (!fs.exists(metaPath(name))) return None
-    val in = fs.open(metaPath(name))
-    val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    in.close()
+    val json =
+      try {
+        val in = fs.open(metaPath(name))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch {
+        // a checksum/IO failure on a present file IS detected corruption
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"library '$name': corrupt meta.json at ${metaPath(name)} " +
+              s"(${e.getMessage}); restore the file or delete the " +
+              "library directory", e)
+      }
     def str(k: String) =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
     def num(k: String) =
@@ -110,13 +120,23 @@ class LibraryCatalog(
       .findFirstMatchIn(json)
       .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
       .getOrElse(Seq.empty)
-    for {
+    val parsed = for {
       n <- str("name"); ix <- str("indexer"); d <- num("dim")
       v <- num("version"); c <- str("created_at"); u <- str("updated_at")
     } yield LibraryMeta(n, IndexerType.fromString(ix), d.toInt, v, c, u,
       embedder = str("embedder").getOrElse("md5"), // pre-field metas default
       tags = tags,
       buckets = num("buckets").map(_.toInt).getOrElse(8))
+    // an ABSENT meta.json means "no such library" (None above); a PRESENT
+    // but unparsable one is corruption and must say so, not masquerade as
+    // not-found (the reference's corrupt-pickle handling names the file,
+    // tests/test_library_save_load.py corrupt cases)
+    if (parsed.isEmpty)
+      throw new IllegalStateException(
+        s"library '$name': corrupt meta.json at ${metaPath(name)} — " +
+          "missing required fields (name/indexer/dim/version/created_at/" +
+          "updated_at); restore the file or delete the library directory")
+    parsed
   }
 
   /** The library's embedding model, resolved from meta — an unknown name
@@ -127,7 +147,12 @@ class LibraryCatalog(
         s"library '${m.name}': unknown embedder '${m.embedder}' " +
           s"(registered: ${Embedder.models.keys.mkString(", ")})"))
 
-  def exists(name: String): Boolean = readMeta(name).isDefined
+  /** A corrupt meta still counts as "exists": the directory is occupied,
+    * and the overwrite path (deleteLibrary, no meta read) is how a caller
+    * reclaims it. */
+  def exists(name: String): Boolean =
+    try readMeta(name).isDefined
+    catch { case _: IllegalStateException => true }
 
   /** Startup recovery (S4, dependencies.py:36-67): every directory under
     * the warehouse with a parsable meta.json is a library. Unparsable
@@ -212,16 +237,31 @@ class LibraryCatalog(
   }
 
   private def readManifest(name: String, v: Long): Map[Int, Seq[String]] = {
-    val p = manifestPath(versionDir(name, v))
-    if (!fs.exists(p)) return Map.empty
-    val body = readSmallTextFile(p)
-    body.linesIterator
+    val vdir = versionDir(name, v)
+    val p = manifestPath(vdir)
+    if (!fs.exists(p)) {
+      // a version dir WITHOUT its manifest is a torn commit or lost file —
+      // treating it as an empty library would silently read no data
+      if (v >= 0 && fs.exists(vdir))
+        throw new IllegalStateException(
+          s"library '$name': version ${vdir.getName} is missing its " +
+            s"manifest.txt ($p) — torn commit or corrupt persistence; " +
+            "restore the file or delete the library directory")
+      return Map.empty
+    }
+    try readSmallTextFile(p).linesIterator
       .filter(_.contains("="))
       .map { line =>
         val Array(b, dirs) = line.split("=", 2)
         b.toInt -> dirs.split(",").filter(_.nonEmpty).toSeq
       }
       .toMap
+    catch {
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"library '$name': corrupt manifest at $p (${e.getMessage}); " +
+            "restore the file or delete the library directory", e)
+    }
   }
 
   /** Leaf directories (one per (bucket, owning version)) of a manifest —
@@ -572,6 +612,9 @@ class LibraryCatalog(
       .map(_.getPath)
       .filter(p => p.getName.startsWith("v") && !keep.contains(p.getName))
       .foreach(fs.delete(_, true))
+    // the driver-side twin of the on-disk GC above: drop superseded
+    // versions' graphs from the hnsw cache
+    evictStaleHnsw(m.name, v)
     updated
   }
 
@@ -994,13 +1037,37 @@ class LibraryCatalog(
     * the index drops the ids via a TOMBSTONE part (indexer.delete,
     * lsh.py:114-145 — O(ids) bytes, no index rewrite); IVF centroids
     * are a quantizer, not data, and carry forward by reference. */
-  def deleteChunks(name: String, ids: Seq[String]): LibraryMeta = withWriteLock(name) {
+  def deleteChunks(
+      name: String,
+      ids: Seq[String],
+      strict: Boolean = false): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
     val affected = ids.map(bucketOfId(_, m.buckets)).toSet
-    val survivors = chunksInBuckets(name, m, affected)
-      .where(!col("id").isin(ids: _*))
-    commitDelta(m, survivors, Some(affected),
-      PatchIndex(None, Some(tombstoneFor(ids))))
+    val bucket = chunksInBuckets(name, m, affected)
+    if (!strict)
+      commitDelta(m, bucket.where(!col("id").isin(ids: _*)), Some(affected),
+        PatchIndex(None, Some(tombstoneFor(ids))))
+    else {
+      // 404 parity (chunk_service.py:193-217): every id must exist. The
+      // match count rides the rewrite as an observed metric — no
+      // existence-scan job — and a miss aborts the commit unpublished.
+      val obs = org.apache.spark.sql.Observation()
+      val distinctIds = ids.distinct
+      val survivors = bucket
+        .observe(obs,
+          sum(when(col("id").isin(distinctIds: _*), 1L).otherwise(0L))
+            .as("matched"))
+        .where(!col("id").isin(ids: _*))
+      commitDelta(m, survivors, Some(affected),
+        PatchIndex(None, Some(tombstoneFor(ids))),
+        postWrite = () => {
+          val n = obs.get("matched").asInstanceOf[Long]
+          if (n < distinctIds.size)
+            throw new NoSuchElementException(
+              s"chunk not found: ${distinctIds.size - n} of " +
+                s"${distinctIds.size} ids missing")
+        })
+    }
   }
 
   /** M5 at scale: delete by predicate (ids arrive as a predicate, not a
@@ -1142,9 +1209,20 @@ class LibraryCatalog(
   }
 
   /** M7: delete a document — cascade to all its chunks + reindex
-    * (document_service.py:104-123). */
-  def deleteDocument(name: String, documentId: String): LibraryMeta =
-    deleteChunksWhere(name, col("document_id") === documentId)
+    * (document_service.py:104-123). `strict` adds the reference's 404
+    * (document_service.py:77-80): a document with no chunks doesn't
+    * exist (documents are DERIVED from chunks here), and an untouched
+    * version pointer is exactly that signal — no extra job. */
+  def deleteDocument(
+      name: String,
+      documentId: String,
+      strict: Boolean = false): LibraryMeta = withWriteLock(name) {
+    val before = requireMeta(name).version
+    val after = deleteChunksWhere(name, col("document_id") === documentId)
+    if (strict && after.version == before)
+      throw new NoSuchElementException(s"document not found: $documentId")
+    after
+  }
 
   /** Apply several mutations in ONE commit — exact sequential semantics
     * (each op's predicate sees the state after all earlier ops; a chunk
@@ -1462,16 +1540,32 @@ class LibraryCatalog(
 
   // -------------------------------------------------------------- search
 
-  /** Driver-local HNSW graphs, one per (library, version) — stale
-    * versions fall out as mutations bump the version. String chunk ids
-    * are mapped to collect-order ordinals for the graph. */
+  /** Driver-local HNSW graphs, one per (library, version). Stale
+    * versions are EVICTED: every commit drops the library's older
+    * entries ([[finishCommit]]) and a lazy rebuild does the same — a
+    * mutation-heavy workload must not accumulate one full graph per
+    * superseded version in driver memory. In-flight readers holding an
+    * evicted graph keep their reference (plain GC semantics); only the
+    * cache forgets it. String chunk ids are mapped to collect-order
+    * ordinals for the graph. */
   private val hnswGraphs =
     new scala.collection.concurrent.TrieMap[(String, Long), (HnswIndex, IndexedSeq[String])]
+
+  /** Versions of `name` currently held in the driver-local graph cache
+    * (exposed for the eviction spec). */
+  private[graft] def hnswGraphVersionsCached(name: String): Int =
+    hnswGraphs.keys.count(_._1 == name)
+
+  private def evictStaleHnsw(name: String, current: Long): Unit =
+    hnswGraphs.keys
+      .filter { case (n, ver) => n == name && ver != current }
+      .foreach(hnswGraphs.remove)
 
   private def hnswFor(
       name: String,
       version: Long,
-      all: DataFrame): (HnswIndex, IndexedSeq[String]) =
+      all: DataFrame): (HnswIndex, IndexedSeq[String]) = {
+    evictStaleHnsw(name, version)
     hnswGraphs.getOrElseUpdate((name, version), {
       // bounded collect — same guard as HnswIndex.fromDataFrame: an
       // hnsw library slightly bigger than driver memory must fail with
@@ -1488,6 +1582,7 @@ class LibraryCatalog(
         })
       (idx, ids)
     })
+  }
 
   /** The flagship read path (SURVEY.md §3.1): embed query text → index
     * search → conjunctive tag post-filter (AFTER top-k, may return < k —

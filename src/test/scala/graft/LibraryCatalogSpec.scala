@@ -46,6 +46,46 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     super.afterAll()
   }
 
+  test("hnsw graph cache holds at most one version per library across a mutation burst") {
+    catalog.createLibrary("lib_hcache", HnswIndexer, corpus(), overwrite = true)
+    catalog.search("lib_hcache", "cache probe", 3).collect()
+    assert(catalog.hnswGraphVersionsCached("lib_hcache") === 1)
+    (1 to 3).foreach { i =>
+      catalog.addChunks("lib_hcache",
+        corpus().limit(1)
+          .withColumn("id", lit(s"hc-extra-$i"))
+          .withColumn("document_id", lit("hc-doc")))
+      catalog.search("lib_hcache", "cache probe", 3).collect()
+    }
+    // 4 versions were built and searched; superseded graphs were evicted
+    assert(catalog.hnswGraphVersionsCached("lib_hcache") === 1)
+    catalog.deleteLibrary("lib_hcache")
+  }
+
+  test("strict mutation 404 parity: unknown chunk/document deletes raise, lenient stays a no-op") {
+    catalog.createLibrary("lib_404", FlatIndexer, corpus(), overwrite = true)
+    // lenient (default, matches the repo's historical semantics): no-op
+    catalog.deleteChunks("lib_404", Seq("nope-1"))
+    catalog.deleteDocument("lib_404", "no-such-doc")
+    assert(catalog.chunks("lib_404").count() === 40L)
+    // strict (chunk_service.py:193-217 / document_service.py:77-80
+    // parity): raises and publishes nothing
+    val e1 = intercept[NoSuchElementException](
+      catalog.deleteChunks("lib_404", Seq("chunk-1", "nope-2"), strict = true))
+    assert(e1.getMessage.contains("chunk not found"))
+    assert(catalog.chunks("lib_404").count() === 40L)
+    val e2 = intercept[NoSuchElementException](
+      catalog.deleteDocument("lib_404", "no-such-doc", strict = true))
+    assert(e2.getMessage.contains("document not found"))
+    // strict deletes whose targets all exist proceed normally
+    catalog.deleteChunks("lib_404", Seq("chunk-1"), strict = true)
+    assert(catalog.chunks("lib_404").count() === 39L)
+    catalog.deleteDocument("lib_404", "doc-2", strict = true)
+    assert(catalog.chunks("lib_404")
+      .where(col("document_id") === "doc-2").count() === 0L)
+    catalog.deleteLibrary("lib_404")
+  }
+
   test("M1: createLibrary persists, embeds, and normalizes (P6 tag dedup, created_at fill)") {
     catalog.createLibrary("lib_a", FlatIndexer, corpus(), overwrite = true)
     val loaded = catalog.chunks("lib_a").cache()
