@@ -564,22 +564,32 @@ object SparkEntry {
         countDistinct(col("o_orderstatus")).as("d_status"),
         sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"))),
     // ---- KMV (k-minimum-values) distinct-count sketch: the mergeable
-    //      cardinality estimator behind theta sketches. Distinct 48-bit
-    //      md5-prefix hashes → k smallest via TakeOrdered (per-partition
-    //      top-k then merge — no global sort), estimate = (k-1)·2^48 /
-    //      kth_min. Only the 8-byte hash ever shuffles; the same query
-    //      emits the exact count so the result row IS the sketch-vs-
-    //      exact comparison. Hash collisions (~n²/2^49) hit both engines
-    //      identically, so the oracle stays bit-green regardless. ----
+    //      cardinality estimator behind theta sketches, as a NATIVE
+    //      TypedImperativeAggregate (functions/KmvSketch.scala): each
+    //      partition keeps its k smallest DISTINCT 48-bit md5-prefix
+    //      hashes in a bounded tree, the exchange moves at most k longs
+    //      per partition (a distinct().orderBy.limit formulation shuffles
+    //      EVERY distinct hash), merge re-truncates, estimate =
+    //      (k-1)·2^48 / kth_min. The same query emits the exact count so
+    //      the result row IS the sketch-vs-exact comparison. Hash
+    //      collisions (~n²/2^49) hit both engines identically, so the
+    //      oracle stays bit-green regardless. ----
     "q_kmv_distinct" -> ((s, dir) => {
-      val h = conv(substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 12),
-        16, 10).cast("long")
+      // fused 48-bit md5 prefix: one digest per row, no hex string —
+      // byte-identical to the oracle's ('0x'||substr(md5,1,12))::BIGINT
+      val h = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.Md5Prefix48(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col("l_orderkey").cast("string"))))
       val li = t(s, dir, "lineitem")
-      val kmin = li.select(h.as("h")).distinct().orderBy("h").limit(256)
       // exact count inlined as a literal (bounded one-row aggregate) so
       // the returned plan carries no cross join
       val nExact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
-      kmin.agg(count(lit(1)).as("k_n"), max("h").as("m_k"))
+      li.select(h.as("h"))
+        .agg(graft.functions.KmvSketch.kmvSketch(col("h"), 256).as("ks"))
+        .select(
+          size(col("ks")).cast("long").as("k_n"),
+          element_at(col("ks"), -1).as("m_k"))
         .select(
           col("k_n"), col("m_k"),
           rn((col("k_n") - 1L) * lit(281474976710656.0) / col("m_k"), 4)

@@ -23,6 +23,16 @@ object Md5Expressions {
       ((digest(off + 2) & 0xffL) << 8) |
       (digest(off + 3) & 0xffL)
 
+  /** First 6 digest bytes big-endian == `('0x'||substr(md5_hex,1,12))
+    * ::BIGINT` — the 48-bit hash domain KMV estimates over. */
+  @inline def prefix48(digest: Array[Byte]): Long =
+    ((digest(0) & 0xffL) << 40) |
+      ((digest(1) & 0xffL) << 32) |
+      ((digest(2) & 0xffL) << 24) |
+      ((digest(3) & 0xffL) << 16) |
+      ((digest(4) & 0xffL) << 8) |
+      (digest(5) & 0xffL)
+
   def digestOf(bytes: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
 
@@ -158,6 +168,43 @@ case class Md5PrefixInt(child: Expression) extends UnaryExpression {
       s"""
       |byte[] $d = $md.digest($bytes);
       |${ev.value} = graft.functions.Md5Expressions.chunk($d, 0);
+      |""".stripMargin
+    })
+}
+
+/** First 6 md5-digest bytes as a 48-bit unsigned long (== the first 12
+  * hex chars parsed base-16) — the fused twin of
+  * `conv(substring(md5(x),1,12),16,10)`: one digest per row, no hex
+  * string materialized, stays inside whole-stage codegen. */
+case class Md5Prefix48(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING or BINARY, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix48"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Expressions.prefix48(
+      Md5Expressions.digestOf(Md5Expressions.inputBytes(input)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val md = ctx.addMutableState(
+        "java.security.MessageDigest", "md5Prefix48Digest",
+        n => s"""try { $n = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+                |""".stripMargin)
+      val d = ctx.freshName("d")
+      val bytes =
+        if (child.dataType == StringType) s"$v.getBytes()" else v
+      s"""
+      |byte[] $d = $md.digest($bytes);
+      |${ev.value} = graft.functions.Md5Expressions.prefix48($d);
       |""".stripMargin
     })
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
-import graft.functions.{Md5Chunks, Md5PrefixInt}
+import graft.functions.{Md5Chunks, Md5Prefix48, Md5PrefixInt}
 
 /** Digest-byte md5 expressions must equal the hex-string composition
   * forms exactly — they feed every oracle-matched hash path. */
@@ -18,6 +18,16 @@ class Md5ExpressionsSpec extends SparkSpec {
     val rows = df.select(
       ColumnBridge.column(Md5PrefixInt(ColumnBridge.expression(col("t").cast("binary")))).as("fast"),
       conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long").as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("Md5Prefix48 equals conv(substring(md5(x),1,12),16,10)") {
+    import spark.implicits._
+    val rows = texts.toDF("t").select(
+      ColumnBridge.column(Md5Prefix48(ColumnBridge.expression(col("t")))).as("fast"),
+      conv(substring(md5(col("t").cast("binary")), 1, 12), 16, 10)
+        .cast("long").as("slow"))
       .collect()
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
