@@ -528,7 +528,12 @@ object SparkEntry {
     //      EXACT integer moments (cents), same determinism discipline
     //      as q_corr_moments — mean/variance from int64 sums, the
     //      threshold test a fixed-order double expression. Two passes
-    //      (bounded stats inlined as literals), zero joins. ----
+    //      (bounded stats inlined as MAP LITERALS — element_at lookups,
+    //      so codegen stays domain-size-independent where a nested
+    //      when-chain would blow up on thousands of types), zero joins.
+    //      A zero-variance type is explicitly zero outliers on BOTH
+    //      engines: the unguarded 0/0 z-score is NaN in Spark but a
+    //      division error or Inf in DuckDB depending on its IEEE mode. ----
     "q_value_outliers" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_type"),
         round(col("value") * 100.0, 0).cast("long").as("__c"))
@@ -542,14 +547,17 @@ object SparkEntry {
           val variance = scc.toDouble / n - mean * mean
           r.getString(0) -> (mean, math.sqrt(variance))
         }.toMap
-      val meanCol = stats.foldLeft(lit(0.0)) { case (acc, (t, (m, _))) =>
-        when(col("event_type") === t, lit(m)).otherwise(acc) }
-      val sdCol = stats.foldLeft(lit(1.0)) { case (acc, (t, (_, sd))) =>
-        when(col("event_type") === t, lit(sd)).otherwise(acc) }
-      ev.withColumn("__z", (col("__c").cast("double") - meanCol) / sdCol)
+      val meanMap = typedLit(stats.map { case (t, (m, _)) => t -> m })
+      val sdMap = typedLit(stats.map { case (t, (_, sd)) => t -> sd })
+      ev
+        .withColumn("__sd", element_at(sdMap, col("event_type")))
+        .withColumn("__z",
+          (col("__c").cast("double") - element_at(meanMap, col("event_type"))) /
+            col("__sd"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          sum(when(abs(col("__z")) > 2.0, 1L).otherwise(0L)).as("n_outliers"))
+          sum(when(col("__sd") > 0.0 && abs(col("__z")) > 2.0, 1L)
+            .otherwise(0L)).as("n_outliers"))
         .orderBy("event_type")
     }),
     // ---- dataset profiling: per-column null and distinct counts over
@@ -2175,7 +2183,7 @@ object SparkEntry {
         |        sqrt(CAST(scc AS DOUBLE) / n - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) AS sd
         |      FROM m)
         |SELECT c.event_type, count(*) AS n_events,
-        |  CAST(sum(CASE WHEN abs((CAST(cc AS DOUBLE) - s.mean) / s.sd) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  CAST(sum(CASE WHEN s.sd > 0 AND abs((CAST(cc AS DOUBLE) - s.mean) / s.sd) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM c JOIN s ON c.event_type = s.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_schema_profile" ->

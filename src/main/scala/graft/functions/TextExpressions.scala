@@ -171,8 +171,12 @@ object TermCounter {
     ArrayData.toArrayData(out)
   }
 
+  /** Locale.ROOT pins locale-independent lowercasing: under a
+    * Turkish/Azeri default JVM locale a term containing 'I' would
+    * lowercase to dotless ı and silently never match the UTF8String
+    * lowercasing used on the text side. */
   def termBytes(terms: Seq[String]): Array[Array[Byte]] =
-    terms.map(_.toLowerCase.getBytes("UTF-8")).toArray
+    terms.map(_.toLowerCase(java.util.Locale.ROOT).getBytes("UTF-8")).toArray
 }
 
 /** Catalyst wrapper over [[TermCounter.counts]]. */

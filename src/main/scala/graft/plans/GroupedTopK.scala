@@ -35,6 +35,13 @@ import org.apache.spark.sql.graft.ColumnBridge
   * unspecified, as with any unsorted relational result. Ties beyond k
   * cut deterministically on `tieCol`, so results are reproducible for a
   * total (orderCol, tieCol) order regardless of partitioning.
+  *
+  * Memory model: the per-key heap map does NOT spill — each task holds
+  * (keys-in-partition × k) retained rows. That is the operator's
+  * contract (same as any sketch/top-k accumulator): it assumes bounded
+  * group cardinality per partition; for unbounded key domains at scale,
+  * pre-partition by key so each task sees a bounded slice, or fall back
+  * to the window formulation.
   */
 case class GroupedTopK(
     keys: Seq[String],
@@ -85,10 +92,14 @@ object GroupedTopK {
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GroupedTopK =>
-      def attr(n: String): Attribute = g.child.output
-        .find(_.name == n)
-        .getOrElse(throw new IllegalArgumentException(
-          s"GroupedTopK: column $n not in ${g.child.output.map(_.name)}"))
+      def attr(n: String): Attribute = g.child.output.filter(_.name == n) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"GroupedTopK: column $n not in ${g.child.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"GroupedTopK: column name $n is ambiguous (${many.size} attributes " +
+            "match, e.g. after a self-join) — disambiguate with aliases first")
+      }
       val keys = g.keys.map(attr)
       val partial = GroupedTopKExec(
         keys, attr(g.orderCol), g.descending, attr(g.tieCol), g.k,
