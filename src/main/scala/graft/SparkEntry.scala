@@ -1699,6 +1699,7 @@ object SparkEntry {
     "q_dedup_clusters" -> Seq("cluster_rep"),
     "q_catalog_search" -> Seq("dist", "id"),
     "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
+    "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
     "q_catalog_documents" -> Seq("id"),
     "q_lang_source_rollup" -> Seq("lang", "source"),
     "q_topk_per_group" -> Seq("lang", "rank"),
