@@ -377,6 +377,14 @@ class LibraryCatalog(
       .toMap
   }
 
+  /** An artifact's parquet schema never changes over a library's
+    * lifetime (the indexer type is fixed at create), so it is inferred
+    * from footers ONCE and every later part read passes it explicitly —
+    * otherwise each part of each artifact read re-runs footer inference,
+    * a per-read fixed cost that dominates small index reads. */
+  private val artifactSchemas =
+    new scala.collection.concurrent.TrieMap[(String, String), org.apache.spark.sql.types.StructType]
+
   /** Union of an artifact's parts across its referenced version dirs,
     * each row tagged with its part's version (`__pv`) for delete
     * reconciliation. A part is either a parquet dir or an inline
@@ -389,7 +397,16 @@ class LibraryCatalog(
       val inline = new Path(part, InlineIdsFile)
       val base =
         if (fs.exists(inline)) idsDf(readSmallTextFile(inline).linesIterator.toSeq)
-        else spark.read.parquet(part.toString)
+        else {
+          val key = (name, artifactName)
+          artifactSchemas.get(key) match {
+            case Some(schema) => spark.read.schema(schema).parquet(part.toString)
+            case None =>
+              val df = spark.read.parquet(part.toString)
+              artifactSchemas.putIfAbsent(key, df.schema)
+              df
+          }
+        }
       base.withColumn("__pv", lit(d.stripPrefix("v").toLong))
     }.reduce(_ unionByName _)
 
@@ -1477,6 +1494,10 @@ class LibraryCatalog(
     * endpoints/libraries.py:104 — intended semantics implemented). */
   def deleteLibrary(name: String): Unit = withWriteLock(name) {
     fs.delete(libDir(name), true)
+    // a later create under the same name may use a different indexer —
+    // drop the cached artifact schemas (and any cached hnsw graphs)
+    artifactSchemas.keys.filter(_._1 == name).foreach(artifactSchemas.remove)
+    evictStaleHnsw(name, current = -1L)
     ()
   }
 

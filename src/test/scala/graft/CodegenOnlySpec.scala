@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
-import graft.functions.{LexicalBuckets, LshSignature, Md5Chunks, Md5Embed, Md5PrefixInt, MinhashSigs, SimhashFromTokens, VectorDistance}
+import graft.functions.{LexicalBuckets, LshSignature, Md5Chunks, Md5Embed, Md5Prefix48, Md5PrefixInt, MinhashSigs, SimhashFromTokens, VectorDistance}
 
 /** Every custom codegen expression must actually COMPILE. Round 3's md5
   * doGenCode failed Janino compilation and silently ran interpreted —
@@ -38,6 +38,17 @@ class CodegenOnlySpec extends SparkSpec {
         conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long").as("slow"))
         .collect()
       assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    }
+  }
+
+  test("Md5Prefix48 compiles under CODEGEN_ONLY and matches the 12-hex-char parse") {
+    import spark.implicits._
+    withCodegenOnly {
+      val rows = texts.toDF("t").select(
+        ColumnBridge.column(Md5Prefix48(ColumnBridge.expression(col("t")))).as("fast"),
+        conv(substring(md5(col("t").cast("binary")), 1, 12), 16, 10).cast("long").as("slow"))
+        .collect()
       rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
     }
   }
