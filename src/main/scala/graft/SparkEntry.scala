@@ -883,6 +883,41 @@ object SparkEntry {
         out
       } finally s.conf.set(AnnProbeRule.ConfKey, "false")
     }),
+    // ---- training-pipeline: symmetric int8 embedding quantization —
+    //      the storage/ANN-memory path (4× smaller vectors). Per-vector
+    //      scale = max|x|/127, q_i = clamp(floor(x_i/scale + .5)) — the
+    //      explicit floor(+0.5) makes rounding identical on both
+    //      engines (HALF_UP vs HALF_EVEN ties can't diverge). Integer
+    //      outputs (q_sum/q_min/q_max) are order-invariant-exact; scale
+    //      and the dequantization max-error follow the round(…,6)+0.0
+    //      float discipline. Zero vectors quantize to zeros explicitly
+    //      (scale 0 would otherwise NaN both engines differently).
+    //      Pure per-row codegen over the scan — no shuffle, no UDF. ----
+    "q_quantize_embed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb
+        .withColumn("__scale",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0))
+        .withColumn("__q",
+          when(col("__scale") === 0.0,
+            transform(col("embedding"), _ => lit(0L)))
+            .otherwise(transform(col("embedding"), x =>
+              greatest(lit(-127L), least(lit(127L),
+                floor(x.cast("double") / col("__scale") + lit(0.5)))))))
+        .select(
+          col("vec_id"),
+          aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("__q")).as("q_min"),
+          array_max(col("__q")).as("q_max"),
+          rn(col("__scale"), 6).as("scale"),
+          rn(
+            when(col("__scale") === 0.0, lit(0.0)).otherwise(
+              aggregate(
+                zip_with(col("embedding"), col("__q"),
+                  (x, q) => abs(x.cast("double") - q * col("__scale"))),
+                lit(0.0), (a, e) => greatest(a, e))),
+            6).as("max_err"))
+    }),
     // ---- K2-adjacent: IVF approximate kNN over a PERSISTED index —
     //      assignments written partitionBy(cell) (a probe reads nProbe
     //      partition dirs, never the corpus) + a small centroids table.
@@ -1700,6 +1735,7 @@ object SparkEntry {
     "q_catalog_search" -> Seq("dist", "id"),
     "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
     "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
+    "q_quantize_embed" -> Seq("vec_id"),
     "q_catalog_documents" -> Seq("id"),
     "q_lang_source_rollup" -> Seq("lang", "source"),
     "q_topk_per_group" -> Seq("lang", "rank"),
@@ -2568,6 +2604,31 @@ object SparkEntry {
          |  FROM base e, q
          |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
     },
+    // Symmetric int8 quantization: explicit floor(x/scale + 0.5) on both
+    // engines (no round-mode divergence); integer q-stats exact; scale
+    // and max dequantization error under the round(…,6)+0.0 discipline.
+    "q_quantize_embed" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding, x ->
+        |           CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE)/scale + 0.5))) AS BIGINT))
+        |    END AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min,
+        |  list_max(qv) AS q_max,
+        |  (round(scale, 6) + 0.0) AS scale,
+        |  (round(CASE WHEN scale = 0 THEN 0.0 ELSE
+        |     list_max(list_transform(list_zip(embedding, qv),
+        |       p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)))
+        |   END, 6) + 0.0) AS max_err
+        |FROM q""".stripMargin,
     // Both branches of the Catalyst probe rewrite against the EXACT
     // ranking: the probe branch is a hard recall signal (bucket top-10
     // must equal exact top-10), the 2000-branch proves the under-k
