@@ -918,6 +918,40 @@ object SparkEntry {
                 lit(0.0), (a, e) => greatest(a, e))),
             6).as("max_err"))
     }),
+    // ---- training-pipeline: kNN over the int8-QUANTIZED corpus — the
+    //      compute half of the quantization story (4× less memory
+    //      bandwidth, SIMD-friendly integer dot products at scale). The
+    //      dot product is EXACT int64 arithmetic (order-invariant, no
+    //      float accumulation drift); only the final similarity rescale
+    //      (dot · scale_d · scale_q, fixed association) is floating
+    //      point, on identical operands in both engines. The query
+    //      vector quantizes driver-side with bit-identical arithmetic.
+    //      Shuffle-free TakeOrderedAndProject top-k like every kNN. ----
+    "q_quantized_knn" -> ((s, dir) => {
+      val qf = queryVec(s, dir)
+      val qScale = qf.map(x => math.abs(x.toDouble)).max / 127.0
+      val qq: Seq[Long] =
+        if (qScale == 0.0) qf.map(_ => 0L)
+        else qf.map(x => math.max(-127L, math.min(127L,
+          math.floor(x.toDouble / qScale + 0.5).toLong)))
+      t(s, dir, "embeddings")
+        .withColumn("__scale",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0))
+        .withColumn("__q",
+          when(col("__scale") === 0.0,
+            transform(col("embedding"), _ => lit(0L)))
+            .otherwise(transform(col("embedding"), x =>
+              greatest(lit(-127L), least(lit(127L),
+                floor(x.cast("double") / col("__scale") + lit(0.5)))))))
+        .withColumn("dot",
+          aggregate(zip_with(col("__q"), typedLit(qq), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v))
+        .withColumn("score",
+          col("dot").cast("double") * col("__scale") * lit(qScale))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("dot"), rn(col("score"), 6).as("score"))
+    }),
     // ---- K2-adjacent: IVF approximate kNN over a PERSISTED index —
     //      assignments written partitionBy(cell) (a probe reads nProbe
     //      partition dirs, never the corpus) + a small centroids table.
@@ -2629,6 +2663,37 @@ object SparkEntry {
         |       p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)))
         |   END, 6) + 0.0) AS max_err
         |FROM q""".stripMargin,
+    // Quantized kNN: exact int64 dot products over int8-quantized
+    // vectors; the rescale keeps one fixed association (dot·scale)·qscale.
+    "q_quantized_knn" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q0 AS (SELECT list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale,
+        |              embedding FROM embeddings WHERE vec_id = 0),
+        |qq AS (
+        |  SELECT qscale,
+        |    CASE WHEN qscale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding, x ->
+        |           CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE)/qscale + 0.5))) AS BIGINT))
+        |    END AS qv
+        |  FROM q0),
+        |d AS (
+        |  SELECT s.vec_id AS vec_id,
+        |    CAST(list_sum(list_transform(list_zip(
+        |      CASE WHEN s.scale = 0 THEN list_transform(s.embedding, x -> CAST(0 AS BIGINT))
+        |           ELSE list_transform(s.embedding, x ->
+        |             CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE)/s.scale + 0.5))) AS BIGINT))
+        |      END, qq.qv), p -> p[1] * p[2])) AS BIGINT) AS dot,
+        |    (CAST(CAST(list_sum(list_transform(list_zip(
+        |      CASE WHEN s.scale = 0 THEN list_transform(s.embedding, x -> CAST(0 AS BIGINT))
+        |           ELSE list_transform(s.embedding, x ->
+        |             CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE)/s.scale + 0.5))) AS BIGINT))
+        |      END, qq.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE) * s.scale) * qq.qscale AS score_exact
+        |  FROM s, qq)
+        |SELECT vec_id, dot, (round(score_exact, 6) + 0.0) AS score FROM d
+        |ORDER BY score_exact DESC, vec_id LIMIT 10""".stripMargin,
     // Both branches of the Catalyst probe rewrite against the EXACT
     // ranking: the probe branch is a hard recall signal (bucket top-10
     // must equal exact top-10), the 2000-branch proves the under-k
