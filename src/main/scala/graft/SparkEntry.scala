@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, TextAnalysis, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{BatchKnn, FlatKnn, HnswIndex, IvfIndex, LshIndex, Multimodal, NearDup, SimHash}
+import graft.operators.{BatchKnn, FlatKnn, HnswIndex, InvertedIndex, IvfIndex, LshIndex, Multimodal, NearDup, SimHash}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,18 @@ object SparkEntry {
     * here — a query builder must not mutate session conf. */
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Build-once persisted positional inverted index over `documents`
+    * (the IVF/LSH artifact pattern: `_built` marker, version-keyed
+    * path) — returns the bucket-partitioned postings table. */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val base = cachePath("invidx", dir)
+    if (!new java.io.File(s"$base/_built").exists()) {
+      InvertedIndex.build(t(s, dir, "documents"), s"$base/postings")
+      new java.io.File(s"$base/_built").createNewFile()
+    }
+    InvertedIndex.read(s, s"$base/postings")
+  }
 
   /** The deterministic probe vector: the stored embedding of vec_id 0
     * (self-query — flat exact kNN must return it at distance 0, the
@@ -1441,6 +1453,23 @@ object SparkEntry {
         .select(col("doc_id"), rn(col("bm25"), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(15)),
+    // ---- exact phrase search over the PERSISTED positional inverted
+    //      index (built once per code version + sf, like the IVF/LSH
+    //      index artifacts): the lookup reads only the query terms'
+    //      bucket partitions (PartitionFilters pinned in
+    //      InvertedIndexSpec), never the corpus text. Phrase match is
+    //      an equi-join of per-term postings on (doc_id, pos - i) —
+    //      join-shaped, not window-shaped. ----
+    "q_phrase_search" -> ((s, dir) =>
+      InvertedIndex.phraseSearch(
+        invertedIndex(s, dir), Seq("hash", "join"))),
+    // ---- conjunctive (AND) term lookup over the same index: docs
+    //      containing ALL query terms — one distinct + one counting
+    //      groupBy over the pruned postings. 'dup' is the corpus's one
+    //      rare token (df ≈ 5%), so the conjunction is selective. ----
+    "q_inverted_lookup" -> ((s, dir) =>
+      InvertedIndex.conjunctiveSearch(
+        invertedIndex(s, dir), Seq("dup", "window", "spark"))),
     // ---- document chunking: split each document into token windows
     //      (width 40, stride 20) — the pre-embedding step of every
     //      RAG/training ingestion pipeline (the reference's "chunks"
@@ -1763,6 +1792,8 @@ object SparkEntry {
     "q_pack_sequences" -> Seq("shard", "seq"),
     "q_redact_pii" -> Seq("doc_id"),
     "q_vocab_score" -> Seq("doc_id"),
+    "q_phrase_search" -> Seq("doc_id"),
+    "q_inverted_lookup" -> Seq("doc_id"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
     "q_neardup_incremental" -> Seq("doc_new", "doc_old"),
     "q_dedup_clusters" -> Seq("cluster_rep"),
@@ -2163,6 +2194,24 @@ object SparkEntry {
         |FROM w JOIN events e ON epoch_ns(e.ts)//1000 BETWEEN w.w_start AND w.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bm25" -> graft.functions.Bm25.oracleSql(Bm25Terms, 15),
+    // phrase occurrences re-derived positionally: token o and token o+1
+    // of the same document — the index-free ground truth of the
+    // postings-join formulation
+    "q_phrase_search" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |ex AS (SELECT doc_id, unnest(tk) AS t,
+        |         unnest(generate_series(1, len(tk))) AS o
+        |       FROM tk)
+        |SELECT a.doc_id, count(*) AS n_hits
+        |FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.o = a.o + 1
+        |WHERE a.t = 'hash' AND b.t = 'join'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_inverted_lookup" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'dup')
+        |  AND list_contains(string_split(text, ' '), 'window')
+        |  AND list_contains(string_split(text, ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
     "q_parse_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
