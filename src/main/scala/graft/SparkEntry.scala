@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, TextAnalysis, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{BatchKnn, FlatKnn, HnswIndex, InvertedIndex, IvfIndex, LshIndex, Multimodal, NearDup, SimHash}
+import graft.operators.{BatchKnn, FlatKnn, HnswIndex, InvertedIndex, IvfIndex, KMeans, LshIndex, Multimodal, NearDup, SimHash}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -505,6 +505,29 @@ object SparkEntry {
           sum(round(col("v").cast("double") * 1000000.0, 0).cast("long")).as("sq"))
         .select(col("label"), col("dim"), col("n"),
           rn(col("sq").cast("double") / col("n") / 1000000.0, 6).as("mean_v"))),
+    // ---- k-means (Lloyd) clustering over the globally-quantized
+    //      embedding space — semantic clustering for data curation
+    //      (cluster-then-dedup / cluster-balanced sampling).
+    //      Deterministic seeding (vec_id 0..7), 2 recenter rounds, then
+    //      the final assignment is read out as per-cluster size +
+    //      exact int64 inertia. Centroids ride as plan literals; each
+    //      round shuffles only K×(dim+1) map-combined partial sums —
+    //      the corpus never shuffles (KMeansSpec pins partitioning
+    //      invariance bit-for-bit and the join-free assignment plan).
+    //      Oracle = the same two rounds unrolled as CTEs, exact in
+    //      int64 end-to-end. ----
+    "q_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("x"))
+      val init = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Long]]("x").toIndexedSeq)
+        .toIndexedSeq
+      val centroids = KMeans.fit(emb, "x", init, iters = 2)
+      KMeans.assign(emb, "x", centroids)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_points"), sum("dist").as("inertia"))
+    }),
     // ---- per-group min-max feature normalization: one event_type
     //      shuffle serves both extrema; scaling is exact-selection
     //      (min/max) + a fixed-order scalar — no float accumulation. ----
@@ -1794,6 +1817,7 @@ object SparkEntry {
     "q_vocab_score" -> Seq("doc_id"),
     "q_phrase_search" -> Seq("doc_id"),
     "q_inverted_lookup" -> Seq("doc_id"),
+    "q_kmeans" -> Seq("cid"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
     "q_neardup_incremental" -> Seq("doc_new", "doc_old"),
     "q_dedup_clusters" -> Seq("cluster_rep"),
@@ -2257,6 +2281,60 @@ object SparkEntry {
         |  (round(CAST(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
         |         / count(*) / 1000000.0, 6) + 0.0) AS mean_v
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // the two Lloyd rounds unrolled as CTEs: assignment = row_number
+    // over (dist, cid) — the argmin-with-lowest-id tie-break of the
+    // Spark side's array_position — and the centroid update is the
+    // half-up rounded integer mean floor((2s+n)/(2n)); everything is
+    // exact int64 so neither engine's aggregation order can show
+    "q_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS x
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, x FROM q WHERE vec_id < 8),
+        |d0 AS (SELECT q.vec_id, q.x, c.cid,
+        |         CAST(list_sum(list_transform(list_zip(q.x, c.x),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |       FROM q, c0 c),
+        |a0 AS (SELECT vec_id, x, cid, dist FROM
+        |         (SELECT *, row_number() OVER
+        |            (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d0)
+        |       WHERE rn = 1),
+        |u0 AS (SELECT cid, unnest(x) AS v,
+        |         unnest(generate_series(1, len(x))) AS dd FROM a0),
+        |m0 AS (SELECT cid, dd,
+        |         CAST(floor((2 * sum(v) + count(*)) / (2.0 * count(*))) AS BIGINT) AS m
+        |       FROM u0 GROUP BY cid, dd),
+        |n0 AS (SELECT cid, list(m ORDER BY dd) AS x FROM m0 GROUP BY cid),
+        |c1 AS (SELECT c.cid, coalesce(n.x, c.x) AS x
+        |       FROM c0 c LEFT JOIN n0 n ON c.cid = n.cid),
+        |d1 AS (SELECT q.vec_id, q.x, c.cid,
+        |         CAST(list_sum(list_transform(list_zip(q.x, c.x),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |       FROM q, c1 c),
+        |a1 AS (SELECT vec_id, x, cid, dist FROM
+        |         (SELECT *, row_number() OVER
+        |            (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |u1 AS (SELECT cid, unnest(x) AS v,
+        |         unnest(generate_series(1, len(x))) AS dd FROM a1),
+        |m1 AS (SELECT cid, dd,
+        |         CAST(floor((2 * sum(v) + count(*)) / (2.0 * count(*))) AS BIGINT) AS m
+        |       FROM u1 GROUP BY cid, dd),
+        |n1 AS (SELECT cid, list(m ORDER BY dd) AS x FROM m1 GROUP BY cid),
+        |c2 AS (SELECT c.cid, coalesce(n.x, c.x) AS x
+        |       FROM c1 c LEFT JOIN n1 n ON c.cid = n.cid),
+        |d2 AS (SELECT q.vec_id, c.cid,
+        |         CAST(list_sum(list_transform(list_zip(q.x, c.x),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        |       FROM q, c2 c),
+        |a2 AS (SELECT vec_id, cid, dist FROM
+        |         (SELECT *, row_number() OVER
+        |            (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+        |       WHERE rn = 1)
+        |SELECT cid, count(*) AS n_points, CAST(sum(dist) AS BIGINT) AS inertia
+        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
     "q_normalize_features" ->
       """WITH w AS (
         |  SELECT event_id, event_type, value,
