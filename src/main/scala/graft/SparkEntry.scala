@@ -287,6 +287,38 @@ object SparkEntry {
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("r_name")),
+    // ---- TPC-H Q5 shape: the six-table star join with a selective
+    //      region + order-year slice. The fact table flows through
+    //      co-shuffled joins on its own keys (AQE picks broadcast where
+    //      a probe side is small); the true dimensions (supplier,
+    //      nation, the pre-filtered region) are explicit broadcasts —
+    //      at 100 TB customer/orders/lineitem shuffle on join keys,
+    //      dims never do. Revenue is the fixture-wide float-sum
+    //      discipline: round(sum, 2) on both sides. ----
+    "q_regional_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val reg = t(s, dir, "region")
+        .where(col("r_name") === "ASIA").select("r_regionkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          rn(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
     // ---- P5/J3: existence via left-semi join (row order: see verifyOrder) ----
     "q_semi_customers_with_orders" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -1493,6 +1525,34 @@ object SparkEntry {
     "q_inverted_lookup" -> ((s, dir) =>
       InvertedIndex.conjunctiveSearch(
         invertedIndex(s, dir), Seq("dup", "window", "spark"))),
+    // ---- bigram collocation mining (phrase discovery for tokenizer /
+    //      vocab induction): lift = c_ab·N / (c_a·c_b) over adjacent
+    //      token pairs — the rational PMI core, kept as one fixed-order
+    //      scalar over exact integer counts so the oracle can't drift.
+    //      Three corpus passes (bigram counts, unigram counts, token
+    //      total), each map-side combined; unigram counts broadcast to
+    //      both join legs; the 1-row total inlines as a literal. ----
+    "q_collocations" -> ((s, dir) => {
+      val tk = t(s, dir, "documents").select(split(col("text"), " ", -1).as("tk"))
+      val nTok = tk.agg(sum(size(col("tk")))).head().getLong(0)
+      val uni = tk.select(explode(col("tk")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val bg = tk.where(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> named_struct('a', tk[i-1], 'b', tk[i]))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        .join(broadcast(uni.select(col("t").as("a"), col("c").as("ca"))), "a")
+        .join(broadcast(uni.select(col("t").as("b"), col("c").as("cb"))), "b")
+        .select(
+          concat(col("a"), lit(" "), col("b")).as("bigram"),
+          col("cab"),
+          rn((col("cab") * lit(nTok)).cast("double") /
+            (col("ca") * col("cb")).cast("double"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(20)
+    }),
     // ---- document chunking: split each document into token windows
     //      (width 40, stride 20) — the pre-embedding step of every
     //      RAG/training ingestion pipeline (the reference's "chunks"
@@ -1818,6 +1878,7 @@ object SparkEntry {
     "q_phrase_search" -> Seq("doc_id"),
     "q_inverted_lookup" -> Seq("doc_id"),
     "q_kmeans" -> Seq("cid"),
+    "q_regional_revenue" -> Seq("n_name"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
     "q_neardup_incremental" -> Seq("doc_new", "doc_old"),
     "q_dedup_clusters" -> Seq("cluster_rep"),
@@ -2236,6 +2297,42 @@ object SparkEntry {
         |  AND list_contains(string_split(text, ' '), 'window')
         |  AND list_contains(string_split(text, ' '), 'spark')
         |ORDER BY doc_id""".stripMargin,
+    // TPC-H Q5 shape; revenue under the fixture-wide float-sum
+    // discipline (round to 2dp on both sides)
+    "q_regional_revenue" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c_custkey = o_custkey
+        |JOIN lineitem l ON l_orderkey = o_orderkey
+        |JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation n ON s_nationkey = n_nationkey
+        |JOIN region r ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // parallel unnests zip (the q_tokenize_ids pattern) giving adjacent
+    // token pairs; lift = (cab·n)/(ca·cb) — exact-integer numerator and
+    // denominator, one correctly-rounded double division on both sides
+    "q_collocations" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT t, count(*) AS c
+        |        FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t),
+        |tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n FROM tk),
+        |bg AS (SELECT
+        |         unnest(list_transform(
+        |           generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i])) AS a,
+        |         unnest(list_transform(
+        |           generate_series(1, greatest(len(tk) - 1, 0)), i -> tk[i + 1])) AS b
+        |       FROM tk),
+        |cb AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b)
+        |SELECT concat(cb.a, ' ', cb.b) AS bigram, cb.cab AS cab,
+        |       (round((cb.cab * tot.n) / (ua.c * ub.c), 6) + 0.0) AS lift
+        |FROM cb CROSS JOIN tot
+        |JOIN uni ua ON cb.a = ua.t
+        |JOIN uni ub ON cb.b = ub.t
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
     "q_parse_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
