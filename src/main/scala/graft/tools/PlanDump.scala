@@ -42,7 +42,13 @@ object PlanDump {
     "q_kmv_distinct" ->
       "KMV distinct sketch: the custom KmvSketchAgg TypedImperativeAggregate plans as ObjectHashAggregate partial/final — each partition's bounded distinct k-min tree crosses the exchange as at most k longs (a distinct().orderBy.limit formulation would shuffle every distinct hash); the hash is the fused Md5Prefix48 codegen expression inside the scan projection.",
     "q_ann_probe_rule" ->
-      "Catalyst ANN rewrite (probe branch): AnnProbeRule injected the lsh_signature bucket filter under the kNN projection plus the scalar-subquery candidate-count guard — the exact full scan became a bucket probe chosen by the OPTIMIZER, with the under-k branch degenerating the predicate to the exact plan.")
+      "Catalyst ANN rewrite (probe branch): AnnProbeRule injected the lsh_signature bucket filter under the kNN projection plus the scalar-subquery candidate-count guard — the exact full scan became a bucket probe chosen by the OPTIMIZER, with the under-k branch degenerating the predicate to the exact plan.",
+    "q_phrase_search" ->
+      "Phrase search over the persisted positional inverted index: the postings scan carries PartitionFilters on the query terms' bucket ids (only those directories are read) plus pushed term filters; the phrase itself is a hash EQUI-join of the per-term postings on (doc_id, pos - i) — corpus text never appears in the plan.",
+    "q_kmeans" ->
+      "k-means readout: the Lloyd rounds already ran as literal-centroid aggregations; the final assignment is a pure scan-side projection (centroids inlined in the distance expressions, no join, no shuffle) feeding ONE map-combined groupBy — K×(dim+1) partial sums per partition is all that ever crosses an exchange.",
+    "q_regional_revenue" ->
+      "TPC-H Q5 star join: lineitem⋈orders⋈customer co-shuffle (or AQE-broadcast) on their own keys while supplier/nation/pre-filtered region enter as BroadcastExchanges — at any scale the dimensions never shuffle and the fact table shuffles only on join keys.")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
