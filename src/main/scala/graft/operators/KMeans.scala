@@ -44,8 +44,28 @@ object KMeans {
 
   /** Lloyd assignment: nearest centroid id (ties → lowest id, matching
     * the oracle's `ORDER BY dist, cid` tie-break) plus the exact
-    * squared distance. Pure per-row expressions — no join, no shuffle. */
+    * squared distance. The fused [[graft.functions.KMeansAssign]]
+    * kernel — one codegen'd loop per row, centroid matrix as a
+    * reference object; the `__r` intermediate is referenced twice so
+    * CollapseProject keeps the projection boundary and the kernel runs
+    * once per row (the TermCounts discipline). Pure per-row
+    * expressions — no join, no shuffle. */
   def assign(df: DataFrame, xCol: String, centroids: Seq[Seq[Long]]): DataFrame = {
+    require(centroids.nonEmpty, "assign needs at least one centroid")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val r = ColumnBridge.column(graft.functions.KMeansAssign(
+      ColumnBridge.expression(col(xCol)),
+      centroids.map(_.toArray).toArray))
+    df.withColumn("__r", r)
+      .withColumn("cid", element_at(col("__r"), 1).cast("int"))
+      .withColumn("dist", element_at(col("__r"), 2))
+      .drop("__r")
+  }
+
+  /** Composed-builtin twin of [[assign]] (K zip_with+aggregate dist
+    * columns, array_min + first-match array_position) — kept as the
+    * bitwise ground truth the fused kernel is pinned against. */
+  def assignComposed(df: DataFrame, xCol: String, centroids: Seq[Seq[Long]]): DataFrame = {
     require(centroids.nonEmpty, "assign needs at least one centroid")
     val dists = array(centroids.map(c => distTo(col(xCol), c)): _*)
     df.withColumn("__d", dists)

@@ -225,4 +225,21 @@ class CodegenOnlySpec extends SparkSpec {
       }
     }
   }
+
+  test("KMeansAssign compiles under CODEGEN_ONLY and matches the composition") {
+    import graft.operators.KMeans
+    withCodegenOnly {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("x"))
+      val cs = emb.where(col("vec_id") < 4).orderBy("vec_id").collect()
+        .map(_.getAs[scala.collection.Seq[Long]]("x").toIndexedSeq)
+        .toIndexedSeq
+      val fast = KMeans.assign(emb, "x", cs)
+        .select("vec_id", "cid", "dist").orderBy("vec_id").collect().toSeq
+      val slow = KMeans.assignComposed(emb, "x", cs)
+        .select("vec_id", "cid", "dist").orderBy("vec_id").collect().toSeq
+      assert(fast.nonEmpty)
+      assert(fast == slow)
+    }
+  }
 }

@@ -94,6 +94,28 @@ class KMeansSpec extends SparkSpec {
     assert(next(0) != init(0), "the populated cluster must move")
   }
 
+  test("fused assignment equals the composed-builtin twin bitwise") {
+    val a = KMeans.assign(emb, "x", init)
+      .select("vec_id", "cid", "dist").orderBy("vec_id").collect().toSeq
+    val b = KMeans.assignComposed(emb, "x", init)
+      .select("vec_id", "cid", "dist").orderBy("vec_id").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
+  test("a wrong-dimension vector assigns NULL, like the composition") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq(1L, 2L)), (2L, init(0).toList))
+      .toDF("vec_id", "x")
+    val fused = KMeans.assign(bad, "x", init)
+      .orderBy("vec_id").select("cid", "dist").collect()
+    val comp = KMeans.assignComposed(bad, "x", init)
+      .orderBy("vec_id").select("cid", "dist").collect()
+    assert(fused(0).isNullAt(0) && fused(0).isNullAt(1))
+    assert(comp(0).isNullAt(0) && comp(0).isNullAt(1))
+    assert(!fused(1).isNullAt(0) && fused(1) == comp(1))
+  }
+
   test("assignment is join-free and shuffle-free; centroids are literals") {
     val plan = KMeans.assign(emb, "x", init)
       .queryExecution.executedPlan.toString
