@@ -1875,6 +1875,44 @@ object SparkEntry {
         .withColumn("rep_ratio",
           rn(lit(1.0) - col("n_distinct").cast("double") /
             col("n_2grams").cast("double"), 6))),
+    // ---- quality-filter funnel with reason codes (the pipeline
+    //      REPORT every large-scale curation run produces): each doc
+    //      gets its FIRST failing rule — too_short → repetitive →
+    //      low_diversity → keep — with thresholds as integer
+    //      cross-multiplications (no float ratio compare can straddle
+    //      an engine boundary). One scan, one tiny groupBy. ----
+    "q_filter_reasons" -> ((s, dir) => {
+      val sig = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          split(col("text"), " ", -1).as("tk"), col("text"))
+        .withColumn("g2", when(size(col("tk")) < 2, array(col("text")))
+          .otherwise(expr(
+            "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))")))
+        .select(col("n_chars"),
+          size(col("tk")).as("n_tok"),
+          size(array_distinct(col("tk"))).as("n_uniq"),
+          size(col("g2")).as("n_2g"),
+          size(array_distinct(col("g2"))).as("n_uniq_2g"))
+      sig.select(col("n_chars"),
+        when(col("n_tok") < 25, "too_short")
+          .when(col("n_uniq_2g") * 100 < col("n_2g") * 93, "repetitive")
+          .when(col("n_uniq") * 20 < col("n_tok") * 7, "low_diversity")
+          .otherwise("keep").as("reason"))
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+    // ---- canonical text normalization (the exact-dedup preprocessor):
+    //      lower → trim → whitespace collapse, emitted as the canonical
+    //      form's md5 + length; the hash column is what a canonical
+    //      exact-dedup would group on. Pure codegen scan, no shuffle. ----
+    "q_normalize_text" -> ((s, dir) => {
+      val cleaned =
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(cleaned).as("n_norm"),
+        md5(cleaned.cast("binary")).as("norm_hash"))
+    }),
     // ---- benchmark decontamination (LLM data hygiene): flag corpus
     //      documents sharing winnowed fingerprints with a held-out eval
     //      set (doc_id % 97 == 0 stands in for the benchmark). The eval
@@ -1982,6 +2020,8 @@ object SparkEntry {
     "q_lang_id" -> Seq("doc_id"),
     "q_quality_score" -> Seq("doc_id"),
     "q_repetition" -> Seq("doc_id"),
+    "q_filter_reasons" -> Seq("reason"),
+    "q_normalize_text" -> Seq("doc_id"),
     "q_fingerprint" -> Seq("doc_id"),
     "q_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_embed_neardup" -> Seq("doc_a", "doc_b"),
@@ -2766,6 +2806,29 @@ object SparkEntry {
         |SELECT doc_id, len(g2) AS n_2grams, len(list_distinct(g2)) AS n_distinct,
         |  (round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6) + 0.0) AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    // same 2-gram construction as q_repetition; thresholds as integer
+    // cross-multiplications on both sides
+    "q_filter_reasons" ->
+      """WITH toks AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk, text
+        |              FROM documents),
+        |g AS (SELECT doc_id, n_chars, len(tk) AS n_tok,
+        |        len(list_distinct(tk)) AS n_uniq,
+        |        CASE WHEN len(tk) < 2 THEN [text]
+        |             ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS g2
+        |      FROM toks),
+        |r AS (SELECT n_chars,
+        |        CASE WHEN n_tok < 25 THEN 'too_short'
+        |             WHEN len(list_distinct(g2)) * 100 < len(g2) * 93 THEN 'repetitive'
+        |             WHEN n_uniq * 20 < n_tok * 7 THEN 'low_diversity'
+        |             ELSE 'keep' END AS reason
+        |      FROM g)
+        |SELECT reason, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY reason ORDER BY reason""".stripMargin,
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        |  length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_norm,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH $oFingerprintCtes,
          |ev AS (
