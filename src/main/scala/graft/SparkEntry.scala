@@ -176,6 +176,37 @@ object SparkEntry {
         |            (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
         |       WHERE rn = 1)""".stripMargin
 
+  /** Shared oracle prefix for the int8-quantized ranking (CTE `d` =
+    * per-vector exact int64 dot + fixed-association rescale) —
+    * consumed by q_quantized_knn and q_ann_recall. */
+  private val QuantKnnCtes: String =
+    """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q0 AS (SELECT list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale,
+        |              embedding FROM embeddings WHERE vec_id = 0),
+        |qq AS (
+        |  SELECT qscale,
+        |    CASE WHEN qscale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding, x ->
+        |           CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE)/qscale + 0.5))) AS BIGINT))
+        |    END AS qv
+        |  FROM q0),
+        |d AS (
+        |  SELECT s.vec_id AS vec_id,
+        |    CAST(list_sum(list_transform(list_zip(
+        |      CASE WHEN s.scale = 0 THEN list_transform(s.embedding, x -> CAST(0 AS BIGINT))
+        |           ELSE list_transform(s.embedding, x ->
+        |             CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE)/s.scale + 0.5))) AS BIGINT))
+        |      END, qq.qv), p -> p[1] * p[2])) AS BIGINT) AS dot,
+        |    (CAST(CAST(list_sum(list_transform(list_zip(
+        |      CASE WHEN s.scale = 0 THEN list_transform(s.embedding, x -> CAST(0 AS BIGINT))
+        |           ELSE list_transform(s.embedding, x ->
+        |             CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE)/s.scale + 0.5))) AS BIGINT))
+        |      END, qq.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE) * s.scale) * qq.qscale AS score_exact
+        |  FROM s, qq)""".stripMargin
+
   /** q_mixture_sample's target language proportions (relative weights —
     * the training-mix recipe). */
   private val MixtureWeights: Map[String, Long] =
@@ -1106,6 +1137,18 @@ object SparkEntry {
         .limit(10)
         .select(col("vec_id"), col("dot"), rn(col("score"), 6).as("score"))
     }),
+    // ---- ANN evaluation harness: recall@10 of the quantized ranking
+    //      vs the exact dot ranking — composed from the two existing
+    //      query builders so the measured rankings are EXACTLY the ones
+    //      the other queries ship; tiny (10×10) id join, one row out. ----
+    "q_ann_recall" -> ((s, dir) => {
+      val exact = queries("q_knn_dot")(s, dir).select("vec_id")
+      val approx = queries("q_quantized_knn")(s, dir).select("vec_id")
+      exact.join(approx, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("n_overlap"),
+          rn(col("n_overlap").cast("double") / lit(10.0), 6).as("recall_at_10"))
+    }),
     // ---- K2-adjacent: IVF approximate kNN over a PERSISTED index —
     //      assignments written partitionBy(cell) (a probe reads nProbe
     //      partition dirs, never the corpus) + a small centroids table.
@@ -2011,6 +2054,7 @@ object SparkEntry {
     "q_catalog_search" -> Seq("dist", "id"),
     "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
     "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
+    "q_ann_recall" -> Seq("n_overlap"), // single row
     "q_quantize_embed" -> Seq("vec_id"),
     "q_catalog_documents" -> Seq("id"),
     "q_lang_source_rollup" -> Seq("lang", "source"),
@@ -3004,34 +3048,23 @@ object SparkEntry {
     // Quantized kNN: exact int64 dot products over int8-quantized
     // vectors; the rescale keeps one fixed association (dot·scale)·qscale.
     "q_quantized_knn" ->
-      """WITH s AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-        |  FROM embeddings),
-        |q0 AS (SELECT list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale,
-        |              embedding FROM embeddings WHERE vec_id = 0),
-        |qq AS (
-        |  SELECT qscale,
-        |    CASE WHEN qscale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(embedding, x ->
-        |           CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE)/qscale + 0.5))) AS BIGINT))
-        |    END AS qv
-        |  FROM q0),
-        |d AS (
-        |  SELECT s.vec_id AS vec_id,
-        |    CAST(list_sum(list_transform(list_zip(
-        |      CASE WHEN s.scale = 0 THEN list_transform(s.embedding, x -> CAST(0 AS BIGINT))
-        |           ELSE list_transform(s.embedding, x ->
-        |             CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE)/s.scale + 0.5))) AS BIGINT))
-        |      END, qq.qv), p -> p[1] * p[2])) AS BIGINT) AS dot,
-        |    (CAST(CAST(list_sum(list_transform(list_zip(
-        |      CASE WHEN s.scale = 0 THEN list_transform(s.embedding, x -> CAST(0 AS BIGINT))
-        |           ELSE list_transform(s.embedding, x ->
-        |             CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE)/s.scale + 0.5))) AS BIGINT))
-        |      END, qq.qv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE) * s.scale) * qq.qscale AS score_exact
-        |  FROM s, qq)
+      s"""$QuantKnnCtes
         |SELECT vec_id, dot, (round(score_exact, 6) + 0.0) AS score FROM d
         |ORDER BY score_exact DESC, vec_id LIMIT 10""".stripMargin,
+    // ANN evaluation harness: recall@10 of the int8-quantized ranking
+    // against the exact dot-product ranking — both rankings re-derived
+    // independently on each side, intersection counted; the division
+    // is double-by-double (bare 10.0 would be DECIMAL in DuckDB)
+    "q_ann_recall" ->
+      s"""$QuantKnnCtes,
+        |ex AS (SELECT e.vec_id AS vec_id, (-($oDot)) AS dist_exact
+        |       FROM embeddings e, $oq),
+        |ex_top AS (SELECT vec_id FROM ex ORDER BY dist_exact, vec_id LIMIT 10),
+        |qz_top AS (SELECT vec_id FROM d ORDER BY score_exact DESC, vec_id LIMIT 10),
+        |bth AS (SELECT vec_id FROM ex_top INTERSECT SELECT vec_id FROM qz_top)
+        |SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+        |  (round(CAST(count(*) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) + 0.0) AS recall_at_10
+        |FROM bth""".stripMargin,
     // Both branches of the Catalyst probe rewrite against the EXACT
     // ranking: the probe branch is a hard recall signal (bucket top-10
     // must equal exact top-10), the 2000-branch proves the under-k
