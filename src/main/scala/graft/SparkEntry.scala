@@ -1655,6 +1655,36 @@ object SparkEntry {
     "q_inverted_lookup" -> ((s, dir) =>
       InvertedIndex.conjunctiveSearch(
         invertedIndex(s, dir), Seq("dup", "window", "spark"))),
+    // ---- the OPTIMIZER choosing the inverted index: the query is the
+    //      plain corpus-text scan formulation; TermProbeRule (opt-in
+    //      confs, reset after planning) rewrites the token-membership
+    //      predicates into the bucket-pruned postings semi-join while
+    //      the non-term conjunct stays a Filter. Hash-green against the
+    //      scan-form oracle = the rewrite is invisible. ----
+    "q_term_probe_rule" -> ((s, dir) => {
+      import graft.plans.TermProbeRule
+      if (!s.experimental.extraOptimizations.contains(TermProbeRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ TermProbeRule
+      invertedIndex(s, dir) // ensure the postings artifact exists
+      s.conf.set(TermProbeRule.ConfKey, "true")
+      s.conf.set(TermProbeRule.PathKey,
+        s"${cachePath("invidx", dir)}/postings")
+      try {
+        val tk = split(col("text"), " ", -1)
+        val out = t(s, dir, "documents")
+          .where(array_contains(tk, "dup") && array_contains(tk, "window") &&
+            array_contains(tk, "spark") && col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars"))
+        // pin the rewrite NOW (the optimized plan caches on the
+        // QueryExecution) so the conf reset below can't undo it
+        out.queryExecution.executedPlan
+        out
+      } finally {
+        s.conf.set(TermProbeRule.ConfKey, "false")
+        s.conf.unset(TermProbeRule.PathKey)
+      }
+    }),
     // ---- bigram collocation mining (phrase discovery for tokenizer /
     //      vocab induction): lift = c_ab·N / (c_a·c_b) over adjacent
     //      token pairs — the rational PMI core, kept as one fixed-order
@@ -2045,6 +2075,7 @@ object SparkEntry {
     "q_vocab_score" -> Seq("doc_id"),
     "q_phrase_search" -> Seq("doc_id"),
     "q_inverted_lookup" -> Seq("doc_id"),
+    "q_term_probe_rule" -> Seq("doc_id"),
     "q_kmeans" -> Seq("cid"),
     "q_cluster_sample" -> Seq("cid"),
     "q_regional_revenue" -> Seq("n_name"),
@@ -2468,6 +2499,15 @@ object SparkEntry {
         |WHERE list_contains(string_split(text, ' '), 'dup')
         |  AND list_contains(string_split(text, ' '), 'window')
         |  AND list_contains(string_split(text, ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
+    // the scan-form ground truth: hash equality proves the optimizer's
+    // postings-semi-join rewrite invisible
+    "q_term_probe_rule" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'dup')
+        |  AND list_contains(string_split(text, ' '), 'window')
+        |  AND list_contains(string_split(text, ' '), 'spark')
+        |  AND n_chars > 0
         |ORDER BY doc_id""".stripMargin,
     // TPC-H Q5 shape; revenue under the fixture-wide float-sum
     // discipline (round to 2dp on both sides)
