@@ -86,7 +86,10 @@ object KMeans {
     val dim = prev.head.size
     val aggs = (0 until dim).map(d =>
       sum(element_at(col(xCol), d + 1)).as(s"__s$d")) :+ count(lit(1)).as("__n")
-    val rows = assigned.groupBy("cid").agg(aggs.head, aggs.tail: _*).collect()
+    // wrong-dimension rows assign NULL (see KMeansAssign) — they must
+    // not form a null-cid group here, they just don't vote
+    val rows = assigned.where(col("cid").isNotNull)
+      .groupBy("cid").agg(aggs.head, aggs.tail: _*).collect()
     val byCid = rows.map(r => r.getInt(0) -> r).toMap
     prev.indices.map { cid =>
       byCid.get(cid) match {

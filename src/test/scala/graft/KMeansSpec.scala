@@ -116,6 +116,16 @@ class KMeansSpec extends SparkSpec {
     assert(!fused(1).isNullAt(0) && fused(1) == comp(1))
   }
 
+  test("recenter ignores wrong-dimension (NULL-cid) rows instead of failing") {
+    import spark.implicits._
+    val mixed = Seq((1L, Seq(9L, 9L)), (2L, init(0).toList), (3L, init(1).toList))
+      .toDF("vec_id", "x")
+    val cs = Seq(init(0), init(1))
+    val next = KMeans.recenter(KMeans.assign(mixed, "x", cs), "x", cs)
+    assert(next.size == 2)
+    assert(next(0) == init(0), "single-member cluster mean is itself")
+  }
+
   test("assignment is join-free and shuffle-free; centroids are literals") {
     val plan = KMeans.assign(emb, "x", init)
       .queryExecution.executedPlan.toString
