@@ -1974,6 +1974,40 @@ object SparkEntry {
         .groupBy("reason")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
+    // ---- the capstone composition — a full curation pass in ONE plan:
+    //      canonical normalization → quality gate (the q_filter_reasons
+    //      rules, keep-only) → exact dedup on the canonical hash (min
+    //      doc_id survives per group, ONE window shuffle) → 80%
+    //      deterministic md5-threshold train split → per-lang corpus
+    //      stats. Every stage is an operator the surface already ships;
+    //      this query proves they COMPOSE, and the single oracle hash
+    //      pins the whole funnel end-to-end. ----
+    "q_curation_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .withColumn("__h",
+          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+            .cast("binary")))
+        .withColumn("__tk", split(col("text"), " ", -1))
+        .withColumn("__g2", when(size(col("__tk")) < 2, array(col("text")))
+          .otherwise(expr(
+            "transform(sequence(1, size(__tk) - 1), i -> concat(__tk[i-1], ' ', __tk[i]))")))
+      val kept = base.where(
+        !(size(col("__tk")) < 25) &&
+          !(size(array_distinct(col("__g2"))) * 100 < size(col("__g2")) * 93) &&
+          !(size(array_distinct(col("__tk"))) * 20 < size(col("__tk")) * 7))
+      val deduped = kept
+        .withColumn("__rn",
+          row_number().over(Window.partitionBy("__h").orderBy("doc_id")))
+        .where(col("__rn") === 1)
+      deduped
+        .where(pmod(
+          Embedder.md5Int(concat(lit("s|"), col("doc_id").cast("string"))),
+          lit(10000)) < 8000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     // ---- canonical text normalization (the exact-dedup preprocessor):
     //      lower → trim → whitespace collapse, emitted as the canonical
     //      form's md5 + length; the hash column is what a canonical
@@ -2097,6 +2131,7 @@ object SparkEntry {
     "q_repetition" -> Seq("doc_id"),
     "q_filter_reasons" -> Seq("reason"),
     "q_normalize_text" -> Seq("doc_id"),
+    "q_curation_pipeline" -> Seq("lang"),
     "q_fingerprint" -> Seq("doc_id"),
     "q_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_embed_neardup" -> Seq("doc_a", "doc_b"),
@@ -2908,6 +2943,29 @@ object SparkEntry {
         |      FROM g)
         |SELECT reason, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM r GROUP BY reason ORDER BY reason""".stripMargin,
+    // the funnel end-to-end under one hash: same reason rules as
+    // q_filter_reasons, dedup survivor = min doc_id per canonical hash,
+    // split = the fixture-wide md5-threshold acceptance
+    "q_curation_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+        |    string_split(text, ' ') AS tk
+        |  FROM documents),
+        |g AS (SELECT *, CASE WHEN len(tk) < 2 THEN [text]
+        |        ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS g2
+        |      FROM base),
+        |kept AS (SELECT * FROM g
+        |  WHERE NOT (len(tk) < 25)
+        |    AND NOT (len(list_distinct(g2)) * 100 < len(g2) * 93)
+        |    AND NOT (len(list_distinct(tk)) * 20 < len(tk) * 7)),
+        |ded AS (SELECT * FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM kept)
+        |  WHERE rn = 1),
+        |spl AS (SELECT * FROM ded
+        |  WHERE ('0x'||substr(md5('s|'||doc_id::VARCHAR),1,8))::BIGINT % 10000 < 8000)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM spl GROUP BY lang ORDER BY lang""".stripMargin,
     "q_normalize_text" ->
       """SELECT doc_id,
         |  length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_norm,
