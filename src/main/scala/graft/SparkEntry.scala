@@ -1210,7 +1210,6 @@ object SparkEntry {
           lit(null).cast("string").as("description"),
           pmod(col("doc_id"), lit(10)).cast("int").as("page")).as("metadata"))
       cat.createLibrary("crud_demo", Models.LshIndexer, src, overwrite = true)
-      cat.deleteChunksWhere("crud_demo", col("metadata.page") === 3)
       val extra = s.range(100).select(
         concat(lit("add"), col("id")).as("id"),
         lit("dadd").as("document_id"),
@@ -1223,7 +1222,13 @@ object SparkEntry {
           lit(null).cast("string").as("title"),
           lit(null).cast("string").as("description"),
           lit(null).cast("int").as("page")).as("metadata"))
-      cat.addChunks("crud_demo", extra) // incremental sig union (M3)
+      // M5 + M3 in ONE commit: the predicate delete and the 100-chunk add
+      // batch together (AddChunksOp unions into the sequential fold, its
+      // sigs ride the same commit's incremental index append) — one write
+      // job + one index job where two full commits used to run
+      cat.applyBatch("crud_demo", Seq(
+        LibraryCatalog.DeleteChunksWhereOp(col("metadata.page") === 3),
+        LibraryCatalog.AddChunksOp(extra)))
       // M9: rebuild == incremental, computed EAGERLY before later
       // mutations GC the incremental version's files
       val incremental = cat.indexTable("crud_demo").get

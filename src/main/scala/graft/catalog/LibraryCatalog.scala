@@ -1250,7 +1250,8 @@ class LibraryCatalog(
     * once. Per-row transforms compose as column expressions, so the
     * rewrite stays a single codegen'd pass over only the affected buckets.
     *
-    * Past the inline-probe cap the batch degrades to sequential
+    * Past the inline-probe cap — or when a batch containing [[LibraryCatalog.AddChunksOp]]
+    * outgrows the one-split regime — the batch degrades to sequential
     * application (same final state, N versions) — at that size per-commit
     * fixed cost no longer dominates the job anyway. */
   def applyBatch(
@@ -1267,6 +1268,11 @@ class LibraryCatalog(
     else {
       val nOps = norm.size
       def hitCol(i: Int) = s"__hit_$i"
+      // Adds are normalized ONCE (shape + embed) outside the fold — the
+      // fold may run twice (probe + rewrite) and must stage identical rows.
+      val normalizedAdds: Map[Int, DataFrame] = norm.zipWithIndex.collect {
+        case (AddChunksOp(rows), i) => i -> normalize(rows, m.dim, modelOf(m))
+      }.toMap
       // Sequential-state fold: materialize each op's match as a column
       // computed AFTER all earlier transforms, then apply the op's own
       // per-row effect. `__alive` carries delete visibility forward.
@@ -1274,6 +1280,21 @@ class LibraryCatalog(
         var df = df0.withColumn("__alive", lit(true))
         norm.zipWithIndex.foreach { case (op, i) =>
           op match {
+            case AddChunksOp(_) =>
+              // union at position i: earlier ops' hit columns are false on
+              // the new rows (they could not have matched them), later ops
+              // see them via the fold — exact sequential visibility.
+              // coalesce(1): the delta is a small new lineage in many
+              // near-empty partitions (e.g. a range source); one task keeps
+              // the rewrite's one-file-per-bucket layout instead of
+              // scattering a few rows per bucket per source partition —
+              // a file-count storm every later scan would pay for
+              val added = (0 until i)
+                .foldLeft(normalizedAdds(i).coalesce(1)
+                  .withColumn("__alive", lit(true)))(
+                  (d, j) => d.withColumn(hitCol(j), lit(false)))
+                .withColumn(hitCol(i), lit(true))
+              df = df.withColumn(hitCol(i), lit(false)).unionByName(added)
             case UpdateChunkOp(id, newText, newMetadata) =>
               df = df.withColumn(hitCol(i),
                 col("__alive") && col("id") === lit(id))
@@ -1342,15 +1363,26 @@ class LibraryCatalog(
           .drop(helperCols: _*)
         // ids of point updates that re-embed are known statically from the
         // ops themselves — the append lineage needs no observed state and
-        // runs concurrently with the observed chunk write
+        // runs concurrently with the observed chunk write. Added rows need
+        // index entries too: their hit columns mark them in the staged
+        // output (a row added then deleted later in the batch is never
+        // indexed — `__alive` gates the append — and its tombstone is a
+        // harmless no-op; search results match the sequential order).
         val textUpdatedIds = norm.collect {
           case UpdateChunkOp(id, Some(_), _) => id
         }
+        val addIdx = norm.zipWithIndex.collect {
+          case (_: AddChunksOp, i) => i
+        }
+        val needsIndexRow = addIdx
+          .map(i => col(hitCol(i)))
+          .foldLeft(
+            if (textUpdatedIds.isEmpty) lit(false)
+            else col("id").isin(textUpdatedIds: _*))(_ || _)
         val appends =
-          if (textUpdatedIds.isEmpty) None
+          if (textUpdatedIds.isEmpty && addIdx.isEmpty) None
           else incrementalIndexRows(m, name,
-            staged(all).where(col("__alive"))
-              .where(col("id").isin(textUpdatedIds: _*))
+            staged(all).where(col("__alive") && needsIndexRow)
               .drop(helperCols: _*))
         val deletedIds = () => deleteIdx.flatMap(i =>
           obs.get(s"ids_$i").asInstanceOf[scala.collection.Seq[String]])
@@ -1394,6 +1426,21 @@ class LibraryCatalog(
       ops: Seq[LibraryCatalog.Mutation],
       staged: DataFrame => DataFrame): LibraryMeta = {
     import LibraryCatalog._
+    // The probe pass only covers EXISTING rows; a batch that also adds
+    // rows applies sequentially past the one-split regime (an at-scale
+    // bulk add is a data job, not per-commit overhead — the single-pass
+    // arm is the small-library play).
+    if (norm.exists(_.isInstanceOf[AddChunksOp]))
+      return ops.foldLeft(m) { (_, op) =>
+        op match {
+          case UpdateChunkOp(id, t, md)     => updateChunk(name, id, t, md)
+          case UpdateMetadataWhereOp(p, nm) => updateMetadataWhere(name, p, nm)
+          case DeleteChunksOp(ids)          => deleteChunks(name, ids)
+          case DeleteChunksWhereOp(p)       => deleteChunksWhere(name, p)
+          case DeleteDocumentOp(d)          => deleteDocument(name, d)
+          case AddChunksOp(rows)            => addChunks(name, rows)
+        }
+      }
     val nOps = norm.size
     def hitCol(i: Int): String = s"__hit_$i"
       // ONE probe job: (id, bucket, per-op hit) for rows any op touched.
@@ -1417,6 +1464,7 @@ class LibraryCatalog(
             case DeleteChunksOp(ids)            => deleteChunks(name, ids)
             case DeleteChunksWhereOp(p)         => deleteChunksWhere(name, p)
             case DeleteDocumentOp(d)            => deleteDocument(name, d)
+            case AddChunksOp(rows)              => addChunks(name, rows)
           }
         }
       } else {
@@ -1705,6 +1753,11 @@ object LibraryCatalog {
   final case class DeleteChunksOp(ids: Seq[String]) extends Mutation
   final case class DeleteChunksWhereOp(pred: Column) extends Mutation
   final case class DeleteDocumentOp(documentId: String) extends Mutation
+  /** M2/M3 inside a batch: the rows union into the sequential-state fold
+    * at their position, so a LATER op's predicate sees them (and an
+    * earlier delete does not) — exact sequential semantics. Their index
+    * signatures ride the same commit's incremental append. */
+  final case class AddChunksOp(rows: DataFrame) extends Mutation
 
   private val log = LoggerFactory.getLogger(classOf[LibraryCatalog])
   private val writeLocks =

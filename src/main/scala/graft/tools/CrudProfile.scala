@@ -69,6 +69,12 @@ object CrudProfile {
         lit(null).cast("string").as("description"),
         lit(null).cast("int").as("page")).as("metadata"))
     phase("addChunks")(cat.addChunks("crud_demo", extra))
+    phase("batch(delete+add) twin") {
+      cat.createLibrary("crud_twin", Models.LshIndexer, src, overwrite = true)
+      cat.applyBatch("crud_twin", Seq(
+        LibraryCatalog.DeleteChunksWhereOp(col("metadata.page") === 3),
+        LibraryCatalog.AddChunksOp(extra)))
+    }
     val incremental = phase("indexTable-read") {
       cat.indexTable("crud_demo").get.select("id", "table_idx", "sig")
     }

@@ -119,6 +119,70 @@ class BatchMutationSpec extends SparkSpec with BeforeAndAfterAll {
     assert(catalog.chunks("b_dead").count() === 60L)
   }
 
+  private def extras(): DataFrame =
+    spark.range(8).select(
+      concat(lit("x"), col("id")).as("id"),
+      lit("dx").as("document_id"),
+      concat(lit("added batch chunk "), col("id")).as("text"),
+      struct(
+        lit("added").as("source"),
+        lit(null).cast("timestamp").as("created_at"),
+        array(lit("added")).as("tags"),
+        lit(null).cast("string").as("author"),
+        lit(null).cast("string").as("title"),
+        lit(null).cast("string").as("description"),
+        lit(null).cast("int").as("page")).as("metadata"))
+
+  test("batch with AddChunksOp == sequential, chunks and index bitwise") {
+    val ops = Seq(
+      DeleteChunksWhereOp(col("metadata.page") === 1),
+      AddChunksOp(extras()),
+      // matches ONLY the rows the previous op just added
+      UpdateMetadataWhereOp(col("document_id") === "dx", relabel))
+    catalog.createLibrary("b_aseq", LshIndexer, corpus(), overwrite = true)
+    catalog.createLibrary("b_abat", LshIndexer, corpus(), overwrite = true)
+    val mSeq = ops.foldLeft(catalog.readMeta("b_aseq").get) { (_, op) =>
+      op match {
+        case DeleteChunksWhereOp(p)       => catalog.deleteChunksWhere("b_aseq", p)
+        case AddChunksOp(rows)            => catalog.addChunks("b_aseq", rows)
+        case UpdateMetadataWhereOp(p, nm) => catalog.updateMetadataWhere("b_aseq", p, nm)
+        case _                            => fail("unexpected op")
+      }
+    }
+    val mBat = catalog.applyBatch("b_abat", ops)
+    assert(snapshot("b_aseq") === snapshot("b_abat"))
+    assert(indexSnapshot("b_aseq") === indexSnapshot("b_abat"))
+    assert(mBat.version === 1L)
+    assert(mSeq.version === 3L)
+    // the relabel reached the added rows (sequential visibility)
+    assert(catalog.chunks("b_abat")
+      .where(col("metadata.source") === "relabeled").count() === 8L)
+  }
+
+  test("an add is visible to a later delete and invisible to an earlier one") {
+    // delete-before-add: the predicate would match every added row but
+    // runs first, so all 8 survive
+    catalog.createLibrary("b_aord", FlatIndexer, corpus(), overwrite = true)
+    catalog.applyBatch("b_aord", Seq(
+      DeleteChunksWhereOp(col("metadata.source") === "added"),
+      AddChunksOp(extras())))
+    assert(catalog.chunks("b_aord")
+      .where(col("document_id") === "dx").count() === 8L)
+    // add-before-delete: the added row is gone from chunks AND the
+    // logical index (never indexed; its tombstone is a no-op)
+    catalog.createLibrary("b_aord2", LshIndexer, corpus(), overwrite = true)
+    catalog.applyBatch("b_aord2", Seq(
+      AddChunksOp(extras()),
+      DeleteChunksWhereOp(col("id") === "x3")))
+    val left = catalog.chunks("b_aord2")
+    assert(left.where(col("id") === "x3").count() === 0L)
+    assert(left.where(col("document_id") === "dx").count() === 7L)
+    assert(catalog.indexTable("b_aord2").get
+      .where(col("id") === "x3").count() === 0L)
+    assert(catalog.indexTable("b_aord2").get
+      .where(col("id") === "x5").count() > 0L)
+  }
+
   test("a batch matching nothing commits no new version") {
     catalog.createLibrary("b_noop", FlatIndexer, corpus(), overwrite = true)
     val before = catalog.readMeta("b_noop").get.version
