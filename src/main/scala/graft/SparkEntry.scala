@@ -1958,19 +1958,22 @@ object SparkEntry {
     //      gets its FIRST failing rule — too_short → repetitive →
     //      low_diversity → keep — with thresholds as integer
     //      cross-multiplications (no float ratio compare can straddle
-    //      an engine boundary). One scan, one tiny groupBy. ----
+    //      an engine boundary). One scan, one tiny groupBy; the four
+    //      token/bigram stats come from the fused one-pass TokenStats
+    //      kernel (zero-copy slices, no token/bigram array ever
+    //      materializes — the oracle's split/list_distinct algebra
+    //      hash-pins the kernel's exactness). ----
     "q_filter_reasons" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val ts = ColumnBridge.column(
+        graft.functions.TokenStats(ColumnBridge.expression(col("text"))))
       val sig = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"),
-          split(col("text"), " ", -1).as("tk"), col("text"))
-        .withColumn("g2", when(size(col("tk")) < 2, array(col("text")))
-          .otherwise(expr(
-            "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))")))
+        .select(col("n_chars"), ts.as("__ts"))
         .select(col("n_chars"),
-          size(col("tk")).as("n_tok"),
-          size(array_distinct(col("tk"))).as("n_uniq"),
-          size(col("g2")).as("n_2g"),
-          size(array_distinct(col("g2"))).as("n_uniq_2g"))
+          element_at(col("__ts"), 1).as("n_tok"),
+          element_at(col("__ts"), 2).as("n_uniq"),
+          element_at(col("__ts"), 3).as("n_2g"),
+          element_at(col("__ts"), 4).as("n_uniq_2g"))
       sig.select(col("n_chars"),
         when(col("n_tok") < 25, "too_short")
           .when(col("n_uniq_2g") * 100 < col("n_2g") * 93, "repetitive")
@@ -1989,19 +1992,19 @@ object SparkEntry {
     //      pins the whole funnel end-to-end. ----
     "q_curation_pipeline" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.graft.ColumnBridge
+      val ts = ColumnBridge.column(
+        graft.functions.TokenStats(ColumnBridge.expression(col("text"))))
       val base = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
         .withColumn("__h",
           md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
             .cast("binary")))
-        .withColumn("__tk", split(col("text"), " ", -1))
-        .withColumn("__g2", when(size(col("__tk")) < 2, array(col("text")))
-          .otherwise(expr(
-            "transform(sequence(1, size(__tk) - 1), i -> concat(__tk[i-1], ' ', __tk[i]))")))
+        .withColumn("__ts", ts)
       val kept = base.where(
-        !(size(col("__tk")) < 25) &&
-          !(size(array_distinct(col("__g2"))) * 100 < size(col("__g2")) * 93) &&
-          !(size(array_distinct(col("__tk"))) * 20 < size(col("__tk")) * 7))
+        !(element_at(col("__ts"), 1) < 25) &&
+          !(element_at(col("__ts"), 4) * 100 < element_at(col("__ts"), 3) * 93) &&
+          !(element_at(col("__ts"), 2) * 20 < element_at(col("__ts"), 1) * 7))
       val deduped = kept
         .withColumn("__rn",
           row_number().over(Window.partitionBy("__h").orderBy("doc_id")))

@@ -179,6 +179,76 @@ object TermCounter {
     terms.map(_.toLowerCase(java.util.Locale.ROOT).getBytes("UTF-8")).toArray
 }
 
+/** One-pass token/bigram statistics for the quality-filter rules:
+  * `[n_tok, n_uniq_tok, n_2gram, n_uniq_2gram]` in one scan of the UTF-8
+  * bytes. The column composition (split + transform/concat +
+  * 2×array_distinct) materializes the token array, allocates every
+  * bigram string, and hashes them all per referencing expression; this
+  * kernel walks the bytes once and interns ZERO-COPY slices.
+  *
+  * Parity is exact by construction:
+  * - tokens are the single-0x20-separated segments, empty segments kept —
+  *   `split(text, ' ', -1)` / DuckDB `string_split(text, ' ')` semantics
+  *   (0x20 never occurs inside a multi-byte UTF-8 sequence, so the byte
+  *   scan is codepoint-safe);
+  * - adjacent tokens are separated by exactly one space, so
+  *   `concat(tk[i-1], ' ', tk[i])` IS the original byte slice spanning
+  *   both tokens — bigram distinctness = distinct byte slices, no
+  *   concatenation ever happens;
+  * - fewer than two tokens: the rules fall back to `[text]` as the
+  *   bigram list (n_2gram = n_uniq_2gram = 1), mirroring the column form.
+  */
+object TokenStatsKernel {
+
+  def stats(s: UTF8String): ArrayData = {
+    val base = s.getBytes
+    val n = base.length
+    val uniqTok = new java.util.HashSet[UTF8String]()
+    val uniqBi = new java.util.HashSet[UTF8String]()
+    var nTok = 0L
+    var start = 0
+    var prevStart = -1
+    var i = 0
+    while (i <= n) {
+      if (i == n || base(i) == 0x20) {
+        nTok += 1L
+        uniqTok.add(UTF8String.fromBytes(base, start, i - start))
+        if (prevStart >= 0)
+          uniqBi.add(UTF8String.fromBytes(base, prevStart, i - prevStart))
+        prevStart = start
+        start = i + 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(Array(
+      nTok,
+      uniqTok.size.toLong,
+      if (nTok < 2L) 1L else nTok - 1L,
+      if (nTok < 2L) 1L else uniqBi.size.toLong))
+  }
+}
+
+/** Catalyst wrapper over [[TokenStatsKernel.stats]]. */
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_stats"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenStatsKernel.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TokenStatsKernel.stats($v);")
+}
+
 /** Catalyst wrapper over [[TermCounter.counts]]. */
 case class TermCounts(child: Expression, terms: Seq[String]) extends UnaryExpression {
 
