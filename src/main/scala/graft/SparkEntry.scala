@@ -1942,17 +1942,23 @@ object SparkEntry {
     //      "fraction of duplicate 2-grams" rule — boilerplate and
     //      looping generations score high). Pure per-row column work on
     //      bound token arrays (NearDup.docShingles at k=2), no shuffle. ----
-    "q_repetition" -> ((s, dir) =>
-      NearDup
-        .docShingles(t(s, dir, "documents"), "doc_id", "text",
-          NearDup.Params(shingleSize = 2))
+    //      (the shingle arrays never materialize: TokenStats's 2-gram
+    //      counts are definitionally NearDup.shinglesFromTokens at k=2 —
+    //      same [text] fallback under two tokens) ----
+    "q_repetition" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val ts = ColumnBridge.column(
+        graft.functions.TokenStats(ColumnBridge.expression(col("text"))))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ts.as("__ts"))
         .select(
           col("doc_id"),
-          size(col("shingles")).as("n_2grams"),
-          size(array_distinct(col("shingles"))).as("n_distinct"))
+          element_at(col("__ts"), 3).cast("int").as("n_2grams"),
+          element_at(col("__ts"), 4).cast("int").as("n_distinct"))
         .withColumn("rep_ratio",
           rn(lit(1.0) - col("n_distinct").cast("double") /
-            col("n_2grams").cast("double"), 6))),
+            col("n_2grams").cast("double"), 6))
+    }),
     // ---- quality-filter funnel with reason codes (the pipeline
     //      REPORT every large-scale curation run produces): each doc
     //      gets its FIRST failing rule — too_short → repetitive →
