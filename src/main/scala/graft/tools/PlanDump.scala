@@ -21,6 +21,8 @@ object PlanDump {
       "MinHash near-dup: band-key self-join shuffles only (id, band, key) rows; exact Jaccard verify joins run on candidates only; no cartesian anywhere.",
     "q_fingerprint" ->
       "Winnowing fingerprints: fused GramHashes/Winnow codegen kernels — one pass per row inside WholeStageCodegen, no shuffle at all.",
+    "q_curation_pipeline" ->
+      "Curation capstone (normalize -> quality gate -> exact dedup -> split -> stats) in ONE plan: the fused TokenStats kernel gates rows during the scan, only 4 narrow columns cross the single dedup exchange, and WindowGroupLimit keeps one survivor per canonical hash on BOTH sides of it (partial before, final after) - the shuffle moves at most one row per (partition, hash).",
     "q_pack_sequences" ->
       "Sequence packing: ONE hash exchange on shard feeds the running-sum window AND the co-partitioned (shard, seq) manifest aggregation (subset rule) — a second shuffle never appears at any scale.",
     "q_asof_join" ->
