@@ -563,6 +563,84 @@ object SparkEntry {
         md5(array_join(transform(ids, i => i.cast("string")), ",")
           .cast("binary")).as("ids_hash"))
     }),
+    // ---- tokenizer TRAINING (BPE merge learning) — the twin of
+    //      q_tokenize_ids' tokenizer APPLICATION. Word counts in ONE
+    //      map-combined shuffle → bounded top-2048 vocab (the corpus is
+    //      never touched again) → two unrolled merge rounds over the
+    //      vocab. A symbol sequence is its substrings joined by U+001F
+    //      (absent from the corpus), so greedy left-to-right BPE pair
+    //      merging IS `replace()` — bit-identical in Spark (UTF8String
+    //      .replace via the StringReplace expression), DuckDB, and the
+    //      driver-side learner. Round 1's best pair is learned at query
+    //      construction from the SAME bounded vocab (integer counts,
+    //      lexicographic tie-break — the kmeans literal-centroid
+    //      pattern) and rides the returned DISTRIBUTED plan as a
+    //      replace literal; the plan re-derives BOTH rounds' top-5 pair
+    //      tables from the corpus and the oracle re-runs the whole
+    //      funnel as unrolled CTEs — a drifted merge breaks the hash.
+    //      At 100 TB the only corpus-sized work is the word-count
+    //      aggregation; learning is O(vocab × word length). ----
+    "q_bpe_merges" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, StringReplace}
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.graft.ColumnBridge
+      val Sep = "\u001F"
+      def rep(c: Column, search: String, repl: String): Column =
+        ColumnBridge.column(StringReplace(ColumnBridge.expression(c),
+          Literal(search), Literal(repl)))
+      val wordsDist = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+        .orderBy(col("n_w").desc, col("w").asc)
+        .limit(2048)
+        .select(concat_ws(Sep, split(col("w"), "")).as("repr"), col("n_w"))
+      // ONE corpus job total: the bounded vocab (2048 rows) is collected
+      // once and re-enters the plan as a LocalRelation — both merge
+      // rounds and the driver-side learner work off the same rows, the
+      // corpus is never scanned again (the vocab_score / kmeans-centroid
+      // bounded-collect pattern)
+      val vocabRows = wordsDist.collect()
+      val words = s.createDataFrame(
+        java.util.Arrays.asList(vocabRows: _*), wordsDist.schema)
+      // learn round 1's merge on the driver: exact integer counts,
+      // (count desc, l asc, r asc) tie-break
+      val (l1, r1) = {
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocabRows.foreach { row =>
+          val sym = row.getString(0).split(Sep)
+          val n = row.getLong(1)
+          var i = 0
+          while (i < sym.length - 1) {
+            val k = (sym(i), sym(i + 1))
+            m.update(k, m.getOrElse(k, 0L) + n)
+            i += 1
+          }
+        }
+        m.minBy { case ((l, r), n) => (-n, l, r) }._1
+      }
+      def pairsOf(df: DataFrame): DataFrame = df
+        .select(col("n_w"), split(col("repr"), Sep).as("s"))
+        // the filter must precede the transform: sequence(1, 0) would
+        // run DESCENDING, not empty
+        .where(size(col("s")) >= 2)
+        .select(col("n_w"), explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS l, s[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n_w")).as("n"))
+      def top5(df: DataFrame, round: Int): DataFrame =
+        df.orderBy(col("n").desc, col("l").asc, col("r").asc).limit(5)
+          // 5-row single-partition window: rank the already-bounded rows
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("n").desc, col("l").asc, col("r").asc)))
+          .select(lit(round).as("round"), col("rnk"),
+            col("l"), col("r"), col("n"))
+      val words2 = words
+        .select(rep(col("repr"), l1 + Sep + r1, l1 + r1).as("repr"), col("n_w"))
+      top5(pairsOf(words), 1)
+        .unionByName(top5(pairsOf(words2), 2))
+        .orderBy("round", "rnk")
+    }),
     // ---- training-pipeline: PII redaction. The fixtures carry no
     //      natural emails (verified: zero '@' in any text), so the
     //      query plants two deterministic synthetic addresses per doc
@@ -2163,6 +2241,7 @@ object SparkEntry {
     "q_incremental_agg" -> Seq("user_id"),
     "q_grouped_topk" -> Seq("lang", "doc_id"),
     "q_tokenize_ids" -> Seq("doc_id"),
+    "q_bpe_merges" -> Seq("round", "rnk"),
     "q_schema_profile" -> Seq("n_rows"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
@@ -2439,6 +2518,33 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY ord)) AS ids_hash
         |FROM mapped GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the whole BPE funnel re-derived as unrolled CTEs: same bounded
+    // vocab, chr(31)-joined symbol reprs, pair counts via adjacent-slot
+    // list comprehension, merge = scalar-subquery replace()
+    "q_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS n_w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w ORDER BY n_w DESC, w ASC LIMIT 2048),
+        |w1 AS (SELECT array_to_string(string_split_regex(w, ''), chr(31)) AS repr, n_w FROM words),
+        |p1 AS (SELECT p.l AS l, p.r AS r, CAST(sum(n_w) AS BIGINT) AS n FROM (
+        |    SELECT n_w, unnest([{'l': s[x], 'r': s[x+1]} for x in range(1, len(s))]) AS p
+        |    FROM (SELECT n_w, string_split(repr, chr(31)) AS s FROM w1))
+        |  GROUP BY 1, 2),
+        |t1 AS (SELECT l, r, n, CAST(row_number() OVER (ORDER BY n DESC, l ASC, r ASC) AS INT) AS rnk
+        |       FROM p1 ORDER BY n DESC, l ASC, r ASC LIMIT 5),
+        |b1 AS (SELECT l, r FROM t1 WHERE rnk = 1),
+        |w2 AS (SELECT replace(repr, (SELECT l || chr(31) || r FROM b1),
+        |                      (SELECT l || r FROM b1)) AS repr, n_w FROM w1),
+        |p2 AS (SELECT p.l AS l, p.r AS r, CAST(sum(n_w) AS BIGINT) AS n FROM (
+        |    SELECT n_w, unnest([{'l': s[x], 'r': s[x+1]} for x in range(1, len(s))]) AS p
+        |    FROM (SELECT n_w, string_split(repr, chr(31)) AS s FROM w2))
+        |  GROUP BY 1, 2),
+        |t2 AS (SELECT l, r, n, CAST(row_number() OVER (ORDER BY n DESC, l ASC, r ASC) AS INT) AS rnk
+        |       FROM p2 ORDER BY n DESC, l ASC, r ASC LIMIT 5)
+        |SELECT CAST(1 AS INT) AS round, rnk, l, r, n FROM t1
+        |UNION ALL SELECT CAST(2 AS INT), rnk, l, r, n FROM t2
+        |ORDER BY round, rnk""".stripMargin,
     "q_grouped_topk" ->
       """SELECT lang, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,
