@@ -1053,6 +1053,49 @@ object SparkEntry {
           countDistinct(col("source")).as("d_source"))
         .orderBy("lang")
     }),
+    // ---- CSV source roundtrip (S-family: sources beyond parquet).
+    //      Write CSV with explicit quoting/header, read back with an
+    //      EXPLICIT schema (no inference pass over the files) and a
+    //      strict FAILFAST parse, aggregate — hash equality against the
+    //      parquet-derived oracle proves the roundtrip lossless. text
+    //      stays OUT of the projection (CSV quoting of free text is the
+    //      lossy corner; the exercised columns are the typed ones). ----
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val base = cachePath("csvsrc", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"$base/docs")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .option("header", "true").option("mode", "FAILFAST")
+        .csv(s"$base/docs")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(col("lang")).as("d_lang"))
+        .orderBy("source")
+    }),
+    // ---- ORC source roundtrip: same shape through Spark's second
+    //      columnar format (predicate pushdown + column pruning hold
+    //      there too). The oracle never reads ORC — it aggregates the
+    //      parquet originals, so the hash check IS the fidelity proof. ----
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val base = cachePath("orcsrc", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        t(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars", "text")
+          .write.mode("overwrite").orc(s"$base/docs")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      s.read.orc(s"$base/docs")
+        .where(col("n_chars") >= 200) // pushed to the ORC scan
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("lang")
+    }),
     // ---- lang rollup (corpus stats) ----
     "q_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2242,6 +2285,8 @@ object SparkEntry {
     "q_grouped_topk" -> Seq("lang", "doc_id"),
     "q_tokenize_ids" -> Seq("doc_id"),
     "q_bpe_merges" -> Seq("round", "rnk"),
+    "q_csv_roundtrip" -> Seq("source"),
+    "q_orc_roundtrip" -> Seq("lang"),
     "q_schema_profile" -> Seq("n_rows"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
@@ -2556,6 +2601,16 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(DISTINCT source) AS d_source
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT lang) AS d_lang
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_mixture_sample" -> {
       val vals = MixtureWeights.toSeq.sorted
         .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
