@@ -1075,7 +1075,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("sum_chars"),
           countDistinct(col("lang")).as("d_lang"))
-        .orderBy("source")
     }),
     // ---- ORC source roundtrip: same shape through Spark's second
     //      columnar format (predicate pushdown + column pruning hold
@@ -1094,7 +1093,6 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("sum_len"))
-        .orderBy("lang")
     }),
     // ---- lang rollup (corpus stats) ----
     "q_lang_stats" -> ((s, dir) =>
