@@ -834,6 +834,48 @@ object SparkEntry {
         countDistinct(col("o_orderpriority")).as("d_priority"),
         countDistinct(col("o_orderstatus")).as("d_status"),
         sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"))),
+    // ---- data-quality CONSTRAINT SUITE (the Deequ/Great-Expectations
+    //      shape a production pipeline gates a dataset version on):
+    //      each expectation evaluates to one (constraint, metric,
+    //      passed) row — uniqueness as count vs distinct, null-rate,
+    //      domain-range violations, and cross-table referential
+    //      integrity as a key equi anti-join (AQE broadcasts the dim
+    //      side at small SF; at 100 TB it degrades to the shuffle
+    //      anti-join on the key — never a nested loop).
+    //      All metrics integer-exact; `passed` is derived FROM the
+    //      metric in both engines so the verdict can't drift. ----
+    "q_quality_constraints" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      def row(name: String, metric: Column, passWhenZero: Boolean = true) =
+        (df: DataFrame) => df.agg(metric.cast("long").as("metric"))
+          .select(
+            lit(name).as("constraint"), col("metric"),
+            (if (passWhenZero) col("metric") === 0L else col("metric") > 0L)
+              .as("passed"))
+      val unique = orders.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .cast("long").as("metric"))
+        .select(lit("orderkey_unique").as("constraint"), col("metric"),
+          (col("metric") === 0L).as("passed"))
+      val nulls = row("custkey_no_nulls",
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)))(orders)
+      val range = row("quantity_in_1_50",
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)))(li)
+      val nonneg = row("price_nonnegative",
+        sum(when(col("l_extendedprice") < 0.0, 1L).otherwise(0L)))(li)
+      // referential integrity: every lineitem key must exist in orders —
+      // LEFT ANTI on the key, both sides shuffle-partitioned by it
+      val refint = li.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("metric"))
+        .select(lit("lineitem_orderkey_in_orders").as("constraint"),
+          col("metric"), (col("metric") === 0L).as("passed"))
+      unique.unionByName(nulls).unionByName(range)
+        .unionByName(nonneg).unionByName(refint)
+    }),
     // ---- KMV (k-minimum-values) distinct-count sketch: the mergeable
     //      cardinality estimator behind theta sketches, as a NATIVE
     //      TypedImperativeAggregate (functions/KmvSketch.scala): each
@@ -2285,6 +2327,7 @@ object SparkEntry {
     "q_bpe_merges" -> Seq("round", "rnk"),
     "q_csv_roundtrip" -> Seq("source"),
     "q_orc_roundtrip" -> Seq("lang"),
+    "q_quality_constraints" -> Seq("constraint"),
     "q_schema_profile" -> Seq("n_rows"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
@@ -2599,6 +2642,35 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(DISTINCT source) AS d_source
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_constraints" ->
+      """SELECT 'orderkey_unique' AS "constraint",
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS metric,
+        |  (count(*) - count(DISTINCT o_orderkey)) = 0 AS passed
+        |FROM orders
+        |UNION ALL
+        |SELECT 'custkey_no_nulls',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'quantity_in_1_50',
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'price_nonnegative',
+        |  CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_in_orders',
+        |  CAST((SELECT count(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                          WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey)) = 0
+        |ORDER BY "constraint"""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
