@@ -1136,6 +1136,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("sum_len"))
     }),
+    // ---- schema evolution: two parquet generations (the second grew a
+    //      `source` column) read together under mergeSchema — the
+    //      missing column NULL-fills for old files. The aggregate pins
+    //      both the union cardinality and exactly which generation
+    //      carries the new column; the oracle derives the same numbers
+    //      from the original table. ----
+    "q_evolved_schema" -> ((s, dir) => {
+      val base = cachePath("schevo", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        val docs = t(s, dir, "documents")
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").parquet(s"$base/v1")
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .select("doc_id", "lang", "n_chars", "source")
+          .write.mode("overwrite").parquet(s"$base/v2")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(when(col("source").isNotNull, 1L).otherwise(0L))
+            .as("n_with_source"))
+    }),
+    // ---- current-state view (the SCD-style "latest row per key" every
+    //      event pipeline serves): one hash exchange on the key; the
+    //      rank-1 filter plans as WindowGroupLimit on BOTH sides of it,
+    //      so at most one row per (partition, user) ever shuffles. ----
+    "q_latest_event" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("ts").as("last_ts"))
+    }),
     // ---- lang rollup (corpus stats) ----
     "q_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2328,6 +2367,8 @@ object SparkEntry {
     "q_csv_roundtrip" -> Seq("source"),
     "q_orc_roundtrip" -> Seq("lang"),
     "q_quality_constraints" -> Seq("constraint"),
+    "q_evolved_schema" -> Seq("lang"),
+    "q_latest_event" -> Seq("user_id"),
     "q_schema_profile" -> Seq("n_rows"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
@@ -2671,6 +2712,18 @@ object SparkEntry {
         |   WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                     WHERE o.o_orderkey = l.l_orderkey)) = 0
         |ORDER BY "constraint"""".stripMargin,
+    "q_evolved_schema" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_latest_event" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  ts AS last_ts
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
