@@ -1589,6 +1589,66 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("len")).as("sum_len"))
         .orderBy("snap")
     }),
+    // ---- CDC changelog between two library versions: the time-travel
+    //      twin every downstream consumer of a mutable dataset wants —
+    //      "what changed in the last commit". One mixed applyBatch
+    //      (update + predicate delete + AddChunksOp) produces v_n from
+    //      v_{n-1}; the diff is a FULL OUTER equi-join on id of the two
+    //      version reads (co-partitioned SMJ at scale, never a nested
+    //      loop) classified into insert/update/delete/unchanged. The
+    //      oracle replays the same set algebra over the base table. ----
+    "q_version_diff" -> ((s, dir) => {
+      import graft.catalog.{LibraryCatalog, Models}
+      val cat = new LibraryCatalog(s, cachePath("vd_wh", dir))
+      if (!cat.exists("vd_demo")) {
+        val src = t(s, dir, "documents")
+          .where(pmod(col("doc_id"), lit(5)) === 0)
+          .select(
+            concat(lit("c"), col("doc_id")).as("id"),
+            concat(lit("d"), pmod(col("doc_id"), lit(20))).as("document_id"),
+            col("text"),
+            struct(
+              col("lang").as("source"),
+              lit(null).cast("timestamp").as("created_at"),
+              array(col("lang")).as("tags"),
+              lit(null).cast("string").as("author"),
+              lit(null).cast("string").as("title"),
+              lit(null).cast("string").as("description"),
+              pmod(col("doc_id"), lit(10)).cast("int").as("page")).as("metadata"))
+        cat.createLibrary("vd_demo", Models.FlatIndexer, src, overwrite = true)
+        val adds = s.range(2).select(
+          concat(lit("new"), col("id")).as("id"),
+          lit("dnew").as("document_id"),
+          concat(lit("brand new chunk "), col("id")).as("text"),
+          struct(
+            lit("synthetic").as("source"),
+            lit(null).cast("timestamp").as("created_at"),
+            array(lit("synthetic")).as("tags"),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("title"),
+            lit(null).cast("string").as("description"),
+            lit(null).cast("int").as("page")).as("metadata"))
+        cat.applyBatch("vd_demo", Seq(
+          LibraryCatalog.UpdateChunkOp("c5",
+            newText = Some("version-diff updated text")),
+          LibraryCatalog.DeleteChunksWhereOp(col("metadata.page") === 0),
+          LibraryCatalog.AddChunksOp(adds)))
+      }
+      val v = cat.readMeta("vd_demo").get.version
+      val before = cat.chunksAt("vd_demo", v - 1)
+        .select(col("id"), col("text").as("__tb"))
+      val after = cat.chunks("vd_demo")
+        .select(col("id"), col("text").as("__ta"))
+      before.join(after, Seq("id"), "full_outer")
+        .select(
+          when(col("__tb").isNull, "insert")
+            .when(col("__ta").isNull, "delete")
+            .when(col("__ta") =!= col("__tb"), "update")
+            .otherwise("unchanged").as("op"),
+          length(coalesce(col("__ta"), col("__tb"))).as("__len"))
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"), sum(col("__len")).as("sum_len"))
+    }),
     // ---- the FULL catalog search read path, end to end: build a
     //      library from the documents table (persist to parquet), search
     //      a query text with a tag post-filter through
@@ -2369,6 +2429,7 @@ object SparkEntry {
     "q_quality_constraints" -> Seq("constraint"),
     "q_evolved_schema" -> Seq("lang"),
     "q_latest_event" -> Seq("user_id"),
+    "q_version_diff" -> Seq("op"),
     "q_schema_profile" -> Seq("n_rows"),
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
@@ -2712,6 +2773,30 @@ object SparkEntry {
         |   WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                     WHERE o.o_orderkey = l.l_orderkey)) = 0
         |ORDER BY "constraint"""".stripMargin,
+    // the same commit algebra replayed: before = the %5 slice (trimmed,
+    // non-empty — ingest normalization), after = update c5 → delete
+    // page 0 → add 2, diffed by id with text-equality classification
+    "q_version_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id, 'c'||doc_id AS id, trim(text) AS text
+        |  FROM documents
+        |  WHERE doc_id % 5 = 0 AND length(trim(text)) > 0),
+        |bef AS (SELECT id, text FROM base),
+        |aft AS (
+        |  SELECT id, CASE WHEN id = 'c5' THEN 'version-diff updated text'
+        |                  ELSE text END AS text
+        |  FROM base WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT 'new'||i, 'brand new chunk '||i FROM range(0,2) t(i)),
+        |j AS (SELECT b.text AS tb, a.text AS ta
+        |      FROM bef b FULL OUTER JOIN aft a ON b.id = a.id)
+        |SELECT CASE WHEN tb IS NULL THEN 'insert'
+        |            WHEN ta IS NULL THEN 'delete'
+        |            WHEN ta <> tb THEN 'update'
+        |            ELSE 'unchanged' END AS op,
+        |  count(*) AS n,
+        |  CAST(sum(length(COALESCE(ta, tb))) AS BIGINT) AS sum_len
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_evolved_schema" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
