@@ -21,6 +21,10 @@ object PlanDump {
       "MinHash near-dup: band-key self-join shuffles only (id, band, key) rows; exact Jaccard verify joins run on candidates only; no cartesian anywhere.",
     "q_fingerprint" ->
       "Winnowing fingerprints: fused GramHashes/Winnow codegen kernels — one pass per row inside WholeStageCodegen, no shuffle at all.",
+    "q_version_diff" ->
+      "CDC changelog between two library versions: both version reads co-partition on id into one full-outer SortMergeJoin (equi-join, never a nested loop), classification and the tiny groupBy ride on top - the diff of a 100 TB table shuffles each side once on the join key.",
+    "q_quality_constraints" ->
+      "Data-quality constraint suite: each expectation is a one-row aggregate; referential integrity is a key equi anti-join (AQE broadcast at this SF, shuffle anti-join at scale). The union of verdict rows costs one pass per table.",
     "q_curation_pipeline" ->
       "Curation capstone (normalize -> quality gate -> exact dedup -> split -> stats) in ONE plan: the fused TokenStats kernel gates rows during the scan, only 4 narrow columns cross the single dedup exchange, and WindowGroupLimit keeps one survivor per canonical hash on BOTH sides of it (partial before, final after) - the shuffle moves at most one row per (partition, hash).",
     "q_pack_sequences" ->
