@@ -1337,6 +1337,52 @@ object SparkEntry {
         .limit(10)
         .select(col("vec_id"), col("dot"), rn(col("score"), 6).as("score"))
     }),
+    // ---- product quantization + ADC search — the other half of the
+    //      compressed-ANN story beside q_quantized_knn's scalar int8:
+    //      16-dim vectors → 4 subspaces × 4 dims, a 16-entry codebook
+    //      per subspace (subvectors of the first 16 corpus vectors — the
+    //      IVF dense-sample pattern, so the oracle derives the SAME
+    //      codebook), each vector encoded as 4 small codes (argmin by
+    //      fixed-order double L2, first-minimum tie-break), and the
+    //      query answered ASYMMETRICALLY: a 4×16 distance table computed
+    //      once driver-side rides the plan as literals and the per-row
+    //      score is 4 table lookups + a fixed-order sum. Per-row codegen
+    //      only; shuffle-free TakeOrderedAndProject top-k. At scale the
+    //      codes table is 4 bytes/vector — the whole point of PQ. ----
+    "q_pq_adc" -> ((s, dir) => {
+      val M = 4; val dsub = 4; val K = 16
+      val emb = t(s, dir, "embeddings")
+      // bounded K-row collect: the codebook (and the query's ADC table
+      // derived from it) are learned parameters that ride as literals
+      val cbRows = emb.where(col("vec_id") < K).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cb = Array.tabulate(M, K, dsub)((si, j, d) => cbRows(j)(si * dsub + d))
+      val qv = queryVec(s, dir).map(_.toDouble)
+      val adcT = Array.tabulate(M, K) { (si, j) =>
+        (0 until dsub).foldLeft(0.0) { (acc, d) =>
+          val diff = qv(si * dsub + d) - cb(si)(j)(d); acc + diff * diff
+        }
+      }
+      def subEl(si: Int, d: Int) =
+        col("embedding").getItem(si * dsub + d).cast("double")
+      val codeCols = (0 until M).map { si =>
+        val ds = array((0 until K).map { j =>
+          (0 until dsub).map { d =>
+            val diff = subEl(si, d) - lit(cb(si)(j)(d)); diff * diff
+          }.reduce(_ + _)
+        }: _*)
+        (array_position(ds, array_min(ds)) - 1).cast("int").as(s"__c$si")
+      }
+      val coded = emb.select(col("vec_id") +: codeCols: _*)
+      val approx = (0 until M).map { si =>
+        element_at(typedLit(adcT(si).toSeq), col(s"__c$si") + 1)
+      }.reduce(_ + _)
+      coded.select(col("vec_id"), approx.as("__adc"))
+        .orderBy(col("__adc").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), rn(col("__adc"), 6).as("adc_dist"))
+    }),
     // ---- ANN evaluation harness: recall@10 of the quantized ranking
     //      vs the exact dot ranking — composed from the two existing
     //      query builders so the measured rankings are EXACTLY the ones
@@ -3471,6 +3517,31 @@ object SparkEntry {
          |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
          |  FROM base e, q
          |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
+    },
+    // the PQ funnel re-derived: same dense-sample codebook, per-subspace
+    // argmin encode (first-minimum tie-break), ADC table joined by code
+    "q_pq_adc" -> {
+      def d2(a: String, b: String, sVar: String) = {
+        val diff = s"(CAST($a[4*$sVar + d + 1] AS DOUBLE) - " +
+          s"CAST($b[4*$sVar + d + 1] AS DOUBLE))"
+        s"list_sum(list_transform(range(0,4), d -> $diff * $diff))"
+      }
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cb AS (SELECT vec_id AS j, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         |enc AS (
+         |  SELECT e.vec_id, ss.s AS s,
+         |    list(${d2("e.embedding", "c.embedding", "ss.s")} ORDER BY c.j) AS ds
+         |  FROM embeddings e, range(0,4) ss(s), cb c
+         |  GROUP BY e.vec_id, ss.s),
+         |codes AS (SELECT vec_id, s, list_position(ds, list_min(ds)) - 1 AS code FROM enc),
+         |qt AS (SELECT ss.s AS s, c.j AS j, ${d2("q.qv", "c.embedding", "ss.s")} AS dq
+         |       FROM q, range(0,4) ss(s), cb c),
+         |adc AS (
+         |  SELECT co.vec_id, list_sum(list(qt.dq ORDER BY co.s)) AS approx
+         |  FROM codes co JOIN qt ON qt.s = co.s AND qt.j = co.code
+         |  GROUP BY co.vec_id)
+         |SELECT vec_id, (round(approx, 6) + 0.0) AS adc_dist
+         |FROM adc ORDER BY approx, vec_id LIMIT 10""".stripMargin
     },
     "q_lsh_knn" -> {
       val p = LshIndex.Params()
