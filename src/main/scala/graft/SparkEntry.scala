@@ -1426,6 +1426,69 @@ object SparkEntry {
           queryVec(s, dir), 10)
         .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
     }),
+    // ---- IVF-PQ: the billion-scale ANN layout — q_ivf_knn's coarse
+    //      cells carrying q_pq_adc's codes. Build once per (version,
+    //      sf): ONE corpus scan emits (vec_id, 4 codes, cell), written
+    //      partitionBy(cell) — the persisted index is 4 BYTES/vector.
+    //      A query probes the nProbe nearest cells (partition-pruned
+    //      read of the CODES table; the float vectors are never read
+    //      again), scores candidates asymmetrically from the literal
+    //      ADC table, and under-k degenerates to the full codes table.
+    //      Candidate bytes at scale: 4/vector over nProbe/nCells of the
+    //      corpus — the index IS the compressed corpus. Coarse
+    //      centroids and PQ codebook share the dense 16-row sample so
+    //      the oracle derives both from one CTE. ----
+    "q_ivfpq_knn" -> ((s, dir) => {
+      val M = 4; val dsub = 4; val K = 16; val k = 10
+      val p = IvfIndex.Params()
+      val emb = t(s, dir, "embeddings")
+      // bounded K-row collect: coarse centroids + codebook as literals
+      val cbRows = emb.where(col("vec_id") < K).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val cb = Array.tabulate(M, K, dsub)((si, j, d) =>
+        cbRows(j)(si * dsub + d).toDouble)
+      val idxDir = cachePath("ivfpq_idx", dir)
+      if (!new java.io.File(s"$idxDir/_built").exists()) {
+        val cellDs = array(cbRows.toIndexedSeq.map(c =>
+          VectorFunctions.euclidean(col("embedding"), typedLit(c.toSeq))): _*)
+        def subEl(si: Int, d: Int) =
+          col("embedding").getItem(si * dsub + d).cast("double")
+        val codeCols = (0 until M).map { si =>
+          val ds = array((0 until K).map { j =>
+            (0 until dsub).map { d =>
+              val diff = subEl(si, d) - lit(cb(si)(j)(d)); diff * diff
+            }.reduce(_ + _)
+          }: _*)
+          (array_position(ds, array_min(ds)) - 1).cast("int").as(s"c$si")
+        }
+        emb.select(
+            col("vec_id") +: codeCols :+
+              (array_position(cellDs, array_min(cellDs)) - 1)
+                .cast("int").as("cell"): _*)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$idxDir/codes")
+        new java.io.File(s"$idxDir/_built").createNewFile()
+      }
+      val qv = queryVec(s, dir)
+      val adcT = Array.tabulate(M, K) { (si, j) =>
+        (0 until dsub).foldLeft(0.0) { (acc, d) =>
+          val diff = qv(si * dsub + d).toDouble - cb(si)(j)(d); acc + diff * diff
+        }
+      }
+      val probed = IvfIndex.probeCells(qv, cbRows.toIndexedSeq, p.nProbe)
+        .map(_.toInt)
+      val codes = s.read.parquet(s"$idxDir/codes")
+      val cand = codes.where(col("cell").isin(probed: _*)).localCheckpoint(true)
+      val base = if (cand.count() >= k) cand else codes
+      val approx = (0 until M).map { si =>
+        element_at(typedLit(adcT(si).toSeq), col(s"c$si") + 1)
+      }.reduce(_ + _)
+      base.select(col("vec_id"), approx.as("__adc"))
+        .orderBy(col("__adc").asc, col("vec_id").asc)
+        .limit(k)
+        .select(col("vec_id"), rn(col("__adc"), 6).as("adc_dist"))
+    }),
     // ---- S2-S5 + M1/M3/M4/M5/M6/M7/M9: the ENTIRE persistence/CRUD
     //      write surface as one hash-checked query, on an LSH-INDEXED
     //      library so index maintenance rides every mutation: create
@@ -3542,6 +3605,45 @@ object SparkEntry {
          |  GROUP BY co.vec_id)
          |SELECT vec_id, (round(approx, 6) + 0.0) AS adc_dist
          |FROM adc ORDER BY approx, vec_id LIMIT 10""".stripMargin
+    },
+    // IVF-PQ re-derived: q_ivf_knn's coarse cells (same euclid/first-min
+    // tie-break) + q_pq_adc's codes and ADC table, both off the shared
+    // dense 16-row sample; probe filter on the cells, under-k fallback
+    "q_ivfpq_knn" -> {
+      def d2(a: String, b: String, sVar: String) = {
+        val diff = s"(CAST($a[4*$sVar + d + 1] AS DOUBLE) - " +
+          s"CAST($b[4*$sVar + d + 1] AS DOUBLE))"
+        s"list_sum(list_transform(range(0,4), d -> $diff * $diff))"
+      }
+      def euclid(a: String, b: String) =
+        s"sqrt(list_sum(list_transform(list_zip($a, $b), " +
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cb AS (SELECT vec_id AS j, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         |asn AS (
+         |  SELECT e.vec_id, list(${euclid("e.embedding", "c.embedding")} ORDER BY c.j) AS ds
+         |  FROM embeddings e, cb c GROUP BY e.vec_id),
+         |cells AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell FROM asn),
+         |qc AS (SELECT c.j AS cell FROM cb c, q
+         |       ORDER BY ${euclid("q.qv", "c.embedding")}, c.j LIMIT 4),
+         |enc AS (
+         |  SELECT e.vec_id, ss.s AS s,
+         |    list(${d2("e.embedding", "c.embedding", "ss.s")} ORDER BY c.j) AS ds
+         |  FROM embeddings e, range(0,4) ss(s), cb c
+         |  GROUP BY e.vec_id, ss.s),
+         |codes AS (SELECT vec_id, s, list_position(ds, list_min(ds)) - 1 AS code FROM enc),
+         |qt AS (SELECT ss.s AS s, c.j AS j, ${d2("q.qv", "c.embedding", "ss.s")} AS dq
+         |       FROM q, range(0,4) ss(s), cb c),
+         |adc AS (
+         |  SELECT co.vec_id, list_sum(list(qt.dq ORDER BY co.s)) AS approx
+         |  FROM codes co JOIN qt ON qt.s = co.s AND qt.j = co.code
+         |  GROUP BY co.vec_id),
+         |cand AS (SELECT vec_id FROM cells WHERE cell IN (SELECT cell FROM qc)),
+         |base AS (SELECT a.vec_id, a.approx FROM adc a
+         |         WHERE (SELECT count(*) FROM cand) < 10
+         |            OR a.vec_id IN (SELECT vec_id FROM cand))
+         |SELECT vec_id, (round(approx, 6) + 0.0) AS adc_dist
+         |FROM base ORDER BY approx, vec_id LIMIT 10""".stripMargin
     },
     "q_lsh_knn" -> {
       val p = LshIndex.Params()
