@@ -1379,7 +1379,7 @@ object SparkEntry {
         element_at(typedLit(adcT(si).toSeq), col(s"__c$si") + 1)
       }.reduce(_ + _)
       coded.select(col("vec_id"), approx.as("__adc"))
-        .orderBy(col("__adc").asc, col("vec_id").asc)
+        .orderBy(col("__adc").asc_nulls_last, col("vec_id").asc)
         .limit(10)
         .select(col("vec_id"), rn(col("__adc"), 6).as("adc_dist"))
     }),
@@ -1485,7 +1485,7 @@ object SparkEntry {
         element_at(typedLit(adcT(si).toSeq), col(s"c$si") + 1)
       }.reduce(_ + _)
       base.select(col("vec_id"), approx.as("__adc"))
-        .orderBy(col("__adc").asc, col("vec_id").asc)
+        .orderBy(col("__adc").asc_nulls_last, col("vec_id").asc)
         .limit(k)
         .select(col("vec_id"), rn(col("__adc"), 6).as("adc_dist"))
     }),

@@ -54,7 +54,9 @@ object PlanDump {
     "q_kmeans" ->
       "k-means readout: the Lloyd rounds already ran as literal-centroid aggregations; the final assignment is a pure scan-side projection (centroids inlined in the distance expressions, no join, no shuffle) feeding ONE map-combined groupBy — K×(dim+1) partial sums per partition is all that ever crosses an exchange.",
     "q_regional_revenue" ->
-      "TPC-H Q5 star join: lineitem⋈orders⋈customer co-shuffle (or AQE-broadcast) on their own keys while supplier/nation/pre-filtered region enter as BroadcastExchanges — at any scale the dimensions never shuffle and the fact table shuffles only on join keys.")
+      "TPC-H Q5 star join: lineitem⋈orders⋈customer co-shuffle (or AQE-broadcast) on their own keys while supplier/nation/pre-filtered region enter as BroadcastExchanges — at any scale the dimensions never shuffle and the fact table shuffles only on join keys.",
+    "q_ivfpq_knn" ->
+      "IVF-PQ: the probed read of the cell-partitioned CODES table (4 bytes/vector, PartitionFilters on cell) executes eagerly before this plan; what remains is pure per-row ADC — 4 literal-table lookups + a fixed-order sum inside codegen — feeding the shuffle-free top-k. The float vectors never appear at query time.")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
