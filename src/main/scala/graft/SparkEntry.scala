@@ -218,6 +218,46 @@ object SparkEntry {
   private val PivotSources: Seq[String] =
     (0 until 20).map(i => s"src$i").sorted
 
+  /** IVF-PQ oracle chain (shared by q_ivfpq_knn and q_pq_recall):
+    * q_ivf_knn's coarse cells (same euclid/first-min tie-break) +
+    * q_pq_adc's codes and ADC table, both off the shared dense 16-row
+    * sample; `base` is the probed-or-fallback candidate set with its
+    * ADC score. */
+  private val IvfPqCtes: String = {
+    def d2(a: String, b: String, sVar: String) = {
+      val diff = s"(CAST($a[4*$sVar + d + 1] AS DOUBLE) - " +
+        s"CAST($b[4*$sVar + d + 1] AS DOUBLE))"
+      s"list_sum(list_transform(range(0,4), d -> $diff * $diff))"
+    }
+    def euclid(a: String, b: String) =
+      s"sqrt(list_sum(list_transform(list_zip($a, $b), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cb AS (SELECT vec_id AS j, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+       |asn AS (
+       |  SELECT e.vec_id, list(${euclid("e.embedding", "c.embedding")} ORDER BY c.j) AS ds
+       |  FROM embeddings e, cb c GROUP BY e.vec_id),
+       |cells AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell FROM asn),
+       |qc AS (SELECT c.j AS cell FROM cb c, q
+       |       ORDER BY ${euclid("q.qv", "c.embedding")}, c.j LIMIT 4),
+       |enc AS (
+       |  SELECT e.vec_id, ss.s AS s,
+       |    list(${d2("e.embedding", "c.embedding", "ss.s")} ORDER BY c.j) AS ds
+       |  FROM embeddings e, range(0,4) ss(s), cb c
+       |  GROUP BY e.vec_id, ss.s),
+       |codes AS (SELECT vec_id, s, list_position(ds, list_min(ds)) - 1 AS code FROM enc),
+       |qt AS (SELECT ss.s AS s, c.j AS j, ${d2("q.qv", "c.embedding", "ss.s")} AS dq
+       |       FROM q, range(0,4) ss(s), cb c),
+       |adc AS (
+       |  SELECT co.vec_id, list_sum(list(qt.dq ORDER BY co.s)) AS approx
+       |  FROM codes co JOIN qt ON qt.s = co.s AND qt.j = co.code
+       |  GROUP BY co.vec_id),
+       |cand AS (SELECT vec_id FROM cells WHERE cell IN (SELECT cell FROM qc)),
+       |base AS (SELECT a.vec_id, a.approx FROM adc a
+       |         WHERE (SELECT count(*) FROM cand) < 10
+       |            OR a.vec_id IN (SELECT vec_id FROM cand))""".stripMargin
+  }
+
   /** Shared DuckDB oracle fragments. */
   private val oq = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q"
   private def oDouble(e: String) = s"CAST($e AS DOUBLE)"
@@ -1395,6 +1435,18 @@ object SparkEntry {
         .select(col("n_overlap"),
           rn(col("n_overlap").cast("double") / lit(10.0), 6).as("recall_at_10"))
     }),
+    // ---- same harness over the compressed path: recall@10 of the
+    //      IVF-PQ (cell-probed, ADC-ranked) top-10 vs the exact
+    //      euclidean top-10 — the number a user tunes nProbe/M against.
+    //      Composed from the shipped builders; tiny 10×10 id join. ----
+    "q_pq_recall" -> ((s, dir) => {
+      val exact = queries("q_knn_euclidean")(s, dir).select("vec_id")
+      val approx = queries("q_ivfpq_knn")(s, dir).select("vec_id")
+      exact.join(approx, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("n_overlap"),
+          rn(col("n_overlap").cast("double") / lit(10.0), 6).as("recall_at_10"))
+    }),
     // ---- K2-adjacent: IVF approximate kNN over a PERSISTED index —
     //      assignments written partitionBy(cell) (a probe reads nProbe
     //      partition dirs, never the corpus) + a small centroids table.
@@ -2503,6 +2555,7 @@ object SparkEntry {
     "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
     "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
     "q_ann_recall" -> Seq("n_overlap"), // single row
+    "q_pq_recall" -> Seq("n_overlap"), // single row
     "q_quantize_embed" -> Seq("vec_id"),
     "q_catalog_documents" -> Seq("id"),
     "q_lang_source_rollup" -> Seq("lang", "source"),
@@ -3606,45 +3659,23 @@ object SparkEntry {
          |SELECT vec_id, (round(approx, 6) + 0.0) AS adc_dist
          |FROM adc ORDER BY approx, vec_id LIMIT 10""".stripMargin
     },
-    // IVF-PQ re-derived: q_ivf_knn's coarse cells (same euclid/first-min
-    // tie-break) + q_pq_adc's codes and ADC table, both off the shared
-    // dense 16-row sample; probe filter on the cells, under-k fallback
-    "q_ivfpq_knn" -> {
-      def d2(a: String, b: String, sVar: String) = {
-        val diff = s"(CAST($a[4*$sVar + d + 1] AS DOUBLE) - " +
-          s"CAST($b[4*$sVar + d + 1] AS DOUBLE))"
-        s"list_sum(list_transform(range(0,4), d -> $diff * $diff))"
-      }
-      def euclid(a: String, b: String) =
-        s"sqrt(list_sum(list_transform(list_zip($a, $b), " +
-          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |cb AS (SELECT vec_id AS j, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         |asn AS (
-         |  SELECT e.vec_id, list(${euclid("e.embedding", "c.embedding")} ORDER BY c.j) AS ds
-         |  FROM embeddings e, cb c GROUP BY e.vec_id),
-         |cells AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell FROM asn),
-         |qc AS (SELECT c.j AS cell FROM cb c, q
-         |       ORDER BY ${euclid("q.qv", "c.embedding")}, c.j LIMIT 4),
-         |enc AS (
-         |  SELECT e.vec_id, ss.s AS s,
-         |    list(${d2("e.embedding", "c.embedding", "ss.s")} ORDER BY c.j) AS ds
-         |  FROM embeddings e, range(0,4) ss(s), cb c
-         |  GROUP BY e.vec_id, ss.s),
-         |codes AS (SELECT vec_id, s, list_position(ds, list_min(ds)) - 1 AS code FROM enc),
-         |qt AS (SELECT ss.s AS s, c.j AS j, ${d2("q.qv", "c.embedding", "ss.s")} AS dq
-         |       FROM q, range(0,4) ss(s), cb c),
-         |adc AS (
-         |  SELECT co.vec_id, list_sum(list(qt.dq ORDER BY co.s)) AS approx
-         |  FROM codes co JOIN qt ON qt.s = co.s AND qt.j = co.code
-         |  GROUP BY co.vec_id),
-         |cand AS (SELECT vec_id FROM cells WHERE cell IN (SELECT cell FROM qc)),
-         |base AS (SELECT a.vec_id, a.approx FROM adc a
-         |         WHERE (SELECT count(*) FROM cand) < 10
-         |            OR a.vec_id IN (SELECT vec_id FROM cand))
+    // IVF-PQ re-derived from the shared CTE chain (see IvfPqCtes)
+    "q_ivfpq_knn" ->
+      s"""$IvfPqCtes
          |SELECT vec_id, (round(approx, 6) + 0.0) AS adc_dist
-         |FROM base ORDER BY approx, vec_id LIMIT 10""".stripMargin
-    },
+         |FROM base ORDER BY approx, vec_id LIMIT 10""".stripMargin,
+    // recall@10 of the IVF-PQ ranking vs the exact euclidean ranking —
+    // both sides re-derived in full, intersected by id
+    "q_pq_recall" ->
+      s"""$IvfPqCtes,
+         |ex AS (SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
+         |       FROM embeddings e, q),
+         |ex_top AS (SELECT vec_id FROM ex ORDER BY dist_exact, vec_id LIMIT 10),
+         |pq_top AS (SELECT vec_id FROM base ORDER BY approx, vec_id LIMIT 10),
+         |bth AS (SELECT vec_id FROM ex_top INTERSECT SELECT vec_id FROM pq_top)
+         |SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+         |  (round(CAST(count(*) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) + 0.0) AS recall_at_10
+         |FROM bth""".stripMargin,
     "q_lsh_knn" -> {
       val p = LshIndex.Params()
       val k = 10
