@@ -949,6 +949,43 @@ object SparkEntry {
             .as("est_distinct"),
           lit(nExact).as("n_exact"))
     }),
+    // ---- KMV set operations: the sketch property that makes it a
+    //      TABLE SUMMARY, not just a counter — two sketches built
+    //      independently (each side ships ≤ k longs off its table)
+    //      merge into union/intersection distinct estimates without
+    //      touching either corpus again. Merge = k-min of the sketch
+    //      union (exact integer ops); |A∩B| via the Beyer et al.
+    //      ρ·|A∪B| estimator. One side aggregates distributed, the
+    //      other rides as a ≤ k-long literal — no join in the plan. ----
+    "q_kmv_setops" -> ((s, dir) => {
+      val k = 256
+      def h(c: Column) = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.Md5Prefix48(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c.cast("string"))))
+      // side B (customer base): bounded ≤ k-long sketch as a literal
+      val sketchB = t(s, dir, "customer")
+        .select(h(col("c_custkey")).as("h"))
+        .agg(graft.functions.KmvSketch.kmvSketch(col("h"), k).as("ks"))
+        .head().getSeq[Long](0)
+      t(s, dir, "orders").select(h(col("o_custkey")).as("h"))
+        .agg(graft.functions.KmvSketch.kmvSketch(col("h"), k).as("a"))
+        .select(col("a"), typedLit(sketchB).as("b"))
+        .select(col("a"), col("b"),
+          slice(array_sort(array_union(col("a"), col("b"))), 1, k).as("u"))
+        .select(
+          size(col("u")).cast("long").as("k_n"),
+          element_at(col("u"), -1).as("m_k"),
+          size(filter(col("u"), x =>
+            array_contains(col("a"), x) && array_contains(col("b"), x)))
+            .cast("long").as("k_both"))
+        .select(
+          col("k_n"), col("m_k"), col("k_both"),
+          rn((col("k_n") - 1L) * lit(281474976710656.0) / col("m_k"), 4)
+            .as("est_union"),
+          rn((col("k_both").cast("double") / col("k_n")) *
+            ((col("k_n") - 1L) * lit(281474976710656.0) / col("m_k")), 4)
+            .as("est_intersect"))
+    }),
     // ---- pivot (cross-tab): docs per (lang × source) with the source
     //      domain pivoted into columns — explicit value list, so the
     //      plan is ONE pass of conditional aggregation (no values-
@@ -2554,6 +2591,7 @@ object SparkEntry {
     "q_catalog_search" -> Seq("dist", "id"),
     "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
     "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
+    "q_kmv_setops" -> Seq("k_n"), // single row
     "q_ann_recall" -> Seq("n_overlap"), // single row
     "q_pq_recall" -> Seq("n_overlap"), // single row
     "q_quantize_embed" -> Seq("vec_id"),
@@ -3253,6 +3291,23 @@ object SparkEntry {
         |  (round((k_n - 1) * 281474976710656.0 / m_k, 4) + 0.0) AS est_distinct,
         |  n_exact
         |FROM s, e""".stripMargin,
+    "q_kmv_setops" ->
+      """WITH ha AS (SELECT DISTINCT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,12))::BIGINT AS h
+        |            FROM orders),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |hb AS (SELECT DISTINCT ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,12))::BIGINT AS h
+        |       FROM customer),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+        |s AS (SELECT count(*) AS k_n, max(h) AS m_k,
+        |        count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+        |                           AND h IN (SELECT h FROM kb)) AS k_both
+        |      FROM u)
+        |SELECT k_n, m_k, k_both,
+        |  (round((k_n - 1) * 281474976710656.0 / m_k, 4) + 0.0) AS est_union,
+        |  (round((k_both * 1.0 / k_n) * ((k_n - 1) * 281474976710656.0 / m_k), 4) + 0.0)
+        |    AS est_intersect
+        |FROM s""".stripMargin,
     "q_pivot_lang_source" -> {
       val cells = PivotSources
         .map(src => s"count(*) FILTER (WHERE source = '$src') AS \"$src\"")
