@@ -1414,6 +1414,41 @@ object SparkEntry {
         .limit(10)
         .select(col("vec_id"), col("dot"), rn(col("score"), 6).as("score"))
     }),
+    // ---- binary (1-bit) quantization + Hamming ANN: the extreme end
+    //      of the compressed-ANN spectrum beside int8 (q_quantized_knn)
+    //      and PQ (q_pq_adc) — each 64-dim float vector collapses to
+    //      its sign bits, packed as TWO 32-bit halves (8 bytes/vector,
+    //      32× smaller than float32; halves keep every bit weight
+    //      < 2^32 so the oracle's integer arithmetic is overflow-free).
+    //      Candidate ranking is two XOR+popcount ops per row over the
+    //      packed longs; the float corpus is touched only to re-rank
+    //      the 50 Hamming survivors by exact euclidean. Packing is a
+    //      static 64-term codegen expression (no higher-order lambda in
+    //      the full-corpus pass); both stages are shuffle-free
+    //      TakeOrderedAndProject. At 100 TB the packed sketch IS the
+    //      scan — 8 bytes/row against 256. ----
+    "q_binary_knn" -> ((s, dir) => {
+      val qf = queryVec(s, dir)
+      def packQ(off: Int): Long =
+        (0 until 32).foldLeft(0L)((acc, i) =>
+          if (qf(off + i) > 0f) acc | (1L << i) else acc)
+      val (qLo, qHi) = (packQ(0), packQ(32))
+      def pack(off: Int): Column =
+        (0 until 32).map(i =>
+          when(col("embedding").getItem(off + i) > lit(0f), lit(1L << i))
+            .otherwise(lit(0L))).reduce(_ + _)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          (bit_count(pack(0).bitwiseXOR(lit(qLo))) +
+            bit_count(pack(32).bitwiseXOR(lit(qHi)))).cast("long").as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(50)
+        .withColumn("__d",
+          VectorFunctions.euclidean(col("embedding"), typedLit(qf)))
+        .orderBy(col("__d").asc_nulls_last, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("hamming"), rn(col("__d"), 6).as("dist"))
+    }),
     // ---- product quantization + ADC search — the other half of the
     //      compressed-ANN story beside q_quantized_knn's scalar int8:
     //      16-dim vectors → 4 subspaces × 4 dims, a 16-entry codebook
@@ -3791,6 +3826,32 @@ object SparkEntry {
       s"""$QuantKnnCtes
         |SELECT vec_id, dot, (round(score_exact, 6) + 0.0) AS score FROM d
         |ORDER BY score_exact DESC, vec_id LIMIT 10""".stripMargin,
+    // binary sign-bit packing (two 32-bit halves; bit weights < 2^32 so
+    // list_sum stays in exact integer range), Hamming top-50 candidates,
+    // exact-euclidean re-rank of the survivors — same two-phase algorithm
+    // as the Spark side, re-derived
+    "q_binary_knn" ->
+      s"""WITH p AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS b_lo,
+        |    list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[i + 33] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS b_hi
+        |  FROM embeddings),
+        |qp AS (SELECT b_lo, b_hi, embedding AS qv FROM p WHERE vec_id = 0),
+        |h AS (
+        |  SELECT p.vec_id, p.embedding,
+        |    CAST(bit_count(xor(p.b_lo, qp.b_lo)) + bit_count(xor(p.b_hi, qp.b_hi)) AS BIGINT) AS hamming
+        |  FROM p, qp),
+        |cand AS (SELECT vec_id, embedding, hamming FROM h
+        |         ORDER BY hamming, vec_id LIMIT 50),
+        |r AS (
+        |  SELECT c.vec_id, c.hamming,
+        |    sqrt(list_sum(list_transform(list_zip(c.embedding, q.qv),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS dist_exact
+        |  FROM cand c, (SELECT qv FROM qp) q)
+        |SELECT vec_id, hamming, (round(dist_exact, 6) + 0.0) AS dist FROM r
+        |ORDER BY dist_exact, vec_id LIMIT 10""".stripMargin,
     // ANN evaluation harness: recall@10 of the int8-quantized ranking
     // against the exact dot-product ranking — both rankings re-derived
     // independently on each side, intersection counted; the division
