@@ -83,12 +83,43 @@ object Bench {
       }
       name -> (if (samples.contains(-1.0)) -1.0 else samples.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val status = if (failed.isEmpty) "ok" else "failed"
+
+    // Full-precision, full-map record: stderr (for humans) and
+    // bench_full.json (for tools/the judge). This is NOT the driver line.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","status":"$status","n_failed":${failed.size}}"""
+    System.err.println(fullJson)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+
+    // Driver line: the driver parses a JSON object out of the LAST 2000
+    // captured characters, and sbt appends a ~75-char "[success]" line
+    // after us — a full 100+-query map at double precision is >2.5 KB and
+    // got the round-5 record truncated to unparseable. Emit 3-decimal
+    // values and cap the map (slowest queries first, the informative end)
+    // so line + sbt suffix always fit; `queries_omitted` says what was
+    // dropped and bench_full.json carries it.
+    val lineBudget = 1750
+    val slowestFirst = results.sortBy { case (_, v) => -v }
+    val entries = slowestFirst.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val suffix =
+      s""""sf":"$sfDir","status":"$status","n_failed":${failed.size},"n_queries":${results.size},"queries_omitted":"""
+    val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},""".length +
+      suffix.length + 4
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = fixed
+    entries.foreach { e =>
+      if (used + e.length + 1 <= lineBudget) { kept += e; used += e.length + 1 }
+    }
+    val omitted = results.size - kept.size
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","status":"$status","n_failed":${failed.size}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${kept.mkString("{", ",", "}")},$suffix$omitted}""")
     failed.reverse.foreach(f => System.err.println(s"[bench] FAILED $f"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
