@@ -2558,6 +2558,41 @@ object SparkEntry {
         .orderBy(col("n_shared").desc, col("doc_id"))
         .limit(100)
     }),
+    // ---- semantic decontamination — the EMBEDDING twin of the n-gram
+    //      q_decontaminate: flag corpus docs whose max cosine against an
+    //      eval panel crosses a threshold (catches paraphrases that share
+    //      no 8-gram). Eval benchmarks are small by construction, so the
+    //      panel is collected once and inlined as literal vectors: the
+    //      corpus side stays ONE codegen scan + a per-lang agg — no join,
+    //      no shuffle of embeddings, same inline-the-small-side shape as
+    //      the BM25 corpus stats (and the blanket no-BNLJ rule holds; at
+    //      100 TB only the corpus scan scales). Vectors are centered
+    //      before cosine: the md5 embedder lives in [0,1)^32 where raw
+    //      cosines of unrelated docs crowd ~0.75 (see NearDup's
+    //      positive-orthant note); centering spreads them ~N(0, 1/32) so
+    //      0.5 is a sharp paraphrase threshold. Scoring runs through the
+    //      fused PanelMaxCosine kernel — one codegen pass per row, no
+    //      per-panel re-centering, panel norms precomputed (the composed
+    //      greatest-of-cosines form measured 10x slower; see the kernel's
+    //      scaladoc). ----
+    "q_semantic_decontam" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val docs = Embedder.withEmbedding(t(s, dir, "documents"))
+      val panel: Seq[Seq[Float]] = docs
+        .where(pmod(col("doc_id"), lit(97)) === 0)
+        .orderBy("doc_id").limit(16)
+        .select("embedding")
+        .collect().toSeq.map(_.getSeq[Float](0))
+      val maxCos = ColumnBridge.column(graft.functions.PanelMaxCosine(
+        ColumnBridge.expression(col("embedding")), panel, 0.5f))
+      docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("lang"), rn(maxCos, 6).as("mc"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("mc") >= 0.5, 1L).otherwise(0L)).as("n_flagged"),
+          max(col("mc")).as("max_cos"))
+    }),
   )
 
   /** Query text for q_embed_knn — embedded identically on the driver
@@ -2622,6 +2657,7 @@ object SparkEntry {
     "q_regional_revenue" -> Seq("n_name"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
     "q_neardup_incremental" -> Seq("doc_new", "doc_old"),
+    "q_semantic_decontam" -> Seq("lang"),
     "q_dedup_clusters" -> Seq("cluster_rep"),
     "q_catalog_search" -> Seq("dist", "id"),
     "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
@@ -3618,6 +3654,29 @@ object SparkEntry {
          |SELECT doc_id, n_fp, n_shared,
          |  CAST(n_shared * 4 >= n_fp AS INT) AS contaminated
          |FROM sh ORDER BY n_shared DESC, doc_id LIMIT 100""".stripMargin,
+    // same centered-cosine arithmetic as q_embed_neardup's verify stage;
+    // the eval panel is re-derived in SQL (id-ordered LIMIT 16)
+    "q_semantic_decontam" -> {
+      val de = Embedder.oracleEmbed("d.text")
+      s"""WITH ev AS (
+         |  SELECT list_transform($de, x -> x - CAST(0.5 AS FLOAT)) AS ce
+         |  FROM documents d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 16),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    list_transform($de, x -> x - CAST(0.5 AS FLOAT)) AS cv
+         |  FROM documents d WHERE doc_id % 97 <> 0),
+         |sc AS (
+         |  SELECT c.doc_id, c.lang,
+         |    (round(max(
+         |      list_sum(list_transform(list_zip(c.cv, ev.ce), z -> CAST(z[1] AS DOUBLE)*z[2])) /
+         |      (sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*x))) *
+         |       sqrt(list_sum(list_transform(ev.ce, x -> CAST(x AS DOUBLE)*x))))), 6) + 0.0) AS mc
+         |  FROM c LEFT JOIN ev ON TRUE GROUP BY 1, 2)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN mc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  (max(mc) + 0.0) AS max_cos
+         |FROM sc GROUP BY lang""".stripMargin
+    },
     "q_neardup_pairs" ->
       s"""WITH $oNearDupVerifiedCtes
          |SELECT doc_a, doc_b, (round(jac, 6) + 0.0) AS jaccard FROM verified
