@@ -49,20 +49,22 @@ case class VectorDistance(left: Expression, right: Expression, metricName: Strin
     val xn = x.numElements()
     val yn = y.numElements()
     metricName match {
-      case "cosine" =>
+      case "cosine" | "cosine_sim" =>
+        val sim = metricName == "cosine_sim"
         var na = 0.0
         var i = 0
         while (i < xn) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
         var nb = 0.0
         i = 0
         while (i < yn) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
-        if (na == 0.0 || nb == 0.0) 1.0
+        if (na == 0.0 || nb == 0.0) { if (sim) 0.0 else 1.0 }
         else if (xn != yn) null
         else {
           var dot = 0.0
           i = 0
           while (i < xn) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-          1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+          val q = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (sim) q else 1.0 - q
         }
       case _ if xn != yn => null
       case "euclidean" =>
@@ -131,11 +133,19 @@ case class VectorDistance(left: Expression, right: Expression, metricName: Strin
           |  ${ev.value} = -$acc;
           |}
           |""".stripMargin
-        case "cosine" =>
+        case "cosine" | "cosine_sim" =>
+          // cosine_sim is the same fused loop emitting dot/(|a||b|)
+          // directly (guard -> 0.0): bitwise-equal to the composed
+          // cosineSimilarity, which `1 - cosineDistance` would not be.
           val na = ctx.freshName("na")
           val nb = ctx.freshName("nb")
           val dot = ctx.freshName("dot")
           val v = ctx.freshName("v")
+          val (guardVal, expr) =
+            if (metricName == "cosine_sim")
+              ("0.0", s"$dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb))")
+            else
+              ("1.0", s"1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb))")
           header + s"""
           |double $na = 0.0;
           |for (int $i = 0; $i < $xn; $i++) {
@@ -145,14 +155,14 @@ case class VectorDistance(left: Expression, right: Expression, metricName: Strin
           |for (int $i = 0; $i < $yn; $i++) {
           |  final double $v = (double) $b.getFloat($i); $nb += $v * $v;
           |}
-          |if ($na == 0.0 || $nb == 0.0) { ${ev.value} = 1.0; }
+          |if ($na == 0.0 || $nb == 0.0) { ${ev.value} = $guardVal; }
           |else if ($xn != $yn) { ${ev.isNull} = true; }
           |else {
           |  double $dot = 0.0;
           |  for (int $i = 0; $i < $xn; $i++) {
           |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
           |  }
-          |  ${ev.value} = 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          |  ${ev.value} = $expr;
           |}
           |""".stripMargin
         case other =>

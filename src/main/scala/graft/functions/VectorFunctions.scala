@@ -98,8 +98,23 @@ object VectorFunctions {
     case Manhattan  => manhattan(a, b)
   }
 
-  /** Cosine similarity (for near-dup / ANN scoring paths). */
+  /** Cosine similarity (for near-dup / ANN scoring paths) — the fused
+    * codegen kernel (`cosine_sim` mode of [[VectorDistance]]): one loop,
+    * guard -> 0.0, bitwise-equal to [[cosineSimilarityComposed]]
+    * (asserted in VectorDistanceSpec). */
   def cosineSimilarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      VectorDistance(
+        ColumnBridge.expression(a),
+        ColumnBridge.expression(b),
+        "cosine_sim"))
+  }
+
+  /** Built-in-composition twin of [[cosineSimilarity]] (zip_with +
+    * aggregate) — the independently-written mirror the bitwise
+    * equivalence spec checks the fused kernel against. */
+  def cosineSimilarityComposed(a: Column, b: Column): Column = {
     val na = l2Norm(a)
     val nb = l2Norm(b)
     when(na === 0.0 || nb === 0.0, lit(0.0))

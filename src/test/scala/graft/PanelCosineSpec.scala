@@ -20,7 +20,7 @@ class PanelCosineSpec extends SparkSpec {
   private def composed(center: Float) = {
     val centered = transform(col("embedding"), x => x - lit(center))
     panel
-      .map(ev => VectorFunctions.cosineSimilarity(
+      .map(ev => VectorFunctions.cosineSimilarityComposed(
         centered, typedLit(ev.map(_ - center))))
       .reduceLeft((a, b) => greatest(a, b))
   }

@@ -31,6 +31,29 @@ class VectorDistanceSpec extends SparkSpec {
     }
   }
 
+  test("cosine_sim fused == composed bitwise, incl. zero-vector guard -> 0.0") {
+    import spark.implicits._
+    val rows = emb
+      .select(
+        VectorFunctions.cosineSimilarity(col("embedding"), typedLit(q0)).as("f"),
+        VectorFunctions.cosineSimilarityComposed(col("embedding"), typedLit(q0)).as("c"))
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach(r =>
+      assert(bitsOf(r.getDouble(0)) === bitsOf(r.getDouble(1)),
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    val zero = Seq.fill(8)(0.0f)
+    val v = Seq(0.5f, -1f, 2f, 0f, 1f, 1f, -3f, 0.25f)
+    val zdf = Seq((zero, v), (zero, zero), (v, zero)).toDF("a", "b")
+    val zs = zdf.select(
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("f"),
+      VectorFunctions.cosineSimilarityComposed(col("a"), col("b")).as("c")).collect()
+    zs.foreach { r =>
+      assert(r.getDouble(0) === 0.0)
+      assert(bitsOf(r.getDouble(0)) === bitsOf(r.getDouble(1)))
+    }
+  }
+
   test("zero vectors: cosine guard yields exactly 1.0, others 0-consistent") {
     import spark.implicits._
     val zero = Seq.fill(8)(0.0f)
