@@ -273,3 +273,72 @@ case class TermCounts(child: Expression, terms: Seq[String]) extends UnaryExpres
       s"${ev.value} = graft.functions.TermCounter.counts($v, $ref);"
     })
 }
+
+/** One-pass DISTINCT word-k-shingle extractor. A shingle over
+  * single-space tokenization is exactly a byte-slice of the original
+  * text (tokens split on ' ' and re-joined with ' ' reproduce the
+  * source bytes), so this kernel records token start offsets in one
+  * byte scan and emits zero-copy UTF8String slices deduped through a
+  * hash set — no token array, no per-shingle string building, no
+  * later array_distinct.
+  *
+  * Distinctness is semantics-preserving for every consumer: MinHash
+  * minima are duplicate-insensitive and the Jaccard verify always
+  * operated on distinct sets (reference: lsh.py's set-based shingling).
+  * Parity with `NearDup.shinglesFromTokens`: same single-0x20 split
+  * (empty tokens count), same whole-text fallback for docs shorter
+  * than k tokens — ShingleKernelSpec pins set-equality and bitwise
+  * minhash/Jaccard equality against the composed form. */
+object ShingleKernel {
+
+  def distinctShingles(s: UTF8String, k: Int): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var nTok = 1
+    var i = 0
+    while (i < n) { if (b(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](s))
+    // starts(j) = byte offset of token j; sentinel makes the end of
+    // token j equal starts(j+1)-1 uniformly (incl. the last token)
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < n) { if (b(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(nTok) = n + 1
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var j = 0
+    while (j <= nTok - k) {
+      val from = starts(j)
+      seen.add(UTF8String.fromBytes(b, from, starts(j + k) - 1 - from))
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Catalyst wrapper over [[ShingleKernel.distinctShingles]]. */
+case class DistinctShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.distinctShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.ShingleKernel.distinctShingles($v, $k);")
+}

@@ -116,16 +116,33 @@ object NearDup {
     withChunks.withColumn(outCol, array(sigEl: _*)).drop(chunkCols: _*)
   }
 
-  /** Per-document shingle sets: (id, shingles). The token array is bound
-    * in its own projection so the split evaluates once per row. */
-  def docShingles(df: DataFrame, idCol: String, textCol: String, p: Params): DataFrame =
+  /** Per-document DISTINCT shingle sets: (id, shingles), via the fused
+    * one-pass [[graft.functions.DistinctShingles]] kernel (zero-copy
+    * byte slices, set-deduped at the source). Distinctness changes no
+    * consumer: minhash minima are duplicate-insensitive and the Jaccard
+    * verify is defined over distinct sets. [[docShinglesComposed]] is
+    * the built-in-composition twin ShingleKernelSpec pins this against. */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, p: Params): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(
+      col(idCol),
+      ColumnBridge.column(graft.functions.DistinctShingles(
+        ColumnBridge.expression(col(textCol)), p.shingleSize)).as("shingles"))
+  }
+
+  /** The composed twin (split + transform + array_distinct) — the shape
+    * the DuckDB oracle mirrors in SQL; kept for the equivalence spec.
+    * The token array is bound in its own projection so the split
+    * evaluates once per row. */
+  def docShinglesComposed(df: DataFrame, idCol: String, textCol: String, p: Params): DataFrame =
     df.select(
         col(idCol),
         split(col(textCol), " ", -1).as("__tk"),
         col(textCol).as("__text"))
       .select(
         col(idCol),
-        shinglesFromTokens(col("__tk"), col("__text"), p.shingleSize).as("shingles"))
+        array_distinct(
+          shinglesFromTokens(col("__tk"), col("__text"), p.shingleSize)).as("shingles"))
 
   /** Per-document band rows: (id, band, band_key) — the ONLY thing the
     * candidate self-join shuffles (ids + short keys, never text or
@@ -171,8 +188,10 @@ object NearDup {
     val verified = pairs
       .join(docsSh.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(docsSh.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-    val da = array_distinct(col("sh_a"))
-    val db = array_distinct(col("sh_b"))
+    // shingle arrays are distinct at the source (DistinctShingles), so
+    // the Jaccard needs no array_distinct pass here
+    val da = col("sh_a")
+    val db = col("sh_b")
     val inter = size(array_intersect(da, db)).cast("double")
     val jac = inter / (size(da) + size(db) - inter).cast("double")
     verified
@@ -215,8 +234,8 @@ object NearDup {
     val verified = pairs
       .join(inSh.select(col(idCol).as("id_new"), col("shingles").as("sh_a")), Seq("id_new"))
       .join(exSh.select(col(idCol).as("id_old"), col("shingles").as("sh_b")), Seq("id_old"))
-    val da = array_distinct(col("sh_a"))
-    val db = array_distinct(col("sh_b"))
+    val da = col("sh_a")
+    val db = col("sh_b")
     val inter = size(array_intersect(da, db)).cast("double")
     val jac = inter / (size(da) + size(db) - inter).cast("double")
     verified
