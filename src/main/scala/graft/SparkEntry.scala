@@ -42,14 +42,29 @@ object SparkEntry {
   /** Oracle-side twin of [[rn]]. */
   private def oRound(e: String, n: Int): String = s"(round($e, $n) + 0.0)"
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp (integer DIV — double division would lose precision above
-    * 2^53 ns). The required `spark.sql.legacy.parquet.nanosAsLong=true`
-    * lives in the session builders (Verify/Bench/EntrySmoke/tests), not
-    * here — a query builder must not mutate session conf. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** events.parquet `ts` has shipped as both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations, so the reader adapts
+    * to the read schema instead of assuming one physical type:
+    *  - NANOS + `spark.sql.legacy.parquet.nanosAsLong=true` (set in the
+    *    Verify/Bench/EntrySmoke/test session builders, not here — a query
+    *    builder must not mutate session conf) reads as LongType: integer
+    *    `DIV 1000` → µs timestamp (double division would lose precision
+    *    above 2^53 ns).
+    *  - MICROS reads as TIMESTAMP_NTZ: cast to TimestampType — the
+    *    session timezone is pinned UTC everywhere, so the NTZ wall-clock
+    *    IS the UTC instant and the cast is value-preserving.
+    * Either way downstream queries see a µs TimestampType `ts`, matching
+    * the oracle's `epoch_ns(ts)//1000` µs truncation. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Fitted k-means centroids per sf dir (deterministic: seeded from
     * vec_id 0..7, integer-exact rounds — re-fitting must produce the
