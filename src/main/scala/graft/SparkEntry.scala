@@ -55,7 +55,7 @@ object SparkEntry {
     *    IS the UTC instant and the cast is value-preserving.
     * Either way downstream queries see a µs TimestampType `ts`, matching
     * the oracle's `epoch_ns(ts)//1000` µs truncation. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

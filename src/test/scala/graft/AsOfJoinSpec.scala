@@ -51,8 +51,7 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("matches the naive quadratic formulation on real events") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = SparkEntry.events(spark, sfDir)
     val p = ev.where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val c = ev.where(col("event_type") === "click")
