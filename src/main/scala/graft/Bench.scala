@@ -27,6 +27,9 @@ object Bench {
       // many small parquet tables, and commit latency, not bandwidth,
       // dominates them
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // local-mode IO floor: RawLocalFileSystem skips the .crc sibling
+      // write per file (a real cluster fs has its own integrity story)
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       // size small reduce sides by BYTES, not local parallelism: the many
       // sub-64MB shuffles here otherwise schedule 32 tasks each, and task
       // overhead — not bandwidth — dominates them (this is the setting's

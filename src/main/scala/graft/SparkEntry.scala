@@ -1678,39 +1678,54 @@ object SparkEntry {
         LibraryCatalog.DeleteChunksWhereOp(col("metadata.page") === 3),
         LibraryCatalog.AddChunksOp(extra)))
       // M9: rebuild == incremental, computed EAGERLY before later
-      // mutations GC the incremental version's files
+      // mutations GC the incremental version's files. Multiset equality
+      // via per-side order-invariant digests (sum of per-row xxhash64 in
+      // decimal(38) so ANSI sums can't overflow, plus the row count):
+      // equal digests + equal counts => diff 0 without grouping half a
+      // million sig rows. The two one-row scans OVERLAP the mutation
+      // timeline instead of running as one serialized union job after
+      // the rebuild: the incremental side's scan is version-pinned
+      // (immutable version dirs; rebuild's GC keeps the previous
+      // version's referenced files) so it runs CONCURRENTLY with the
+      // rebuild itself, and only the rebuilt side's half-size scan runs
+      // after. The scans use a CLONED session with AQE off — a one-row
+      // global agg wants one static job, not a chain of query stages,
+      // and a shared-session conf flip would race the concurrent
+      // rebuild's planning.
+      val digestSession = s.newSession()
+      digestSession.conf.set("spark.sql.adaptive.enabled", "false")
+      val digestCat = new LibraryCatalog(digestSession, wh)
+      def sideDigest(df: DataFrame): (java.math.BigDecimal, Long) = {
+        val r = df
+          .agg(
+            coalesce(sum(xxhash64(col("id"), col("table_idx"), col("sig"))
+              .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h"),
+            count(lit(1)).as("n"))
+          .head()
+        (r.getDecimal(0), r.getLong(1))
+      }
+      val incSide = digestCat.indexTable("crud_demo").get
+        .select("id", "table_idx", "sig")
+      // on the mutating session: the exact-diff fallback's lineage (and
+      // its files) must predate the rebuild + later mutations
       val incremental = cat.indexTable("crud_demo").get
         .select("id", "table_idx", "sig")
+      val incDigestF = scala.concurrent.Future(sideDigest(incSide))(
+        scala.concurrent.ExecutionContext.global)
       cat.rebuildIndex("crud_demo")
       val rebuilt = cat.indexTable("crud_demo").get
         .select("id", "table_idx", "sig")
-      // multiset equality in ONE job, NO shuffle: a signed order-invariant
-      // digest (sum of per-row xxhash64, +1/-1 per side, in decimal(38) so
-      // ANSI sums can't overflow) plus the signed row count. Equal digests
-      // + equal counts => diff 0 without grouping half a million sig rows;
-      // only an actual mismatch pays the exact grouped symmetric-difference
-      // pass to report the true row count.
-      val signed = incremental.withColumn("__s", lit(1L))
-        .unionByName(rebuilt.withColumn("__s", lit(-1L)))
-      // AQE would materialize this one-row global agg as a chain of query
-      // stages (a job per exchange); static planning runs it as ONE job —
-      // the right trade for a fixed two-scan-one-row plan
-      val digest = {
-        val aqeKey = "spark.sql.adaptive.enabled"
-        val prevAqe = s.conf.get(aqeKey)
-        s.conf.set(aqeKey, "false")
-        try signed
-          .agg(
-            coalesce(sum(col("__s").cast("decimal(38,0)") *
-              xxhash64(col("id"), col("table_idx"), col("sig"))
-                .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h"),
-            coalesce(sum(col("__s")), lit(0L)).as("n"))
-          .head()
-        finally s.conf.set(aqeKey, prevAqe)
-      }
+      val rebDigest = sideDigest(new LibraryCatalog(digestSession, wh)
+        .indexTable("crud_demo").get.select("id", "table_idx", "sig"))
+      val incDigest = scala.concurrent.Await.result(
+        incDigestF, scala.concurrent.duration.Duration.Inf)
       val nIndexDiff =
-        if (digest.getDecimal(0).signum == 0 && digest.getLong(1) == 0L) 0L
-        else signed
+        if (incDigest._1.compareTo(rebDigest._1) == 0 &&
+            incDigest._2 == rebDigest._2) 0L
+        // only an actual mismatch pays the exact grouped
+        // symmetric-difference pass to report the true row count
+        else incremental.withColumn("__s", lit(1L))
+          .unionByName(rebuilt.withColumn("__s", lit(-1L)))
           .groupBy("id", "table_idx", "sig")
           .agg(sum("__s").as("__d"))
           .agg(coalesce(sum(abs(col("__d"))), lit(0L)))

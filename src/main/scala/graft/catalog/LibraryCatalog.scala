@@ -197,8 +197,11 @@ class LibraryCatalog(
     * .buckets, fixed at create): the id→bucket mapping must be stable
     * across every mutation of a library's lifetime, but different
     * libraries need different granularity — 8 dirs is right for
-    * gigabytes, thousands are right for 100 TB. */
-  private val DefaultBuckets = 8
+    * gigabytes, thousands are right for 100 TB. Create-time default is
+    * [[LibraryCatalog.AutoBuckets]] (stats-sized, see
+    * [[autoBucketCount]]); these constants bound the auto choice. */
+  private val AutoBucketTargetBytes = BigInt(64L << 20)
+  private val MaxAutoBuckets = 65536
 
   /** Catalyst / driver twins of the bucket assignment (md5-prefix of the
     * id — the one hash all engines of this codebase share). */
@@ -951,8 +954,9 @@ class LibraryCatalog(
       dim: Int = Embedder.Dim,
       overwrite: Boolean = false,
       embedder: String = "md5",
-      numBuckets: Int = DefaultBuckets): LibraryMeta = withWriteLock(name) {
-    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+      numBuckets: Int = LibraryCatalog.AutoBuckets): LibraryMeta = withWriteLock(name) {
+    require(numBuckets == LibraryCatalog.AutoBuckets || numBuckets > 0,
+      s"numBuckets must be positive (or AutoBuckets): $numBuckets")
     if (exists(name)) {
       if (!overwrite)
         throw new IllegalStateException(s"library already exists: $name")
@@ -960,9 +964,26 @@ class LibraryCatalog(
     }
     fs.mkdirs(libDir(name))
     val m0 = LibraryMeta(name, indexer, dim, version = -1L, now(), now(),
-      embedder = embedder, buckets = numBuckets)
-    commitFull(m0, normalize(chunksDf, dim, modelOf(m0)),
-      written => buildIndex(m0, written))
+      embedder = embedder, buckets = 1)
+    val normalized = normalize(chunksDf, dim, modelOf(m0))
+    val buckets =
+      if (numBuckets == LibraryCatalog.AutoBuckets) autoBucketCount(normalized)
+      else numBuckets
+    val m = m0.copy(buckets = buckets)
+    commitFull(m, normalized, written => buildIndex(m, written))
+  }
+
+  /** Resolve [[LibraryCatalog.AutoBuckets]]: ~one bucket per
+    * [[AutoBucketTargetBytes]] of optimizer-estimated input, clamped to
+    * [1, [[MaxAutoBuckets]]]. A KB-scale library gets ONE bucket — at
+    * that size per-file create/commit overhead IS the cost of a commit,
+    * and 8 near-empty dirs per version bought nothing — while a 100 TB
+    * ingest gets tens of thousands, because the bucket is the
+    * file-pruning and rewrite granularity every later mutation pays. */
+  private def autoBucketCount(normalized: DataFrame): Int = {
+    val bytes = normalized.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((bytes + AutoBucketTargetBytes - 1) / AutoBucketTargetBytes)
+      .min(BigInt(MaxAutoBuckets)).max(BigInt(1)).toInt
   }
 
   /** Index rows for just `added`, computed against the CURRENT index
@@ -1740,6 +1761,12 @@ class LibraryCatalog(
 }
 
 object LibraryCatalog {
+
+  /** Sentinel for [[LibraryCatalog.createLibrary]]'s `numBuckets`: size
+    * the bucket count from the input's optimizer stats instead of a
+    * fixed constant (~64 MB of estimated input per bucket, clamped to
+    * [1, 65536]). */
+  val AutoBuckets = 0
 
   /** Mutations expressible in [[LibraryCatalog.applyBatch]] — each the
     * batched twin of the corresponding single-commit method. */

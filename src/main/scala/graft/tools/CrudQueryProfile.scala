@@ -17,16 +17,59 @@ object CrudQueryProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // local-mode IO floor: RawLocalFileSystem skips the .crc sibling
+      // write per file (a real cluster fs has its own integrity story)
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.catalog.{LibraryCatalog, Models}
 
+    // listener accounting: per-job wall (end - start), to contrast phase
+    // wall against executor job time and expose driver-side overhead
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobDur = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStart.put(e.jobId, e.time)
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(jobStart.get(e.jobId)).foreach(s =>
+            jobDur.put(e.jobId, e.time - s))
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = e.stageInfo
+          val dur = for {
+            s <- i.submissionTime; c <- i.completionTime
+          } yield c - s
+          stageLog.add(
+            f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%3d " +
+              f"dur=${dur.getOrElse(-1L) / 1e3}%.3f s  ${i.name.takeWhile(_ != '(')}")
+        }
+      })
     def phase[T](run: Int, name: String)(f: => T): T = {
+      val before = jobDur.keySet().size + jobStart.keySet().size
+      val beforeIds = new java.util.HashSet(jobStart.keySet())
       val t0 = System.nanoTime()
       val r = f
-      println(f"[qprof] run$run $name%-24s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50) // let the listener bus drain
+      val newIds = new java.util.HashSet(jobStart.keySet())
+      newIds.removeAll(beforeIds)
+      val it = newIds.iterator()
+      var n = 0; var sum = 0L
+      while (it.hasNext) {
+        val id = it.next(); n += 1
+        Option(jobDur.get(id)).foreach(sum += _)
+      }
+      println(f"[qprof] run$run $name%-24s $wall%.3f s  (jobs $n%2d, job-time ${sum / 1e3}%.3f s)")
+      if (run == 3) {
+        while (!stageLog.isEmpty) println(stageLog.poll())
+      } else stageLog.clear()
       r
     }
 
@@ -65,25 +108,29 @@ object CrudQueryProfile {
           LibraryCatalog.DeleteChunksWhereOp(col("metadata.page") === 3),
           LibraryCatalog.AddChunksOp(extra)))
       }
-      val incremental = cat.indexTable("crud_demo").get
-        .select("id", "table_idx", "sig")
+      // mirrors the query's overlapped per-side digest: incremental
+      // side scans concurrently with the rebuild on a cloned AQE-off
+      // session; only the rebuilt side's scan runs after
+      val digestSession = spark.newSession()
+      digestSession.conf.set("spark.sql.adaptive.enabled", "false")
+      def sideDigest(df: org.apache.spark.sql.DataFrame) = df
+        .agg(
+          coalesce(sum(xxhash64(col("id"), col("table_idx"), col("sig"))
+            .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h"),
+          count(lit(1)).as("n"))
+        .head()
+      val incSide = new LibraryCatalog(digestSession, wh)
+        .indexTable("crud_demo").get.select("id", "table_idx", "sig")
+      val incF = scala.concurrent.Future(sideDigest(incSide))(
+        scala.concurrent.ExecutionContext.global)
       phase(run, "rebuildIndex")(cat.rebuildIndex("crud_demo"))
-      val rebuilt = cat.indexTable("crud_demo").get
-        .select("id", "table_idx", "sig")
-      val signed = incremental.withColumn("__s", lit(1L))
-        .unionByName(rebuilt.withColumn("__s", lit(-1L)))
       phase(run, "digest") {
-        val aqeKey = "spark.sql.adaptive.enabled"
-        val prevAqe = spark.conf.get(aqeKey)
-        spark.conf.set(aqeKey, "false")
-        try signed
-          .agg(
-            coalesce(sum(col("__s").cast("decimal(38,0)") *
-              xxhash64(col("id"), col("table_idx"), col("sig"))
-                .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h"),
-            coalesce(sum(col("__s")), lit(0L)).as("n"))
-          .head()
-        finally spark.conf.set(aqeKey, prevAqe)
+        val reb = sideDigest(new LibraryCatalog(digestSession, wh)
+          .indexTable("crud_demo").get.select("id", "table_idx", "sig"))
+        val inc = scala.concurrent.Await.result(
+          incF, scala.concurrent.duration.Duration.Inf)
+        assert(inc.getDecimal(0).compareTo(reb.getDecimal(0)) == 0 &&
+          inc.getLong(1) == reb.getLong(1), "index digest mismatch")
       }
       phase(run, "batch(M4+M6+M7)") {
         cat.applyBatch("crud_demo", Seq(

@@ -48,9 +48,11 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
+    // explicit bucket count: the pruning tests below need a multi-bucket
+    // layout, and AutoBuckets (correctly) gives a KB fixture one bucket
     catalog.createLibrary("dlib", LshIndexer,
       chunkRows((0 until 64).map(i => (s"c$i", s"some document text $i"))),
-      overwrite = true)
+      overwrite = true, numBuckets = 8)
   }
 
   test("append commits an index part holding ONLY the appended ids") {

@@ -27,6 +27,9 @@ object SparkSpec {
       // many small parquet tables, and commit latency, not bandwidth,
       // dominates them
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // local-mode IO floor: RawLocalFileSystem skips the .crc sibling
+      // write per file (a real cluster fs has its own integrity story)
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       // bytes-sized small reduce sides (see Bench.scala for rationale)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
