@@ -2003,11 +2003,41 @@ object SparkEntry {
         df.write.mode("overwrite").parquet(p)
         s.read.parquet(p)
       }
+      // each round is a FIXED tiny plan (one keyed shuffle + write);
+      // AQE would materialize its exchange as a separate query-stage job
+      // per round — static planning halves the per-round job count, with
+      // the shuffle width it would have picked derived once from the
+      // edge artifact's stats (~64 MB per partition, the label set is
+      // O(edge endpoints)) instead of the session-wide 32. The flips are
+      // scoped to this single-threaded loop and restored after.
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevAqe = s.conf.get(aqeKey)
+      val prevParts = s.conf.get(partKey)
+      val roundParts = (bi.queryExecution.optimizedPlan.stats.sizeInBytes /
+        (64L << 20)).min(BigInt(10000)).max(BigInt(1)).toInt
+      s.conf.set(aqeKey, "false")
+      s.conf.set(partKey, roundParts.toString)
+      try {
+      // round 1 folds the identity round in: with lbl0(id) = id, the
+      // propagated label of dst is just src, so the first round is a
+      // union + agg with NO join and the identity labels are never
+      // persisted (they re-derive from the durable edge artifact, which
+      // keeps every round replayable from durable storage alone)
+      val obs1 = org.apache.spark.sql.Observation()
       var labels = persistRound(
-        bi.select(col("src").as("id")).distinct()
-          .withColumn("lbl", col("id")), 0)
-      var changed = 1L
-      var rounds = 0
+        bi.select(col("dst").as("id"), col("src").as("lbl"),
+            lit(null).cast("long").as("__old"))
+          .unionByName(bi.select(col("src").as("id")).distinct()
+            .select(col("id"), col("id").as("lbl"), col("id").as("__old")))
+          .groupBy("id")
+          .agg(min("lbl").as("lbl"), min("__old").as("__old"))
+          .observe(obs1,
+            sum(when(col("lbl") =!= col("__old"), 1L).otherwise(0L))
+              .as("changed"))
+          .drop("__old"), 1)
+      var changed = obs1.get("changed").asInstanceOf[Long]
+      var rounds = 1
       while (changed > 0 && rounds < 25) {
         val prop = bi.join(labels.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), col("lbl"),
@@ -2040,6 +2070,10 @@ object SparkEntry {
           array_join(
             transform(sort_array(collect_list(col("id"))), x => x.cast("string")),
             ",").as("members"))
+      } finally {
+        s.conf.set(aqeKey, prevAqe)
+        s.conf.set(partKey, prevParts)
+      }
     }),
     // ---- K3/T3: HNSW approximate kNN (driver-local graph). The graph
     //      traversal itself isn't SQL-expressible, but its EXPECTED
