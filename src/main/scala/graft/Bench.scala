@@ -30,6 +30,10 @@ object Bench {
       // local-mode IO floor: RawLocalFileSystem skips the .crc sibling
       // write per file (a real cluster fs has its own integrity story)
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // a 100+-query surface compiles several codegen classes per query;
+      // the default 100-entry class cache thrashes and recompiles every
+      // re-execution (static conf, must be set before session build)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // size small reduce sides by BYTES, not local parallelism: the many
       // sub-64MB shuffles here otherwise schedule 32 tasks each, and task
       // overhead — not bandwidth — dominates them (this is the setting's

@@ -20,6 +20,10 @@ object CrudQueryProfile {
       // local-mode IO floor: RawLocalFileSystem skips the .crc sibling
       // write per file (a real cluster fs has its own integrity story)
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // a 100+-query surface compiles several codegen classes per query;
+      // the default 100-entry class cache thrashes and recompiles every
+      // re-execution (static conf, must be set before session build)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -30,6 +30,10 @@ object SparkSpec {
       // local-mode IO floor: RawLocalFileSystem skips the .crc sibling
       // write per file (a real cluster fs has its own integrity story)
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // a 100+-query surface compiles several codegen classes per query;
+      // the default 100-entry class cache thrashes and recompiles every
+      // re-execution (static conf, must be set before session build)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // bytes-sized small reduce sides (see Bench.scala for rationale)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
