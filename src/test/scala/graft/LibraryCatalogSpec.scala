@@ -389,4 +389,23 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(fresh.chunks("lib_b3").count() === 40L)
     catalog.deleteLibrary("lib_b3")
   }
+
+  test("AutoBuckets sizes the layout from input stats (one bucket at KB scale)") {
+    // default numBuckets = AutoBuckets: a KB-scale corpus must get ONE
+    // bucket — per-file overhead is the whole cost of a small commit —
+    // while the explicit count above (lib_b3) stays honored verbatim
+    catalog.createLibrary("lib_auto", FlatIndexer, corpus(), overwrite = true)
+    assert(catalog.readMeta("lib_auto").get.buckets === 1)
+    val libRoot = new java.io.File(s"$warehouse/lib_auto")
+    val bucketDirs = libRoot.listFiles().filter(_.getName.startsWith("v"))
+      .flatMap(v => Option(new java.io.File(v, "chunks").listFiles()).getOrElse(Array.empty))
+      .map(_.getName).filter(_.startsWith("__b=")).distinct
+    assert(bucketDirs.sameElements(Array("__b=0")), bucketDirs.mkString(","))
+    // the single-bucket library still serves reads and point mutations
+    catalog.updateChunk("lib_auto", "chunk-3", newText = Some("autobucket text"))
+    assert(catalog.chunks("lib_auto").where(col("id") === "chunk-3")
+      .select("text").head().getString(0) === "autobucket text")
+    assert(catalog.chunks("lib_auto").count() === 40L)
+    catalog.deleteLibrary("lib_auto")
+  }
 }
