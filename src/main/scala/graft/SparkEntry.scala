@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, TextAnalysis, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{BatchKnn, FlatKnn, HnswIndex, InvertedIndex, IvfIndex, KMeans, LshIndex, Multimodal, NearDup, SimHash}
+import graft.operators.{BatchKnn, FlatKnn, HnswIndex, InvertedIndex, IvfIndex, JaccardJoin, KMeans, LshIndex, Multimodal, NearDup, SimHash}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1950,6 +1950,20 @@ object SparkEntry {
       NearDup
         .nearDuplicatePairs(t(s, dir, "documents"))
         .select(col("doc_a"), col("doc_b"), rn(col("jac"), 6).as("jaccard"))),
+    // ---- EXACT n-gram Jaccard near-dup: the deterministic sibling of
+    //      the MinHash path — prefix filtering (AllPairs/PPJoin) makes
+    //      the candidate stage complete for J >= 3/5 with no all-pairs
+    //      join and no probabilistic misses, so the oracle can be the
+    //      PURE all-pairs Jaccard definition (the hash compare proves
+    //      the filter dropped nothing). Integer cross-multiplied
+    //      threshold; exact set sizes surfaced alongside the ratio. ----
+    "q_ngram_jaccard" -> ((s, dir) =>
+      JaccardJoin.selfJoin(t(s, dir, "documents"), "doc_id", "text")
+        .select(
+          col("doc_a"), col("doc_b"),
+          col("n_common").cast("long").as("n_common"),
+          col("n_union").cast("long").as("n_union"),
+          rn(col("n_common") / col("n_union"), 6).as("jaccard"))),
     // ---- incremental near-dup: dedupe an INCOMING batch (odd doc_ids)
     //      against the EXISTING corpus (even doc_ids) — band-key join
     //      between the sides, never a corpus self-join. The oracle
@@ -2720,6 +2734,7 @@ object SparkEntry {
     "q_cluster_sample" -> Seq("cid"),
     "q_regional_revenue" -> Seq("n_name"),
     "q_neardup_pairs" -> Seq("doc_a", "doc_b"),
+    "q_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "q_neardup_incremental" -> Seq("doc_new", "doc_old"),
     "q_semantic_decontam" -> Seq("lang"),
     "q_dedup_clusters" -> Seq("cluster_rep"),
@@ -3745,6 +3760,24 @@ object SparkEntry {
       s"""WITH $oNearDupVerifiedCtes
          |SELECT doc_a, doc_b, (round(jac, 6) + 0.0) AS jaccard FROM verified
          |WHERE jac >= ${NearDup.Params().threshold} ORDER BY doc_a, doc_b""".stripMargin,
+    // the PURE all-pairs Jaccard definition — the prefix-filtered join
+    // must reproduce it exactly (completeness is the whole claim)
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk, text FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [text]
+        |         ELSE list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS shingles
+        |  FROM toks),
+        |d AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) AS i,
+        |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_common, CAST(u AS BIGINT) AS n_union,
+        |       (round(i::DOUBLE / u::DOUBLE, 6) + 0.0) AS jaccard
+        |FROM pairs WHERE 5*i >= 3*u ORDER BY doc_a, doc_b""".stripMargin,
     // cross-side restriction of the SAME verified-pair derivation: the
     // incremental operator must find exactly the batch pipeline's pairs
     "q_neardup_incremental" ->

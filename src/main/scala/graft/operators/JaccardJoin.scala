@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT n-gram Jaccard similarity self-join via prefix filtering — the
+  * AllPairs/PPJoin family shape (Bayardo et al., WWW'07; Xiao et al.,
+  * WWW'08): complete for `J >= tNum/tDen` with NO all-pairs stage and no
+  * probabilistic misses (the MinHash path in [[NearDup]] trades recall
+  * for candidate volume; this operator trades a frequency pass for
+  * exactness).
+  *
+  * Why it scales: every pair with Jaccard >= t shares at least one
+  * shingle among the first `|d| - ceil(t*|d|) + 1` of EACH side's
+  * shingles under one fixed global order (rarest-first pigeonhole:
+  * J >= t forces an overlap of >= ceil(t*|d|), which cannot fit in the
+  * ceil(t*|d|) - 1 suffix slots). So candidates come from equi-joining
+  * only those prefixes, and ordering by ascending global frequency makes
+  * the joined prefix shingles the RAREST ones — the fan-out per join key
+  * is smallest where a hot shingle would otherwise explode. Shuffles:
+  * one groupBy(shingle) for frequencies, one doc-keyed window for
+  * prefixes, the candidate equi-join, and the verify joins — all keyed,
+  * never cartesian (reference semantics: near-dup detection family,
+  * services/chunk_service.py-adjacent dedup tooling has no analog; this
+  * is beyond-parity surface for the training-data pipeline).
+  *
+  * Thresholds are RATIONAL (`tNum/tDen`) and every comparison is integer
+  * cross-multiplication (`tDen*inter >= tNum*union`), so the exact same
+  * pair set falls out of any engine evaluating the same definition —
+  * float thresholds would make the boundary pair engine-dependent.
+  */
+object JaccardJoin {
+
+  /** All pairs (doc_a < doc_b) with n-gram Jaccard >= tNum/tDen.
+    * Output: doc_a, doc_b, n_common, n_union (exact integer set sizes).
+    * `k` is the word-shingle width; shorter docs contribute their whole
+    * text as one shingle ([[NearDup.shinglesFromTokens]] convention). */
+  def selfJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tNum: Int = 3,
+      tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0,1]: $tNum/$tDen")
+    val sets = df.select(
+      col(idCol).as("doc_id"),
+      array_distinct(
+        NearDup.shinglesFromTokens(split(col(textCol), " ", -1),
+          col(textCol), k)).as("s"))
+    val exploded = sets.select(
+      col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
+    // one map-combined aggregation: the global shingle frequency that
+    // defines the (rarest-first) prefix order
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
+    // prefix length |d| - ceil(t*|d|) + 1, all-integer:
+    // ceil(a*n/b) = (a*n + b - 1) DIV b
+    val prefixLen =
+      col("n") - expr(s"(n * $tNum + ${tDen - 1}) DIV $tDen") + lit(1)
+    val prefixes = exploded
+      .join(freq, "g")
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("f"), col("g"))))
+      .where(col("rn") <= prefixLen)
+      .select("doc_id", "g")
+    val candidates = prefixes.as("x")
+      .join(prefixes.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        inter.as("n_common"),
+        (size(col("sa")) + size(col("sb")) - inter).as("n_union"))
+      .where(lit(tDen) * col("n_common") >= lit(tNum) * col("n_union"))
+  }
+
+  /** Reference formulation for the equivalence spec: every pair, no
+    * filter — O(n^2), test-scale only. */
+  private[graft] def naiveSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tNum: Int = 3,
+      tDen: Int = 5): DataFrame = {
+    val sets = df.select(
+      col(idCol).as("doc_id"),
+      array_distinct(
+        NearDup.shinglesFromTokens(split(col(textCol), " ", -1),
+          col(textCol), k)).as("s"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    sets.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")),
+        col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        inter.as("n_common"),
+        (size(col("sa")) + size(col("sb")) - inter).as("n_union"))
+      .where(lit(tDen) * col("n_common") >= lit(tNum) * col("n_union"))
+  }
+}
