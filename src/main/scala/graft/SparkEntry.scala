@@ -1952,13 +1952,14 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), rn(col("jac"), 6).as("jaccard"))),
     // ---- EXACT n-gram Jaccard near-dup: the deterministic sibling of
     //      the MinHash path — prefix filtering (AllPairs/PPJoin) makes
-    //      the candidate stage complete for J >= 3/5 with no all-pairs
+    //      the candidate stage complete for J >= 4/5 with no all-pairs
     //      join and no probabilistic misses, so the oracle can be the
     //      PURE all-pairs Jaccard definition (the hash compare proves
     //      the filter dropped nothing). Integer cross-multiplied
     //      threshold; exact set sizes surfaced alongside the ratio. ----
     "q_ngram_jaccard" -> ((s, dir) =>
-      JaccardJoin.selfJoin(t(s, dir, "documents"), "doc_id", "text")
+      JaccardJoin.selfJoin(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, tNum = 4, tDen = 5)
         .select(
           col("doc_a"), col("doc_b"),
           col("n_common").cast("long").as("n_common"),
@@ -3777,7 +3778,7 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_common, CAST(u AS BIGINT) AS n_union,
         |       (round(i::DOUBLE / u::DOUBLE, 6) + 0.0) AS jaccard
-        |FROM pairs WHERE 5*i >= 3*u ORDER BY doc_a, doc_b""".stripMargin,
+        |FROM pairs WHERE 5*i >= 4*u ORDER BY doc_a, doc_b""".stripMargin,
     // cross-side restriction of the SAME verified-pair derivation: the
     // incremental operator must find exactly the batch pipeline's pairs
     "q_neardup_incremental" ->

