@@ -56,7 +56,9 @@ object PlanDump {
     "q_regional_revenue" ->
       "TPC-H Q5 star join: lineitem⋈orders⋈customer co-shuffle (or AQE-broadcast) on their own keys while supplier/nation/pre-filtered region enter as BroadcastExchanges — at any scale the dimensions never shuffle and the fact table shuffles only on join keys.",
     "q_ivfpq_knn" ->
-      "IVF-PQ: the probed read of the cell-partitioned CODES table (4 bytes/vector, PartitionFilters on cell) executes eagerly before this plan; what remains is pure per-row ADC — 4 literal-table lookups + a fixed-order sum inside codegen — feeding the shuffle-free top-k. The float vectors never appear at query time.")
+      "IVF-PQ: the probed read of the cell-partitioned CODES table (4 bytes/vector, PartitionFilters on cell) executes eagerly before this plan; what remains is pure per-row ADC — 4 literal-table lookups + a fixed-order sum inside codegen — feeding the shuffle-free top-k. The float vectors never appear at query time.",
+    "q_ngram_jaccard" ->
+      "EXACT Jaccard self-join with prefix filtering (AllPairs/PPJoin): the fused shingle kernel feeds 64-bit hashed sets; candidates come from an equi-join of rarest-first PREFIXES only (plus the integer length filter), so no cartesian stage exists at any scale, and the verify joins touch candidates only. Completeness for J >= t is a pigeonhole theorem, not a probabilistic bet — the oracle is the pure all-pairs definition.")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
