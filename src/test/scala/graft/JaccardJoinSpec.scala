@@ -41,6 +41,31 @@ class JaccardJoinSpec extends SparkSpec {
     assert(above.isEmpty)
   }
 
+  test("randomized corpora: fast == naive across thresholds and edge shapes") {
+    import spark.implicits._
+    // seeded RNG: duplicates, short docs (< k tokens -> whole-text
+    // shingle), empty docs, and a tiny vocabulary that forces heavy
+    // shingle sharing — the regimes where a wrong prefix length or a
+    // broken boundary comparison would diverge from the definition
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    (1 to 4).foreach { trial =>
+      val docs = (0 until 40).map { i =>
+        val n = rnd.nextInt(12) // 0..11 tokens
+        val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i.toLong, if (i % 13 == 0) "" else text)
+      } ++ Seq((100L, "dup dup dup dup"), (101L, "dup dup dup dup"))
+      val df = docs.toDF("doc_id", "text")
+      for ((tn, td) <- Seq((1, 2), (3, 5), (4, 5), (1, 1))) {
+        val fast = JaccardJoin.selfJoin(df, "doc_id", "text", 3, tn, td)
+          .collect().map(key).sortBy(_.toString()).toSeq
+        val naive = JaccardJoin.naiveSelfJoin(df, "doc_id", "text", 3, tn, td)
+          .collect().map(key).sortBy(_.toString()).toSeq
+        assert(fast == naive, s"trial $trial t=$tn/$td")
+      }
+    }
+  }
+
   test("plan has no cartesian stage and candidates come from an equi-join") {
     val plan = JaccardJoin.selfJoin(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
