@@ -63,15 +63,17 @@ object JaccardJoin {
       col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
     // one map-combined aggregation: the global shingle frequency that
     // defines the (rarest-first) prefix order. The frequency table is
-    // O(vocabulary) — at any corpus scale it is the SMALL side of its
-    // join, and broadcasting it keeps the prefix stage map-side.
+    // O(vocabulary): small enough that AQE broadcasts the join at test
+    // scale, but a 100 TB corpus's shingle vocabulary is NOT broadcast-
+    // small — no hint, so the attach degrades to a keyed shuffle join
+    // exactly when it must.
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
     // prefix length |d| - ceil(t*|d|) + 1, all-integer:
     // ceil(a*n/b) = (a*n + b - 1) DIV b
     val prefixLen =
       col("n") - expr(s"(n * $tNum + ${tDen - 1}) DIV $tDen") + lit(1)
     val prefixes = exploded
-      .join(broadcast(freq), "g")
+      .join(freq, "g")
       .withColumn("rn",
         row_number().over(
           Window.partitionBy("doc_id").orderBy(col("f"), col("g"))))
