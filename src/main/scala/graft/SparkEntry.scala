@@ -1325,6 +1325,22 @@ object SparkEntry {
       LshIndex
         .search(t(s, dir, "embeddings"), queryVec(s, dir), 10)
         .select(col("vec_id"), rn(col("dist"), 6).as("dist"))),
+    // ---- K7: LSH MULTI-PROBE, wired into the live probe path (the
+    //      reference defines the Hamming-ball expansion but never calls
+    //      it — lsh.py:355-376 dead code, revived here as the opt-in it
+    //      was meant to be). The sparse fixture (every 23rd vector) holds
+    //      fewer than k base-bucket candidates at every test SF, so
+    //      WITHOUT flips this probe would degrade to the under-k corpus
+    //      scan; ONE flip per table rescues >= k candidates and the
+    //      result provably comes from buckets alone (LshIndexSpec pins
+    //      both counts). The oracle mirrors the expansion with an
+    //      xor/bit_count Hamming ball and the same fallback predicate. ----
+    "q_lsh_multiprobe" -> ((s, dir) =>
+      LshIndex
+        .search(
+          t(s, dir, "embeddings").where(pmod(col("vec_id"), lit(23)) === 0),
+          queryVec(s, dir), 5, LshIndex.Params(maxFlips = 1))
+        .select(col("vec_id"), rn(col("dist"), 6).as("dist"))),
     // ---- §2.11 stretch: the OPT-IN Catalyst ANN rewrite under the
     //      oracle hash. AnnProbeRule recognizes the exact-kNN plan shape
     //      and injects the LSH sign-signature probe filter; two branches
@@ -1686,9 +1702,11 @@ object SparkEntry {
       // timeline instead of running as one serialized union job after
       // the rebuild: the incremental side's scan is version-pinned
       // (immutable version dirs; rebuild's GC keeps the previous
-      // version's referenced files) so it runs CONCURRENTLY with the
-      // rebuild itself, and only the rebuilt side's half-size scan runs
-      // after. The scans use a CLONED session with AQE off — a one-row
+      // version's referenced files — the LOAD-BEARING RETENTION CONTRACT
+      // documented on LibraryCatalog.finishCommit; no other mutation may
+      // land between this scan's plan and its Await) so it runs
+      // CONCURRENTLY with the rebuild itself, and only the rebuilt
+      // side's half-size scan runs after. The scans use a CLONED session with AQE off — a one-row
       // global agg wants one static job, not a chain of query stages,
       // and a shared-session conf flip would race the concurrent
       // rebuild's planning.
@@ -1943,6 +1961,55 @@ object SparkEntry {
           array_join(col("tags"), ",").as("tags"),
           col("chunk_count"),
           array_join(col("chunk_ids"), ",").as("chunk_ids"))),
+    // ---- P3: search projection flags (library_service.py:243-258) —
+    //      include_metadata=false drops the metadata struct,
+    //      include_embeddings=true adds the embedding column. The
+    //      RETURNED column set is surfaced as data (`cols`), so the
+    //      oracle hash pins the projection surface itself, and the
+    //      embedding payload is pinned through its L2 norm (scalar —
+    //      array columns don't enter the driver's hash compare). ----
+    "q_search_projection" -> ((s, dir) => {
+      val res = searchDemoCatalog(s, dir)
+        .search("search_demo", EmbedQueryText, k = 20, metric = Cosine,
+          filterTags = Seq("en"),
+          includeMetadata = false, includeEmbeddings = true)
+      res.select(
+        col("id"),
+        rn(col("dist"), 6).as("dist"),
+        rn(sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x)), 6).as("emb_norm"),
+        lit(res.columns.mkString(",")).as("cols"))
+    }),
+    // ---- M8 + S4: delete-library + startup recovery
+    //      (library_service.py:171-184 intended semantics — the
+    //      reference endpoint itself is broken, divergence documented).
+    //      Two libraries are committed to one warehouse; one is dropped;
+    //      a FRESH catalog instance recovers the survivor from disk and
+    //      reports its name + chunk count. The oracle recomputes the
+    //      surviving library's expected ingest (blank-text rows drop at
+    //      normalize) from the base table. ----
+    "q_library_recovery" -> ((s, dir) => {
+      import graft.catalog.{LibraryCatalog, Models}
+      import s.implicits._
+      val wh = cachePath("recov_wh", dir)
+      val cat = new LibraryCatalog(s, wh)
+      def src(lo: Int, hi: Int) = t(s, dir, "documents")
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(
+          concat(lit("c"), col("doc_id")).as("id"),
+          concat(lit("d"), pmod(col("doc_id"), lit(10))).as("document_id"),
+          col("text"))
+      if (!cat.exists("lib_keep"))
+        cat.createLibrary("lib_keep", Models.FlatIndexer, src(0, 30))
+      cat.createLibrary("lib_drop", Models.FlatIndexer, src(30, 60),
+        overwrite = true)
+      cat.deleteLibrary("lib_drop")
+      val fresh = new LibraryCatalog(s, wh) // S4: recover from disk alone
+      val survivors = fresh.listLibraries().map(_.name).sorted
+      survivors
+        .map(n => (n, fresh.chunks(n).count()))
+        .toDF("library", "n_chunks")
+    }),
     // ---- training-pipeline: MinHash-banded near-duplicate pairs.
     //      shingle → minhash → band bucket join → exact Jaccard verify;
     //      no all-pairs anywhere (row order: see verifyOrder). ----
@@ -2136,6 +2203,27 @@ object SparkEntry {
           t(s, dir, "embeddings").repartition(32),
           Seq((0L, queryVec(s, dir).toArray)), 10)
         .select(col("id").as("vec_id"), rn(col("dist"), 6).as("dist"))),
+    // ---- K3 + S2/S3: HNSW through the PERSISTED catalog artifact. The
+    //      library is created once (graph serialized as the hnsw_graph/
+    //      hnsw_meta artifacts, LibraryCatalog.buildIndex); every call
+    //      then goes through a FRESH LibraryCatalog instance whose
+    //      driver cache is cold, so the result provably comes from the
+    //      graph LOADED off parquet (HnswIndex.restore), never an
+    //      in-memory carry-over — the reference's save/load round-trip
+    //      (hnsw.py:372-401, tests/test_library_save_load.py:383-422)
+    //      under the same exact normalized-euclidean oracle as
+    //      q_hnsw_knn. Ids are zero-padded so the build's sorted-by-id
+    //      insertion order is numeric vec_id order (tie-breaks align
+    //      with the oracle's ORDER BY vec_id). ----
+    "q_hnsw_catalog" -> ((s, dir) => {
+      import s.implicits._
+      val cold = hnswDemoCatalog(s, dir)
+      val (idx, idOf) = cold.hnswGraph("hnsw_demo")
+      idx.search(queryVec(s, dir).toArray, 10)
+        .map { case (ord, d) => (idOf(ord.toInt).toLong, d) }
+        .toDF("vec_id", "dist")
+        .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
+    }),
     // ---- sessionization (batch gaps-and-islands twin of the streaming
     //      session_window path): per-user sessions split on >30min gaps.
     //      Gap compare runs at microsecond precision on BOTH sides
@@ -2705,6 +2793,28 @@ object SparkEntry {
     cat
   }
 
+  /** The persisted HNSW demo library (q_hnsw_catalog): embeddings-table
+    * vectors under zero-padded string ids, created once per code
+    * version + sf dir. ALWAYS returns a fresh LibraryCatalog instance —
+    * the cold driver cache is the point: the caller's graph must come
+    * from the persisted hnsw_graph artifact, not memory. */
+  private def hnswDemoCatalog(
+      s: SparkSession, dir: String): graft.catalog.LibraryCatalog = {
+    import graft.catalog.{LibraryCatalog, Models}
+    val wh = cachePath("hnsw_wh", dir)
+    val boot = new LibraryCatalog(s, wh)
+    if (!boot.exists("hnsw_demo")) {
+      val src = t(s, dir, "embeddings").select(
+        lpad(col("vec_id").cast("string"), 6, "0").as("id"),
+        concat(lit("d"), pmod(col("vec_id"), lit(50))).as("document_id"),
+        concat(lit("vector "), col("vec_id")).as("text"),
+        col("embedding"))
+      boot.createLibrary("hnsw_demo", Models.HnswIndexer, src,
+        dim = 64, overwrite = true)
+    }
+    new LibraryCatalog(s, wh)
+  }
+
   /** Dump-layer canonical row order for queries whose SEMANTICS need no
     * ordering (their only consumer is the driver's hash compare).
     *
@@ -2785,7 +2895,11 @@ object SparkEntry {
     "q_batch_knn" -> Seq("query_id", "vec_id"),
     "q_hnsw_knn" -> Seq("dist", "vec_id"),
     "q_hnsw_small" -> Seq("dist", "vec_id"),
-    "q_hnsw_partitioned" -> Seq("dist", "vec_id"))
+    "q_hnsw_partitioned" -> Seq("dist", "vec_id"),
+    "q_hnsw_catalog" -> Seq("dist", "vec_id"),
+    "q_search_projection" -> Seq("dist", "id"),
+    "q_library_recovery" -> Seq("library"),
+    "q_lsh_multiprobe" -> Seq("dist", "vec_id"))
 
   /** Shared winnowing-fingerprint CTE chain (codes → Karp-Rabin k-grams
     * → window-minima fingerprint set): the same polynomial and
@@ -2860,6 +2974,33 @@ object SparkEntry {
     "q_hnsw_knn" -> oHnsw(10),
     "q_hnsw_small" -> oHnsw(10, corpusFilter = "WHERE e.vec_id < 8", limit = false),
     "q_hnsw_partitioned" -> oHnsw(10),
+    // the persisted-artifact read path ranks in the same normalized
+    // space as every other hnsw form — one oracle proves load ≡ build
+    "q_hnsw_catalog" -> oHnsw(10),
+    "q_search_projection" -> {
+      val de = Embedder.oracleEmbed("text")
+      val qe = Embedder.oracleEmbed(s"'$EmbedQueryText'")
+      def normSq(c: String) =
+        s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*x))"
+      val euclidQ =
+        "sqrt(list_sum(list_transform(list_zip(d.embedding, q.qv), " +
+          "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))"
+      s"""WITH docs AS (SELECT 'c' || doc_id AS id, lang, $de AS embedding FROM documents),
+         |q AS (SELECT $qe AS qv),
+         |ranked AS (
+         |  SELECT d.id AS id, d.lang AS lang, d.embedding AS embedding, $euclidQ AS de
+         |  FROM docs d, q
+         |  ORDER BY de, d.id LIMIT 20)
+         |SELECT id, (round(de, 6) + 0.0) AS dist,
+         |  (round(sqrt(${normSq("embedding")}), 6) + 0.0) AS emb_norm,
+         |  'id,document_id,text,dist,score,embedding' AS cols
+         |FROM ranked WHERE lang = 'en'
+         |ORDER BY dist, id""".stripMargin
+    },
+    // the survivor's expected ingest: blank-text rows drop at normalize
+    "q_library_recovery" ->
+      """SELECT 'lib_keep' AS library, count(*) AS n_chunks
+        |FROM documents WHERE doc_id < 30 AND length(trim(text)) > 0""".stripMargin,
     "q_knn_euclidean" -> oKnn(oEuclid),
     "q_batch_knn" ->
       s"""SELECT query_id, vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
@@ -3946,6 +4087,37 @@ object SparkEntry {
          |         FROM embeddings e, planes p GROUP BY e.vec_id, p.t),
          |cand AS (SELECT DISTINCT s.vec_id FROM sigs s, qsigs qs WHERE s.t = qs.t AND s.sig = qs.sig),
          |base AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         |         WHERE (SELECT count(*) FROM cand) < $k OR e.vec_id IN (SELECT vec_id FROM cand))
+         |SELECT vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
+         |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
+         |  FROM base e, q
+         |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
+    },
+    "q_lsh_multiprobe" -> {
+      val p = LshIndex.Params()
+      val k = 5
+      // q_lsh_knn's pipeline plus the K7 Hamming-ball expansion: the
+      // query's per-table signature widens to every signature within 1
+      // bit flip (xor over masks with bit_count <= maxFlips) before the
+      // candidate match and the same under-k fallback predicate.
+      val planeExpr =
+        s"(((('0x'||substr(md5('${p.tag}|'||t||'|'||b||'|'||d),1,8))::BIGINT % 2001)-1000)/1000.0)"
+      def sigSum(vec: String) =
+        s"sum(CASE WHEN list_sum(list_transform(list_zip($vec, p.pl), " +
+          "z -> CAST(z[1] AS DOUBLE)*z[2])) >= 0 THEN (1<<p.b)::BIGINT ELSE 0 END)"
+      s"""WITH planes AS (
+         |  SELECT t, b, list($planeExpr ORDER BY d) AS pl
+         |  FROM range(0,${p.numTables}) tt(t), range(0,${p.hashSize}) bb(b), range(0,${p.dim}) dd(d)
+         |  GROUP BY t, b
+         |), corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qsigs AS (SELECT p.t AS t, ${sigSum("q.qv")} AS sig FROM q, planes p GROUP BY p.t),
+         |probes AS (SELECT t, xor(sig, m::BIGINT) AS sig
+         |           FROM qsigs, range(0,${1 << p.hashSize}) mm(m) WHERE bit_count(m) <= 1),
+         |sigs AS (SELECT e.vec_id AS vec_id, p.t AS t, ${sigSum("e.embedding")} AS sig
+         |         FROM corpus e, planes p GROUP BY e.vec_id, p.t),
+         |cand AS (SELECT DISTINCT s.vec_id FROM sigs s, probes pr WHERE s.t = pr.t AND s.sig = pr.sig),
+         |base AS (SELECT e.vec_id, e.embedding FROM corpus e
          |         WHERE (SELECT count(*) FROM cand) < $k OR e.vec_id IN (SELECT vec_id FROM cand))
          |SELECT vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
          |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact

@@ -56,7 +56,8 @@ import graft.operators.{FlatKnn, HnswIndex, IvfIndex, LshIndex}
 class LibraryCatalog(
     spark: SparkSession,
     warehouse: String,
-    hnswMaxRows: Int = HnswIndex.DefaultMaxRows) {
+    hnswMaxRows: Int = HnswIndex.DefaultMaxRows,
+    lshMaxFlips: Int = 0) {
 
   private val log = LoggerFactory.getLogger(classOf[LibraryCatalog])
   private def fs: FileSystem =
@@ -202,6 +203,9 @@ class LibraryCatalog(
     * [[autoBucketCount]]); these constants bound the auto choice. */
   private val AutoBucketTargetBytes = BigInt(64L << 20)
   private val MaxAutoBuckets = 65536
+  /** Bucket count when the input's size estimate is the unusable
+    * defaultSizeInBytes sentinel (see [[autoBucketCount]]). */
+  private val FallbackBuckets = 8
 
   /** Catalyst / driver twins of the bucket assignment (md5-prefix of the
     * id — the one hash all engines of this codebase share). */
@@ -448,7 +452,14 @@ class LibraryCatalog(
 
   private def now(): String = java.time.Instant.now().toString
 
-  private def lshParams(dim: Int) = LshIndex.Params(dim = dim)
+  /** `lshMaxFlips` > 0 opts the catalog's LSH probes into multi-probe
+    * (K7): sparse buckets are widened by Hamming-ball signature flips
+    * BEFORE the under-k fallback can degrade the probe to a corpus scan
+    * — same results whenever the base probe already held >= k rows (the
+    * extra candidates only ever ADD to the exact re-rank's input).
+    * Signatures on disk are untouched; only the probe set widens. */
+  private def lshParams(dim: Int) =
+    LshIndex.Params(dim = dim, maxFlips = lshMaxFlips)
   private def ivfParams = IvfIndex.Params()
 
   /** Buckets that got a leaf dir in this version's chunks write. */
@@ -614,7 +625,19 @@ class LibraryCatalog(
   /** Swap the pointer, then GC: a version dir survives while the current
     * or previous version's manifest OR artifact list references it (or
     * IS one of those two versions — in-flight readers of v-1 stay
-    * whole). */
+    * whole).
+    *
+    * LOAD-BEARING RETENTION CONTRACT: the previous version's refs are
+    * not merely a courtesy — concurrent version-pinned readers depend on
+    * them. SparkEntry's M9 check (the `sideDigest` Future in
+    * q_crud_pipeline) scans the PRE-rebuild index concurrently with
+    * rebuildIndex and is only race-free because this GC keeps every file
+    * the previous version references until the NEXT commit. Narrowing
+    * retention to current-only (or letting an extra commit slip between
+    * a reader's plan and its execution) makes such pinned scans read
+    * deleted files intermittently. If you change the `prevRefs` term
+    * below, update that call site — single-version-pinned readers must
+    * then complete before the next commit is allowed to start. */
   private def finishCommit(
       m: LibraryMeta, v: Long, mf: Map[Int, Seq[String]]): LibraryMeta = {
     val updated = m.copy(version = v, updatedAt = now())
@@ -807,7 +830,7 @@ class LibraryCatalog(
         old ++ present.map(b => b -> (old.getOrElse(b, Seq.empty) :+ vname))
     }
     writeManifest(vdir, mf)
-    val refs = patch match {
+    val carried = patch match {
       case None => oldRefs
       case Some((newRows, deleteIds)) =>
         var r = oldRefs
@@ -818,6 +841,13 @@ class LibraryCatalog(
             "index_deletes", r.getOrElse("index_deletes", Seq.empty) :+ vname)
         r
     }
+    // a delta invalidates the persisted hnsw graph (a whole-corpus
+    // structure, not an O(delta)-patchable table): drop its refs so the
+    // next cold read rebuilds lazily; rebuildIndex/compactLibrary write a
+    // fresh one. Chunk data and every other artifact stay O(delta).
+    val refs =
+      if (m.indexer == HnswIndexer) carried - HnswGraphArtifact - HnswMetaArtifact
+      else carried
     writeArtifactRefs(vdir, refs)
     finishCommit(m, v, mf)
   }
@@ -840,7 +870,30 @@ class LibraryCatalog(
             Seq("cell")),
           IndexArtifact(
             "centroids", IvfIndex.centroidsDfFromVecs(spark, cents), Nil))
-      case _ => Seq.empty // flat needs no index table; hnsw is driver-local (K3)
+      case HnswIndexer =>
+        // K3: the graph itself is a persisted artifact (hnsw.py:372-401
+        // save_to_dict/load_from_dict parity) — nodes + adjacency as
+        // parquet rows, entry point + next insertion ordinal as a one-row
+        // meta table. Both DataFrames are driver-local relations at write
+        // time (the build already collected the corpus under
+        // [[hnswMaxRows]]), so persisting schedules no extra scan; a cold
+        // catalog then pays one bounded artifact read instead of the
+        // O(n log n) graph rebuild. Over the driver-graph cap nothing is
+        // persisted — search redirects to searchPartitioned at that size.
+        buildHnswGraph(chunksDf) match {
+          case None => Seq.empty
+          case Some((idx, ids)) =>
+            import spark.implicits._
+            val graphDf = idx.exportNodes.map { case (ord, vec, lvl, nbrs) =>
+              (ord, ids(ord.toInt), lvl, vec.toSeq, nbrs.map(_.toSeq).toSeq)
+            }.toDF("ord", "id", "level", "vec", "nbrs")
+            val metaDf =
+              Seq((idx.entry, idx.nextOrdinal)).toDF("entry", "next_ordinal")
+            Seq(
+              IndexArtifact(HnswGraphArtifact, graphDf, Nil),
+              IndexArtifact(HnswMetaArtifact, metaDf, Nil))
+        }
+      case _ => Seq.empty // flat needs no index table
     }
 
   /** Ingest shape normalization (chunk.py:25-42,55-71): trimmed
@@ -979,11 +1032,24 @@ class LibraryCatalog(
     * that size per-file create/commit overhead IS the cost of a commit,
     * and 8 near-empty dirs per version bought nothing — while a 100 TB
     * ingest gets tens of thousands, because the bucket is the
-    * file-pruning and rewrite granularity every later mutation pays. */
+    * file-pruning and rewrite granularity every later mutation pays.
+    *
+    * Stats-less leaf plans (LogicalRDD from `createDataFrame(rdd, …)`,
+    * some V2 sources) report `spark.sql.defaultSizeInBytes` —
+    * Long.MaxValue by default — as their size; taking that at face value
+    * would lock an arbitrarily small library to the [[MaxAutoBuckets]]
+    * clamp forever (bucket count is immutable for the library's
+    * lifetime) and pay a 65536-leaf-dir explosion on every commit. Any
+    * estimate at or above the sentinel is unusable, so fall back to
+    * [[FallbackBuckets]] — the pre-auto fixed default, safe at any size
+    * a caller would reasonably route through an un-stats'd source. */
   private def autoBucketCount(normalized: DataFrame): Int = {
     val bytes = normalized.queryExecution.optimizedPlan.stats.sizeInBytes
-    ((bytes + AutoBucketTargetBytes - 1) / AutoBucketTargetBytes)
-      .min(BigInt(MaxAutoBuckets)).max(BigInt(1)).toInt
+    if (bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes))
+      FallbackBuckets
+    else
+      ((bytes + AutoBucketTargetBytes - 1) / AutoBucketTargetBytes)
+        .min(BigInt(MaxAutoBuckets)).max(BigInt(1)).toInt
   }
 
   /** Index rows for just `added`, computed against the CURRENT index
@@ -1651,27 +1717,82 @@ class LibraryCatalog(
       .filter { case (n, ver) => n == name && ver != current }
       .foreach(hnswGraphs.remove)
 
-  private def hnswFor(
-      name: String,
-      version: Long,
-      all: DataFrame): (HnswIndex, IndexedSeq[String]) = {
-    evictStaleHnsw(name, version)
-    hnswGraphs.getOrElseUpdate((name, version), {
-      // bounded collect — same guard as HnswIndex.fromDataFrame: an
-      // hnsw library slightly bigger than driver memory must fail with
-      // a redirect, not OOM the driver
-      val rows = all.select("id", "embedding").limit(hnswMaxRows + 1).collect()
-      require(rows.length <= hnswMaxRows,
-        s"hnsw library '$name' exceeds the driver-local graph cap of " +
-          s"$hnswMaxRows rows; use HnswIndex.searchPartitioned over " +
-          "chunks(name) for corpora this size")
+  private val HnswGraphArtifact = "hnsw_graph"
+  private val HnswMetaArtifact = "hnsw_meta"
+
+  /** Deterministic driver-local hnsw build: rows SORTED BY ID before
+    * insertion, so the graph is a pure function of the (id, embedding)
+    * set — independent of physical file layout or collect order — and
+    * the persisted artifact, a lazy rebuild, and a rebuildIndex all
+    * produce bit-identical graphs. None when the corpus exceeds
+    * [[hnswMaxRows]] (same guard as HnswIndex.fromDataFrame: redirect,
+    * never a driver OOM). */
+  private[graft] def buildHnswGraph(
+      all: DataFrame): Option[(HnswIndex, IndexedSeq[String])] = {
+    val rows =
+      all.select("id", "embedding").orderBy("id").limit(hnswMaxRows + 1).collect()
+    if (rows.length > hnswMaxRows) None
+    else {
       val ids = rows.map(_.getString(0)).toIndexedSeq
       val idx = HnswIndex.build(
         rows.iterator.zipWithIndex.map { case (r, i) =>
           (i.toLong, r.getSeq[Float](1).toArray)
         })
+      Some((idx, ids))
+    }
+  }
+
+  /** Load the persisted graph artifact written by [[buildIndex]] — one
+    * bounded parquet read (graph rows ≤ [[hnswMaxRows]] by construction)
+    * instead of the O(n log n) rebuild. None when no current artifact
+    * exists: never written (over-cap library) or dropped by a delta
+    * commit (see [[commitDelta]] — the graph is a whole-corpus structure,
+    * not an O(delta)-patchable table, so mutations invalidate it and the
+    * next cold read rebuilds lazily; rebuildIndex/compactLibrary
+    * re-persist it). */
+  private[graft] def loadPersistedHnsw(
+      name: String): Option[(HnswIndex, IndexedSeq[String])] =
+    for {
+      g <- artifact(name, HnswGraphArtifact)
+      meta <- artifact(name, HnswMetaArtifact)
+    } yield {
+      val rows = g.select("ord", "id", "level", "vec", "nbrs")
+        .orderBy("ord").limit(hnswMaxRows + 1).collect()
+      require(rows.length <= hnswMaxRows,
+        s"hnsw library '$name': persisted graph exceeds the driver cap")
+      val ids = rows.map(_.getString(1)).toIndexedSeq
+      val mr = meta.select("entry", "next_ordinal").head()
+      val idx = HnswIndex.restore(
+        rows.iterator.map(r => (
+          r.getLong(0),
+          r.getSeq[Float](3).toArray,
+          r.getInt(2),
+          r.getSeq[scala.collection.Seq[Long]](4).map(_.toArray).toArray)),
+        entry = if (mr.isNullAt(0)) None else Some(mr.getLong(0)),
+        nextOrd = mr.getLong(1))
       (idx, ids)
-    })
+    }
+
+  /** Current load-or-build graph for `name` (exposed for
+    * IndexPersistenceSpec's identity and warm-read assertions). */
+  private[graft] def hnswGraph(name: String): (HnswIndex, IndexedSeq[String]) = {
+    val m = requireMeta(name)
+    hnswFor(name, m.version, chunks(name))
+  }
+
+  private def hnswFor(
+      name: String,
+      version: Long,
+      all: DataFrame): (HnswIndex, IndexedSeq[String]) = {
+    evictStaleHnsw(name, version)
+    hnswGraphs.getOrElseUpdate(
+      (name, version),
+      loadPersistedHnsw(name).getOrElse {
+        buildHnswGraph(all).getOrElse(throw new IllegalArgumentException(
+          s"hnsw library '$name' exceeds the driver-local graph cap of " +
+            s"$hnswMaxRows rows; use HnswIndex.searchPartitioned over " +
+            "chunks(name) for corpora this size"))
+      })
   }
 
   /** The flagship read path (SURVEY.md §3.1): embed query text → index

@@ -236,6 +236,26 @@ class HnswIndex(
 
   /** Update = delete + re-add (hnsw.py:272-282). */
   def update(id: Long, vec: Array[Float]): Unit = { delete(id); add(id, vec) }
+
+  /** Serialization view of the graph, in insertion order: (node id,
+    * NORMALIZED vector, level, neighbors for levels 0..level in buffer
+    * order). Buffer order is part of the contract — a restored graph
+    * must prune/append against the same order a live one would — so
+    * [[HnswIndex.restore]] of this view followed by further mutations is
+    * bit-identical to never having serialized at all (the reference
+    * round-trips its graph the same way, hnsw.py:372-401
+    * save_to_dict/load_from_dict). */
+  def exportNodes: Seq[(Long, Array[Float], Int, Array[Array[Long]])] =
+    vectors.iterator.map { case (id, v) =>
+      val lvl = levels(id)
+      val nbrs = Array.tabulate(lvl + 1)(l =>
+        neighbors(l).getOrElse(id, mutable.ArrayBuffer.empty).toArray)
+      (id, v, lvl, nbrs)
+    }.toSeq
+
+  /** Ordinal the next [[add]] will draw its level from — persisted so a
+    * restored graph's future level draws match a never-serialized one's. */
+  def nextOrdinal: Long = insertOrdinal
 }
 
 object HnswIndex {
@@ -256,6 +276,37 @@ object HnswIndex {
     * OOM waiting to happen — callers must switch to [[searchPartitioned]].
     * Shared by [[fromDataFrame]] and the catalog's hnsw read path. */
   val DefaultMaxRows: Int = 2000000
+
+  /** Reconstruct a graph from an [[HnswIndex.exportNodes]] dump (vectors
+    * ALREADY normalized). Nodes must arrive in their original insertion
+    * order; `entry` and `nextOrd` restore the exact mutable state, so
+    * search AND any later add/delete behave bit-identically to the
+    * never-serialized graph. */
+  def restore(
+      nodes: Iterator[(Long, Array[Float], Int, Array[Array[Long]])],
+      entry: Option[Long],
+      nextOrd: Long,
+      m: Int = 16,
+      efConstruction: Int = 200,
+      maxLevel: Int = 4,
+      seed: Long = 42L): HnswIndex = {
+    val idx = new HnswIndex(m, efConstruction, maxLevel, seed)
+    nodes.foreach { case (id, vec, lvl, nbrs) =>
+      require(lvl <= maxLevel, s"node $id level $lvl exceeds maxLevel $maxLevel")
+      require(nbrs.length == lvl + 1,
+        s"node $id: ${nbrs.length} adjacency lists for level $lvl")
+      idx.vectors(id) = vec
+      idx.levels(id) = lvl
+      var l = 0
+      while (l <= lvl) {
+        idx.neighbors(l)(id) = mutable.ArrayBuffer(nbrs(l).toSeq: _*)
+        l += 1
+      }
+    }
+    idx.entryPoint = entry
+    idx.insertOrdinal = nextOrd
+    idx
+  }
 
   /** Driver-local build from a DataFrame — bounded collect, matching the
     * reference's in-memory scope. Refuses silently-unscalable use. */

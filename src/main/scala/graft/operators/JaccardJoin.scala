@@ -35,14 +35,28 @@ object JaccardJoin {
   /** All pairs (doc_a < doc_b) with n-gram Jaccard >= tNum/tDen.
     * Output: doc_a, doc_b, n_common, n_union (exact integer set sizes).
     * `k` is the word-shingle width; shorter docs contribute their whole
-    * text as one shingle ([[NearDup.shinglesFromTokens]] convention). */
+    * text as one shingle ([[NearDup.shinglesFromTokens]] convention).
+    *
+    * COLLISION BOUND (the one caveat on "exact"): shingles are replaced
+    * by xxhash64 values before the set arithmetic, so two DISTINCT
+    * shingles colliding at 64 bits inside one compared pair can shift
+    * n_common/n_union. The probability is birthday-scale in the PER-PAIR
+    * set sizes (~1e-11 for 1e5-shingle documents), not in the corpus
+    * vocabulary — candidate COMPLETENESS is collision-proof, because
+    * prefix filtering only needs SOME consistent global shingle order
+    * and hash-merged frequencies still give one. Callers who need
+    * unconditional exactness set `verifyWithStrings = true`: the verify
+    * stage then intersects the raw shingle-string sets (the candidate
+    * stages keep moving longs), trading verify-stage bytes for a
+    * zero-collision guarantee. */
   def selfJoin(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
       tNum: Int = 3,
-      tDen: Int = 5): DataFrame = {
+      tDen: Int = 5,
+      verifyWithStrings: Boolean = false): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
     // fused one-pass distinct-shingle kernel (the composed
@@ -54,31 +68,12 @@ object JaccardJoin {
     // preserved short of a 64-bit collision inside one comparison
     // (~1e-11 at a 10^5-shingle vocabulary, and deterministic: the
     // oracle hash compare would flag it loudly, not silently).
-    val sets = NearDup
+    val raw = NearDup
       .docShingles(df.select(col(idCol).as("doc_id"), col(textCol)),
         "doc_id", textCol, NearDup.Params(shingleSize = k))
-      .select(col("doc_id"),
-        transform(col("shingles"), g => xxhash64(g)).as("s"))
-    val exploded = sets.select(
-      col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("g"))
-    // one map-combined aggregation: the global shingle frequency that
-    // defines the (rarest-first) prefix order. The frequency table is
-    // O(vocabulary): small enough that AQE broadcasts the join at test
-    // scale, but a 100 TB corpus's shingle vocabulary is NOT broadcast-
-    // small — no hint, so the attach degrades to a keyed shuffle join
-    // exactly when it must.
-    val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
-    // prefix length |d| - ceil(t*|d|) + 1, all-integer:
-    // ceil(a*n/b) = (a*n + b - 1) DIV b
-    val prefixLen =
-      col("n") - expr(s"(n * $tNum + ${tDen - 1}) DIV $tDen") + lit(1)
-    val prefixes = exploded
-      .join(freq, "g")
-      .withColumn("rn",
-        row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("f"), col("g"))))
-      .where(col("rn") <= prefixLen)
-      .select("doc_id", "n", "g")
+    val sets = raw.select(col("doc_id"),
+      transform(col("shingles"), g => xxhash64(g)).as("s"))
+    val prefixes = prefixesOf(sets, tNum, tDen)
     // candidate equi-join on prefix shingles, plus the standard length
     // filter: J >= t forces t*|A| <= |B| (I <= |B| and I >= t*|A|), so
     // size-incompatible pairs drop inside the join instead of reaching
@@ -90,15 +85,78 @@ object JaccardJoin {
           col("x.n") * tDen >= col("y.n") * tNum)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // verify sets: hashed longs by default; the raw shingle strings when
+    // the caller opted into unconditional exactness (see scaladoc)
+    val verifySets =
+      if (verifyWithStrings) raw.select(col("doc_id"), col("shingles").as("s"))
+      else sets
     val inter = size(array_intersect(col("sa"), col("sb")))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .join(verifySets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(verifySets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         inter.as("n_common"),
         (size(col("sa")) + size(col("sb")) - inter).as("n_union"))
       .where(lit(tDen) * col("n_common") >= lit(tNum) * col("n_union"))
+  }
+
+  /** The (doc_id, n, g) prefix rows the candidate stage equi-joins on:
+    * explode the hashed shingle sets, attach global frequencies, keep
+    * each doc's `|d| - ceil(t*|d|) + 1` RAREST shingles. Factored so the
+    * skew spec can assert structurally that hot shingles stay out of
+    * prefixes (rarest-first ranks them last). */
+  private def prefixesOf(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    // explode_outer, NOT explode: a plain explode lets the optimizer
+    // infer `size(s) > 0 AND isnotnull(s)` below the Generate, and
+    // pushing that predicate through the projection re-materializes the
+    // shingle kernel into each conjunct — THREE kernel evaluations per
+    // row in the scan-side Filter (size, isnotnull, projection; visible
+    // in the round-6 PLANS.md dump). explode_outer infers nothing, so
+    // the kernel stays a single projection evaluated once per row
+    // (JaccardJoinSpec pins the count), and the null row an empty
+    // shingle array would emit is dropped by a cheap attribute-only
+    // filter on the generator output. size(s) rides BELOW the Generate
+    // so exploded rows carry (doc_id, n, g), never the array itself.
+    val exploded = sets
+      .select(col("doc_id"), size(col("s")).as("n"), explode_outer(col("s")).as("g"))
+      .where(col("g").isNotNull)
+    // one map-combined aggregation: the global shingle frequency that
+    // defines the (rarest-first) prefix order. The frequency table is
+    // O(vocabulary): small enough that AQE broadcasts the join at test
+    // scale, but a 100 TB corpus's shingle vocabulary is NOT broadcast-
+    // small — no hint, so the attach degrades to a keyed shuffle join
+    // exactly when it must.
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
+    // prefix length |d| - ceil(t*|d|) + 1, all-integer:
+    // ceil(a*n/b) = (a*n + b - 1) DIV b
+    val prefixLen =
+      col("n") - expr(s"(n * $tNum + ${tDen - 1}) DIV $tDen") + lit(1)
+    exploded
+      .join(freq, "g")
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("f"), col("g"))))
+      .where(col("rn") <= prefixLen)
+      .select("doc_id", "n", "g")
+  }
+
+  /** Spec window into the candidate stage: the prefix rows [[selfJoin]]
+    * would join for this corpus and threshold. */
+  private[graft] def prefixTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    val raw = NearDup
+      .docShingles(df.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id", textCol, NearDup.Params(shingleSize = k))
+    prefixesOf(
+      raw.select(col("doc_id"),
+        transform(col("shingles"), g => xxhash64(g)).as("s")),
+      tNum, tDen)
   }
 
   /** Reference formulation for the equivalence spec: every pair, no

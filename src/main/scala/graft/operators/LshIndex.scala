@@ -34,12 +34,23 @@ object LshIndex {
   /** Reference defaults: hash_size=8, num_tables=10
     * (`app/config/indexer_hparams.py:18-20`). `dim` MUST equal the
     * indexed vector column's dimensionality (the testdata embeddings are
-    * 64-d) — a shorter plane would silently zip_with-null-pad. */
+    * 64-d) — a shorter plane would silently zip_with-null-pad.
+    *
+    * `maxFlips` > 0 turns on MULTI-PROBE (K7, `lsh.py:355-376` — the
+    * reference defines and unit-tests the expansion but never calls it
+    * from search; here it is wired in as the opt-in it was meant to be):
+    * each table probes every signature within Hamming distance
+    * `maxFlips` of the query's, which rescues sparse buckets from the
+    * under-k full-scan fallback — the one place the LSH path otherwise
+    * degrades to O(corpus). Candidate volume grows by at most
+    * sum_{i<=maxFlips} C(hashSize, i) per table (9x at 8 bits, 1 flip),
+    * still bucket-bounded, never a scan. */
   case class Params(
       hashSize: Int = 8,
       numTables: Int = 10,
       dim: Int = 64,
-      tag: String = "lsh")
+      tag: String = "lsh",
+      maxFlips: Int = 0)
 
   /** Hyperplane component (t = table, b = bit, d = dim), in [-1, 1].
     * Exact in all three engines: md5 prefix int % 2001 - 1000, / 1000. */
@@ -95,14 +106,20 @@ object LshIndex {
     df.select(col(idCol), posexplode(sigArray).as(Seq("table_idx", "sig")))
   }
 
-  /** Candidate filter: any-table signature equality with the query
-    * (the union over L bucket probes, lsh.py:189-195). */
+  /** Candidate filter: any-table signature match with the query's
+    * (multi-)probe set (the union over L bucket probes, lsh.py:189-195;
+    * expansion lsh.py:355-376 when maxFlips > 0). */
   private def candidateCond(
       embCol: String,
       ps: Array[Array[Array[Double]]],
-      querySigs: Array[Long]): Column =
+      querySigs: Array[Long],
+      hashSize: Int,
+      maxFlips: Int): Column =
     ps.indices
-      .map(t => signatureCol(col(embCol), ps(t)) === lit(querySigs(t)))
+      .map { t =>
+        val probes = multiProbe(querySigs(t), hashSize, maxFlips)
+        signatureCol(col(embCol), ps(t)).isin(probes: _*)
+      }
       .reduce(_ || _)
 
   /** Approximate top-k: probe buckets, re-rank candidates exactly, fall
@@ -126,7 +143,7 @@ object LshIndex {
     // something to evaluate twice for count + re-rank) and the blocks are
     // tiny: only bucket-matching rows survive the filter.
     val cands = df
-      .where(candidateCond(embCol, ps, querySigs))
+      .where(candidateCond(embCol, ps, querySigs, p.hashSize, p.maxFlips))
       .localCheckpoint(true)
     val base = if (cands.count() >= k) cands else df
     FlatKnn.search(base, query, k, metric, idCol, embCol)
@@ -146,7 +163,10 @@ object LshIndex {
     val ps = planes(p)
     val querySigs = ps.map(signatureLocal(query.toArray, _))
     val probeCond = querySigs.zipWithIndex
-      .map { case (s, t) => col("table_idx") === t && col("sig") === s }
+      .map { case (s, t) =>
+        col("table_idx") === t &&
+          col("sig").isin(multiProbe(s, p.hashSize, p.maxFlips): _*)
+      }
       .reduce(_ || _)
     val candIds = sigTable.where(probeCond).select(idCol).distinct()
     val cands = df.join(candIds, Seq(idCol), "left_semi").localCheckpoint(true)
@@ -164,11 +184,17 @@ object LshIndex {
   def prunedCandidateIds(
       sigTable: DataFrame,
       querySigs: Array[Long],
-      idCol: String = "vec_id"): DataFrame =
+      idCol: String = "vec_id",
+      hashSize: Int = 8,
+      maxFlips: Int = 0): DataFrame =
     querySigs.zipWithIndex
       .map { case (s, t) =>
+        // one partition-pruned scan per table; with multi-probe the sig
+        // equality widens to an IN over the Hamming ball — still pushed
+        // to parquet as an In filter, still one partition dir per table
         sigTable
-          .where(col("table_idx") === t && col("sig") === s)
+          .where(col("table_idx") === t &&
+            col("sig").isin(multiProbe(s, hashSize, maxFlips): _*))
           .select(idCol)
       }
       .reduce(_ union _)
@@ -185,7 +211,8 @@ object LshIndex {
       p: Params = Params(),
       idCol: String = "vec_id"): DataFrame = {
     val querySigs = planes(p).map(signatureLocal(query.toArray, _))
-    val candIds = prunedCandidateIds(sigTable, querySigs, idCol)
+    val candIds =
+      prunedCandidateIds(sigTable, querySigs, idCol, p.hashSize, p.maxFlips)
     val cands = df.join(candIds, Seq(idCol), "left_semi").localCheckpoint(true)
     if (cands.count() >= k) cands else df
   }

@@ -56,12 +56,13 @@ object CrudQueryProfile {
         }
       })
     def phase[T](run: Int, name: String)(f: => T): T = {
-      val before = jobDur.keySet().size + jobStart.keySet().size
       val beforeIds = new java.util.HashSet(jobStart.keySet())
       val t0 = System.nanoTime()
       val r = f
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(50) // let the listener bus drain
+      // deterministic drain — a fixed sleep silently dropped late events
+      // from the per-phase attribution (the very overhead being profiled)
+      org.apache.spark.graft.ListenerBridge.waitForListenerBus(spark.sparkContext)
       val newIds = new java.util.HashSet(jobStart.keySet())
       newIds.removeAll(beforeIds)
       val it = newIds.iterator()

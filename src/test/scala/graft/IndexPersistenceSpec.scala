@@ -130,6 +130,91 @@ class IndexPersistenceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(resLsh.count() === catalog.chunks("lib_plsh").count())
   }
 
+  /** Deep graph equality: same nodes, levels, vectors, adjacency (in
+    * buffer order), entry point, and next insertion ordinal. */
+  private def assertGraphsIdentical(
+      a: graft.operators.HnswIndex, b: graft.operators.HnswIndex): Unit = {
+    assert(a.entry === b.entry)
+    assert(a.nextOrdinal === b.nextOrdinal)
+    val (na, nb) = (a.exportNodes, b.exportNodes)
+    assert(na.map(_._1) === nb.map(_._1), "node ids / insertion order differ")
+    na.zip(nb).foreach { case ((id, va, la, aa), (_, vb, lb, ab)) =>
+      assert(va.toSeq === vb.toSeq, s"vector of node $id differs")
+      assert(la === lb, s"level of node $id differs")
+      assert(aa.map(_.toSeq).toSeq === ab.map(_.toSeq).toSeq,
+        s"adjacency of node $id differs")
+    }
+  }
+
+  test("hnsw graph round-trips through the persisted artifact bit-identically") {
+    catalog.createLibrary("lib_phnsw", HnswIndexer, corpus(), overwrite = true)
+    val m = catalog.readMeta("lib_phnsw").get
+    val vdir = new java.io.File(f"$warehouse/lib_phnsw/v${m.version}%06d")
+    assert(new java.io.File(vdir, "hnsw_graph").isDirectory,
+      "graph artifact not written at create")
+    assert(new java.io.File(vdir, "hnsw_meta").isDirectory,
+      "graph meta artifact not written at create")
+
+    // a COLD catalog (fresh instance, empty driver cache) loads the
+    // artifact; the loaded graph is bit-identical to a from-scratch
+    // rebuild over the same chunks
+    val cold = new LibraryCatalog(spark, warehouse)
+    val loaded = cold.loadPersistedHnsw("lib_phnsw")
+    assert(loaded.isDefined, "cold catalog found no persisted graph")
+    val rebuilt = cold.buildHnswGraph(cold.chunks("lib_phnsw")).get
+    assert(loaded.get._2 === rebuilt._2, "ordinal→id mapping differs")
+    assertGraphsIdentical(loaded.get._1, rebuilt._1)
+
+    // and the search read path off the reloaded catalog is correct:
+    // self-text search returns the chunk itself at distance 0
+    val text = cold.chunks("lib_phnsw")
+      .where(col("id") === "chunk-7").head().getAs[String]("text")
+    val res = cold.search("lib_phnsw", text, k = 3).collect()
+    assert(res.head.getAs[String]("id") === "chunk-7")
+    assert(res.head.getAs[Double]("dist") === 0.0)
+  }
+
+  test("hnsw warm read schedules zero jobs; delta drops the artifact; rebuild re-persists") {
+    val cold = new LibraryCatalog(spark, warehouse)
+    cold.search("lib_phnsw", "warm probe", k = 3) // cold: loads the artifact
+    assert(cold.hnswGraphVersionsCached("lib_phnsw") === 1)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // building the search DataFrame acquires the graph eagerly; with
+      // the version cached it must schedule NO Spark job at all
+      cold.hnswGraph("lib_phnsw")
+      org.apache.spark.graft.ListenerBridge.waitForListenerBus(spark.sparkContext)
+      assert(jobs.get() === 0, "warm graph read scheduled Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // a delta commit invalidates the persisted graph (refs dropped) …
+    import spark.implicits._
+    cold.addChunks("lib_phnsw",
+      Seq(("hnsw-extra", "doc-x", "a fresh chunk about graph persistence"))
+        .toDF("id", "document_id", "text"))
+    assert(cold.loadPersistedHnsw("lib_phnsw").isEmpty,
+      "delta commit left a stale persisted graph reachable")
+    // … search falls back to the lazy rebuild and still finds the new row
+    val r = cold.search("lib_phnsw", "a fresh chunk about graph persistence", k = 1).head()
+    assert(r.getAs[String]("id") === "hnsw-extra")
+
+    // rebuildIndex re-persists; a fresh catalog loads it and it matches
+    // a rebuild over the post-mutation chunks
+    cold.rebuildIndex("lib_phnsw")
+    val cold2 = new LibraryCatalog(spark, warehouse)
+    val reloaded = cold2.loadPersistedHnsw("lib_phnsw")
+    assert(reloaded.isDefined, "rebuildIndex did not re-persist the graph")
+    val expected = cold2.buildHnswGraph(cold2.chunks("lib_phnsw")).get
+    assert(reloaded.get._2 === expected._2)
+    assertGraphsIdentical(reloaded.get._1, expected._1)
+  }
+
   test("bucketBy(sig) variant: probe selects 1 bucket file set of 8") {
     val sig = catalog.indexTable("lib_plsh").get
     sig

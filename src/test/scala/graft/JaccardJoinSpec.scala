@@ -72,4 +72,58 @@ class JaccardJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("shingle kernel evaluates ONCE per row per branch (no inferred-filter duplication)") {
+    // round-6 watch item: a plain explode let the optimizer infer
+    // size(s)>0 AND isnotnull(s) below the Generate, re-materializing
+    // the kernel into each pushed conjunct — 3 evaluations per row per
+    // scan branch. The explode_outer restructure must keep the kernel a
+    // single projection: every optimized-plan line mentioning the kernel
+    // is a Project, never a Filter, and carries exactly one invocation.
+    val plan = JaccardJoin.selfJoin(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    val kernelLines = plan.linesIterator.filter(_.contains("distinct_shingles")).toSeq
+    assert(kernelLines.nonEmpty)
+    kernelLines.foreach { line =>
+      assert(!line.trim.stripPrefix(":").trim.stripPrefix("+- ").startsWith("Filter"),
+        s"kernel re-materialized into a pushed filter:\n$line")
+      assert("distinct_shingles".r.findAllIn(line).length === 1,
+        s"kernel evaluated more than once on one plan node:\n$line")
+    }
+  }
+
+  test("verifyWithStrings: identical pair set and counts on the real corpus") {
+    val hashed = JaccardJoin.selfJoin(docs, "doc_id", "text", 3, 4, 5)
+      .collect().map(key).sortBy(_.toString()).toSeq
+    val strings = JaccardJoin
+      .selfJoin(docs, "doc_id", "text", 3, 4, 5, verifyWithStrings = true)
+      .collect().map(key).sortBy(_.toString()).toSeq
+    assert(hashed == strings)
+  }
+
+  test("skew: a shingle shared by 30% of docs stays OUT of rarest-first prefixes") {
+    import spark.implicits._
+    // 200 docs; 30% share one hot 3-gram ("the quick fox"), each doc
+    // also carries unique shingles. Rarest-first ordering must rank the
+    // hot shingle LAST within every doc, so it never enters a prefix
+    // (every doc here has >= 1 suffix slot at t=1/2) and the candidate
+    // join's per-key fan-out stays bounded by rare-shingle frequencies —
+    // the hot key contributes ZERO join rows instead of C(60,2).
+    val docs = (0 until 200).map { i =>
+      val unique = s"u$i v$i w$i x$i y$i z$i"
+      val text = if (i % 10 < 3) s"the quick fox $unique" else unique
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val fast = JaccardJoin.selfJoin(docs, "doc_id", "text", 3, 1, 2)
+    val naive = JaccardJoin.naiveSelfJoin(docs, "doc_id", "text", 3, 1, 2)
+    assert(fast.collect().map(key).sortBy(_.toString()).toSeq ==
+      naive.collect().map(key).sortBy(_.toString()).toSeq)
+    // structural bound: reconstruct the prefix table the operator builds
+    // and assert the hot shingle's hash is in NO doc's prefix
+    val hot = spark.range(1).select(
+      xxhash64(lit("the quick fox")).cast("long")).head().getLong(0)
+    val prefixes = JaccardJoin.prefixTable(docs, "doc_id", "text", 3, 1, 2)
+    assert(prefixes.where(col("g") === hot).count() === 0L,
+      "hot shingle leaked into a rarest-first prefix — per-key fan-out unbounded")
+  }
 }

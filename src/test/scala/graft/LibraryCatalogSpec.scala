@@ -62,6 +62,19 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     catalog.deleteLibrary("lib_hcache")
   }
 
+  test("AutoBuckets falls back to a fixed count for stats-less (LogicalRDD) inputs") {
+    // createDataFrame(rdd, schema) yields a LogicalRDD whose size stat is
+    // the defaultSizeInBytes sentinel (Long.MaxValue); taken literally it
+    // would lock this 3-row library to the 65536-bucket clamp for life
+    val small = corpus().limit(3)
+    val rddDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(small.collect().toSeq), small.schema)
+    val m = catalog.createLibrary("lib_rddstats", FlatIndexer, rddDf, overwrite = true)
+    assert(m.buckets === 8) // FallbackBuckets, not the MaxAutoBuckets clamp
+    assert(catalog.chunks("lib_rddstats").count() === 3L)
+    catalog.deleteLibrary("lib_rddstats")
+  }
+
   test("strict mutation 404 parity: unknown chunk/document deletes raise, lenient stays a no-op") {
     catalog.createLibrary("lib_404", FlatIndexer, corpus(), overwrite = true)
     // lenient (default, matches the repo's historical semantics): no-op

@@ -96,4 +96,36 @@ class LshIndexSpec extends SparkSpec {
     assert(probes.forall(s => java.lang.Long.bitCount(s ^ 0xA5L) <= 2))
     assert(probes.distinct.length === probes.length)
   }
+
+  test("multi-probe rescues a sparse under-k probe from the corpus-scan fallback") {
+    // the q_lsh_multiprobe fixture: every 23rd vector, k=5. The base
+    // probe holds FEWER than k candidates (the fallback predicate would
+    // fire); one flip per table holds >= k — so the multi-probe search
+    // provably answers from buckets alone, and the proof is the result
+    // equality against an exact re-rank restricted to the candidate set.
+    val corpus = emb.where(pmod(col("vec_id"), lit(23)) === 0).cache()
+    try {
+      val k = 5
+      val sigTable = LshIndex.signatureTable(corpus, p).cache()
+      val querySigs = LshIndex.planes(p).map(LshIndex.signatureLocal(q0.toArray, _))
+      val base = LshIndex
+        .prunedCandidateIds(sigTable, querySigs, "vec_id").count()
+      val widened = LshIndex
+        .prunedCandidateIds(sigTable, querySigs, "vec_id", p.hashSize, maxFlips = 1)
+      val widenedIds = widened.collect().map(_.getLong(0))
+      assert(base < k, s"fixture drift: base probe holds $base >= k=$k candidates")
+      assert(widenedIds.length >= k,
+        s"fixture drift: 1-flip probe holds ${widenedIds.length} < k=$k candidates")
+      // candidates-only exact re-rank == the wired multi-probe search
+      val expected = FlatKnn
+        .search(corpus.where(col("vec_id").isin(widenedIds.toIndexedSeq: _*)), q0, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = LshIndex
+        .search(corpus, q0, k, p.copy(maxFlips = 1))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.sameElements(expected),
+        "multi-probe result differs from the candidates-only exact re-rank")
+      sigTable.unpersist()
+    } finally corpus.unpersist()
+  }
 }
