@@ -1313,7 +1313,7 @@ object SparkEntry {
     //      the SAME embeddings via Embedder.oracleEmbed, so a hash-green
     //      result proves all three embedder forms agree. ----
     "q_embed_knn" -> ((s, dir) => {
-      val qv = Embedder.embedLocal(EmbedQueryText)
+      val qv = Embedder.embedLocal(EmbedQueryText).toIndexedSeq
       val docs = Embedder.withEmbedding(t(s, dir, "documents"))
       FlatKnn
         .searchWithColumns(docs, qv, 10, Euclidean, "doc_id", "embedding", Seq("lang"))
@@ -1733,21 +1733,21 @@ object SparkEntry {
       cat.rebuildIndex("crud_demo")
       val rebuilt = cat.indexTable("crud_demo").get
         .select("id", "table_idx", "sig")
-      val rebDigest = sideDigest(new LibraryCatalog(digestSession, wh)
-        .indexTable("crud_demo").get.select("id", "table_idx", "sig"))
+      // the rebuilt-side digest scan ALSO overlaps the mutation timeline:
+      // its plan pins the rebuild version BEFORE the next batch commits,
+      // and finishCommit's previous-version retention (see the contract
+      // on LibraryCatalog.finishCommit) keeps that version's files alive
+      // across EXACTLY ONE later commit — the M4/M6/M7 batch below is
+      // that one commit, and the Await lands before anything else mutates
+      val rebDigestDf = new LibraryCatalog(digestSession, wh)
+        .indexTable("crud_demo").get.select("id", "table_idx", "sig")
+      val rebDigestF = scala.concurrent.Future(sideDigest(rebDigestDf))(
+        scala.concurrent.ExecutionContext.global)
+      // the incremental side pinned PRE-rebuild has already spent its
+      // one-commit retention allowance on the rebuild itself — its Await
+      // must land before the next commit
       val incDigest = scala.concurrent.Await.result(
         incDigestF, scala.concurrent.duration.Duration.Inf)
-      val nIndexDiff =
-        if (incDigest._1.compareTo(rebDigest._1) == 0 &&
-            incDigest._2 == rebDigest._2) 0L
-        // only an actual mismatch pays the exact grouped
-        // symmetric-difference pass to report the true row count
-        else incremental.withColumn("__s", lit(1L))
-          .unionByName(rebuilt.withColumn("__s", lit(-1L)))
-          .groupBy("id", "table_idx", "sig")
-          .agg(sum("__s").as("__d"))
-          .agg(coalesce(sum(abs(col("__d"))), lit(0L)))
-          .head().getLong(0)
       // M4 (text change re-embeds, chunk_service.py:158-164) + M6 (bulk
       // metadata replace, created_at preserved, document_service.py:82-102)
       // + M7 (delete-document cascade, document_service.py:104-123) —
@@ -1766,6 +1766,19 @@ object SparkEntry {
             lit(null).cast("string").as("description"),
             lit(null).cast("int").as("page"))),
         LibraryCatalog.DeleteDocumentOp("d4")))
+      val rebDigest = scala.concurrent.Await.result(
+        rebDigestF, scala.concurrent.duration.Duration.Inf)
+      val nIndexDiff =
+        if (incDigest._1.compareTo(rebDigest._1) == 0 &&
+            incDigest._2 == rebDigest._2) 0L
+        // only an actual mismatch pays the exact grouped
+        // symmetric-difference pass to report the true row count
+        else incremental.withColumn("__s", lit(1L))
+          .unionByName(rebuilt.withColumn("__s", lit(-1L)))
+          .groupBy("id", "table_idx", "sig")
+          .agg(sum("__s").as("__d"))
+          .agg(coalesce(sum(abs(col("__d"))), lit(0L)))
+          .head().getLong(0)
       val recovered = new LibraryCatalog(s, wh) // startup recovery (S4)
       recovered
         .chunks("crud_demo")
