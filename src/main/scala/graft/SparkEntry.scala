@@ -2018,10 +2018,12 @@ object SparkEntry {
         overwrite = true)
       cat.deleteLibrary("lib_drop")
       val fresh = new LibraryCatalog(s, wh) // S4: recover from disk alone
+      // A1 + S5: per-library counts off the recovered catalog, each
+      // library loaded BY NAME (chunks + derived documents view)
       val survivors = fresh.listLibraries().map(_.name).sorted
       survivors
-        .map(n => (n, fresh.chunks(n).count()))
-        .toDF("library", "n_chunks")
+        .map(n => (n, fresh.chunks(n).count(), fresh.documents(n).count()))
+        .toDF("library", "n_chunks", "n_docs")
     }),
     // ---- training-pipeline: MinHash-banded near-duplicate pairs.
     //      shingle → minhash → band bucket join → exact Jaccard verify;
@@ -3010,9 +3012,11 @@ object SparkEntry {
          |FROM ranked WHERE lang = 'en'
          |ORDER BY dist, id""".stripMargin
     },
-    // the survivor's expected ingest: blank-text rows drop at normalize
+    // the survivor's expected ingest: blank-text rows drop at normalize;
+    // documents derive as distinct document_id ('d'||doc_id%10)
     "q_library_recovery" ->
-      """SELECT 'lib_keep' AS library, count(*) AS n_chunks
+      """SELECT 'lib_keep' AS library, count(*) AS n_chunks,
+        |  count(DISTINCT doc_id % 10) AS n_docs
         |FROM documents WHERE doc_id < 30 AND length(trim(text)) > 0""".stripMargin,
     "q_knn_euclidean" -> oKnn(oEuclid),
     "q_batch_knn" ->
