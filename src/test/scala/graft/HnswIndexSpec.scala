@@ -77,6 +77,40 @@ class HnswIndexSpec extends SparkSpec {
     assert(res.head._1 === 5L)
   }
 
+  test("restore mid-stream: serialize + keep mutating == never serialized, bitwise") {
+    // the export/restore contract is stronger than a static round-trip:
+    // a restored graph must also MUTATE identically — adjacency buffer
+    // order and the persisted next-ordinal drive future prunes and level
+    // draws, so any divergence shows up as a different graph. Randomized
+    // add/delete/update streams applied to both twins after the
+    // serialization point must leave them bit-identical.
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(6)(rnd.nextFloat() * 2f - 1f)
+    val initial = (0L until 40L).map(i => (i, vec()))
+    val live = new HnswIndex(m = 4, efConstruction = 20, maxLevel = 3, seed = 11L)
+    initial.foreach { case (i, v) => live.add(i, v) }
+    val restored = HnswIndex.restore(
+      live.exportNodes.iterator, live.entry, live.nextOrdinal,
+      m = 4, efConstruction = 20, maxLevel = 3, seed = 11L)
+    // same mutation stream against both
+    val ops: Seq[HnswIndex => Unit] =
+      (40L until 60L).map(i => { val v = vec(); (x: HnswIndex) => x.add(i, v) }) ++
+        Seq(3L, 17L, 41L, 8L, 55L).map(i => (x: HnswIndex) => x.delete(i)) ++
+        Seq(5L, 44L).map(i => { val v = vec(); (x: HnswIndex) => x.update(i, v) })
+    ops.foreach { op => op(live); op(restored) }
+    assert(live.entry === restored.entry)
+    assert(live.nextOrdinal === restored.nextOrdinal)
+    val (na, nb) = (live.exportNodes, restored.exportNodes)
+    assert(na.map(_._1) === nb.map(_._1))
+    na.zip(nb).foreach { case ((id, va, la, aa), (_, vb, lb, ab)) =>
+      assert(va.toSeq === vb.toSeq, s"vector of $id")
+      assert(la === lb, s"level of $id")
+      assert(aa.map(_.toSeq).toSeq === ab.map(_.toSeq).toSeq, s"adjacency of $id")
+    }
+    val probe = vec()
+    assert(live.search(probe, 10) === restored.search(probe, 10))
+  }
+
   test("searchPartitioned: distributed batch probe returns k rows per query with high recall") {
     val q1 = emb.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
     val out = HnswIndex

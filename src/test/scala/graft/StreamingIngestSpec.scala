@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 
 import graft.catalog.LibraryCatalog
-import graft.catalog.Models.LshIndexer
+import graft.catalog.Models.{HnswIndexer, LshIndexer}
 import graft.streaming.StreamingIngest
 
 /** Structured Streaming semantics: windowed aggregation with watermark,
@@ -101,6 +101,46 @@ class StreamingIngestSpec extends SparkSpec with BeforeAndAfterAll {
       .search("stream_lib", "first streamed chunk about shuffle tuning", k = 1)
       .head()
     assert(hit.getAs[String]("id") === "s-1")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
+  test("streaming ingest into an hnsw library: graph artifact invalidates, search stays correct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val catalog = new LibraryCatalog(spark, warehouse)
+    val seedDocs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 10)
+      .select(
+        concat(lit("hseed-"), col("doc_id")).as("id"),
+        lit("doc-seed").as("document_id"),
+        col("text"))
+    catalog.createLibrary("stream_hnsw", HnswIndexer, seedDocs, overwrite = true)
+    // create persisted the graph artifact
+    assert(catalog.loadPersistedHnsw("stream_hnsw").isDefined)
+
+    val mem = MemoryStream[(String, String, String)]
+    mem.addData(
+      ("hs-1", "doc-live", "streamed hnsw chunk about graph ingest"),
+      ("hs-2", "doc-live", "streamed hnsw chunk about artifact turnover"))
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    StreamingIngest.runOnce(
+      catalog, "stream_hnsw",
+      mem.toDF().toDF("id", "document_id", "text"), ckpt)
+
+    assert(catalog.chunks("stream_hnsw").count() === 12L)
+    // the micro-batch delta invalidated the persisted graph …
+    assert(catalog.loadPersistedHnsw("stream_hnsw").isEmpty,
+      "streamed delta left a stale persisted graph reachable")
+    // … and the search path (lazy rebuild) sees the streamed rows
+    val hit = catalog
+      .search("stream_hnsw", "streamed hnsw chunk about graph ingest", k = 1)
+      .head()
+    assert(hit.getAs[String]("id") === "hs-1")
+    // rebuildIndex re-persists; a fresh catalog then loads, not rebuilds
+    catalog.rebuildIndex("stream_hnsw")
+    assert(new LibraryCatalog(spark, warehouse)
+      .loadPersistedHnsw("stream_hnsw").isDefined)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
