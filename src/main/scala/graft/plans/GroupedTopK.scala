@@ -41,7 +41,11 @@ import org.apache.spark.sql.graft.ColumnBridge
   * contract (same as any sketch/top-k accumulator): it assumes bounded
   * group cardinality per partition; for unbounded key domains at scale,
   * pre-partition by key so each task sees a bounded slice, or fall back
-  * to the window formulation.
+  * to the window formulation. The contract is ENFORCED, not just
+  * documented: a task whose retained rows would exceed `maxRetained`
+  * (default [[GroupedTopK.DefaultMaxRetainedRowsPerTask]]) fails loudly
+  * with the remediation in the message instead of creeping toward an
+  * unattributable executor OOM.
   */
 case class GroupedTopK(
     keys: Seq[String],
@@ -49,9 +53,11 @@ case class GroupedTopK(
     descending: Boolean,
     tieCol: String,
     k: Int,
+    maxRetained: Int,
     child: LogicalPlan)
   extends UnaryNode {
   require(k > 0, "k must be positive")
+  require(maxRetained >= k, "maxRetained must be at least k")
   override def output: Seq[Attribute] = child.output
   // keys/order/tie live as STRINGS, so the default (expression-derived)
   // references is empty and ColumnPruning would push a Project below
@@ -65,6 +71,13 @@ case class GroupedTopK(
 
 object GroupedTopK {
 
+  /** Per-task retained-row ceiling (keys-in-partition × k) before the
+    * operator refuses: ~8.4M UnsafeRows is comfortably inside a normal
+    * executor heap slice, and a workload legitimately above it should be
+    * pre-partitioned by key (or use the window formulation) rather than
+    * ride an unspillable accumulator. */
+  val DefaultMaxRetainedRowsPerTask: Int = 1 << 23
+
   /** Public API: each group's top-k rows. Installs the planner strategy
     * on first use (idempotent). Long-castable order/tie columns only —
     * the cast happens here so the physical operator can read fixed-width
@@ -75,7 +88,8 @@ object GroupedTopK {
       orderCol: String,
       k: Int,
       descending: Boolean = false,
-      tieCol: String): DataFrame = {
+      tieCol: String,
+      maxRetained: Int = DefaultMaxRetainedRowsPerTask): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[GroupedTopKStrategy.type]))
       spark.experimental.extraStrategies =
@@ -84,7 +98,7 @@ object GroupedTopK {
       .withColumn(orderCol, col(orderCol).cast("long"))
       .withColumn(tieCol, col(tieCol).cast("long"))
     ColumnBridge.ofRows(spark,
-      GroupedTopK(keys, orderCol, descending, tieCol, k,
+      GroupedTopK(keys, orderCol, descending, tieCol, k, maxRetained,
         typed.queryExecution.analyzed))
   }
 }
@@ -103,10 +117,10 @@ object GroupedTopKStrategy extends SparkStrategy {
       val keys = g.keys.map(attr)
       val partial = GroupedTopKExec(
         keys, attr(g.orderCol), g.descending, attr(g.tieCol), g.k,
-        isFinal = false, planLater(g.child))
+        g.maxRetained, isFinal = false, planLater(g.child))
       GroupedTopKExec(
         keys, attr(g.orderCol), g.descending, attr(g.tieCol), g.k,
-        isFinal = true, partial) :: Nil
+        g.maxRetained, isFinal = true, partial) :: Nil
     case _ => Nil
   }
 }
@@ -121,6 +135,7 @@ case class GroupedTopKExec(
     descending: Boolean,
     tie: Expression,
     k: Int,
+    maxRetained: Int,
     isFinal: Boolean,
     child: SparkPlan)
   extends UnaryExecNode {
@@ -140,6 +155,9 @@ case class GroupedTopKExec(
     val childOutput = child.output
     val desc = descending
     val kk = k
+    // bounded-group-cardinality contract, enforced: creating a key
+    // beyond this many per task would exceed the retained-row ceiling
+    val maxKeys = math.max(1, maxRetained / kk)
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordProj = UnsafeProjection.create(ordExprs, childOutput)
@@ -163,6 +181,14 @@ case class GroupedTopKExec(
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
+            if (heaps.size >= maxKeys)
+              throw new IllegalStateException(
+                s"GroupedTopK: a task saw more than $maxKeys distinct keys " +
+                  s"(retained-row ceiling $maxRetained at k=$kk). The per-key " +
+                  "heap accumulator does not spill — pre-partition the input " +
+                  "by key so each task holds a bounded slice, raise " +
+                  "maxRetained deliberately, or use the window formulation " +
+                  "for unbounded key domains")
             val h = mutable.PriorityQueue.empty[(Long, Long, UnsafeRow)](cmp)
             heaps.put(key.copy(), h)
             h

@@ -68,4 +68,25 @@ class GroupedTopKSpec extends SparkSpec {
       .count()
     assert(out === 3)
   }
+
+  test("retention contract is enforced: too many keys per task fails loudly, not OOM") {
+    // every doc_id its own group in one task, with a ceiling far below
+    // the key count: the partial stage must refuse with the remediation
+    // message instead of accumulating unboundedly
+    val ex = intercept[org.apache.spark.SparkException] {
+      GroupedTopK
+        .topKPerGroup(docs.coalesce(1), Seq("doc_id"), "n_chars", 2,
+          descending = false, tieCol = "doc_id", maxRetained = 64)
+        .count()
+    }
+    val msg = ex.getCause match { case null => ex.getMessage; case c => c.getMessage }
+    assert(msg.contains("pre-partition"), s"unexpected error: $msg")
+    // a deliberate raise clears it
+    val n = GroupedTopK
+      .topKPerGroup(docs.coalesce(1), Seq("doc_id"), "n_chars", 2,
+        descending = false, tieCol = "doc_id",
+        maxRetained = 1 << 22)
+      .count()
+    assert(n === docs.count())
+  }
 }
