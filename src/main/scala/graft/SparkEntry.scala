@@ -2218,6 +2218,27 @@ object SparkEntry {
           t(s, dir, "embeddings").repartition(32),
           Seq((0L, queryVec(s, dir).toArray)), 10)
         .select(col("id").as("vec_id"), rn(col("dist"), 6).as("dist"))),
+    // ---- K3 distributed path, PERSISTED: the per-partition graphs are
+    //      built ONCE (buildPartitionedArtifact: hash-partitioned by id,
+    //      sorted-by-id insertion, adjacency + entry persisted per
+    //      partition) and every search RESTORES them — no distance
+    //      computations or inserts per query batch, the build-once/
+    //      probe-many economics of the LSH sig table applied to the
+    //      graph path. Same exact global oracle as q_hnsw_partitioned
+    //      (per-partition exact at ef >= slice size → global top-k is
+    //      the true top-k). ----
+    "q_hnsw_artifact" -> ((s, dir) => {
+      val base = cachePath("hnswart", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        HnswIndex.buildPartitionedArtifact(
+          t(s, dir, "embeddings"), s"$base/graphs", numParts = 32)
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      HnswIndex
+        .searchArtifact(s, s"$base/graphs",
+          Seq((0L, queryVec(s, dir).toArray)), 10)
+        .select(col("id").as("vec_id"), rn(col("dist"), 6).as("dist"))
+    }),
     // ---- K3 + S2/S3: HNSW through the PERSISTED catalog artifact. The
     //      library is created once (graph serialized as the hnsw_graph/
     //      hnsw_meta artifacts, LibraryCatalog.buildIndex); every call
@@ -2912,6 +2933,7 @@ object SparkEntry {
     "q_hnsw_small" -> Seq("dist", "vec_id"),
     "q_hnsw_partitioned" -> Seq("dist", "vec_id"),
     "q_hnsw_catalog" -> Seq("dist", "vec_id"),
+    "q_hnsw_artifact" -> Seq("dist", "vec_id"),
     "q_search_projection" -> Seq("dist", "id"),
     "q_library_recovery" -> Seq("library"),
     "q_lsh_multiprobe" -> Seq("dist", "vec_id"))
@@ -2989,9 +3011,10 @@ object SparkEntry {
     "q_hnsw_knn" -> oHnsw(10),
     "q_hnsw_small" -> oHnsw(10, corpusFilter = "WHERE e.vec_id < 8", limit = false),
     "q_hnsw_partitioned" -> oHnsw(10),
-    // the persisted-artifact read path ranks in the same normalized
+    // the persisted-artifact read paths rank in the same normalized
     // space as every other hnsw form — one oracle proves load ≡ build
     "q_hnsw_catalog" -> oHnsw(10),
+    "q_hnsw_artifact" -> oHnsw(10),
     "q_search_projection" -> {
       val de = Embedder.oracleEmbed("text")
       val qe = Embedder.oracleEmbed(s"'$EmbedQueryText'")

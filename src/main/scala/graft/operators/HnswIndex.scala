@@ -331,9 +331,101 @@ object HnswIndex {
       m, efConstruction, seed = seed)
   }
 
+  /** Build the distributed index ONCE: hash-partition the corpus by id,
+    * build one graph per partition (sorted-by-id insertion, so the
+    * artifact is a pure function of the data and the partition count),
+    * and persist every graph as parquet rows
+    * `(part, ord, id, vec, level, nbrs, entry)` partitioned by `part`.
+    * [[searchArtifact]] then RESTORES the graphs instead of re-running
+    * the O(n log n) insert sequence per query batch — the same
+    * build-once / probe-many economics as the LSH signature table and
+    * IVF assignments, applied to the graph path (and the same shape the
+    * catalog's single-graph `hnsw_graph` artifact uses). `entry` and the
+    * row count carry each graph's restore state; vectors are stored
+    * NORMALIZED, exactly as the in-memory graph holds them. */
+  def buildPartitionedArtifact(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      numParts: Int = 32,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      m: Int = 16,
+      efConstruction: Int = 200,
+      seed: Long = 42L): Unit = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    df.select(col(idCol), col(embCol))
+      .repartition(numParts, col(idCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        // deterministic insertion order within the partition: sorted ids
+        // (the hash distribution fixes WHICH ids are here; the sort fixes
+        // the level-draw sequence) — rebuilds are bit-identical
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val idx = build(rows.iterator, m, efConstruction, seed = seed)
+          val entry = idx.entry.get
+          idx.exportNodes.iterator.zipWithIndex.map {
+            case ((id, vec, lvl, nbrs), ord) =>
+              (part, ord.toLong, id, vec.toSeq, lvl,
+                nbrs.map(_.toSeq).toSeq, entry)
+          }
+        }
+      }
+      .toDF("part", "ord", "id", "vec", "level", "nbrs", "entry")
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+  }
+
+  /** Probe a [[buildPartitionedArtifact]] index: one keyed pass groups
+    * each partition's graph rows, RESTORES the graph (no distance
+    * computations, no inserts), answers the whole broadcast query batch
+    * against it, and a global per-query top-k merges the per-partition
+    * candidates — [[searchPartitioned]] semantics at a fraction of its
+    * per-batch cost for static corpora. Per-task memory is one
+    * partition's graph, the same envelope the build already required. */
+  def searchArtifact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val qBc = spark.sparkContext.broadcast(queries)
+    val art = spark.read.parquet(path)
+      .select(col("part").cast("int"), col("ord"), col("id"),
+        col("vec"), col("level"), col("nbrs"), col("entry"))
+      .as[(Int, Long, Long, Array[Float], Int, Seq[Seq[Long]], Long)]
+    val perPartition = art
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val sorted = rows.toArray.sortBy(_._2)
+        val idx = restore(
+          sorted.iterator.map { case (_, _, id, vec, lvl, nbrs, _) =>
+            (id, vec, lvl, nbrs.map(_.toArray).toArray)
+          },
+          entry = Some(sorted.head._7),
+          nextOrd = sorted.length.toLong)
+        qBc.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k).map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF("qid", "id", "dist")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
+    perPartition
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** The distributed batch path: per-partition graphs, each answering
     * every query in the (broadcast) batch, merged by a global top-k.
-    * Output: (qid, id, dist) with exactly k rows per query. */
+    * Output: (qid, id, dist) with exactly k rows per query. For static
+    * corpora probed repeatedly, [[buildPartitionedArtifact]] +
+    * [[searchArtifact]] amortize the graph builds across batches. */
   def searchPartitioned(
       df: org.apache.spark.sql.DataFrame,
       queries: Seq[(Long, Array[Float])],

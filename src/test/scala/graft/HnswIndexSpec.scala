@@ -123,4 +123,40 @@ class HnswIndexSpec extends SparkSpec {
     assert(byQ(0L).minBy(r => r.getAs[Double]("dist")).getAs[Long]("id") === 0L)
     assert(byQ(7L).minBy(r => r.getAs[Double]("dist")).getAs[Long]("id") === 7L)
   }
+
+  test("partitioned artifact: restored-graph search is exact and rebuild-deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnswart-").toString
+    try {
+      HnswIndex.buildPartitionedArtifact(emb, s"$dir/g1", numParts = 8)
+      val q1 = emb.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
+      val got = HnswIndex
+        .searchArtifact(spark, s"$dir/g1", Seq((0L, q0), (7L, q1)), k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2))
+      // exactly 10 rows per query, own vector first (the oracle-hash
+      // query q_hnsw_artifact pins full exactness; this spec pins shape
+      // + determinism)
+      val byQ = got.groupBy(_._1)
+      assert(byQ.keySet === Set(0L, 7L))
+      byQ.values.foreach(rows => assert(rows.length === 10))
+      assert(byQ(0L).minBy(_._3)._2 === 0L)
+      assert(byQ(7L).minBy(_._3)._2 === 7L)
+      // rebuild determinism: a second build answers bit-identically
+      HnswIndex.buildPartitionedArtifact(emb, s"$dir/g2", numParts = 8)
+      val again = HnswIndex
+        .searchArtifact(spark, s"$dir/g2", Seq((0L, q0), (7L, q1)), k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2))
+      assert(got.toSeq === again.toSeq)
+      // and the artifact rows themselves are identical across builds
+      val a1 = spark.read.parquet(s"$dir/g1").orderBy("part", "ord")
+        .collect().map(_.toString).toSeq
+      val a2 = spark.read.parquet(s"$dir/g2").orderBy("part", "ord")
+        .collect().map(_.toString).toSeq
+      assert(a1 === a2)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
