@@ -1001,6 +1001,58 @@ object SparkEntry {
             ((col("k_n") - 1L) * lit(281474976710656.0) / col("m_k")), 4)
             .as("est_intersect"))
     }),
+    // ---- count-min sketch heavy hitters: the bounded-state frequency
+    //      summary beside KMV's cardinality summary. The sketch is d=3
+    //      hash rows × w=256 int64 cells — 768 counters REGARDLESS of
+    //      corpus size, each a plain SUM, so partials combine map-side
+    //      and the exchange moves at most 768 rows per partition (a
+    //      full token groupBy shuffles every distinct token; at 100 TB
+    //      only the sketch side survives — the exact counts here exist
+    //      to grade it). Estimates = min over the 3 cells, all integer
+    //      sums, so est >= exact ALWAYS and both engines agree bitwise;
+    //      the query surfaces the top-20 exact tokens with their sketch
+    //      estimate and overcount — the CMS guarantee made visible
+    //      under the oracle. ----
+    "q_countmin_heavy" -> ((s, dir) => {
+      val d = 3
+      val w = 256L
+      // track word 3-gram shingles, not bare tokens: the synthetic
+      // corpus has ~31 distinct tokens but ~16k distinct shingles, so
+      // the 768-cell sketch genuinely collides and the overcount column
+      // is a live signal, not a row of zeros
+      val tk = split(col("text"), " ")
+      val shingles = t(s, dir, "documents")
+        .select(when(size(tk) >= 3,
+          transform(sequence(lit(1), size(tk) - 2), i =>
+            concat(element_at(tk, i), lit(" "),
+              element_at(tk, i + 1), lit(" "),
+              element_at(tk, i + 2))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+        .select(explode(col("sh")).as("shingle"))
+      def cellOf = pmod(
+        Embedder.md5Int(
+          concat(lit("cm"), col("j").cast("string"), lit("|"), col("shingle"))),
+        lit(w))
+      val sketch = shingles
+        .select(col("shingle"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+        .withColumn("cell", cellOf)
+        .groupBy("j", "cell")
+        .agg(count(lit(1)).as("cell_cnt"))
+      val top = shingles.groupBy("shingle")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("shingle"))
+        .limit(20)
+      top
+        .select(col("shingle"), col("exact_cnt"),
+          explode(sequence(lit(0), lit(d - 1))).as("j"))
+        .withColumn("cell", cellOf)
+        .join(sketch, Seq("j", "cell"))
+        .groupBy("shingle")
+        .agg(
+          first("exact_cnt").as("exact_cnt"),
+          min("cell_cnt").as("est_cnt"))
+        .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+    }),
     // ---- pivot (cross-tab): docs per (lang × source) with the source
     //      domain pivoted into columns — explicit value list, so the
     //      plan is ONE pass of conditional aggregation (no values-
@@ -2778,6 +2830,72 @@ object SparkEntry {
     //      per-panel re-centering, panel norms precomputed (the composed
     //      greatest-of-cosines form measured 10x slower; see the kernel's
     //      scaladoc). ----
+    // ---- bloom-prefiltered decontamination — the RUNTIME-FILTER shape
+    //      of q_decontaminate for the 100 TB regime. The eval set's
+    //      distinct fingerprints fold into a 16384-bit Bloom bitmap on
+    //      the driver (benchmarks are MBs — the same bounded-collect
+    //      contract as the semantic panel), and the bitmap rides the
+    //      plan as ONE literal array: corpus fingerprints that fail any
+    //      of the 3 md5 bit-tests are nulled out BEFORE the join, so
+    //      null-key short-circuiting means only bloom survivors probe
+    //      the broadcast table and only real matches count. The result
+    //      is EXACT regardless of false positives (the verify join
+    //      stays), and n_cand vs n_shared surfaces the false-positive
+    //      gap UNDER THE ORACLE: DuckDB re-derives bitmap membership
+    //      from the same md5 positions, so the hash pins the bloom
+    //      semantics, not just the final exact answer. At scale this is
+    //      the shape that matters when the eval side is too big to
+    //      broadcast raw but its bloom is not: the corpus-side explode
+    //      stream thins by orders of magnitude before anything joins or
+    //      shuffles. ----
+    "q_bloom_decontam" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      // 16384 bits: sized so the sf0.01+ gates run the bloom at a
+      // realistic fill (visible n_cand > n_shared false-positive gap)
+      // rather than a near-empty bitmap that never rejects wrongly; at
+      // 100 TB you would size m from the eval-set cardinality instead
+      val bloomBits = 16384
+      val bloomHashes = 3
+      def fps(df: DataFrame) = df.select(
+        col("doc_id"),
+        ColumnBridge.column(graft.functions.Winnow(
+          graft.functions.GramHashes(ColumnBridge.expression(col("text")), 8),
+          4)).as("__fp"))
+      val all = fps(t(s, dir, "documents"))
+      val evalFps = all.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(col("__fp")).as("fp")).distinct()
+      // Bounded by construction: an eval benchmark is MBs of text, so
+      // its distinct fingerprint set collects in one small job.
+      val evalSet = evalFps.collect().map(_.getLong(0))
+      require(evalSet.length <= 1000000,
+        s"eval fingerprint set unexpectedly large: ${evalSet.length}")
+      val bits = new Array[Boolean](bloomBits)
+      for (fp <- evalSet; j <- 0 until bloomHashes)
+        bits((Embedder.md5IntLocal(s"bloom$j|$fp") % bloomBits).toInt) = true
+      val bm = typedLit(bits.toSeq)
+      def bitSet(j: Int): Column = element_at(
+        bm,
+        (pmod(
+          Embedder.md5Int(concat(lit(s"bloom$j|"), col("fp").cast("string"))),
+          lit(bloomBits.toLong)) + lit(1L)).cast("int"))
+      val pass = (0 until bloomHashes).map(bitSet).reduce(_ && _)
+      fps(t(s, dir, "documents"))
+        .where(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), size(col("__fp")).as("n_fp"),
+          explode(col("__fp")).as("fp"))
+        .withColumn("fp", when(pass, col("fp"))) // null = bloom-rejected
+        .join(broadcast(evalFps.withColumn("__hit", lit(1L))),
+          Seq("fp"), "left_outer")
+        .groupBy("doc_id")
+        .agg(
+          first("n_fp").as("n_fp"),
+          count(col("fp")).as("n_cand"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+        .withColumn("contaminated",
+          (col("n_shared") * 4 >= col("n_fp")).cast("int"))
+        .orderBy(col("n_shared").desc, col("doc_id"))
+        .limit(100)
+    }),
     "q_semantic_decontam" -> ((s, dir) => {
       import org.apache.spark.sql.graft.ColumnBridge
       val docs = Embedder.withEmbedding(t(s, dir, "documents"))
@@ -2888,6 +3006,7 @@ object SparkEntry {
     "q_catalog_search" -> Seq("dist", "id"),
     "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
     "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
+    "q_countmin_heavy" -> Seq("shingle"),
     "q_kmv_setops" -> Seq("k_n"), // single row
     "q_ann_recall" -> Seq("n_overlap"), // single row
     "q_pq_recall" -> Seq("n_overlap"), // single row
@@ -3613,6 +3732,32 @@ object SparkEntry {
         |  count(DISTINCT o_orderstatus) AS d_status,
         |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate
         |FROM orders""".stripMargin,
+    // count-min re-derived cell-for-cell: same md5 cell hashes, same
+    // integer sums, min over the 3 rows — est_cnt >= exact_cnt is the
+    // CMS guarantee and holds bitwise in both engines
+    "q_countmin_heavy" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |toks AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)-1),
+        |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS shingle
+        |  FROM tk),
+        |cells AS (
+        |  SELECT j, ('0x'||substr(md5('cm'||j||'|'||shingle),1,8))::BIGINT % 256 AS cell,
+        |    count(*) AS cell_cnt
+        |  FROM toks, range(0,3) jj(j) GROUP BY 1, 2),
+        |topt AS (SELECT shingle, count(*) AS exact_cnt FROM toks GROUP BY shingle
+        |         ORDER BY exact_cnt DESC, shingle LIMIT 20),
+        |probes AS (
+        |  SELECT shingle, exact_cnt, j,
+        |    ('0x'||substr(md5('cm'||j||'|'||shingle),1,8))::BIGINT % 256 AS cell
+        |  FROM topt, range(0,3) jj(j)),
+        |est AS (
+        |  SELECT p.shingle, any_value(p.exact_cnt) AS exact_cnt,
+        |    min(c.cell_cnt) AS est_cnt
+        |  FROM probes p JOIN cells c ON p.j = c.j AND p.cell = c.cell
+        |  GROUP BY p.shingle)
+        |SELECT shingle, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
+        |FROM est ORDER BY shingle""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,12))::BIGINT AS h
         |           FROM lineitem),
@@ -3915,6 +4060,33 @@ object SparkEntry {
          |SELECT doc_id, n_fp, n_shared,
          |  CAST(n_shared * 4 >= n_fp AS INT) AS contaminated
          |FROM sh ORDER BY n_shared DESC, doc_id LIMIT 100""".stripMargin,
+    // bloom membership re-derived from the same md5 positions: a corpus
+    // fingerprint is a candidate iff all 3 of its bit positions are in
+    // the eval set's position set (the literal bitmap's set bits)
+    "q_bloom_decontam" ->
+      s"""WITH $oFingerprintCtes,
+         |ev AS (SELECT DISTINCT unnest(fp) AS fp FROM f WHERE doc_id % 97 = 0),
+         |evbits AS (
+         |  SELECT DISTINCT ('0x'||substr(md5('bloom'||j||'|'||fp::VARCHAR),1,8))::BIGINT % 16384 AS pos
+         |  FROM ev, range(0,3) jj(j)),
+         |evl AS (SELECT list(pos) AS poslist FROM evbits),
+         |co AS (SELECT doc_id, len(fp) AS n_fp, unnest(fp) AS fp
+         |       FROM f WHERE doc_id % 97 <> 0),
+         |cf AS (
+         |  SELECT doc_id, n_fp,
+         |    CASE WHEN list_has_all(evl.poslist,
+         |      [('0x'||substr(md5('bloom0|'||fp::VARCHAR),1,8))::BIGINT % 16384,
+         |       ('0x'||substr(md5('bloom1|'||fp::VARCHAR),1,8))::BIGINT % 16384,
+         |       ('0x'||substr(md5('bloom2|'||fp::VARCHAR),1,8))::BIGINT % 16384])
+         |    THEN fp END AS fp
+         |  FROM co, evl),
+         |st AS (
+         |  SELECT cf.doc_id, any_value(cf.n_fp) AS n_fp,
+         |    count(cf.fp) AS n_cand, count(ev.fp) AS n_shared
+         |  FROM cf LEFT JOIN ev ON cf.fp = ev.fp GROUP BY cf.doc_id)
+         |SELECT doc_id, n_fp, n_cand, n_shared,
+         |  CAST(n_shared * 4 >= n_fp AS INT) AS contaminated
+         |FROM st ORDER BY n_shared DESC, doc_id LIMIT 100""".stripMargin,
     // same centered-cosine arithmetic as q_embed_neardup's verify stage;
     // the eval panel is re-derived in SQL (id-ordered LIMIT 16)
     "q_semantic_decontam" -> {
