@@ -1068,6 +1068,39 @@ object SparkEntry {
           min("cell_cnt").as("est_cnt"))
         .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
     }),
+    // ---- the graft-jsonl DataSourceV2 connector under the oracle: the
+    //      documents corpus is materialized as JSONL once, read back
+    //      through the V2 source with an EXPLICIT schema, a pushed
+    //      conjunction (lang IN + n_chars range evaluate inside the
+    //      reader, before rows are built), and pruned columns (text is
+    //      never parsed), then aggregated. The oracle runs the same
+    //      predicate over the parquet originals, so hash equality is
+    //      the connector-fidelity proof: line splitting, JSON decoding,
+    //      pushdown evaluation, and NULL semantics all have to agree.
+    //      Dsv2SourceSpec pins the pushdown/pruning plan shapes and
+    //      byte-range split exactness. ----
+    "q_dsv2_source" -> ((s, dir) => {
+      val base = cachePath("jsonl_v2", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        t(s, dir, "documents").write.mode("overwrite").json(s"$base/docs")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      s.read.format("graft-jsonl").schema(schema).load(s"$base/docs")
+        .where(col("lang").isin("en", "de") && col("n_chars") >= 200)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     // ---- z-order layout + zone-map data skipping: events written ONCE
     //      Morton-clustered on (user_id, ts) — 64 partition buckets
     //      forming an 8×8 grid over the 2-D key space, rows z-sorted
@@ -3072,6 +3105,7 @@ object SparkEntry {
     "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
     "q_countmin_heavy" -> Seq("shingle"),
     "q_zorder_skip" -> Seq("event_type"),
+    "q_dsv2_source" -> Seq("lang", "source"),
     "q_kmv_setops" -> Seq("k_n"), // single row
     "q_ann_recall" -> Seq("n_overlap"), // single row
     "q_pq_recall" -> Seq("n_overlap"), // single row
@@ -3797,6 +3831,14 @@ object SparkEntry {
         |  count(DISTINCT o_orderstatus) AS d_status,
         |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate
         |FROM orders""".stripMargin,
+    // the connector-fidelity proof: the V2 JSONL read (splits, parse,
+    // pushed filters) must reproduce the parquet originals' aggregate
+    "q_dsv2_source" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang IN ('en', 'de') AND n_chars >= 200
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // the oracle runs the same 2-D range query over the RAW events
     // table — if the pruned z-layout read dropped a bucket the counts
     // would differ and the hash would fail; all range endpoints derive

@@ -1,0 +1,334 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.util.LineReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("graft-jsonl")` — a full DataSourceV2 connector
+  * for line-delimited JSON corpora, built on the public connector API
+  * (`TableProvider` → `SupportsRead` → `ScanBuilder` → `Batch`):
+  *
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): only the
+  *    pruned columns (plus any filter-referenced ones) are extracted
+  *    from each parsed line — `SELECT count(doc_id)` never materializes
+  *    the text column.
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): =, <, <=, >, >=,
+  *    IN, IS [NOT] NULL on top-level columns evaluate inside the reader
+  *    BEFORE a row is built; everything else stays a Spark-side filter.
+  *    Pushed filters appear in the scan description (spec-pinned), so
+  *    `.explain` shows what reached the source — same discipline as the
+  *    parquet `PushedFilters` audit.
+  *  - **Byte-range splits**: files split at `splitSizeBytes` (default
+  *    128 MB) with standard start-past-a-newline / read-through-the-
+  *    boundary semantics, so a 100 TB corpus of large files fans out
+  *    across executors instead of one task per file.
+  *
+  * Schema comes from the caller (`.schema(...)`, the explicit-schema
+  * house rule) or from a ONE-LINE bounded inference (first data line of
+  * the first file — never a full scan like `spark.read.json`'s
+  * inference pass). Supported field types: string, long, int, double,
+  * boolean (the chunk/document corpus shapes).
+  *
+  * Reference ingestion shape: `tests/chunks_test.csv`-style corpora
+  * enter the catalog through [[ChunkSources]]; this connector is the
+  * scale path for the same JSONL shape.
+  */
+class JsonlV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jsonl"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JsonlV2.inferFromFirstLine(JsonlV2.pathOf(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    JsonlTable(
+      JsonlV2.pathOf(new CaseInsensitiveStringMap(properties)),
+      schema,
+      Option(properties.get("splitSizeBytes"))
+        .map(_.toLong)
+        .getOrElse(JsonlV2.DefaultSplitBytes))
+}
+
+object JsonlV2 {
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-jsonl needs a path option")
+    p
+  }
+
+  /** Data files under `path` (itself a file, or a directory whose
+    * non-hidden files are data). */
+  private[sources] def listFiles(path: String): Seq[FileStatus] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+      else Seq(st)
+    files.sortBy(_.getPath.toString)
+  }
+
+  /** Bounded inference: parse the FIRST non-blank line of the first
+    * file — integral → long, fractional → double, boolean → boolean,
+    * everything else → string. One driver read, never a corpus scan. */
+  private[sources] def inferFromFirstLine(path: String): StructType = {
+    val files = listFiles(path)
+    require(files.nonEmpty, s"no data files under $path")
+    val fs = files.head.getPath.getFileSystem(new Configuration())
+    val in = fs.open(files.head.getPath)
+    try {
+      val reader = new LineReader(in)
+      val text = new Text()
+      var line = ""
+      while (line.trim.isEmpty && reader.readLine(text) > 0)
+        line = text.toString
+      require(line.trim.nonEmpty, s"${files.head.getPath} has no data line")
+      val node = new ObjectMapper().readTree(line)
+      val fields = node.properties().asScala.toSeq.map { e =>
+        val dt = e.getValue match {
+          case v if v.isIntegralNumber  => LongType
+          case v if v.isFloatingPointNumber => DoubleType
+          case v if v.isBoolean         => BooleanType
+          case _                        => StringType
+        }
+        StructField(e.getKey, dt, nullable = true)
+      }
+      StructType(fields)
+    } finally in.close()
+  }
+
+  /** Which of Spark's v1 filters the reader can evaluate. */
+  private[sources] def supported(f: Filter): Boolean = f match {
+    case _: sources.EqualTo | _: sources.GreaterThan |
+        _: sources.GreaterThanOrEqual | _: sources.LessThan |
+        _: sources.LessThanOrEqual | _: sources.In |
+        _: sources.IsNull | _: sources.IsNotNull => true
+    case _ => false
+  }
+
+  private[sources] def refs(f: Filter): Seq[String] = f.references.toSeq
+
+  /** Evaluate a pushed filter against the parsed values (null = SQL
+    * NULL semantics: comparisons with null are false). */
+  private[sources] def eval(f: Filter, get: String => Any): Boolean = f match {
+    case sources.IsNull(a)    => get(a) == null
+    case sources.IsNotNull(a) => get(a) != null
+    case sources.EqualTo(a, v) =>
+      val x = get(a); x != null && cmp(x, v) == 0
+    case sources.GreaterThan(a, v) =>
+      val x = get(a); x != null && cmp(x, v) > 0
+    case sources.GreaterThanOrEqual(a, v) =>
+      val x = get(a); x != null && cmp(x, v) >= 0
+    case sources.LessThan(a, v) =>
+      val x = get(a); x != null && cmp(x, v) < 0
+    case sources.LessThanOrEqual(a, v) =>
+      val x = get(a); x != null && cmp(x, v) <= 0
+    case sources.In(a, vs) =>
+      val x = get(a); x != null && vs.exists(v => v != null && cmp(x, v) == 0)
+    case other => throw new IllegalStateException(s"unsupported pushed filter $other")
+  }
+
+  /** Compare a parsed value with a Catalyst literal of the same column
+    * type (numbers through double — exact for the long ranges JSON
+    * integral literals take in practice; strings via UTF8String order
+    * to match Spark's binary collation). */
+  private def cmp(x: Any, v: Any): Int = (x, v) match {
+    case (a: UTF8String, b: UTF8String) => a.compareTo(b)
+    case (a: UTF8String, b: String)     => a.compareTo(UTF8String.fromString(b))
+    case (a: Boolean, b: Boolean)       => java.lang.Boolean.compare(a, b)
+    case (a: Number, b: Number)         => java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case _ => throw new IllegalStateException(
+      s"incomparable pushed-filter operands: ${x.getClass} vs ${v.getClass}")
+  }
+}
+
+case class JsonlTable(path: String, tableSchema: StructType, splitBytes: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-jsonl:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlScanBuilder(path, tableSchema, splitBytes)
+}
+
+class JsonlScanBuilder(path: String, fullSchema: StructType, splitBytes: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(JsonlV2.supported)
+    pushed = sup
+    unsup // Spark keeps evaluating these
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    JsonlScan(path, fullSchema, required, pushed, splitBytes)
+}
+
+case class JsonlScan(
+    path: String,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    splitBytes: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  // surfaced in .explain — the V2 analog of parquet's PushedFilters line
+  override def description(): String =
+    s"graft-jsonl $path ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonlV2.listFiles(path).flatMap { f =>
+      val len = f.getLen
+      if (len == 0) Nil
+      else
+        (0L until len by splitBytes).map { start =>
+          JsonlSplit(f.getPath.toString, start, math.min(splitBytes, len - start))
+        }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    JsonlReaderFactory(fullSchema, required, pushed)
+}
+
+case class JsonlSplit(file: String, start: Long, length: Long)
+    extends InputPartition
+
+case class JsonlReaderFactory(
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new JsonlPartitionReader(p.asInstanceOf[JsonlSplit], fullSchema, required, pushed)
+}
+
+/** Reads `[start, start+length)` of one file with standard line-split
+  * semantics: a split that does not begin at byte 0 discards the
+  * (partial) line in progress, and every split reads THROUGH its end
+  * boundary to finish the line it started — each line is owned by
+  * exactly one split. Only `required` ∪ filter-referenced fields are
+  * extracted from the parsed tree; pushed filters run before the row
+  * is built. */
+class JsonlPartitionReader(
+    split: JsonlSplit,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val hPath = new Path(split.file)
+  private val in = hPath.getFileSystem(new Configuration()).open(hPath)
+  private val reader = new LineReader(in)
+  private val text = new Text()
+  // bytes of the split consumed so far (counting from split.start)
+  private var consumed = 0L
+  private val filterCols: Array[String] =
+    pushed.flatMap(JsonlV2.refs).distinct
+  // parse set = output columns ∪ filter columns, each with its declared type
+  private val parseCols: Array[StructField] =
+    (required.fields.map(_.name) ++ filterCols).distinct.map { n =>
+      fullSchema(fullSchema.fieldIndex(n))
+    }
+  private var row: InternalRow = _
+
+  locally {
+    if (split.start > 0) {
+      in.seek(split.start)
+      consumed += reader.readLine(text) // discard the partial line
+    }
+  }
+
+  override def next(): Boolean = {
+    // ownership rule (self-consistent with the seek-and-discard above):
+    // a line STARTING at position p belongs to the split with
+    // start < p <= start+length (first split: 0 <= p <= length) — the
+    // line starting exactly at a boundary is read by the earlier split
+    // and discarded by the later one
+    while (consumed <= split.length) {
+      val n = reader.readLine(text)
+      if (n <= 0) return false
+      consumed += n
+      val line = text.toString
+      if (line.trim.nonEmpty) {
+        val node = mapper.readTree(line)
+        val vals = new java.util.HashMap[String, Any]()
+        parseCols.foreach { f =>
+          vals.put(f.name, JsonlPartitionReader.convert(node.get(f.name), f.dataType))
+        }
+        if (pushed.forall(JsonlV2.eval(_, vals.get))) {
+          val out = new GenericInternalRow(required.length)
+          var i = 0
+          while (i < required.length) {
+            out.update(i, vals.get(required.fields(i).name))
+            i += 1
+          }
+          row = out
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
+object JsonlPartitionReader {
+  /** JSON node → Catalyst internal value of the declared type. */
+  private[sources] def convert(node: JsonNode, dt: DataType): Any =
+    if (node == null || node.isNull) null
+    else dt match {
+      case LongType    => node.asLong()
+      case IntegerType => node.asInt()
+      case DoubleType  => node.asDouble()
+      case BooleanType => node.asBoolean()
+      case StringType  =>
+        UTF8String.fromString(if (node.isTextual) node.asText() else node.toString)
+      case other =>
+        throw new UnsupportedOperationException(s"graft-jsonl: unsupported type $other")
+    }
+}

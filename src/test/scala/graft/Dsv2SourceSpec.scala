@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The graft-jsonl DataSourceV2 connector: result fidelity vs the
+  * built-in JSON reader, filter pushdown + column pruning visible in
+  * the scan, byte-range split exactness, and Spark-side residuals for
+  * unsupported predicates. */
+class Dsv2SourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private lazy val jsonlDir: String = {
+    val out = Files.createTempDirectory("dsv2src").toString + "/docs"
+    spark.read.parquet(s"$sfDir/documents.parquet").write.json(out)
+    out
+  }
+
+  private def v2(schema: StructType = docsSchema): DataFrame =
+    spark.read.format("graft-jsonl").schema(schema).load(jsonlDir)
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("reads exactly what the built-in json reader reads") {
+    val builtin = spark.read.schema(docsSchema).json(jsonlDir)
+      .orderBy("doc_id").collect().toSeq
+    val ours = v2().orderBy("doc_id").collect().toSeq
+    assert(ours === builtin)
+    assert(ours.nonEmpty)
+  }
+
+  test("supported filters push into the scan; unsupported stay Spark-side") {
+    val df = v2().where(col("lang") === "en" && col("n_chars") >= 200)
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(lang,en)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(n_chars,200)"), plan)
+    val expected = spark.read.schema(docsSchema).json(jsonlDir)
+      .where(col("lang") === "en" && col("n_chars") >= 200)
+      .orderBy("doc_id").collect().toSeq
+    assert(df.orderBy("doc_id").collect().toSeq === expected)
+
+    // a predicate the source can't evaluate stays a Spark filter and
+    // still yields the right answer
+    val hard = v2().where(col("lang") === "en" && length(col("text")) > 500)
+    val hardPlan = planOf(hard)
+    assert(hardPlan.contains("EqualTo(lang,en)"), hardPlan)
+    assert(hardPlan.contains("Filter"), hardPlan)
+    val hardExpected = spark.read.schema(docsSchema).json(jsonlDir)
+      .where(col("lang") === "en" && length(col("text")) > 500)
+      .count()
+    assert(hard.count() === hardExpected)
+  }
+
+  test("column pruning reaches the scan's ReadSchema") {
+    val df = v2().where(col("lang") === "en").select("doc_id")
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
+    // filter-referenced column is parsed for evaluation but not output
+    assert(df.columns.toSeq === Seq("doc_id"))
+    assert(df.count() > 0)
+  }
+
+  test("IN and IS NULL pushdown semantics") {
+    val df = v2().where(col("lang").isin("en", "de"))
+    assert(planOf(df).contains("In(lang"), planOf(df))
+    val expected = spark.read.schema(docsSchema).json(jsonlDir)
+      .where(col("lang").isin("en", "de")).count()
+    assert(df.count() === expected)
+    assert(v2().where(col("lang").isNull).count() ===
+      spark.read.schema(docsSchema).json(jsonlDir)
+        .where(col("lang").isNull).count())
+  }
+
+  test("byte-range splits partition one file without losing or duplicating lines") {
+    val out = Files.createTempDirectory("dsv2split").toString + "/one.jsonl"
+    val lines = (0 until 5000).map(i => s"""{"id":$i,"v":"x$i"}""")
+    Files.write(java.nio.file.Paths.get(out),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val df = spark.read.format("graft-jsonl").schema(schema)
+      .option("splitSizeBytes", "4096")
+      .load(out)
+    assert(df.rdd.getNumPartitions > 4,
+      s"expected many splits, got ${df.rdd.getNumPartitions}")
+    val ids = df.select("id").as[Long].collect().sorted.toSeq
+    assert(ids === (0L until 5000L))
+  }
+
+  test("bounded schema inference reads one line, types integrals as long") {
+    val inferred = spark.read.format("graft-jsonl").load(jsonlDir)
+    val m = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(m("doc_id") === LongType)
+    assert(m("text") === StringType)
+    assert(m("n_chars") === LongType)
+  }
+}
