@@ -1082,7 +1082,10 @@ object SparkEntry {
     "q_dsv2_source" -> ((s, dir) => {
       val base = cachePath("jsonl_v2", dir)
       if (!new java.io.File(s"$base/_built").exists()) {
-        t(s, dir, "documents").write.mode("overwrite").json(s"$base/docs")
+        // materialize THROUGH the connector's own write half, so the
+        // oracle hash covers BatchWrite serialization too
+        t(s, dir, "documents").write.format("graft-jsonl")
+          .mode("overwrite").save(s"$base/docs")
         new java.io.File(s"$base/_built").createNewFile()
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(

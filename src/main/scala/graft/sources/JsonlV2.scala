@@ -12,9 +12,10 @@ import org.apache.hadoop.io.Text
 import org.apache.hadoop.util.LineReader
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
@@ -169,22 +170,29 @@ object JsonlV2 {
 }
 
 case class JsonlTable(path: String, tableSchema: StructType, splitBytes: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(path, tableSchema, splitBytes)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonlWriteBuilder(path, info.schema())
 }
 
 class JsonlScanBuilder(path: String, fullSchema: StructType, splitBytes: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -197,8 +205,13 @@ class JsonlScanBuilder(path: String, fullSchema: StructType, splitBytes: Long)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // partial pushdown (the default isPartiallyPushed = true): each split
+  // stops parsing after `limit` surviving rows, Spark applies the
+  // global limit on top
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+
   override def build(): Scan =
-    JsonlScan(path, fullSchema, required, pushed, splitBytes)
+    JsonlScan(path, fullSchema, required, pushed, splitBytes, limit)
 }
 
 case class JsonlScan(
@@ -206,7 +219,8 @@ case class JsonlScan(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    splitBytes: Long)
+    splitBytes: Long,
+    limit: Int)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -214,7 +228,8 @@ case class JsonlScan(
   // surfaced in .explain — the V2 analog of parquet's PushedFilters line
   override def description(): String =
     s"graft-jsonl $path ReadSchema: ${required.simpleString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
 
   override def toBatch: Batch = this
 
@@ -229,7 +244,7 @@ case class JsonlScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    JsonlReaderFactory(fullSchema, required, pushed)
+    JsonlReaderFactory(fullSchema, required, pushed, limit)
 }
 
 case class JsonlSplit(file: String, start: Long, length: Long)
@@ -238,10 +253,12 @@ case class JsonlSplit(file: String, start: Long, length: Long)
 case class JsonlReaderFactory(
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    limit: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new JsonlPartitionReader(p.asInstanceOf[JsonlSplit], fullSchema, required, pushed)
+    new JsonlPartitionReader(p.asInstanceOf[JsonlSplit], fullSchema, required,
+      pushed, limit)
 }
 
 /** Reads `[start, start+length)` of one file with standard line-split
@@ -255,8 +272,11 @@ class JsonlPartitionReader(
     split: JsonlSplit,
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    limit: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  private var emitted = 0L
 
   private val mapper = new ObjectMapper()
   private val hPath = new Path(split.file)
@@ -282,6 +302,7 @@ class JsonlPartitionReader(
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     // ownership rule (self-consistent with the seek-and-discard above):
     // a line STARTING at position p belongs to the split with
     // start < p <= start+length (first split: 0 <= p <= length) — the
@@ -306,6 +327,7 @@ class JsonlPartitionReader(
             i += 1
           }
           row = out
+          emitted += 1
           return true
         }
       }
@@ -332,3 +354,96 @@ object JsonlPartitionReader {
         throw new UnsupportedOperationException(s"graft-jsonl: unsupported type $other")
     }
 }
+
+/** The write half of the connector. Overwrite (`mode("overwrite")`)
+  * arrives as `SupportsTruncate.truncate()`; prior data files are
+  * removed on the driver before tasks start. Each task streams its rows
+  * through a Jackson generator into a hidden in-progress file and
+  * RENAMES it to its final `part-<partition>-<task>.jsonl` name only in
+  * `DataWriter.commit` — with Spark's commit coordinator (the default)
+  * at most one attempt per partition commits, so speculative or retried
+  * attempts never surface partial files (abort deletes them). */
+class JsonlWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = JsonlWrite(path, schema, doTruncate)
+}
+
+case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, before any task runs
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (doTruncate && fs.exists(p))
+      JsonlV2.listFiles(path).foreach(f => fs.delete(f.getPath, false))
+    fs.mkdirs(p)
+    JsonlWriterFactory(path, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class JsonlWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonlDataWriter(path, schema, partitionId, taskId)
+}
+
+class JsonlDataWriter(
+    dir: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val fs = new Path(dir).getFileSystem(new Configuration())
+  private val tmp = new Path(dir, s".part-$partitionId-$taskId.inprogress")
+  private val dest = new Path(dir, s"part-$partitionId-$taskId.jsonl")
+  private val out = fs.create(tmp, true)
+  private val gen =
+    new com.fasterxml.jackson.core.JsonFactory().createGenerator(
+      out.asInstanceOf[java.io.OutputStream])
+
+  override def write(row: InternalRow): Unit = {
+    gen.writeStartObject()
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType    => gen.writeNumberField(f.name, row.getLong(i))
+        case IntegerType => gen.writeNumberField(f.name, row.getInt(i))
+        case DoubleType  => gen.writeNumberField(f.name, row.getDouble(i))
+        case BooleanType => gen.writeBooleanField(f.name, row.getBoolean(i))
+        case StringType  => gen.writeStringField(f.name, row.getUTF8String(i).toString)
+        case other => throw new UnsupportedOperationException(
+          s"graft-jsonl write: unsupported type $other")
+      }
+      i += 1
+    }
+    gen.writeEndObject()
+    gen.writeRaw('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    gen.close()
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    JsonlCommitted(dest.toString)
+  }
+
+  override def abort(): Unit = {
+    try gen.close() catch { case _: Throwable => () }
+    fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+case class JsonlCommitted(file: String) extends WriterCommitMessage

@@ -98,6 +98,34 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(ids === (0L until 5000L))
   }
 
+  test("write half: connector-written files read back identically; overwrite truncates") {
+    val out = Files.createTempDirectory("dsv2write").toString + "/w"
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+    src.write.format("graft-jsonl").mode("overwrite").save(out)
+    // the built-in json reader must agree with our reader on our files
+    val builtin = spark.read.schema(docsSchema).json(out)
+      .orderBy("doc_id").collect().toSeq
+    val viaOurs = spark.read.format("graft-jsonl").schema(docsSchema)
+      .load(out).orderBy("doc_id").collect().toSeq
+    assert(viaOurs === builtin)
+    assert(viaOurs.map(_.getLong(0)) ===
+      src.orderBy("doc_id").select("doc_id").as[Long].collect().toSeq)
+    // overwrite truncates: write a 1-row frame on top, count must be 1
+    src.limit(1).write.format("graft-jsonl").mode("overwrite").save(out)
+    assert(spark.read.format("graft-jsonl").schema(docsSchema).load(out).count() === 1)
+    // no in-progress temp files survive
+    val leftovers = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".inprogress"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("limit pushdown stops the reader early and surfaces in the scan") {
+    val df = v2().limit(7)
+    val plan = planOf(df)
+    assert(plan.contains("PushedLimit: 7"), plan)
+    assert(df.count() === 7)
+  }
+
   test("bounded schema inference reads one line, types integrals as long") {
     val inferred = spark.read.format("graft-jsonl").load(jsonlDir)
     val m = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
