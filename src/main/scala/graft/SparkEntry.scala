@@ -140,6 +140,36 @@ object SparkEntry {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     })
 
+  /** Word 3-gram shingles over a BOUND token-array column (array;
+    * empty under 3 tokens) — the item domain for the sketch/drift
+    * queries, chosen over bare tokens because the synthetic corpus has
+    * a 31-token vocabulary but ~16k distinct shingles. Oracle twin:
+    * `list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])`.
+    *
+    * The caller must bind the tokens via [[explodedShingles]] (or an
+    * equivalent Generate barrier): referencing `split(text, " ")`
+    * directly here puts the split INSIDE the transform lambda after
+    * CollapseProject inlining, and the `element_at(tk, ...)` calls then
+    * re-run the split per element — O(doc²) per row, the same trap the
+    * fused Md5Embed kernel documents (measured 4.2 s → 0.6 s at sf0.1
+    * on q_countmin_heavy). */
+  private def wordShingleCol(tk: Column): Column =
+    when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2), i =>
+        concat(element_at(tk, i), lit(" "),
+          element_at(tk, i + 1), lit(" "),
+          element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** documents → one row per word 3-gram shingle, with `extra` columns
+    * carried through. The token array passes through an `explode(array(
+    * ...))` Generate barrier so the shingle lambda sees a materialized
+    * attribute, not a re-inlined split. */
+  private def explodedShingles(
+      df: DataFrame, extra: Column*): DataFrame =
+    df.select(extra :+ explode(array(split(col("text"), " "))).as("__tk"): _*)
+      .select(extra :+ explode(wordShingleCol(col("__tk"))).as("shingle"): _*)
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     queryVecCache.getOrElseUpdate(
       dir,
@@ -1035,29 +1065,27 @@ object SparkEntry {
       // corpus has ~31 distinct tokens but ~16k distinct shingles, so
       // the 768-cell sketch genuinely collides and the overcount column
       // is a live signal, not a row of zeros
-      val tk = split(col("text"), " ")
-      val shingles = t(s, dir, "documents")
-        .select(when(size(tk) >= 3,
-          transform(sequence(lit(1), size(tk) - 2), i =>
-            concat(element_at(tk, i), lit(" "),
-              element_at(tk, i + 1), lit(" "),
-              element_at(tk, i + 2))))
-          .otherwise(array().cast("array<string>")).as("sh"))
-        .select(explode(col("sh")).as("shingle"))
+      val shingles = explodedShingles(t(s, dir, "documents"))
       def cellOf = pmod(
         Embedder.md5Int(
           concat(lit("cm"), col("j").cast("string"), lit("|"), col("shingle"))),
         lit(w))
-      val sketch = shingles
-        .select(col("shingle"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      // one corpus pass: the per-shingle counts feed BOTH the sketch
+      // (cell sums over grouped counts ≡ cell sums over occurrences —
+      // and the md5 cell hashes run per DISTINCT shingle, not per
+      // occurrence) and the exact top-20; the shared groupBy exchange
+      // is reused between the two branches
+      val counts = shingles.groupBy("shingle")
+        .agg(count(lit(1)).as("exact_cnt"))
+      val sketch = counts
+        .select(col("shingle"), col("exact_cnt"),
+          explode(sequence(lit(0), lit(d - 1))).as("j"))
         .withColumn("cell", cellOf)
         .groupBy("j", "cell")
-        .agg(count(lit(1)).as("cell_cnt"))
-      val top = shingles.groupBy("shingle")
-        .agg(count(lit(1)).as("exact_cnt"))
+        .agg(sum("exact_cnt").as("cell_cnt"))
+      counts
         .orderBy(col("exact_cnt").desc, col("shingle"))
         .limit(20)
-      top
         .select(col("shingle"), col("exact_cnt"),
           explode(sequence(lit(0), lit(d - 1))).as("j"))
         .withColumn("cell", cellOf)
@@ -1067,6 +1095,41 @@ object SparkEntry {
           first("exact_cnt").as("exact_cnt"),
           min("cell_cnt").as("est_cnt"))
         .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+    }),
+    // ---- corpus drift detection: the chi-square contingency check a
+    //      production pipeline runs when a new crawl/source batch lands
+    //      — does cohort A's shingle distribution differ from cohort
+    //      B's beyond sampling noise? ONE map-combined pass computes
+    //      per-shingle counts for both cohorts (conditional sums, no
+    //      join, no second scan), the two grand totals inline as plan
+    //      literals (bounded 1-row agg), and each shingle's chi-square
+    //      contribution is pure per-row double arithmetic in an
+    //      identical operation order on both engines (explicit squares,
+    //      no pow). Top-200 by combined count via TakeOrdered — at
+    //      100 TB the only scale cost is the one token-count shuffle
+    //      every drift monitor pays. ----
+    "q_token_drift" -> ((s, dir) => {
+      // cohort A: single-digit sources (src0..src9) — an arbitrary but
+      // deterministic split standing in for "last week's corpus vs
+      // this week's batch"
+      val isA = length(col("source")) === 4
+      val counts = explodedShingles(t(s, dir, "documents"), col("source"))
+        .groupBy("shingle")
+        .agg(
+          sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(!isA, 1L).otherwise(0L)).as("n_b"))
+      val tot = counts.agg(sum("n_a"), sum("n_b")).head()
+      val (ta, tb) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+      val nab = (col("n_a") + col("n_b")).cast("double")
+      val ea = nab * lit(ta) / lit(ta + tb)
+      val eb = nab * lit(tb) / lit(ta + tb)
+      val da = col("n_a").cast("double") - ea
+      val db = col("n_b").cast("double") - eb
+      counts
+        .select(col("shingle"), col("n_a"), col("n_b"),
+          rn(da * da / ea + db * db / eb, 6).as("chi2"))
+        .orderBy((col("n_a") + col("n_b")).desc, col("shingle"))
+        .limit(200)
     }),
     // ---- the graft-jsonl DataSourceV2 connector under the oracle: the
     //      documents corpus is materialized as JSONL once, read back
@@ -3834,6 +3897,30 @@ object SparkEntry {
         |  count(DISTINCT o_orderstatus) AS d_status,
         |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate
         |FROM orders""".stripMargin,
+    // identical double-operation order to the Spark side: counts times
+    // total-ratio expectation, explicit squares, one rounded output
+    "q_token_drift" ->
+      """WITH tk AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT source, unnest(list_transform(range(1, len(tk)-1),
+        |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS shingle
+        |  FROM tk),
+        |c AS (
+        |  SELECT shingle,
+        |    CAST(sum(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN length(source) <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM sh GROUP BY shingle),
+        |tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb FROM c)
+        |SELECT shingle, n_a, n_b,
+        |  (round(
+        |    (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * ta / (ta + tb))
+        |      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * ta / (ta + tb))
+        |      / (CAST(n_a + n_b AS DOUBLE) * ta / (ta + tb))
+        |    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb))
+        |      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb))
+        |      / (CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb)), 6) + 0.0) AS chi2
+        |FROM c, tot
+        |ORDER BY n_a + n_b DESC, shingle LIMIT 200""".stripMargin,
     // the connector-fidelity proof: the V2 JSONL read (splits, parse,
     // pushed filters) must reproduce the parquet originals' aggregate
     "q_dsv2_source" ->
