@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -176,6 +177,7 @@ case class JsonlTable(path: String, tableSchema: StructType, splitBytes: Long)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -233,13 +235,18 @@ case class JsonlScan(
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new JsonlMicroBatchStream(path, fullSchema, required, pushed, splitBytes)
+
   override def planInputPartitions(): Array[InputPartition] =
     JsonlV2.listFiles(path).flatMap { f =>
       val len = f.getLen
       if (len == 0) Nil
       else
         (0L until len by splitBytes).map { start =>
-          JsonlSplit(f.getPath.toString, start, math.min(splitBytes, len - start))
+          JsonlSplit(f.getPath.toString, start,
+            math.min(splitBytes, len - start),
+            alignedStart = start == 0L)
         }
     }.toArray
 
@@ -247,7 +254,18 @@ case class JsonlScan(
     JsonlReaderFactory(fullSchema, required, pushed, limit)
 }
 
-case class JsonlSplit(file: String, start: Long, length: Long)
+/** One byte range of one file. `alignedStart` marks a range start
+  * KNOWN to be a line boundary (file start, or a streaming growth
+  * offset) — no discard of a leading partial line; `strictEnd` marks a
+  * range end at a streaming snapshot EOF — a line starting exactly at
+  * the boundary belongs to the NEXT batch, not this split (the file may
+  * have grown since the snapshot). */
+case class JsonlSplit(
+    file: String,
+    start: Long,
+    length: Long,
+    alignedStart: Boolean = false,
+    strictEnd: Boolean = false)
     extends InputPartition
 
 case class JsonlReaderFactory(
@@ -297,7 +315,8 @@ class JsonlPartitionReader(
   locally {
     if (split.start > 0) {
       in.seek(split.start)
-      consumed += reader.readLine(text) // discard the partial line
+      if (!split.alignedStart)
+        consumed += reader.readLine(text) // discard the partial line
     }
   }
 
@@ -308,7 +327,8 @@ class JsonlPartitionReader(
     // start < p <= start+length (first split: 0 <= p <= length) — the
     // line starting exactly at a boundary is read by the earlier split
     // and discarded by the later one
-    while (consumed <= split.length) {
+    while (if (split.strictEnd) consumed < split.length
+           else consumed <= split.length) {
       val n = reader.readLine(text)
       if (n <= 0) return false
       consumed += n
@@ -447,3 +467,73 @@ class JsonlDataWriter(
 }
 
 case class JsonlCommitted(file: String) extends WriterCommitMessage
+
+/** Streaming (micro-batch) read of a JSONL directory: the offset is the
+  * per-file byte length at snapshot time, so each batch reads exactly
+  * the files (or line-aligned file growth) that appeared since the last
+  * committed offset — the standard file-source contract (files are
+  * expected immutable once visible). Pushed filters, pruned columns,
+  * and byte-range splits all apply per batch, reusing the batch
+  * reader. */
+class JsonlMicroBatchStream(
+    path: String,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    splitBytes: Long)
+    extends streaming.MicroBatchStream {
+
+  override def initialOffset(): streaming.Offset =
+    JsonlStreamOffset(Map.empty)
+
+  override def latestOffset(): streaming.Offset =
+    JsonlStreamOffset(
+      JsonlV2.listFiles(path).map(f => f.getPath.toString -> f.getLen).toMap)
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    JsonlStreamOffset.fromJson(json)
+
+  override def planInputPartitions(
+      start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[JsonlStreamOffset].files
+    val s1 = end.asInstanceOf[JsonlStreamOffset].files
+    s1.toSeq.sortBy(_._1).flatMap { case (file, len) =>
+      val done = s0.getOrElse(file, 0L)
+      if (len <= done) Nil
+      else (done until len by splitBytes).map { off =>
+        val l = math.min(splitBytes, len - off)
+        JsonlSplit(file, off, l,
+          alignedStart = off == done,
+          strictEnd = off + l == len)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    JsonlReaderFactory(fullSchema, required, pushed, -1)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class JsonlStreamOffset(files: Map[String, Long])
+    extends streaming.Offset {
+  override def json(): String = {
+    val gen = new java.io.StringWriter()
+    val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(gen)
+    g.writeStartObject()
+    files.toSeq.sortBy(_._1).foreach { case (f, l) => g.writeNumberField(f, l) }
+    g.writeEndObject()
+    g.close()
+    gen.toString
+  }
+}
+
+object JsonlStreamOffset {
+  def fromJson(j: String): JsonlStreamOffset = {
+    val node = new ObjectMapper().readTree(j)
+    val b = Map.newBuilder[String, Long]
+    node.properties().asScala.foreach(e => b += e.getKey -> e.getValue.asLong())
+    JsonlStreamOffset(b.result())
+  }
+}

@@ -126,6 +126,48 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(df.count() === 7)
   }
 
+  test("streaming read: AvailableNow processes the directory; a second run reads only the delta") {
+    import java.nio.file.{Paths, StandardOpenOption}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("dsv2stream").toString
+    val dir = s"$base/in"
+    new java.io.File(dir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def writeFile(name: String, ids: Range): Unit =
+      Files.write(Paths.get(s"$dir/$name"),
+        (ids.map(i => s"""{"id":$i,"v":"x$i"}""").mkString("\n") + "\n")
+          .getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    writeFile("a.jsonl", 0 until 100)
+    writeFile("b.jsonl", 100 until 250)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-jsonl").schema(schema)
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+    runOnce()
+    val first = spark.read.schema(schema).parquet(s"$base/out")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(first === (0L until 250L))
+
+    // delta: one new file plus line-aligned growth of an existing one
+    writeFile("c.jsonl", 250 until 300)
+    writeFile("a.jsonl", 300 until 320)
+    runOnce()
+    val second = spark.read.schema(schema).parquet(s"$base/out")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(second === (0L until 320L),
+      "second run must read exactly the new file and the appended lines, once")
+  }
+
   test("bounded schema inference reads one line, types integrals as long") {
     val inferred = spark.read.format("graft-jsonl").load(jsonlDir)
     val m = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
