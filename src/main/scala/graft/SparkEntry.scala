@@ -1172,6 +1172,46 @@ object SparkEntry {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
+    // ---- a REAL streaming execution under the oracle (the other
+    //      streaming entries are batch twins): the corpus JSONL is
+    //      consumed through the connector's MicroBatchStream with a
+    //      pushed filter, into a complete-mode streaming aggregation
+    //      under Trigger.AvailableNow, and the memory sink's final
+    //      table is what the driver hashes. Offsets, micro-batch
+    //      planning, state-store aggregation, and the streaming-side
+    //      pushdown all have to agree with DuckDB's one-shot answer.
+    //      At scale this is the backfill shape: AvailableNow drains a
+    //      directory incrementally with bounded per-batch state. ----
+    "q_stream_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = cachePath("jsonl_v2", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        t(s, dir, "documents").write.format("graft-jsonl")
+          .mode("overwrite").save(s"$base/docs")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val q = s.readStream.format("graft-jsonl").schema(schema)
+        .load(s"$base/docs")
+        .where(col("n_chars") >= 100)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .writeStream.format("memory").queryName("q_stream_agg_sink")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException("q_stream_agg did not drain in 300 s")
+      } finally q.stop()
+      s.table("q_stream_agg_sink")
+    }),
     // ---- z-order layout + zone-map data skipping: events written ONCE
     //      Morton-clustered on (user_id, ts) — 64 partition buckets
     //      forming an 8×8 grid over the 2-D key space, rows z-sorted
@@ -3195,6 +3235,7 @@ object SparkEntry {
     "q_countmin_heavy" -> Seq("shingle"),
     "q_zorder_skip" -> Seq("event_type"),
     "q_dsv2_source" -> Seq("lang", "source"),
+    "q_stream_agg" -> Seq("lang"),
     "q_kmv_setops" -> Seq("k_n"), // single row
     "q_ann_recall" -> Seq("n_overlap"), // single row
     "q_pq_recall" -> Seq("n_overlap"), // single row
@@ -3944,6 +3985,13 @@ object SparkEntry {
         |      / (CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb)), 6) + 0.0) AS chi2
         |FROM c, tot
         |ORDER BY n_a + n_b DESC, shingle LIMIT 200""".stripMargin,
+    // the streaming drain (AvailableNow micro-batches + complete-mode
+    // state) must land on DuckDB's one-shot aggregate
+    "q_stream_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the connector-fidelity proof: the V2 JSONL read (splits, parse,
     // pushed filters) must reproduce the parquet originals' aggregate
     "q_dsv2_source" ->
