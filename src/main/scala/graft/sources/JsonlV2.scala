@@ -223,9 +223,20 @@ case class JsonlScan(
     pushed: Array[Filter],
     splitBytes: Long,
     limit: Int)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Bytes on disk under the path — enough for Catalyst/AQE to make
+    * sane broadcast and shuffle decisions against this source instead
+    * of falling back to the worst-case default size. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = JsonlV2.listFiles(path).map(_.getLen).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   // surfaced in .explain — the V2 analog of parquet's PushedFilters line
   override def description(): String =

@@ -168,6 +168,19 @@ class Dsv2SourceSpec extends SparkSpec {
       "second run must read exactly the new file and the appended lines, once")
   }
 
+  test("scan reports file-size statistics, and a small side broadcasts against it") {
+    val stats = v2().queryExecution.optimizedPlan.stats
+    val onDisk = new java.io.File(jsonlDir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+    assert(stats.sizeInBytes === BigInt(onDisk), s"${stats.sizeInBytes} vs $onDisk")
+    // with a real size on the big side, joining a tiny frame broadcasts
+    val tiny = Seq(("en", 1), ("de", 2)).toDF("lang", "w")
+    val joined = v2().join(tiny, Seq("lang"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("bounded schema inference reads one line, types integrals as long") {
     val inferred = spark.read.format("graft-jsonl").load(jsonlDir)
     val m = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
