@@ -69,7 +69,9 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
       schema,
       Option(properties.get("splitSizeBytes"))
         .map(_.toLong)
-        .getOrElse(JsonlV2.DefaultSplitBytes))
+        .getOrElse(JsonlV2.DefaultSplitBytes),
+      Option(properties.get("mode")).map(_.toUpperCase)
+        .getOrElse("PERMISSIVE") == "FAILFAST")
 }
 
 object JsonlV2 {
@@ -170,7 +172,11 @@ object JsonlV2 {
   }
 }
 
-case class JsonlTable(path: String, tableSchema: StructType, splitBytes: Long)
+case class JsonlTable(
+    path: String,
+    tableSchema: StructType,
+    splitBytes: Long,
+    failFast: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl:$path"
   override def schema(): StructType = tableSchema
@@ -181,12 +187,16 @@ case class JsonlTable(path: String, tableSchema: StructType, splitBytes: Long)
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlScanBuilder(path, tableSchema, splitBytes)
+    new JsonlScanBuilder(path, tableSchema, splitBytes, failFast)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new JsonlWriteBuilder(path, info.schema())
 }
 
-class JsonlScanBuilder(path: String, fullSchema: StructType, splitBytes: Long)
+class JsonlScanBuilder(
+    path: String,
+    fullSchema: StructType,
+    splitBytes: Long,
+    failFast: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -213,7 +223,7 @@ class JsonlScanBuilder(path: String, fullSchema: StructType, splitBytes: Long)
   override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   override def build(): Scan =
-    JsonlScan(path, fullSchema, required, pushed, splitBytes, limit)
+    JsonlScan(path, fullSchema, required, pushed, splitBytes, limit, failFast)
 }
 
 case class JsonlScan(
@@ -222,7 +232,8 @@ case class JsonlScan(
     required: StructType,
     pushed: Array[Filter],
     splitBytes: Long,
-    limit: Int)
+    limit: Int,
+    failFast: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -262,7 +273,7 @@ case class JsonlScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    JsonlReaderFactory(fullSchema, required, pushed, limit)
+    JsonlReaderFactory(fullSchema, required, pushed, limit, failFast)
 }
 
 /** One byte range of one file. `alignedStart` marks a range start
@@ -283,11 +294,12 @@ case class JsonlReaderFactory(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    limit: Int)
+    limit: Int,
+    failFast: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new JsonlPartitionReader(p.asInstanceOf[JsonlSplit], fullSchema, required,
-      pushed, limit)
+      pushed, limit, failFast)
 }
 
 /** Reads `[start, start+length)` of one file with standard line-split
@@ -302,7 +314,8 @@ class JsonlPartitionReader(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    limit: Int = -1)
+    limit: Int = -1,
+    failFast: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
@@ -345,9 +358,21 @@ class JsonlPartitionReader(
       consumed += n
       val line = text.toString
       if (line.trim.nonEmpty) {
-        val node = mapper.readTree(line)
+        // PERMISSIVE (default, spark.read.json parity): an unparseable
+        // line becomes an all-null row — pushed IsNotNull/comparison
+        // filters then drop it before a row is built. FAILFAST names
+        // the file and offset.
+        val node =
+          try mapper.readTree(line)
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException if failFast =>
+              throw new IllegalArgumentException(
+                s"graft-jsonl FAILFAST: malformed JSON in ${split.file} " +
+                  s"near byte ${split.start + consumed}: ${e.getMessage}")
+            case _: com.fasterxml.jackson.core.JacksonException => null
+          }
         val vals = new java.util.HashMap[String, Any]()
-        parseCols.foreach { f =>
+        if (node != null) parseCols.foreach { f =>
           vals.put(f.name, JsonlPartitionReader.convert(node.get(f.name), f.dataType))
         }
         if (pushed.forall(JsonlV2.eval(_, vals.get))) {

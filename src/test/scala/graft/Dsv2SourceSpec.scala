@@ -181,6 +181,33 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("malformed lines: PERMISSIVE default yields null rows, FAILFAST names the file") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("dsv2bad").toString + "/in"
+    new java.io.File(dir).mkdirs()
+    Files.write(Paths.get(s"$dir/a.jsonl"),
+      """{"id":1,"v":"ok"}
+        |{not json at all
+        |{"id":3,"v":"ok3"}
+        |""".stripMargin.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val permissive = spark.read.format("graft-jsonl").schema(schema).load(dir)
+    assert(permissive.count() === 3)
+    assert(permissive.where(col("id").isNull && col("v").isNull).count() === 1)
+    // matches the built-in reader's PERMISSIVE row count
+    assert(spark.read.schema(schema).json(dir).count() === 3)
+    // a pushed filter silently drops the null row, like parquet would
+    assert(permissive.where(col("id") >= 1).count() === 2)
+    val strict = spark.read.format("graft-jsonl").schema(schema)
+      .option("mode", "FAILFAST").load(dir)
+    val ex = intercept[Exception](strict.count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m => m.contains("FAILFAST") && m.contains("a.jsonl")),
+      messages(ex).mkString(" | "))
+  }
+
   test("bounded schema inference reads one line, types integrals as long") {
     val inferred = spark.read.format("graft-jsonl").load(jsonlDir)
     val m = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
