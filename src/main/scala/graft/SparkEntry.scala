@@ -151,14 +151,17 @@ object SparkEntry {
     * a 31-token vocabulary but ~16k distinct shingles. Oracle twin:
     * `list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])`.
     *
-    * The caller must bind the tokens via [[explodedShingles]] (or an
-    * equivalent Generate barrier): referencing `split(text, " ")`
-    * directly here puts the split INSIDE the transform lambda after
-    * CollapseProject inlining, and the `element_at(tk, ...)` calls then
-    * re-run the split per element — O(doc²) per row, the same trap the
-    * fused Md5Embed kernel documents (measured 4.2 s → 0.6 s at sf0.1
-    * on q_countmin_heavy). */
-  private def wordShingleCol(tk: Column): Column =
+    * This is the COMPOSITION TWIN of the fused
+    * [[graft.functions.AllShingles]] kernel that [[explodedShingles]]
+    * actually runs (ShingleKernelSpec pins bit-equality); it exists to
+    * document the oracle form. If composing directly, the token array
+    * must be BOUND first (e.g. through a Generate barrier): referencing
+    * `split(text, " ")` here puts the split INSIDE the transform lambda
+    * after CollapseProject inlining, and `element_at(tk, ...)` then
+    * re-runs the split per element — O(doc²) per row, the same trap the
+    * fused Md5Embed kernel documents (measured 4.2 s → 1.4 s at sf0.1
+    * on q_countmin_heavy just from binding; → 0.6 s fused). */
+  private[graft] def wordShingleCol(tk: Column): Column =
     when(size(tk) >= 3,
       transform(sequence(lit(1), size(tk) - 2), i =>
         concat(element_at(tk, i), lit(" "),
@@ -167,13 +170,17 @@ object SparkEntry {
       .otherwise(array().cast("array<string>"))
 
   /** documents → one row per word 3-gram shingle, with `extra` columns
-    * carried through. The token array passes through an `explode(array(
-    * ...))` Generate barrier so the shingle lambda sees a materialized
-    * attribute, not a re-inlined split. */
+    * carried through — the fused [[graft.functions.AllShingles]] kernel
+    * (one byte pass, zero-copy slices). [[wordShingleCol]] is its
+    * composition twin: ShingleKernelSpec pins bit-equality, and the
+    * twin documents the oracle form. */
   private def explodedShingles(
-      df: DataFrame, extra: Column*): DataFrame =
-    df.select(extra :+ explode(array(split(col("text"), " "))).as("__tk"): _*)
-      .select(extra :+ explode(wordShingleCol(col("__tk"))).as("shingle"): _*)
+      df: DataFrame, extra: Column*): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(extra :+ explode(ColumnBridge.column(
+      graft.functions.AllShingles(
+        ColumnBridge.expression(col("text")), 3))).as("shingle"): _*)
+  }
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     queryVecCache.getOrElseUpdate(

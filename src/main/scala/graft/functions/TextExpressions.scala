@@ -320,6 +320,60 @@ object ShingleKernel {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Every word k-gram in order, duplicates kept; EMPTY when the text
+    * has fewer than k tokens (unlike [[distinctShingles]]' whole-text
+    * fallback — this matches the `range(1, len(tk)-1)` composition the
+    * sketch/drift oracles use). Each shingle is a zero-copy slice. */
+  def allShingles(s: UTF8String, k: Int): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var nTok = 1
+    var i = 0
+    while (i < n) { if (b(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < n) { if (b(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(nTok) = n + 1
+    val out = new Array[Any](nTok - k + 1)
+    var j = 0
+    while (j <= nTok - k) {
+      val from = starts(j)
+      out(j) = UTF8String.fromBytes(b, from, starts(j + k) - 1 - from)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Catalyst wrapper over [[ShingleKernel.allShingles]] — every word
+  * k-gram in order (duplicates kept, EMPTY under k tokens — the
+  * `range(1, len(tk)-1)` oracle form), each a zero-copy byte slice of
+  * the input (tokens are single-space separated, so a shingle IS the
+  * substring spanning its k tokens). One pass, no token array, no
+  * per-shingle concat. */
+case class AllShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "all_shingles"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.allShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.ShingleKernel.allShingles($v, $k);")
 }
 
 /** Catalyst wrapper over [[ShingleKernel.distinctShingles]]. */

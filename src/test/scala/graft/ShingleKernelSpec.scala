@@ -69,4 +69,24 @@ class ShingleKernelSpec extends SparkSpec {
     // the `*(n)` prefix marks a WholeStageCodegen span in the compact form
     assert(plan.contains("*(1) Project [distinct_shingles"))
   }
+
+  test("AllShingles equals the bound-token composition twin, incl. edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.AllShingles
+    def fusedCol = ColumnBridge.column(
+      AllShingles(ColumnBridge.expression(col("text")), 3))
+    // composition: token array bound through a Generate barrier, then
+    // the transform form the oracles mirror
+    val edge = Seq("", "a", "a b", "a b c", "a b c d", "a  b c",
+      " leading", "trailing ", "x  ", "a b c  d e").toDF("text")
+    for (df <- Seq(edge, docs.select("text"))) {
+      val bound = df
+        .select(col("text"), explode(array(split(col("text"), " "))).as("tk"))
+        .select(col("text"), SparkEntry.wordShingleCol(col("tk")).as("composed"))
+        .select(col("text"), col("composed"), fusedCol.as("fused"))
+      val bad = bound.where(not(col("composed") <=> col("fused"))).count()
+      assert(bad === 0L)
+    }
+  }
 }
