@@ -1179,6 +1179,55 @@ object SparkEntry {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
+    // ---- funnel analysis (ordered-stage conversion): users who
+    //      viewed, then clicked within 24 h of their first view, then
+    //      purchased within 72 h of that first qualifying click
+    //      (conversion windows give the funnel real drop-off — without
+    //      them every synthetic user converts). Three user-level
+    //      aggregations chained by co-partitioned joins on user_id —
+    //      every stage's frame is user-level (events collapse before
+    //      each join), so at 100 TB the only corpus-sized pass is the
+    //      first scan; all-integer output. ----
+    "q_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tu").as("t1"))
+      val hourUs = 3600000000L
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id")
+        .where(col("tu") > col("t1") && col("tu") <= col("t1") + lit(24 * hourUs))
+        .groupBy("user_id").agg(min("tu").as("t2"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .where(col("tu") > col("t2") && col("tu") <= col("t2") + lit(72 * hourUs))
+        .groupBy("user_id").agg(min("tu").as("t3"))
+      v.select(lit("1_view").as("stage"), col("user_id"))
+        .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+        .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    // ---- cohort retention: users bucketed by first-activity week,
+    //      crossed with the weeks they were active — integer epoch-week
+    //      indices, one distinct + one user-keyed join, the standard
+    //      retention-matrix shape. ----
+    "q_retention" -> ((s, dir) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val tu = unix_micros(col("ts"))
+      val ev = events(s, dir).select(
+        col("user_id"),
+        // exact integer week: subtract the remainder first so the
+        // double division is of an exact multiple (plain `/` on a raw
+        // epoch-µs value could round across a week boundary)
+        ((tu - pmod(tu, lit(weekUs))) / lit(weekUs)).cast("long").as("wk"))
+      val coh = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ev.distinct()
+        .join(coh, "user_id")
+        .groupBy(col("cohort_wk"), col("wk").as("activity_wk"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
     // ---- a REAL streaming execution under the oracle (the other
     //      streaming entries are batch twins): the corpus JSONL is
     //      consumed through the connector's MicroBatchStream with a
@@ -3243,6 +3292,8 @@ object SparkEntry {
     "q_zorder_skip" -> Seq("event_type"),
     "q_dsv2_source" -> Seq("lang", "source"),
     "q_stream_agg" -> Seq("lang"),
+    "q_funnel" -> Seq("stage"),
+    "q_retention" -> Seq("cohort_wk", "activity_wk"),
     "q_kmv_setops" -> Seq("k_n"), // single row
     "q_ann_recall" -> Seq("n_overlap"), // single row
     "q_pq_recall" -> Seq("n_overlap"), // single row
@@ -3992,6 +4043,28 @@ object SparkEntry {
         |      / (CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb)), 6) + 0.0) AS chi2
         |FROM c, tot
         |ORDER BY n_a + n_b DESC, shingle LIMIT 200""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tu FROM events),
+        |v AS (SELECT user_id, min(tu) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN v USING(user_id)
+        |      WHERE event_type = 'click' AND tu > t1
+        |        AND tu <= t1 + 86400000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN c USING(user_id)
+        |      WHERE event_type = 'purchase' AND tu > t2
+        |        AND tu <= t2 + 259200000000 GROUP BY 1)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT '1_view' AS stage, user_id FROM v
+        |  UNION ALL SELECT '2_click', user_id FROM c
+        |  UNION ALL SELECT '3_purchase', user_id FROM p)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, (epoch_ns(ts)//1000) // 604800000000 AS wk
+        |  FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT cohort_wk, wk AS activity_wk, count(*) AS n_users
+        |FROM e JOIN coh USING(user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the streaming drain (AvailableNow micro-batches + complete-mode
     // state) must land on DuckDB's one-shot aggregate
     "q_stream_agg" ->
