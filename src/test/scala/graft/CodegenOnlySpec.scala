@@ -242,4 +242,27 @@ class CodegenOnlySpec extends SparkSpec {
       assert(fast == slow)
     }
   }
+
+  test("AllShingles compiles under CODEGEN_ONLY and matches the bound composition") {
+    import spark.implicits._
+    withCodegenOnly {
+      val shingleTexts = Seq("", "a", "a b", "a b c", "a b c d e",
+        "a  b c", "the quick brown fox jumps")
+      val rows = shingleTexts.toDF("t").select(
+        ColumnBridge.column(graft.functions.AllShingles(
+          ColumnBridge.expression(col("t")), 3)).as("fast"),
+        // bound-token composition (tk materialized through explode(array))
+        col("t"))
+        .select(col("fast"), explode(array(split(col("t"), " "))).as("tk"))
+        .select(col("fast"),
+          when(size(col("tk")) >= 3,
+            transform(sequence(lit(1), size(col("tk")) - 2), i =>
+              concat(element_at(col("tk"), i), lit(" "),
+                element_at(col("tk"), i + 1), lit(" "),
+                element_at(col("tk"), i + 2))))
+            .otherwise(array().cast("array<string>")).as("slow"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    }
+  }
 }
