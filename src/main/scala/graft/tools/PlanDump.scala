@@ -58,7 +58,17 @@ object PlanDump {
     "q_ivfpq_knn" ->
       "IVF-PQ: the probed read of the cell-partitioned CODES table (4 bytes/vector, PartitionFilters on cell) executes eagerly before this plan; what remains is pure per-row ADC — 4 literal-table lookups + a fixed-order sum inside codegen — feeding the shuffle-free top-k. The float vectors never appear at query time.",
     "q_ngram_jaccard" ->
-      "EXACT Jaccard self-join with prefix filtering (AllPairs/PPJoin): the fused shingle kernel feeds 64-bit hashed sets; candidates come from an equi-join of rarest-first PREFIXES only (plus the integer length filter), so no cartesian stage exists at any scale, and the verify joins touch candidates only. Completeness for J >= t is a pigeonhole theorem, not a probabilistic bet — the oracle is the pure all-pairs definition.")
+      "EXACT Jaccard self-join with prefix filtering (AllPairs/PPJoin): the fused shingle kernel feeds 64-bit hashed sets; candidates come from an equi-join of rarest-first PREFIXES only (plus the integer length filter), so no cartesian stage exists at any scale, and the verify joins touch candidates only. Completeness for J >= t is a pigeonhole theorem, not a probabilistic bet — the oracle is the pure all-pairs definition.",
+    "q_countmin_heavy" ->
+      "Count-min heavy hitters: the fused AllShingles kernel explodes zero-copy slices, ONE groupBy exchange produces the per-shingle counts, and BOTH consumers (the 768-cell sketch aggregation and the exact top-20 TakeOrdered) reuse that exchange — the sketch's md5 cell hashes run per DISTINCT shingle, and only 768 integer cells ever describe the corpus.",
+    "q_bloom_decontam" ->
+      "Bloom-prefiltered decontamination: the 16384-bit eval bitmap rides the plan as ONE literal array; corpus fingerprints failing any of the 3 bit-tests (uint32 chunks of a single md5) are nulled BEFORE the broadcast verify join, so null-key short-circuiting means only bloom survivors probe the hash table — the explode stream thins before anything joins or aggregates.",
+    "q_zorder_skip" ->
+      "Z-order + zone-map skipping: the scan carries PartitionFilters with the z-buckets the 64-row zone consult selected (only those directories are listed), the residual user/ts range predicates push into the z-sorted parquet row groups, and what remains is one partially-aggregated groupBy.",
+    "q_dsv2_source" ->
+      "DataSourceV2 connector scan: the BatchScan line shows the pruned ReadSchema and the pushed filter set the reader evaluates before rows are built — the V2 analog of the parquet PushedFilters audit; file-size statistics let AQE broadcast the right side of any join against this source.",
+    "q_funnel" ->
+      "Funnel conversion: events collapse to user-level stage times BEFORE each join, so the three stage joins move user-level rows only; all three stage frames and the final union-groupBy co-partition on user_id.")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
