@@ -517,14 +517,33 @@ class JsonlMicroBatchStream(
     required: StructType,
     pushed: Array[Filter],
     splitBytes: Long)
-    extends streaming.MicroBatchStream {
+    extends streaming.MicroBatchStream
+    with streaming.SupportsTriggerAvailableNow {
+
+  private def snapshot(): JsonlStreamOffset =
+    JsonlStreamOffset(
+      JsonlV2.listFiles(path).map(f => f.getPath.toString -> f.getLen).toMap)
+
+  // Trigger.AvailableNow contract: pin the end offset ONCE at query
+  // start; every batch drains toward that fixed snapshot and the query
+  // stops there even if the directory keeps growing (without this,
+  // Spark logs a fallback to single-batch execution)
+  private var availableNowEnd: Option[JsonlStreamOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(snapshot())
 
   override def initialOffset(): streaming.Offset =
     JsonlStreamOffset(Map.empty)
 
   override def latestOffset(): streaming.Offset =
-    JsonlStreamOffset(
-      JsonlV2.listFiles(path).map(f => f.getPath.toString -> f.getLen).toMap)
+    availableNowEnd.getOrElse(snapshot())
+
+  override def latestOffset(
+      start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = latestOffset()
+
+  override def reportLatestOffset(): streaming.Offset = snapshot()
 
   override def deserializeOffset(json: String): streaming.Offset =
     JsonlStreamOffset.fromJson(json)

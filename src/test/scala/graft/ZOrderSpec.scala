@@ -92,4 +92,32 @@ class ZOrderSpec extends SparkSpec {
     }.sum
     assert(selFiles < allFiles, s"$selFiles of $allFiles files")
   }
+
+  test("wrong scaling bounds degrade pruning, never correctness (zones derive from data)") {
+    val out = Files.createTempDirectory("zorderbad").toString
+    val df = spark.range(0, 2000).select(
+      (col("id") % 500).as("x"),
+      (col("id") * 7 % 1000).as("y"),
+      col("id").as("payload"))
+    // bounds deliberately too narrow: values past hi wrap the 16-bit
+    // domain, scattering buckets — but each bucket's zone rectangle
+    // still comes from its actual rows, so the consult stays
+    // conservative and the pruned read is exact
+    ZOrder.writeLayout(df, "x", "y", 0, 40, 0, 60, s"$out/layout")
+    val layout = spark.read.parquet(s"$out/layout")
+    val zones = ZOrder.zones(layout, "x", "y").collect().toSeq.map(r =>
+      (r.getAs[Number]("zbucket").longValue(),
+        r.getAs[Long]("x_min"), r.getAs[Long]("x_max"),
+        r.getAs[Long]("y_min"), r.getAs[Long]("y_max")))
+    val sel = ZOrder.overlappingBuckets(zones, 100, 300, 200, 800)
+    val pruned = layout
+      .where(col("zbucket").isin(sel: _*) &&
+        col("x").between(100, 300) && col("y").between(200, 800))
+      .select("payload").as[Long].collect().sorted.toSeq
+    val full = df
+      .where(col("x").between(100, 300) && col("y").between(200, 800))
+      .select("payload").as[Long].collect().sorted.toSeq
+    assert(pruned === full)
+    assert(pruned.nonEmpty)
+  }
 }
