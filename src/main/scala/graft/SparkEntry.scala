@@ -1179,6 +1179,41 @@ object SparkEntry {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
+    // ---- fuzzy key join (edit distance ≤ 1) via deletion-neighborhood
+    //      blocking — the FastSS record-linkage shape: each side
+    //      explodes its key into {key} ∪ {key minus one char} variants,
+    //      candidates come from an EQUI-join on the variant string
+    //      (never a cartesian with a levenshtein predicate, which would
+    //      plan a BNLJ and die at scale), and the bounded candidate set
+    //      is verified with the real levenshtein (identical unit-cost
+    //      semantics in Spark and DuckDB). Probe keys carry a
+    //      deterministic typo (3rd char deleted), so matching is the
+    //      point, not an identity join. ----
+    "q_fuzzy_join" -> ((s, dir) => {
+      // {key} ∪ {key with char i deleted}: array_union also dedupes
+      // (deleting either of two equal adjacent chars gives one variant)
+      def exploded(df: DataFrame, kc: String, idc: String) = df.select(
+        col(idc), col(kc),
+        explode(array_union(
+          array(col(kc)),
+          transform(sequence(lit(1), length(col(kc))), i =>
+            concat(
+              col(kc).substr(lit(1), i - lit(1)),
+              col(kc).substr(i + lit(1), lit(100))))))
+          .as("variant"))
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), substring(lower(col("text")), 1, 12).as("key"))
+      val probes = keyed.where(pmod(col("doc_id"), lit(41)) === 0)
+        .select(col("doc_id").as("probe_id"),
+          concat(substring(col("key"), 1, 2), substring(col("key"), 4, 9))
+            .as("pkey"))
+      exploded(probes, "pkey", "probe_id")
+        .join(exploded(keyed, "key", "doc_id"), Seq("variant"))
+        .select("probe_id", "pkey", "doc_id", "key").distinct()
+        .where(levenshtein(col("pkey"), col("key")) <= 1)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("min_doc"))
+    }),
     // ---- funnel analysis (ordered-stage conversion): users who
     //      viewed, then clicked within 24 h of their first view, then
     //      purchased within 72 h of that first qualifying click
@@ -3293,6 +3328,7 @@ object SparkEntry {
     "q_dsv2_source" -> Seq("lang", "source"),
     "q_stream_agg" -> Seq("lang"),
     "q_funnel" -> Seq("stage"),
+    "q_fuzzy_join" -> Seq("probe_id"),
     "q_retention" -> Seq("cohort_wk", "activity_wk"),
     "q_kmv_setops" -> Seq("k_n"), // single row
     "q_ann_recall" -> Seq("n_overlap"), // single row
@@ -4043,6 +4079,25 @@ object SparkEntry {
         |      / (CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb)), 6) + 0.0) AS chi2
         |FROM c, tot
         |ORDER BY n_a + n_b DESC, shingle LIMIT 200""".stripMargin,
+    // deletion-neighborhood candidates re-derived in SQL; the verify
+    // levenshtein has identical unit-cost semantics in both engines
+    "q_fuzzy_join" ->
+      """WITH keyed AS (SELECT doc_id, substr(lower(text), 1, 12) AS key FROM documents),
+        |probes AS (SELECT doc_id AS probe_id, substr(key,1,2)||substr(key,4,9) AS pkey
+        |           FROM keyed WHERE doc_id % 41 = 0),
+        |pv AS (SELECT probe_id, pkey, unnest(list_distinct(list_prepend(pkey,
+        |         list_transform(range(1, length(pkey)+1),
+        |           i -> substr(pkey,1,i-1)||substr(pkey,i+1,100))))) AS variant
+        |       FROM probes),
+        |kv AS (SELECT doc_id, key, unnest(list_distinct(list_prepend(key,
+        |         list_transform(range(1, length(key)+1),
+        |           i -> substr(key,1,i-1)||substr(key,i+1,100))))) AS variant
+        |       FROM keyed),
+        |cand AS (SELECT DISTINCT probe_id, pkey, doc_id, key
+        |         FROM pv JOIN kv USING(variant))
+        |SELECT probe_id, count(*) AS n_matches, CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM cand WHERE levenshtein(pkey, key) <= 1
+        |GROUP BY probe_id ORDER BY probe_id""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tu FROM events),
         |v AS (SELECT user_id, min(tu) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
