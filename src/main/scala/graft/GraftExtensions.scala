@@ -82,6 +82,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "winnow(grams, w)")
         graft.functions.Winnow(args.head, intLiteral(args(1), "winnow w"))
+      }),
+    (
+      "all_shingles",
+      new ExpressionInfo(classOf[graft.functions.AllShingles].getName, "all_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "all_shingles(text, k)")
+        graft.functions.AllShingles(args.head, intLiteral(args(1), "all_shingles k"))
       }))
 
   private def intLiteral(e: Expression, what: String): Int = e match {

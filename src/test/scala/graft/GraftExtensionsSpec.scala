@@ -67,4 +67,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]]("tc") === Seq(2L, 1L, 3L))
     assert(r.getAs[scala.collection.Seq[Long]]("fp").nonEmpty)
   }
+
+  test("all_shingles is callable from SQL and matches the split composition") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT all_shingles('a b c d', 3) AS f,
+        |       all_shingles('a b', 3) AS empty""".stripMargin).head()
+    assert(rows.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(rows.getSeq[String](1) === Seq.empty[String])
+  }
 }
