@@ -1288,7 +1288,13 @@ object SparkEntry {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("n_chars",
           org.apache.spark.sql.types.LongType)))
-      val q = s.readStream.format("graft-jsonl").schema(schema)
+      // few-group streaming state on a cloned session: state-store
+      // partition count is pinned by shuffle.partitions at query start,
+      // and 32 state tasks for a 5-group aggregate is pure per-task
+      // overhead (the M9 digest uses the same newSession pattern)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 5)
+      val q = ss.readStream.format("graft-jsonl").schema(schema)
         .load(s"$base/docs")
         .where(col("n_chars") >= 100)
         .groupBy("lang")
@@ -1301,7 +1307,7 @@ object SparkEntry {
         if (!q.awaitTermination(300000))
           throw new IllegalStateException("q_stream_agg did not drain in 300 s")
       } finally q.stop()
-      s.table("q_stream_agg_sink")
+      ss.table("q_stream_agg_sink")
     }),
     // ---- z-order layout + zone-map data skipping: events written ONCE
     //      Morton-clustered on (user_id, ts) — 64 partition buckets
