@@ -1021,6 +1021,34 @@ object SparkEntry {
             .as("est_distinct"),
           lit(nExact).as("n_exact"))
     }),
+    // ---- KMV per GROUP — the form a 100 TB monitor actually runs
+    //      (distinct users per event type): the same KmvSketchAgg as a
+    //      grouped aggregate, so every group's state is a bounded
+    //      k-min tree and the exchange moves ≤ k longs per (partition,
+    //      group). The sketch is order-invariant (k smallest distinct
+    //      hashes), so the grouped estimates hash bitwise against the
+    //      oracle's per-group rank derivation; the exact count rides
+    //      the same result row to grade it. ----
+    "q_kmv_grouped" -> ((s, dir) => {
+      val k = 64
+      val h = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.Md5Prefix48(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col("user_id").cast("string"))))
+      events(s, dir)
+        .select(col("event_type"), h.as("h"), col("user_id"))
+        .groupBy("event_type")
+        .agg(
+          graft.functions.KmvSketch.kmvSketch(col("h"), k).as("ks"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(
+          col("event_type"),
+          size(col("ks")).cast("long").as("k_n"),
+          element_at(col("ks"), -1).as("m_k"),
+          rn((size(col("ks")).cast("long") - 1L) * lit(281474976710656.0) /
+            element_at(col("ks"), -1), 4).as("est_distinct"),
+          col("n_exact"))
+    }),
     // ---- KMV set operations: the sketch property that makes it a
     //      TABLE SUMMARY, not just a counter — two sketches built
     //      independently (each side ships ≤ k longs off its table)
@@ -3329,6 +3357,7 @@ object SparkEntry {
     "q_catalog_search" -> Seq("dist", "id"),
     "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
     "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
+    "q_kmv_grouped" -> Seq("event_type"),
     "q_countmin_heavy" -> Seq("shingle"),
     "q_zorder_skip" -> Seq("event_type"),
     "q_dsv2_source" -> Seq("lang", "source"),
@@ -4192,6 +4221,26 @@ object SparkEntry {
         |  (round((k_n - 1) * 281474976710656.0 / m_k, 4) + 0.0) AS est_distinct,
         |  n_exact
         |FROM s, e""".stripMargin,
+    "q_kmv_grouped" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,12))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM h),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(count(*) FILTER (WHERE rn <= 64) AS BIGINT) AS k_n,
+        |    max(CASE WHEN rn <= 64 THEN h END) AS m_k
+        |  FROM r GROUP BY event_type),
+        |e AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |      FROM events GROUP BY event_type)
+        |SELECT s.event_type, k_n, m_k,
+        |  (round((k_n - 1) * 281474976710656.0 / m_k, 4) + 0.0) AS est_distinct,
+        |  n_exact
+        |FROM s JOIN e ON s.event_type = e.event_type
+        |ORDER BY s.event_type""".stripMargin,
     "q_kmv_setops" ->
       """WITH ha AS (SELECT DISTINCT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,12))::BIGINT AS h
         |            FROM orders),
