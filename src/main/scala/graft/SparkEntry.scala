@@ -1021,6 +1021,42 @@ object SparkEntry {
             .as("est_distinct"),
           lit(nExact).as("n_exact"))
     }),
+    // ---- embedding covariance from EXACT integer moments — the
+    //      PCA/whitening prep statistic: ONE map-combined aggregation
+    //      computes n, the 8 first moments, and the 36 distinct second
+    //      moments over the 1e3-quantized first 8 dimensions (int64
+    //      sums, exact for any corpus up to ~9e12 rows), then the
+    //      covariances combine those identical integers in a FIXED
+    //      double operation order on both engines — Spark's own
+    //      covar_pop is partial-order-dependent in its float
+    //      accumulation, this is not. stack() unpivots the wide moment
+    //      row; nothing but the one aggregate ever shuffles. ----
+    "q_embed_cov" -> ((s, dir) => {
+      val dims = 8
+      val base = t(s, dir, "embeddings")
+        .select(KMeans.quantize(col("embedding")).as("x"))
+      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+      val aggs =
+        pairs.map { case (i, j) =>
+          sum(element_at(col("x"), i + 1) * element_at(col("x"), j + 1))
+            .as(s"sxy_${i}_$j")
+        } ++
+          (0 until dims).map(i =>
+            sum(element_at(col("x"), i + 1)).as(s"sx_$i")) :+
+          count(lit(1)).as("n")
+      val m = base.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = pairs
+        .map { case (i, j) => s"$i, $j, sxy_${i}_$j, sx_$i, sx_$j" }
+        .mkString(", ")
+      m.selectExpr("n",
+          s"stack(${pairs.size}, $stackArgs) AS (i, j, sxy, sx, sy)")
+        .select(
+          col("i"), col("j"), col("n").as("n_vecs"), col("sxy"),
+          rn((col("sxy").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+              (col("sy").cast("double") / col("n"))) / lit(1000000.0), 6)
+            .as("cov"))
+    }),
     // ---- KMV per GROUP — the form a 100 TB monitor actually runs
     //      (distinct users per event type): the same KmvSketchAgg as a
     //      grouped aggregate, so every group's state is a bounded
@@ -3358,6 +3394,7 @@ object SparkEntry {
     "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
     "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
     "q_kmv_grouped" -> Seq("event_type"),
+    "q_embed_cov" -> Seq("i", "j"),
     "q_countmin_heavy" -> Seq("shingle"),
     "q_zorder_skip" -> Seq("event_type"),
     "q_dsv2_source" -> Seq("lang", "source"),
@@ -4221,6 +4258,29 @@ object SparkEntry {
         |  (round((k_n - 1) * 281474976710656.0 / m_k, 4) + 0.0) AS est_distinct,
         |  n_exact
         |FROM s, e""".stripMargin,
+    // same exact int64 moments, same fixed double combination order
+    "q_embed_cov" -> {
+      val dims = 8
+      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+      val sums = (pairs.map { case (i, j) =>
+        s"CAST(sum(x[${i + 1}] * x[${j + 1}]) AS BIGINT) AS sxy_${i}_$j"
+      } ++ (0 until dims).map(i =>
+        s"CAST(sum(x[${i + 1}]) AS BIGINT) AS sx_$i")).mkString(",\n    ")
+      val unions = pairs.map { case (i, j) =>
+        s"SELECT $i AS i, $j AS j, n AS n_vecs, sxy_${i}_$j AS sxy, " +
+          s"(round((CAST(sxy_${i}_$j AS DOUBLE)/n - (CAST(sx_$i AS DOUBLE)/n) * " +
+          s"(CAST(sx_$j AS DOUBLE)/n)) / 1000000.0, 6) + 0.0) AS cov FROM m"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS x
+         |  FROM embeddings),
+         |m AS (SELECT count(*) AS n,
+         |    $sums
+         |  FROM q)
+         |$unions
+         |ORDER BY i, j""".stripMargin
+    },
     "q_kmv_grouped" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,
