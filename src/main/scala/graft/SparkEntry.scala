@@ -135,6 +135,38 @@ object SparkEntry {
     * by construction), cached per dir. */
   private val bloomEvalFpCache =
     new scala.collection.concurrent.TrieMap[String, Seq[Long]]
+
+  /** Exact integer embedding moments over the first [[CovDims]]
+    * quantized dimensions: (n, sx(i), sxy(i)(j) for i<=j) from ONE
+    * map-combined aggregation, cached per dir — shared by q_embed_cov
+    * and the PCA projection (whose eigenvector derives from these same
+    * integers on the driver). */
+  private val CovDims = 8
+  private val embedMomentsCache =
+    new scala.collection.concurrent.TrieMap[String, (Long, Array[Long], Array[Array[Long]])]
+  private def embedMoments(
+      s: SparkSession, dir: String): (Long, Array[Long], Array[Array[Long]]) =
+    embedMomentsCache.getOrElseUpdate(dir, {
+      val dims = CovDims
+      val base = t(s, dir, "embeddings")
+        .select(KMeans.quantize(col("embedding")).as("x"))
+      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+      val aggs =
+        pairs.map { case (i, j) =>
+          sum(element_at(col("x"), i + 1) * element_at(col("x"), j + 1))
+            .as(s"sxy_${i}_$j")
+        } ++
+          (0 until dims).map(i =>
+            sum(element_at(col("x"), i + 1)).as(s"sx_$i")) :+
+          count(lit(1)).as("n")
+      val r = base.agg(aggs.head, aggs.tail: _*).head()
+      val sxy = Array.ofDim[Long](dims, dims)
+      pairs.zipWithIndex.foreach { case ((i, j), idx) =>
+        sxy(i)(j) = r.getLong(idx); sxy(j)(i) = r.getLong(idx)
+      }
+      val sx = (0 until dims).map(i => r.getLong(pairs.size + i)).toArray
+      (r.getLong(pairs.size + dims), sx, sxy)
+    })
   private def zorderBounds(
       s: SparkSession, dir: String): (Long, Long, Long, Long) =
     zorderBoundsCache.getOrElseUpdate(dir, {
@@ -1056,6 +1088,46 @@ object SparkEntry {
             (col("sx").cast("double") / col("n")) *
               (col("sy").cast("double") / col("n"))) / lit(1000000.0), 6)
             .as("cov"))
+    }),
+    // ---- distributed PCA projection — the classic big-data PCA
+    //      split: the corpus contributes ONE exact-integer moment
+    //      aggregation (shared with q_embed_cov via the per-dir cache),
+    //      the 8×8 eigenproblem runs on the DRIVER as 3 unrolled power
+    //      iterations in a fixed double operation order, and the corpus
+    //      is then projected onto the eigenvector as a pure per-row
+    //      codegen expression (literal vector components, left-assoc
+    //      sum) feeding one map-combined per-label aggregate of
+    //      1e3-quantized projections. Deterministic end-to-end: both
+    //      engines derive the eigenvector from the SAME int64 moments
+    //      with the SAME operation order — the oracle unrolls the
+    //      iterations as generated CTEs, the Lloyd pattern. ----
+    "q_pca_project" -> ((s, dir) => {
+      val dims = CovDims
+      val (n, sx, sxy) = embedMoments(s, dir)
+      val c = Array.tabulate(dims, dims)((i, j) =>
+        sxy(i)(j).toDouble / n - (sx(i).toDouble / n) * (sx(j).toDouble / n))
+      var v = Array.tabulate(dims)(d => if (d == 0) 1.0 else 0.0)
+      for (_ <- 0 until 3) {
+        val w = Array.tabulate(dims)(i =>
+          (0 until dims).foldLeft(0.0)((acc, j) => acc + c(i)(j) * v(j)))
+        val nrm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+        v = w.map(_ / nrm)
+      }
+      // per-component quantize (no shared transform lambda) then the
+      // left-assoc dot with the literal eigenvector
+      def xq(d: Int) =
+        floor(element_at(col("embedding"), d + 1).cast("double") * 1000.0 + lit(0.5))
+      val p = (0 until dims)
+        .map(d => lit(v(d)) * xq(d).cast("double"))
+        .reduceLeft(_ + _)
+      t(s, dir, "embeddings")
+        .select(col("label"), floor(p * lit(1000.0) + lit(0.5)).as("pq"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("pq").as("sum_pq"))
+        .select(
+          col("label"), col("n_vecs"), col("sum_pq"),
+          rn(col("sum_pq").cast("double") / col("n_vecs") / lit(1000.0), 6)
+            .as("mean_proj"))
     }),
     // ---- KMV per GROUP — the form a 100 TB monitor actually runs
     //      (distinct users per event type): the same KmvSketchAgg as a
@@ -3395,6 +3467,7 @@ object SparkEntry {
     "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
     "q_kmv_grouped" -> Seq("event_type"),
     "q_embed_cov" -> Seq("i", "j"),
+    "q_pca_project" -> Seq("label"),
     "q_countmin_heavy" -> Seq("shingle"),
     "q_zorder_skip" -> Seq("event_type"),
     "q_dsv2_source" -> Seq("lang", "source"),
@@ -4258,6 +4331,63 @@ object SparkEntry {
         |  (round((k_n - 1) * 281474976710656.0 / m_k, 4) + 0.0) AS est_distinct,
         |  n_exact
         |FROM s, e""".stripMargin,
+    // the 3 power iterations unrolled as generated CTEs over the same
+    // exact int64 moments, every double op in the same left-assoc order
+    // as the driver-side Scala (0.0-seeded folds for w and the norm,
+    // unseeded left-assoc for the projection dot)
+    "q_pca_project" -> {
+      val dims = 8
+      val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+      val sums = (pairs.map { case (i, j) =>
+        s"CAST(sum(x[${i + 1}] * x[${j + 1}]) AS BIGINT) AS sxy_${i}_$j"
+      } ++ (0 until dims).map(i =>
+        s"CAST(sum(x[${i + 1}]) AS BIGINT) AS sx_$i")).mkString(", ")
+      def cRef(i: Int, j: Int) = {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        s"(CAST(sxy_${a}_$b AS DOUBLE)/n - (CAST(sx_$i AS DOUBLE)/n) * (CAST(sx_$j AS DOUBLE)/n))"
+      }
+      val cCols = (for { i <- 0 until dims; j <- 0 until dims } yield
+        s"${cRef(i, j)} AS c_${i}_$j").mkString(",\n    ")
+      val iters = (1 to 3).map { it =>
+        val prev = (j: Int) =>
+          if (it == 1) (if (j == 0) "1.0" else "0.0") else s"v${it - 1}_$j"
+        val ws = (0 until dims).map { i =>
+          val terms = (0 until dims)
+            .map(j => s"c_${i}_$j * ${prev(j)}")
+            .foldLeft("0.0")((acc, t) => s"$acc + $t")
+          s"($terms) AS w${it}_$i"
+        }.mkString(",\n    ")
+        val nrm = (0 until dims)
+          .map(i => s"w${it}_$i * w${it}_$i")
+          .foldLeft("0.0")((acc, t) => s"$acc + $t")
+        val vs = (0 until dims)
+          .map(i => s"(w${it}_$i / nrm$it) AS v${it}_$i")
+          .mkString(", ")
+        s"""w$it AS (SELECT *,
+           |    $ws
+           |  FROM ${if (it == 1) "c" else s"v${it - 1}"}),
+           |n$it AS (SELECT *, sqrt($nrm) AS nrm$it FROM w$it),
+           |v$it AS (SELECT *, $vs FROM n$it)""".stripMargin
+      }.mkString(",\n")
+      val proj = (0 until dims)
+        .map(d => s"v3_$d * CAST(x[${d + 1}] AS DOUBLE)")
+        .reduceLeft((acc, t) => s"$acc + $t")
+      s"""WITH q AS (
+         |  SELECT label, list_transform(embedding,
+         |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS x
+         |  FROM embeddings),
+         |m AS (SELECT count(*) AS n, $sums FROM q),
+         |c AS (SELECT n,
+         |    $cCols
+         |  FROM m),
+         |$iters,
+         |p AS (
+         |  SELECT label, CAST(floor(($proj) * 1000.0 + 0.5) AS BIGINT) AS pq
+         |  FROM q, v3)
+         |SELECT label, count(*) AS n_vecs, CAST(sum(pq) AS BIGINT) AS sum_pq,
+         |  (round(CAST(sum(pq) AS DOUBLE) / count(*) / 1000.0, 6) + 0.0) AS mean_proj
+         |FROM p GROUP BY label ORDER BY label""".stripMargin
+    },
     // same exact int64 moments, same fixed double combination order
     "q_embed_cov" -> {
       val dims = 8
