@@ -1326,27 +1326,13 @@ object SparkEntry {
     //      deterministic typo (3rd char deleted), so matching is the
     //      point, not an identity join. ----
     "q_fuzzy_join" -> ((s, dir) => {
-      // {key} ∪ {key with char i deleted}: array_union also dedupes
-      // (deleting either of two equal adjacent chars gives one variant)
-      def exploded(df: DataFrame, kc: String, idc: String) = df.select(
-        col(idc), col(kc),
-        explode(array_union(
-          array(col(kc)),
-          transform(sequence(lit(1), length(col(kc))), i =>
-            concat(
-              col(kc).substr(lit(1), i - lit(1)),
-              col(kc).substr(i + lit(1), lit(100))))))
-          .as("variant"))
       val keyed = t(s, dir, "documents")
         .select(col("doc_id"), substring(lower(col("text")), 1, 12).as("key"))
       val probes = keyed.where(pmod(col("doc_id"), lit(41)) === 0)
         .select(col("doc_id").as("probe_id"),
           concat(substring(col("key"), 1, 2), substring(col("key"), 4, 9))
             .as("pkey"))
-      exploded(probes, "pkey", "probe_id")
-        .join(exploded(keyed, "key", "doc_id"), Seq("variant"))
-        .select("probe_id", "pkey", "doc_id", "key").distinct()
-        .where(levenshtein(col("pkey"), col("key")) <= 1)
+      graft.operators.FuzzyJoin.ed1Join(probes, "pkey", keyed, "key")
         .groupBy("probe_id")
         .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("min_doc"))
     }),
