@@ -3257,6 +3257,44 @@ object SparkEntry {
     //      per-panel re-centering, panel norms precomputed (the composed
     //      greatest-of-cosines form measured 10x slower; see the kernel's
     //      scaladoc). ----
+    // ---- content-defined chunking: split each document at ROLLING-
+    //      HASH boundaries (Karp-Rabin 8-gram ≡ 0 mod 64 — the same
+    //      polynomial as the fingerprint kernels, so the oracle reuses
+    //      that CTE) instead of fixed offsets — the CDC shape dedup
+    //      storage and incremental sync use, because an insertion only
+    //      reshuffles the chunks around the edit instead of shifting
+    //      every later boundary. One fused-kernel pass per row, array
+    //      ops only, no shuffle; the chunk-content digest pins every
+    //      boundary byte-exactly. ----
+    "q_cdc_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val k = 8
+      val g = ColumnBridge.column(graft.functions.GramHashes(
+        ColumnBridge.expression(col("text")), k))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), g.as("g"))
+        .select(col("doc_id"), col("text"),
+          filter(
+            transform(sequence(lit(1), size(col("g"))), i =>
+              when(pmod(element_at(col("g"), i), lit(64L)) === 0L,
+                i + lit(k - 1))),
+            x => x.isNotNull).as("cuts"))
+        .select(col("doc_id"),
+          filter(
+            zip_with(
+              concat(array(lit(0)), col("cuts")),
+              concat(col("cuts"), array(length(col("text")))),
+              (a, b) => col("text").substr(a + lit(1), greatest(b - a, lit(0)))),
+            c => length(c) > 0).as("chunks"))
+        .select(
+          col("doc_id"),
+          size(col("chunks")).as("n_chunks"),
+          array_min(transform(col("chunks"), c => length(c))).as("min_len"),
+          array_max(transform(col("chunks"), c => length(c))).as("max_len"),
+          md5(concat_ws("|",
+            transform(col("chunks"), c => md5(c.cast("binary"))))
+            .cast("binary")).as("chunks_md5"))
+    }),
     // ---- bloom-prefiltered decontamination — the RUNTIME-FILTER shape
     //      of q_decontaminate for the 100 TB regime. The eval set's
     //      distinct fingerprints fold into a 16384-bit Bloom bitmap on
@@ -3460,6 +3498,7 @@ object SparkEntry {
     "q_stream_agg" -> Seq("lang"),
     "q_funnel" -> Seq("stage"),
     "q_fuzzy_join" -> Seq("probe_id"),
+    "q_cdc_chunks" -> Seq("doc_id"),
     "q_retention" -> Seq("cohort_wk", "activity_wk"),
     "q_kmv_setops" -> Seq("k_n"), // single row
     "q_ann_recall" -> Seq("n_overlap"), // single row
@@ -4210,6 +4249,29 @@ object SparkEntry {
         |      / (CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb)), 6) + 0.0) AS chi2
         |FROM c, tot
         |ORDER BY n_a + n_b DESC, shingle LIMIT 200""".stripMargin,
+    // same Karp-Rabin grams as the fingerprint oracles (the shared CTE
+    // chain), boundaries where gram % 64 = 0, chunk digests byte-exact
+    "q_cdc_chunks" ->
+      s"""WITH $oFingerprintCtes,
+         |d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |b AS (SELECT g.doc_id, d.text, d.n,
+         |    list_transform(
+         |      list_filter(range(1, len(grams)+1), i -> grams[i] % 64 = 0),
+         |      i -> i + 7) AS cuts
+         |  FROM g JOIN d USING(doc_id)),
+         |ch AS (SELECT doc_id,
+         |    list_filter(
+         |      list_transform(
+         |        list_zip(list_prepend(0, cuts), list_append(cuts, n)),
+         |        z -> substr(text, CAST(z[1] AS INT) + 1,
+         |               greatest(CAST(z[2] AS INT) - CAST(z[1] AS INT), 0))),
+         |      c -> length(c) > 0) AS chunks
+         |  FROM b)
+         |SELECT doc_id, len(chunks) AS n_chunks,
+         |  list_min(list_transform(chunks, c -> length(c))) AS min_len,
+         |  list_max(list_transform(chunks, c -> length(c))) AS max_len,
+         |  md5(array_to_string(list_transform(chunks, c -> md5(c)), '|')) AS chunks_md5
+         |FROM ch ORDER BY doc_id""".stripMargin,
     // deletion-neighborhood candidates re-derived in SQL; the verify
     // levenshtein has identical unit-cost semantics in both engines
     "q_fuzzy_join" ->
