@@ -2541,6 +2541,41 @@ object SparkEntry {
         .select(col("id_new").as("doc_new"), col("id_old").as("doc_old"),
           rn(col("jac"), 6).as("jaccard"))
     }),
+    // ---- graph analytics over the near-dup graph: triangle counting
+    //      by the ordered-wedge join — edges normalized to a<b, wedges
+    //      are (a<b)⋈(b<c) on the shared endpoint, a triangle is a
+    //      wedge whose closing edge (a,c) exists. Two EQUI-joins on the
+    //      edge list (the standard distributed triangle shape; ordering
+    //      counts each triangle exactly once, no cartesian anywhere),
+    //      reusing the persisted near-dup edge artifact. The closure
+    //      rate (closed / ordered wedges) is the dedup-graph health
+    //      signal: duplicate groups are cliques, so a low rate means
+    //      the pair generator is catching chains, not groups. ----
+    "q_triangle_count" -> ((s, dir) => {
+      val base = cachePath("ndedges", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        NearDup.nearDuplicatePairs(t(s, dir, "documents"))
+          .select(col("doc_a"), col("doc_b"))
+          .write.mode("overwrite").parquet(s"$base/edges")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      val e = s.read.parquet(s"$base/edges")
+        .select(least(col("doc_a"), col("doc_b")).as("a"),
+          greatest(col("doc_a"), col("doc_b")).as("b"))
+        .distinct()
+      val wedges = e.join(
+        e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      val triangles = wedges.join(
+        e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      val nE = e.count()
+      val nW = wedges.count()
+      val nT = triangles.count()
+      import s.implicits._
+      Seq((nE, nW, nT)).toDF("n_edges", "n_wedges", "n_triangles")
+        .withColumn("closure_rate",
+          when(col("n_wedges") > 0,
+            rn(col("n_triangles").cast("double") / col("n_wedges"), 6)))
+    }),
     // ---- training-pipeline: near-duplicate CLUSTERS — the step after
     //      pair generation in a real dedup pipeline (pick one canonical
     //      doc per connected component, drop the rest). Connected
@@ -3499,6 +3534,7 @@ object SparkEntry {
     "q_funnel" -> Seq("stage"),
     "q_fuzzy_join" -> Seq("probe_id"),
     "q_cdc_chunks" -> Seq("doc_id"),
+    "q_triangle_count" -> Seq("n_edges"), // single row
     "q_retention" -> Seq("cohort_wk", "activity_wk"),
     "q_kmv_setops" -> Seq("k_n"), // single row
     "q_ann_recall" -> Seq("n_overlap"), // single row
@@ -4826,6 +4862,21 @@ object SparkEntry {
       s"""WITH $oNearDupVerifiedCtes
          |SELECT doc_a, doc_b, (round(jac, 6) + 0.0) AS jaccard FROM verified
          |WHERE jac >= ${NearDup.Params().threshold} ORDER BY doc_a, doc_b""".stripMargin,
+    // same edge set as q_neardup_pairs/q_dedup_clusters; ordered-wedge
+    // triangle derivation mirrored
+    "q_triangle_count" ->
+      s"""WITH $oNearDupVerifiedCtes,
+         |ed AS (SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+         |       FROM verified WHERE jac >= ${NearDup.Params().threshold}),
+         |w AS (SELECT e1.a, e1.b, e2.b AS c FROM ed e1 JOIN ed e2 ON e1.b = e2.a),
+         |tr AS (SELECT w.a, w.b, w.c FROM w JOIN ed ON w.a = ed.a AND w.c = ed.b)
+         |SELECT CAST((SELECT count(*) FROM ed) AS BIGINT) AS n_edges,
+         |  CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
+         |  CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_triangles,
+         |  CASE WHEN (SELECT count(*) FROM w) > 0
+         |    THEN (round(CAST((SELECT count(*) FROM tr) AS DOUBLE) /
+         |                (SELECT count(*) FROM w), 6) + 0.0)
+         |  END AS closure_rate""".stripMargin,
     // the PURE all-pairs Jaccard definition — the prefix-filtered join
     // must reproduce it exactly (completeness is the whole claim)
     "q_ngram_jaccard" ->
