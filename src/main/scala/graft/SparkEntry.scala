@@ -1336,6 +1336,43 @@ object SparkEntry {
         .groupBy("probe_id")
         .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("min_doc"))
     }),
+    // ---- time-series resampling: every user onto the SAME daily grid
+    //      with last-observation-carried-forward fill — the feature
+    //      pipeline's "regularize before you window" step. Per-day last
+    //      observation by (ts, event_id) rank, the global day span from
+    //      the cached bounds (driver integers), grid = users ×
+    //      sequence(d0, d1), and LOCF is one ignore-nulls running last
+    //      over the user-partitioned window — ONE shuffle on user_id at
+    //      any scale. Values are raw passthroughs (LOCF is selection,
+    //      not arithmetic), so the hash is bit-exact; src_day pins
+    //      WHICH observation each gap borrowed. ----
+    "q_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      val (_, _, tLo, tHi) = zorderBounds(s, dir)
+      val (d0, d1) = (tLo / dayUs, tHi / dayUs)
+      val tu = unix_micros(col("ts"))
+      val ev = events(s, dir).select(
+        col("user_id"),
+        ((tu - pmod(tu, lit(dayUs))) / lit(dayUs)).cast("long").as("day"),
+        tu.as("tu"), col("event_id"), col("value"))
+      val daily = ev
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id", "day")
+            .orderBy(col("tu").desc, col("event_id").desc)))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("day"), col("value"),
+          col("day").as("oday"))
+      val grid = ev.select("user_id").distinct()
+        .select(col("user_id"),
+          explode(sequence(lit(d0), lit(d1))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"), col("day"),
+          last(col("value"), ignoreNulls = true).over(w).as("val"),
+          last(col("oday"), ignoreNulls = true).over(w).as("src_day"))
+    }),
     // ---- funnel analysis (ordered-stage conversion): users who
     //      viewed, then clicked within 24 h of their first view, then
     //      purchased within 72 h of that first qualifying click
@@ -3535,6 +3572,7 @@ object SparkEntry {
     "q_fuzzy_join" -> Seq("probe_id"),
     "q_cdc_chunks" -> Seq("doc_id"),
     "q_triangle_count" -> Seq("n_edges"), // single row
+    "q_resample" -> Seq("user_id", "day"),
     "q_retention" -> Seq("cohort_wk", "activity_wk"),
     "q_kmv_setops" -> Seq("k_n"), // single row
     "q_ann_recall" -> Seq("n_overlap"), // single row
@@ -4327,6 +4365,27 @@ object SparkEntry {
         |SELECT probe_id, count(*) AS n_matches, CAST(min(doc_id) AS BIGINT) AS min_doc
         |FROM cand WHERE levenshtein(pkey, key) <= 1
         |GROUP BY probe_id ORDER BY probe_id""".stripMargin,
+    // same per-day last observation (ts, event_id rank), same global
+    // grid, same ignore-nulls running last
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts)//1000) // 86400000000 AS day,
+        |    epoch_ns(ts)//1000 AS tu, event_id, value
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |dl AS (SELECT user_id, day, value, day AS oday FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY tu DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |g AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+        |      FROM (SELECT DISTINCT user_id FROM e), b)
+        |SELECT g.user_id, g.day,
+        |  last_value(dl.value IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS val,
+        |  last_value(dl.oday IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS src_day
+        |FROM g LEFT JOIN dl ON g.user_id = dl.user_id AND g.day = dl.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tu FROM events),
         |v AS (SELECT user_id, min(tu) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
