@@ -13,6 +13,7 @@ import org.apache.hadoop.util.LineReader
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming
@@ -234,7 +235,22 @@ case class JsonlScan(
     splitBytes: Long,
     limit: Int,
     failFast: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filters from a join's build side, applied
+    * ROW-LEVEL: JSONL files carry no per-file statistics to prune
+    * whole splits with, but the supported subset joins the pushed set
+    * and drops rows during the parse — before anything is materialized
+    * for the join. Correctness never depends on it (Spark keeps the
+    * join); unsupported runtime predicates are ignored. */
+  @transient private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[expressions.NamedReference] =
+    fullSchema.fields.map(f => expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(JsonlV2.supported)
 
   override def readSchema(): StructType = required
 
@@ -273,7 +289,7 @@ case class JsonlScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    JsonlReaderFactory(fullSchema, required, pushed, limit, failFast)
+    JsonlReaderFactory(fullSchema, required, pushed ++ runtime, limit, failFast)
 }
 
 /** One byte range of one file. `alignedStart` marks a range start

@@ -208,6 +208,29 @@ class Dsv2SourceSpec extends SparkSpec {
       messages(ex).mkString(" | "))
   }
 
+  test("runtime filters apply row-level in the reader") {
+    import org.apache.spark.sql.sources.{Filter, In}
+    import graft.sources.{JsonlScanBuilder, JsonlScan}
+    // drive the connector API directly: a runtime In-filter arriving
+    // after planning must restrict what the reader emits
+    val scan = new JsonlScanBuilder(jsonlDir, docsSchema, 128L * 1024 * 1024)
+      .build().asInstanceOf[JsonlScan]
+    assert(scan.filterAttributes().map(_.describe()).contains("lang"))
+    scan.filter(Array[Filter](In("lang", Array("en"))))
+    val factory = scan.createReaderFactory()
+    val parts = scan.toBatch.planInputPartitions()
+    var total = 0L
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      try while (r.next()) total += 1
+      finally r.close()
+    }
+    val expected = spark.read.schema(docsSchema).json(jsonlDir)
+      .where(col("lang") === "en").count()
+    assert(total === expected)
+    assert(total > 0)
+  }
+
   test("bounded schema inference reads one line, types integrals as long") {
     val inferred = spark.read.format("graft-jsonl").load(jsonlDir)
     val m = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
