@@ -231,6 +231,24 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(total > 0)
   }
 
+  test("split size never changes what is read (boundary-ownership invariance)") {
+    val out = Files.createTempDirectory("dsv2inv").toString + "/one.jsonl"
+    // variable-length lines so byte boundaries fall mid-line in
+    // different places for every split size
+    val lines = (0 until 1200).map(i => s"""{"id":$i,"v":"${"y" * (i % 37)}"}""")
+    Files.write(java.nio.file.Paths.get(out),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    for (split <- Seq("64", "257", "1024", "5000", "999999")) {
+      val ids = spark.read.format("graft-jsonl").schema(schema)
+        .option("splitSizeBytes", split)
+        .load(out)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids === (0L until 1200L), s"splitSizeBytes=$split")
+    }
+  }
+
   test("bounded schema inference reads one line, types integrals as long") {
     val inferred = spark.read.format("graft-jsonl").load(jsonlDir)
     val m = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
