@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.write._
@@ -201,11 +202,42 @@ class JsonlScanBuilder(
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggs: Option[Seq[JsonlAgg]] = None
+
+  private def singleColumn(e: expressions.Expression): Option[String] =
+    e match {
+      case n: expressions.NamedReference if n.fieldNames().length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+
+  /** PARTIAL aggregate pushdown (no grouping): COUNT(*) counts lines
+    * without parsing JSON at all when no filters are pushed; COUNT/MIN/
+    * MAX(col) parse only that field. Each split returns ONE partial row
+    * and Spark's final aggregate merges — the 100 TB `SELECT count(*)`
+    * stops being a full decode of the corpus. */
+  override def pushAggregation(
+      aggregation: aggregate.Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    val parsed = aggregation.aggregateExpressions().toSeq.map {
+      case _: aggregate.CountStar => Some(JsonlCountStar)
+      case c: aggregate.Count if !c.isDistinct =>
+        singleColumn(c.column).map(JsonlCount)
+      case m: aggregate.Min =>
+        singleColumn(m.column).map(n => JsonlMin(n, fullSchema(n).dataType))
+      case m: aggregate.Max =>
+        singleColumn(m.column).map(n => JsonlMax(n, fullSchema(n).dataType))
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty)) false
+    else { aggs = Some(parsed.flatten); true }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -224,7 +256,7 @@ class JsonlScanBuilder(
   override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   override def build(): Scan =
-    JsonlScan(path, fullSchema, required, pushed, splitBytes, limit, failFast)
+    JsonlScan(path, fullSchema, required, pushed, splitBytes, limit, failFast, aggs)
 }
 
 case class JsonlScan(
@@ -234,7 +266,8 @@ case class JsonlScan(
     pushed: Array[Filter],
     splitBytes: Long,
     limit: Int,
-    failFast: Boolean = false)
+    failFast: Boolean = false,
+    pushedAggs: Option[Seq[JsonlAgg]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -250,9 +283,20 @@ case class JsonlScan(
     fullSchema.fields.map(f => expressions.Expressions.column(f.name))
 
   override def filter(filters: Array[Filter]): Unit =
-    runtime = filters.filter(JsonlV2.supported)
+    // an aggregated scan's partials must reflect exactly the STATIC
+    // pushed filters Spark knows about — never narrow them at runtime
+    if (pushedAggs.isEmpty) runtime = filters.filter(JsonlV2.supported)
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = pushedAggs match {
+    case None => required
+    case Some(as) =>
+      StructType(as.zipWithIndex.map {
+        case (JsonlCountStar, i)   => StructField(s"agg_$i", LongType)
+        case (JsonlCount(_), i)    => StructField(s"agg_$i", LongType)
+        case (JsonlMin(_, dt), i)  => StructField(s"agg_$i", dt)
+        case (JsonlMax(_, dt), i)  => StructField(s"agg_$i", dt)
+      })
+  }
 
   /** Bytes on disk under the path — enough for Catalyst/AQE to make
     * sane broadcast and shuffle decisions against this source instead
@@ -269,7 +313,8 @@ case class JsonlScan(
   override def description(): String =
     s"graft-jsonl $path ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      pushedAggs.map(a => s", PushedAggregation: [${a.mkString(", ")}]").getOrElse("")
 
   override def toBatch: Batch = this
 
@@ -288,8 +333,121 @@ case class JsonlScan(
         }
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    JsonlReaderFactory(fullSchema, required, pushed ++ runtime, limit, failFast)
+  override def createReaderFactory(): PartitionReaderFactory = pushedAggs match {
+    case None =>
+      JsonlReaderFactory(fullSchema, required, pushed ++ runtime, limit, failFast)
+    case Some(as) =>
+      JsonlAggReaderFactory(fullSchema, as, pushed, failFast)
+  }
+}
+
+/** The supported pushed-aggregate shapes. */
+sealed trait JsonlAgg extends Serializable
+case object JsonlCountStar extends JsonlAgg { override def toString = "COUNT(*)" }
+case class JsonlCount(col: String) extends JsonlAgg { override def toString = s"COUNT($col)" }
+case class JsonlMin(col: String, dt: DataType) extends JsonlAgg { override def toString = s"MIN($col)" }
+case class JsonlMax(col: String, dt: DataType) extends JsonlAgg { override def toString = s"MAX($col)" }
+
+case class JsonlAggReaderFactory(
+    fullSchema: StructType,
+    aggs: Seq[JsonlAgg],
+    pushed: Array[Filter],
+    failFast: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new JsonlAggPartitionReader(
+      p.asInstanceOf[JsonlSplit], fullSchema, aggs, pushed, failFast)
+}
+
+/** One PARTIAL aggregate row per split. Pure COUNT(*) with no pushed
+  * filters counts lines without touching Jackson at all; otherwise only
+  * the referenced ∪ filtered fields parse per line. */
+class JsonlAggPartitionReader(
+    split: JsonlSplit,
+    fullSchema: StructType,
+    aggs: Seq[JsonlAgg],
+    pushed: Array[Filter],
+    failFast: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  private val neededCols: Array[String] =
+    (aggs.collect {
+      case JsonlCount(c)  => c
+      case JsonlMin(c, _) => c
+      case JsonlMax(c, _) => c
+    } ++ pushed.flatMap(JsonlV2.refs)).distinct.toArray
+  private val countOnly = neededCols.isEmpty && pushed.isEmpty
+
+  // delegate the line/boundary discipline to the row reader over the
+  // needed columns (empty required schema in the count-only case)
+  private val inner = new JsonlPartitionReader(
+    split, fullSchema,
+    StructType(neededCols.map(n => fullSchema(fullSchema.fieldIndex(n)))),
+    pushed, -1, failFast)
+
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    var countStar = 0L
+    val counts = new Array[Long](aggs.size)
+    val minmax = new Array[Any](aggs.size)
+    val colIdx = aggs.map {
+      case JsonlCount(c)  => neededCols.indexOf(c)
+      case JsonlMin(c, _) => neededCols.indexOf(c)
+      case JsonlMax(c, _) => neededCols.indexOf(c)
+      case JsonlCountStar => -1
+    }.toArray
+    while (inner.next()) {
+      countStar += 1L
+      if (!countOnly) {
+        val r = inner.get()
+        var i = 0
+        while (i < aggs.size) {
+          aggs(i) match {
+            case JsonlCountStar => ()
+            case JsonlCount(_) =>
+              if (!r.isNullAt(colIdx(i))) counts(i) += 1L
+            case JsonlMin(_, dt) =>
+              val v = if (r.isNullAt(colIdx(i))) null else r.get(colIdx(i), dt)
+              if (v != null && (minmax(i) == null ||
+                  JsonlAggPartitionReader.cmp(v, minmax(i)) < 0)) minmax(i) = v
+            case JsonlMax(_, dt) =>
+              val v = if (r.isNullAt(colIdx(i))) null else r.get(colIdx(i), dt)
+              if (v != null && (minmax(i) == null ||
+                  JsonlAggPartitionReader.cmp(v, minmax(i)) > 0)) minmax(i) = v
+          }
+          i += 1
+        }
+      }
+    }
+    val out = new GenericInternalRow(aggs.size)
+    aggs.zipWithIndex.foreach {
+      case (JsonlCountStar, i)  => out.update(i, countStar)
+      case (JsonlCount(_), i)   => out.update(i, counts(i))
+      case (JsonlMin(_, _), i)  => out.update(i, minmax(i))
+      case (JsonlMax(_, _), i)  => out.update(i, minmax(i))
+    }
+    row = out
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = inner.close()
+}
+
+object JsonlAggPartitionReader {
+  private[sources] def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => throw new IllegalStateException(
+      s"incomparable aggregate values: ${a.getClass} vs ${b.getClass}")
+  }
 }
 
 /** One byte range of one file. `alignedStart` marks a range start
@@ -345,6 +503,8 @@ class JsonlPartitionReader(
   private var consumed = 0L
   private val filterCols: Array[String] =
     pushed.flatMap(JsonlV2.refs).distinct
+  // (COUNT(*) fast path: when nothing needs extracting or filtering and
+  // FAILFAST isn't on, a line IS a row — see the skip branch in next())
   // parse set = output columns ∪ filter columns, each with its declared type
   private val parseCols: Array[StructField] =
     (required.fields.map(_.name) ++ filterCols).distinct.map { n =>
@@ -374,6 +534,11 @@ class JsonlPartitionReader(
       consumed += n
       val line = text.toString
       if (line.trim.nonEmpty) {
+        if (parseCols.isEmpty && pushed.isEmpty && !failFast) {
+          row = JsonlPartitionReader.EmptyRow
+          emitted += 1
+          return true
+        }
         // PERMISSIVE (default, spark.read.json parity): an unparseable
         // line becomes an all-null row — pushed IsNotNull/comparison
         // filters then drop it before a row is built. FAILFAST names
@@ -412,6 +577,8 @@ class JsonlPartitionReader(
 }
 
 object JsonlPartitionReader {
+  private[sources] val EmptyRow = new GenericInternalRow(0)
+
   /** JSON node → Catalyst internal value of the declared type. */
   private[sources] def convert(node: JsonNode, dt: DataType): Any =
     if (node == null || node.isNull) null

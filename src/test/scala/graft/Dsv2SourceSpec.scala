@@ -249,6 +249,40 @@ class Dsv2SourceSpec extends SparkSpec {
     }
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX reach the scan; unsupported shapes fall back") {
+    val agg = v2().agg(
+      count(lit(1)).as("n"),
+      min(col("n_chars")).as("mn"),
+      max(col("n_chars")).as("mx"),
+      count(col("lang")).as("nl"))
+    val plan = planOf(agg)
+    assert(plan.contains("PushedAggregation: [COUNT(*), MIN(n_chars), MAX(n_chars), COUNT(lang)]"), plan)
+    val builtin = spark.read.schema(docsSchema).json(jsonlDir).agg(
+      count(lit(1)), min(col("n_chars")), max(col("n_chars")), count(col("lang")))
+      .head()
+    assert(agg.head() === builtin)
+
+    // with a pushed filter the partials must reflect it
+    val filtered = v2().where(col("lang") === "en").agg(count(lit(1)).as("n"))
+    assert(planOf(filtered).contains("PushedAggregation: [COUNT(*)]"), planOf(filtered))
+    assert(filtered.head().getLong(0) ===
+      spark.read.schema(docsSchema).json(jsonlDir)
+        .where(col("lang") === "en").count())
+
+    // avg is not pushable; result still correct
+    val fallback = v2().agg(avg(col("n_chars")).as("a"))
+    assert(!planOf(fallback).contains("PushedAggregation"), planOf(fallback))
+    assert(fallback.head().getDouble(0) ===
+      spark.read.schema(docsSchema).json(jsonlDir).agg(avg(col("n_chars"))).head().getDouble(0))
+
+    // grouped aggregation is not pushed (no grouping support); correct anyway
+    val grouped = v2().groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(!planOf(grouped).contains("PushedAggregation"), planOf(grouped))
+    assert(grouped.orderBy("lang").collect().toSeq ===
+      spark.read.schema(docsSchema).json(jsonlDir)
+        .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang").collect().toSeq)
+  }
+
   test("bounded schema inference reads one line, types integrals as long") {
     val inferred = spark.read.format("graft-jsonl").load(jsonlDir)
     val m = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
