@@ -1468,6 +1468,36 @@ object SparkEntry {
       } finally q.stop()
       ss.table("q_stream_agg_sink")
     }),
+    // ---- the connector's aggregate pushdown under the oracle: an
+    //      ungrouped COUNT(*)/COUNT(col)/MIN/MAX over the V2 source
+    //      plans as one partial row per split merged by Spark's final
+    //      aggregate — the COUNT(*) partial never parses JSON at all.
+    //      Hash equality against the parquet originals proves the
+    //      partial/merge arithmetic and the line-counting fast path
+    //      agree with a full decode. ----
+    "q_dsv2_agg" -> ((s, dir) => {
+      val base = cachePath("jsonl_v2", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        t(s, dir, "documents").write.format("graft-jsonl")
+          .mode("overwrite").save(s"$base/docs")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      s.read.format("graft-jsonl").schema(schema).load(s"$base/docs")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("lang")).as("n_lang"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          min(col("lang")).as("min_lang"),
+          max(col("doc_id")).as("max_doc"))
+    }),
     // ---- z-order layout + zone-map data skipping: events written ONCE
     //      Morton-clustered on (user_id, ts) — 64 partition buckets
     //      forming an 8×8 grid over the 2-D key space, rows z-sorted
@@ -3568,6 +3598,7 @@ object SparkEntry {
     "q_zorder_skip" -> Seq("event_type"),
     "q_dsv2_source" -> Seq("lang", "source"),
     "q_stream_agg" -> Seq("lang"),
+    "q_dsv2_agg" -> Seq("n_rows"), // single row
     "q_funnel" -> Seq("stage"),
     "q_fuzzy_join" -> Seq("probe_id"),
     "q_cdc_chunks" -> Seq("doc_id"),
@@ -4415,6 +4446,16 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the pushed-aggregate partials merged by Spark must equal the
+    // one-shot aggregate over the parquet originals
+    "q_dsv2_agg" ->
+      """SELECT count(*) AS n_rows,
+        |  count(lang) AS n_lang,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  min(lang) AS min_lang,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM documents""".stripMargin,
     // the connector-fidelity proof: the V2 JSONL read (splits, parse,
     // pushed filters) must reproduce the parquet originals' aggregate
     "q_dsv2_source" ->
