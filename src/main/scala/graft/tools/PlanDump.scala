@@ -68,7 +68,9 @@ object PlanDump {
     "q_dsv2_source" ->
       "DataSourceV2 connector scan: the BatchScan line shows the pruned ReadSchema and the pushed filter set the reader evaluates before rows are built — the V2 analog of the parquet PushedFilters audit; file-size statistics let AQE broadcast the right side of any join against this source.",
     "q_funnel" ->
-      "Funnel conversion: events collapse to user-level stage times BEFORE each join, so the three stage joins move user-level rows only; all three stage frames and the final union-groupBy co-partition on user_id.")
+      "Funnel conversion: events collapse to user-level stage times BEFORE each join, so the three stage joins move user-level rows only; all three stage frames and the final union-groupBy co-partition on user_id.",
+    "q_dsv2_agg" ->
+      "Connector aggregate pushdown: the BatchScan line carries PushedAggregation — each split returns ONE partial COUNT/MIN/MAX row (the COUNT(*) partial is line counting, no JSON parse) and the HashAggregate above merges partials; the corpus is never materialized as rows.")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
