@@ -2505,6 +2505,27 @@ object SparkEntry {
           rn(col("dist"), 6).as("dist"),
           rn(col("score"), 6).as("score"))
     }),
+    // ---- FEDERATED search across libraries — the multi-tenant shape
+    //      the reference's one-library-per-request API can't express:
+    //      each library answers its own top-k through the full
+    //      persisted read path (independent shards at scale), and the
+    //      global top-k merges the k×L candidate rows — exact by
+    //      decomposition (the global top-k is a subset of the union of
+    //      per-shard top-ks), so only k rows per shard ever move. The
+    //      oracle re-derives both shards' rankings and the merge over
+    //      the base table. ----
+    "q_federated_search" -> ((s, dir) => {
+      val cat = federatedDemoCatalog(s, dir)
+      Seq("fed_en", "fed_rest")
+        .map { name =>
+          cat.search(name, EmbedQueryText, k = 10, metric = Cosine)
+            .select(lit(name).as("library"), col("id"), col("dist"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy(col("dist"), col("id"))
+        .limit(10)
+        .select(col("library"), col("id"), rn(col("dist"), 6).as("dist"))
+    }),
     // ---- A1/A2 + documentSchema: the DERIVED documents view of a
     //      persisted library — membership, counts, and document-level
     //      title/description/source/tags aggregated from chunk
@@ -3529,6 +3550,34 @@ object SparkEntry {
           lit(null).cast("int").as("page")).as("metadata"))
       cat.createLibrary("search_demo", Models.FlatIndexer, src, overwrite = true)
     }
+    cat
+  }
+
+  /** Two persisted shard libraries for the federated search query —
+    * the en corpus and the rest, same id derivation as the search demo
+    * (disjoint doc sets, so ids stay globally unique). */
+  private def federatedDemoCatalog(
+      s: SparkSession, dir: String): graft.catalog.LibraryCatalog = {
+    import graft.catalog.{LibraryCatalog, Models}
+    val cat = new LibraryCatalog(s, cachePath("fed_wh", dir))
+    def src(pred: Column) = t(s, dir, "documents").where(pred).select(
+      concat(lit("c"), col("doc_id")).as("id"),
+      concat(lit("d"), pmod(col("doc_id"), lit(50))).as("document_id"),
+      col("text"),
+      struct(
+        col("lang").as("source"),
+        lit(null).cast("timestamp").as("created_at"),
+        array(col("lang")).as("tags"),
+        lit(null).cast("string").as("author"),
+        lit(null).cast("string").as("title"),
+        lit(null).cast("string").as("description"),
+        lit(null).cast("int").as("page")).as("metadata"))
+    if (!cat.exists("fed_en"))
+      cat.createLibrary("fed_en", Models.FlatIndexer,
+        src(col("lang") === "en"), overwrite = true)
+    if (!cat.exists("fed_rest"))
+      cat.createLibrary("fed_rest", Models.FlatIndexer,
+        src(col("lang") =!= "en"), overwrite = true)
     cat
   }
 
@@ -4741,6 +4790,26 @@ object SparkEntry {
         |SELECT mime, count(*) AS n_media,
         |  CAST(sum(rw) AS BIGINT) AS sum_w, CAST(sum(rh) AS BIGINT) AS sum_h
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both shards' euclidean rankings re-derived over the base table,
+    // per-shard LIMIT 10, then the exact global merge
+    "q_federated_search" -> {
+      val de = Embedder.oracleEmbed("text")
+      val qe = Embedder.oracleEmbed(s"'$EmbedQueryText'")
+      val euclidQ =
+        "sqrt(list_sum(list_transform(list_zip(d.embedding, q.qv), " +
+          "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))"
+      s"""WITH docs AS (SELECT 'c' || doc_id AS id, lang, $de AS embedding FROM documents),
+         |q AS (SELECT $qe AS qv),
+         |r1 AS (
+         |  SELECT 'fed_en' AS library, d.id AS id, $euclidQ AS de
+         |  FROM docs d, q WHERE d.lang = 'en' ORDER BY de, d.id LIMIT 10),
+         |r2 AS (
+         |  SELECT 'fed_rest' AS library, d.id AS id, $euclidQ AS de
+         |  FROM docs d, q WHERE d.lang <> 'en' ORDER BY de, d.id LIMIT 10),
+         |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         |SELECT library, id, (round(de, 6) + 0.0) AS dist
+         |FROM u ORDER BY de, id LIMIT 10""".stripMargin
+    },
     "q_catalog_search" -> {
       val de = Embedder.oracleEmbed("text")
       val qe = Embedder.oracleEmbed(s"'$EmbedQueryText'")
