@@ -45,6 +45,25 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("multibyte keys: variant generation agrees with levenshtein on non-ASCII text") {
+    // substr-based deletion variants and levenshtein must agree on what
+    // "one edit" means for multibyte code points (incl. surrogate pairs)
+    val alphabet = Array("a", "ä", "中", "🙂")
+    val rnd = new scala.util.Random(7)
+    def key() = (0 until (1 + rnd.nextInt(4))).map(_ => alphabet(rnd.nextInt(4))).mkString
+    val left = Seq.fill(40)(key()).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("lid", "lkey")
+    val right = Seq.fill(40)(key()).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("rid", "rkey")
+    val fast = FuzzyJoin.ed1Join(left, "lkey", right, "rkey")
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val brute = left.crossJoin(right)
+      .where(levenshtein(col("lkey"), col("rkey")) <= 1)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(brute.nonEmpty)
+    assert(fast === brute)
+  }
+
   test("the candidate stage plans an equi-join, not a nested loop") {
     val left = Seq((1L, "abc")).toDF("lid", "lkey")
     val right = Seq((2L, "abd")).toDF("rid", "rkey")
