@@ -3397,11 +3397,18 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"), g.as("g"))
         .select(col("doc_id"), col("text"),
-          filter(
-            transform(sequence(lit(1), size(col("g"))), i =>
-              when(pmod(element_at(col("g"), i), lit(64L)) === 0L,
-                i + lit(k - 1))),
-            x => x.isNotNull).as("cuts"))
+          // Guard: for texts shorter than the gram width GramHashes returns
+          // an EMPTY array, and sequence(1, 0) is a DESCENDING [1, 0] whose
+          // element_at(g, 0) throws at runtime — so short documents take the
+          // explicit empty-cuts branch (mirrors the size(tk) guard the word-
+          // shingle call sites use).
+          when(size(col("g")) >= 1,
+            filter(
+              transform(sequence(lit(1), size(col("g"))), i =>
+                when(pmod(element_at(col("g"), i), lit(64L)) === 0L,
+                  i + lit(k - 1))),
+              x => x.isNotNull))
+            .otherwise(array().cast("array<int>")).as("cuts"))
         .select(col("doc_id"),
           filter(
             zip_with(

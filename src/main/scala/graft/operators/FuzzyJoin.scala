@@ -22,15 +22,16 @@ object FuzzyJoin {
 
   /** `{key} ∪ {key with char i deleted}` — `array_union` also dedupes
     * (deleting either of two equal adjacent chars yields one variant).
-    * `maxLen` bounds the substr arithmetic; keys longer than it must
-    * not occur (enforced by the caller's key derivation). */
-  def deletionVariants(key: Column, maxLen: Int = 100): Column =
+    * The post-deletion suffix length is taken from `length(key)` itself
+    * (an over-estimate `substr` clamps), so arbitrarily long keys keep
+    * complete variant sets — no silent truncation cap. */
+  def deletionVariants(key: Column): Column =
     array_union(
       array(key),
       transform(sequence(lit(1), length(key)), i =>
         concat(
           key.substr(lit(1), i - lit(1)),
-          key.substr(i + lit(1), lit(maxLen)))))
+          key.substr(i + lit(1), length(key)))))
 
   /** All (left, right) row pairs whose keys have Levenshtein distance
     * ≤ 1. Output: left's columns then right's (caller disambiguates

@@ -65,15 +65,20 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    // every option read goes through CaseInsensitiveStringMap — reader
+    // options are case-insensitive everywhere else in Spark, so
+    // .option("splitsizebytes", ...) must not be silently ignored
+    val opts = new CaseInsensitiveStringMap(properties)
     JsonlTable(
-      JsonlV2.pathOf(new CaseInsensitiveStringMap(properties)),
+      JsonlV2.pathOf(opts),
       schema,
-      Option(properties.get("splitSizeBytes"))
+      Option(opts.get("splitSizeBytes"))
         .map(_.toLong)
         .getOrElse(JsonlV2.DefaultSplitBytes),
-      Option(properties.get("mode")).map(_.toUpperCase)
+      Option(opts.get("mode")).map(_.toUpperCase)
         .getOrElse("PERMISSIVE") == "FAILFAST")
+  }
 }
 
 object JsonlV2 {
@@ -161,16 +166,26 @@ object JsonlV2 {
   }
 
   /** Compare a parsed value with a Catalyst literal of the same column
-    * type (numbers through double — exact for the long ranges JSON
-    * integral literals take in practice; strings via UTF8String order
-    * to match Spark's binary collation). */
+    * type. Integral×integral compares through Long — a double round-trip
+    * loses precision above 2^53, and a fully-pushed filter is REMOVED
+    * from the Spark plan, so a reader-side rounding error would go
+    * unchecked. Mixed float comparisons fall back to double; strings use
+    * UTF8String order to match Spark's binary collation. */
   private def cmp(x: Any, v: Any): Int = (x, v) match {
     case (a: UTF8String, b: UTF8String) => a.compareTo(b)
     case (a: UTF8String, b: String)     => a.compareTo(UTF8String.fromString(b))
     case (a: Boolean, b: Boolean)       => java.lang.Boolean.compare(a, b)
+    case (a: Number, b: Number) if isIntegral(a) && isIntegral(b) =>
+      java.lang.Long.compare(a.longValue(), b.longValue())
     case (a: Number, b: Number)         => java.lang.Double.compare(a.doubleValue(), b.doubleValue())
     case _ => throw new IllegalStateException(
       s"incomparable pushed-filter operands: ${x.getClass} vs ${v.getClass}")
+  }
+
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer |
+        _: java.lang.Short | _: java.lang.Byte => true
+    case _ => false
   }
 }
 
@@ -319,7 +334,7 @@ case class JsonlScan(
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new JsonlMicroBatchStream(path, fullSchema, required, pushed, splitBytes)
+    new JsonlMicroBatchStream(path, fullSchema, required, pushed, splitBytes, failFast)
 
   override def planInputPartitions(): Array[InputPartition] =
     JsonlV2.listFiles(path).flatMap { f =>
@@ -594,14 +609,24 @@ object JsonlPartitionReader {
     }
 }
 
-/** The write half of the connector. Overwrite (`mode("overwrite")`)
-  * arrives as `SupportsTruncate.truncate()`; prior data files are
-  * removed on the driver before tasks start. Each task streams its rows
-  * through a Jackson generator into a hidden in-progress file and
-  * RENAMES it to its final `part-<partition>-<task>.jsonl` name only in
-  * `DataWriter.commit` — with Spark's commit coordinator (the default)
-  * at most one attempt per partition commits, so speculative or retried
-  * attempts never surface partial files (abort deletes them). */
+/** The write half of the connector, following Spark's file-source
+  * commit protocol: nothing becomes visible (and nothing pre-existing
+  * is destroyed) until JOB commit.
+  *
+  *  - Each task streams its rows through a Jackson generator into a
+  *    hidden `.part-<partition>-<task>.inprogress` file; task commit
+  *    renames it to a hidden `.part-<partition>-<task>.staged` name and
+  *    reports it to the driver. With Spark's commit coordinator (the
+  *    default) at most one attempt per partition commits, so speculative
+  *    or retried attempts never reach the staged set (task abort deletes
+  *    the in-progress file).
+  *  - `BatchWrite.commit` (driver, after EVERY task committed) performs
+  *    the truncation for `mode("overwrite")` and then renames each
+  *    staged file to its final visible `part-<partition>-<task>.jsonl`
+  *    name. A job that dies mid-write therefore leaves the previous
+  *    table contents fully intact — truncation is deferred, not eager.
+  *  - `BatchWrite.abort` deletes every staged file named in the received
+  *    commit messages, so failed jobs leave no hidden debris either. */
 class JsonlWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -615,17 +640,35 @@ case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    // driver-side, before any task runs
+    // driver-side, before any task runs: only ensure the directory
+    // exists — truncation is DEFERRED to job commit so a failed
+    // overwrite never loses the previous table contents
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    if (doTruncate && fs.exists(p))
-      JsonlV2.listFiles(path).foreach(f => fs.delete(f.getPath, false))
     fs.mkdirs(p)
     JsonlWriterFactory(path, schema)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val staged = messages.collect { case JsonlStaged(s, d) => (s, d) }
+    if (doTruncate && fs.exists(p))
+      JsonlV2.listFiles(path).foreach(f => fs.delete(f.getPath, false))
+    staged.foreach { case (s, d) =>
+      val src = new Path(s); val dst = new Path(d)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"graft-jsonl job commit: rename $src -> $dst failed")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach {
+      case JsonlStaged(s, _) => fs.delete(new Path(s), false)
+      case _                 => () // uncommitted tasks cleaned up in task abort
+    }
+  }
 }
 
 case class JsonlWriterFactory(path: String, schema: StructType)
@@ -644,6 +687,7 @@ class JsonlDataWriter(
 
   private val fs = new Path(dir).getFileSystem(new Configuration())
   private val tmp = new Path(dir, s".part-$partitionId-$taskId.inprogress")
+  private val staged = new Path(dir, s".part-$partitionId-$taskId.staged")
   private val dest = new Path(dir, s"part-$partitionId-$taskId.jsonl")
   private val out = fs.create(tmp, true)
   private val gen =
@@ -672,9 +716,11 @@ class JsonlDataWriter(
 
   override def commit(): WriterCommitMessage = {
     gen.close()
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"rename $tmp -> $dest failed")
-    JsonlCommitted(dest.toString)
+    // task commit only STAGES (still hidden) — the job-level commit
+    // performs the visible rename after every task has committed
+    if (!fs.rename(tmp, staged))
+      throw new java.io.IOException(s"rename $tmp -> $staged failed")
+    JsonlStaged(staged.toString, dest.toString)
   }
 
   override def abort(): Unit = {
@@ -685,7 +731,7 @@ class JsonlDataWriter(
   override def close(): Unit = ()
 }
 
-case class JsonlCommitted(file: String) extends WriterCommitMessage
+case class JsonlStaged(staged: String, dest: String) extends WriterCommitMessage
 
 /** Streaming (micro-batch) read of a JSONL directory: the offset is the
   * per-file byte length at snapshot time, so each batch reads exactly
@@ -699,7 +745,8 @@ class JsonlMicroBatchStream(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    splitBytes: Long)
+    splitBytes: Long,
+    failFast: Boolean = false)
     extends streaming.MicroBatchStream
     with streaming.SupportsTriggerAvailableNow {
 
@@ -748,7 +795,7 @@ class JsonlMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    JsonlReaderFactory(fullSchema, required, pushed, -1)
+    JsonlReaderFactory(fullSchema, required, pushed, -1, failFast)
 
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()

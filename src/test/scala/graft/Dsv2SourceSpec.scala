@@ -119,6 +119,45 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
+  test("write half: job-level atomicity — task commit stages hidden, job commit publishes, job abort preserves prior data") {
+    import graft.sources.JsonlWrite
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val dir = Files.createTempDirectory("dsv2atomic").toString + "/t"
+    val schema = StructType(Seq(StructField("id", LongType)))
+    spark.range(3).write.format("graft-jsonl").mode("overwrite").save(dir)
+    def visible(): Seq[Long] =
+      spark.read.format("graft-jsonl").schema(schema).load(dir)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(visible() === Seq(0L, 1L, 2L))
+
+    // drive the connector's write protocol directly (one task)
+    def taskWrite(w: JsonlWrite, ids: Seq[Long]) = {
+      val writer = w.createBatchWriterFactory(null).createWriter(0, 99L)
+      val row = new GenericInternalRow(1)
+      ids.foreach { i => row.update(0, i); writer.write(row) }
+      writer.commit()
+    }
+
+    // overwrite whose JOB fails after the task committed: abort must
+    // leave the previous table contents fully intact and remove the
+    // staged file — eager truncation would have already lost the data
+    val failed = JsonlWrite(dir, schema, doTruncate = true)
+    val staged = taskWrite(failed, Seq(10L, 11L))
+    assert(visible() === Seq(0L, 1L, 2L), "staged write must not be visible")
+    failed.abort(Array(staged))
+    assert(visible() === Seq(0L, 1L, 2L))
+    assert(new java.io.File(dir).listFiles().forall(f =>
+      !f.getName.contains("staged") && !f.getName.contains("inprogress")),
+      "aborted job left hidden debris")
+
+    // successful overwrite: job commit truncates and publishes atomically
+    val ok = JsonlWrite(dir, schema, doTruncate = true)
+    val m = taskWrite(ok, Seq(20L))
+    assert(visible() === Seq(0L, 1L, 2L), "truncation must be deferred to job commit")
+    ok.commit(Array(m))
+    assert(visible() === Seq(20L))
+  }
+
   test("limit pushdown stops the reader early and surfaces in the scan") {
     val df = v2().limit(7)
     val plan = planOf(df)

@@ -45,6 +45,27 @@ class QueriesSmokeSpec extends SparkSpec {
     * (every sf0.001 customer has orders, so the anti join is empty). */
   private val mayBeEmpty = Set("q_anti_customers_without_orders")
 
+  test("q_cdc_chunks survives documents shorter than the gram width") {
+    // a < 8-char text makes GramHashes return an EMPTY array; the cuts
+    // derivation must take the guarded empty branch instead of letting
+    // sequence(1, 0) produce a descending [1, 0] and element_at(g, 0)
+    // throw at runtime
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdcshort").toString
+    Seq(
+      (1L, "ab", "en", "s", 2L),
+      (2L, "", "en", "s", 0L),
+      (3L, "a document comfortably longer than the rolling-hash gram width", "en", "s", 62L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_cdc_chunks")(spark, dir).collect()
+    assert(out.length === 3)
+    val byId = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId(1L) === 1) // whole short text = one chunk
+    assert(byId(2L) === 0) // empty text = zero chunks
+    assert(byId(3L) >= 1)
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001 and returns rows") {
       val df = fn(spark, sfDir)
