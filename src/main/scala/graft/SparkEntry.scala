@@ -214,6 +214,13 @@ object SparkEntry {
         ColumnBridge.expression(col("text")), 3))).as("shingle"): _*)
   }
 
+  /** recall@10 as a single hashed row: |exact ∩ approx| by vec_id. */
+  private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select("vec_id").join(approx.select("vec_id"), Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"),
+        rn(col("n_overlap").cast("double") / lit(10.0), 6).as("recall_at_10"))
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     queryVecCache.getOrElseUpdate(
       dir,
@@ -2096,6 +2103,37 @@ object SparkEntry {
         .select(col("n_overlap"),
           rn(col("n_overlap").cast("double") / lit(10.0), 6).as("recall_at_10"))
     }),
+    // ---- recall floors for EVERY approximate index (completing the
+    //      harness beyond the quantized paths): recall@10 of the shipped
+    //      LSH / IVF / HNSW rankings vs the exact ranking in each
+    //      index's own metric space, as oracle-hashed single rows — a
+    //      future index regression fails the driver's hash compare, not
+    //      just a spec. Composed from the shipped builders; 10×10 id
+    //      joins, one row out each. ----
+    "q_lsh_recall" -> ((s, dir) => recallOf(
+      queries("q_knn_euclidean")(s, dir),
+      queries("q_lsh_knn")(s, dir))),
+    "q_ivf_recall" -> ((s, dir) => recallOf(
+      queries("q_knn_euclidean")(s, dir),
+      queries("q_ivf_knn")(s, dir))),
+    "q_hnsw_recall" -> ((s, dir) => {
+      // exact side: a FLAT scan over the same float-normalized space the
+      // graph ranks in ((v/n).toFloat, hnsw.py:116,300) — independent of
+      // the graph path, so the approx side is the real best-first search
+      val emb = t(s, dir, "embeddings")
+      val n = VectorFunctions.l2Norm(col("embedding"))
+      val nEmb = emb.select(col("vec_id"),
+        when(n === 0.0, col("embedding"))
+          .otherwise(transform(col("embedding"), x =>
+            (x.cast("double") / n).cast("float")))
+          .as("embedding"))
+      val qv = queryVec(s, dir)
+      val qn = {
+        val nn = math.sqrt(qv.map(v => v.toDouble * v).sum)
+        if (nn == 0.0) qv else qv.map(v => (v / nn).toFloat)
+      }
+      recallOf(FlatKnn.search(nEmb, qn, 10), queries("q_hnsw_knn")(s, dir))
+    }),
     // ---- K2-adjacent: IVF approximate kNN over a PERSISTED index —
     //      assignments written partitionBy(cell) (a probe reads nProbe
     //      partition dirs, never the corpus) + a small centroids table.
@@ -3664,6 +3702,9 @@ object SparkEntry {
     "q_kmv_setops" -> Seq("k_n"), // single row
     "q_ann_recall" -> Seq("n_overlap"), // single row
     "q_pq_recall" -> Seq("n_overlap"), // single row
+    "q_lsh_recall" -> Seq("n_overlap"), // single row
+    "q_ivf_recall" -> Seq("n_overlap"), // single row
+    "q_hnsw_recall" -> Seq("n_overlap"), // single row
     "q_quantize_embed" -> Seq("vec_id"),
     "q_catalog_documents" -> Seq("id"),
     "q_lang_source_rollup" -> Seq("lang", "source"),
@@ -3780,7 +3821,26 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  /** recall@10 oracle: both rankings re-derived in SQL, intersected by
+    * id (DuckDB allows a WITH inside a parenthesized subquery, so the
+    * approximate side reuses the full index-emulation SQL verbatim). */
+  private def oRecall(exactSql: String, approxSql: String): String =
+    s"""WITH ex_top AS (SELECT vec_id FROM ($exactSql)),
+       |ap_top AS (SELECT vec_id FROM ($approxSql)),
+       |bth AS (SELECT vec_id FROM ex_top INTERSECT SELECT vec_id FROM ap_top)
+       |SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       |  (round(CAST(count(*) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) + 0.0) AS recall_at_10
+       |FROM bth""".stripMargin
+
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    base ++ Map(
+      "q_lsh_recall" -> oRecall(oKnn(oEuclid), base("q_lsh_knn")),
+      "q_ivf_recall" -> oRecall(oKnn(oEuclid), base("q_ivf_knn")),
+      "q_hnsw_recall" -> oRecall(oHnsw(10), base("q_hnsw_knn")))
+  }
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q_hnsw_knn" -> oHnsw(10),
     "q_hnsw_small" -> oHnsw(10, corpusFilter = "WHERE e.vec_id < 8", limit = false),
     "q_hnsw_partitioned" -> oHnsw(10),
