@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Embedder, TextAnalysis, VectorFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{BatchKnn, FlatKnn, HnswIndex, InvertedIndex, IvfIndex, JaccardJoin, KMeans, LshIndex, Multimodal, NearDup, SimHash}
+import graft.operators.{BatchKnn, FlatKnn, HnswIndex, InvertedIndex, IvfIndex, JaccardJoin, KMeans, LshIndex, Multimodal, NearDup, PqIndex, SimHash}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
     * warehouses / index tables): a stale artifact persisted by an OLDER
     * code version must never silently serve a newer round's query — bump
     * on any change to the persisted layouts or the queries over them. */
-  private val CacheVersion = "r7a"
+  private val CacheVersion = "r8a"
 
   /** Tmp path for a persisted demo artifact, keyed by code version + sf
     * dir (Verify at sf0.01 and Bench at sf0.1 must not share). */
@@ -2048,12 +2048,13 @@ object SparkEntry {
     "q_pq_adc" -> ((s, dir) => {
       val M = 4; val dsub = 4; val K = 16
       val emb = t(s, dir, "embeddings")
-      // bounded K-row collect: the codebook (and the query's ADC table
-      // derived from it) are learned parameters that ride as literals
-      val cbRows = emb.where(col("vec_id") < K).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      val cb = Array.tabulate(M, K, dsub)((si, j, d) => cbRows(j)(si * dsub + d))
+      // codebook LOADED from the persisted catalog artifact (built once
+      // by ivfpqDemoCatalog) — a learned parameter that rides the plan
+      // as literals; never re-derived from the corpus per call
+      val cold = ivfpqDemoCatalog(s, dir)
+      val cb = PqIndex.codebookOf(
+        cold.codebookTable(IvfPqDemoLib).getOrElse(
+          sys.error(s"$IvfPqDemoLib has no persisted codebook")))
       val qv = queryVec(s, dir).map(_.toDouble)
       val adcT = Array.tabulate(M, K) { (si, j) =>
         (0 until dsub).foldLeft(0.0) { (acc, d) =>
@@ -2165,68 +2166,31 @@ object SparkEntry {
           queryVec(s, dir), 10)
         .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
     }),
-    // ---- IVF-PQ: the billion-scale ANN layout — q_ivf_knn's coarse
-    //      cells carrying q_pq_adc's codes. Build once per (version,
-    //      sf): ONE corpus scan emits (vec_id, 4 codes, cell), written
-    //      partitionBy(cell) — the persisted index is 4 BYTES/vector.
-    //      A query probes the nProbe nearest cells (partition-pruned
-    //      read of the CODES table; the float vectors are never read
-    //      again), scores candidates asymmetrically from the literal
-    //      ADC table, and under-k degenerates to the full codes table.
-    //      Candidate bytes at scale: 4/vector over nProbe/nCells of the
-    //      corpus — the index IS the compressed corpus. Coarse
-    //      centroids and PQ codebook share the dense 16-row sample so
-    //      the oracle derives both from one CTE. ----
+    // ---- IVF-PQ: the billion-scale ANN layout as a FIRST-CLASS
+    //      CATALOG INDEX (Models.IvfPqIndexer) — the codes table
+    //      (id, 4 codes, cell; 4 BYTES/vector), coarse centroids, and
+    //      PQ codebook are all persisted `artifacts.txt`-versioned
+    //      artifacts written ONCE at createLibrary. Every call here goes
+    //      through a COLD LibraryCatalog instance, so the probe provably
+    //      runs off the PERSISTED index: nProbe cell partitions of the
+    //      codes table are read (the float corpus is never touched),
+    //      candidates score asymmetrically from the literal ADC table
+    //      derived from the LOADED codebook, under-k degenerates to the
+    //      full codes table. Coarse centroids and codebook share the
+    //      dense 16-row sample so the oracle derives both from one CTE;
+    //      zero-padded ids make string id order = numeric vec_id order
+    //      (tie-breaks align). ----
     "q_ivfpq_knn" -> ((s, dir) => {
-      val M = 4; val dsub = 4; val K = 16; val k = 10
-      val p = IvfIndex.Params()
-      val emb = t(s, dir, "embeddings")
-      // bounded K-row collect: coarse centroids + codebook as literals
-      val cbRows = emb.where(col("vec_id") < K).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).toArray)
-      val cb = Array.tabulate(M, K, dsub)((si, j, d) =>
-        cbRows(j)(si * dsub + d).toDouble)
-      val idxDir = cachePath("ivfpq_idx", dir)
-      if (!new java.io.File(s"$idxDir/_built").exists()) {
-        val cellDs = array(cbRows.toIndexedSeq.map(c =>
-          VectorFunctions.euclidean(col("embedding"), typedLit(c.toSeq))): _*)
-        def subEl(si: Int, d: Int) =
-          col("embedding").getItem(si * dsub + d).cast("double")
-        val codeCols = (0 until M).map { si =>
-          val ds = array((0 until K).map { j =>
-            (0 until dsub).map { d =>
-              val diff = subEl(si, d) - lit(cb(si)(j)(d)); diff * diff
-            }.reduce(_ + _)
-          }: _*)
-          (array_position(ds, array_min(ds)) - 1).cast("int").as(s"c$si")
-        }
-        emb.select(
-            col("vec_id") +: codeCols :+
-              (array_position(cellDs, array_min(cellDs)) - 1)
-                .cast("int").as("cell"): _*)
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$idxDir/codes")
-        new java.io.File(s"$idxDir/_built").createNewFile()
-      }
-      val qv = queryVec(s, dir)
-      val adcT = Array.tabulate(M, K) { (si, j) =>
-        (0 until dsub).foldLeft(0.0) { (acc, d) =>
-          val diff = qv(si * dsub + d).toDouble - cb(si)(j)(d); acc + diff * diff
-        }
-      }
-      val probed = IvfIndex.probeCells(qv, cbRows.toIndexedSeq, p.nProbe)
-        .map(_.toInt)
-      val codes = s.read.parquet(s"$idxDir/codes")
-      val cand = codes.where(col("cell").isin(probed: _*)).localCheckpoint(true)
-      val base = if (cand.count() >= k) cand else codes
-      val approx = (0 until M).map { si =>
-        element_at(typedLit(adcT(si).toSeq), col(s"c$si") + 1)
-      }.reduce(_ + _)
-      base.select(col("vec_id"), approx.as("__adc"))
-        .orderBy(col("__adc").asc_nulls_last, col("vec_id").asc)
-        .limit(k)
-        .select(col("vec_id"), rn(col("__adc"), 6).as("adc_dist"))
+      val k = 10
+      val p = PqIndex.Params()
+      val cold = ivfpqDemoCatalog(s, dir)
+      val codes = cold.indexTable(IvfPqDemoLib).getOrElse(
+        sys.error(s"$IvfPqDemoLib has no persisted codes table"))
+      val cents = IvfIndex.centroidsOf(cold.centroidsTable(IvfPqDemoLib).get)
+      val cb = PqIndex.codebookOf(cold.codebookTable(IvfPqDemoLib).get, p)
+      PqIndex.searchCodes(codes, queryVec(s, dir), cb, cents, k, p, idCol = "id")
+        .select(col("id").cast("long").as("vec_id"),
+          rn(col("adc"), 6).as("adc_dist"))
     }),
     // ---- S2-S5 + M1/M3/M4/M5/M6/M7/M9: the ENTIRE persistence/CRUD
     //      write surface as one hash-checked query, on an LSH-INDEXED
@@ -3631,6 +3595,29 @@ object SparkEntry {
     * version + sf dir. ALWAYS returns a fresh LibraryCatalog instance —
     * the cold driver cache is the point: the caller's graph must come
     * from the persisted hnsw_graph artifact, not memory. */
+  private val IvfPqDemoLib = "ivfpq_demo"
+
+  /** Build-once IVF-PQ demo library (codes + centroids + codebook as
+    * persisted catalog artifacts); returns a FRESH catalog instance so
+    * every query provably reads the artifacts cold off parquet. Ids are
+    * zero-padded so string id order = numeric vec_id order. */
+  private def ivfpqDemoCatalog(
+      s: SparkSession, dir: String): graft.catalog.LibraryCatalog = {
+    import graft.catalog.{LibraryCatalog, Models}
+    val wh = cachePath("ivfpq_wh", dir)
+    val boot = new LibraryCatalog(s, wh)
+    if (!boot.exists(IvfPqDemoLib)) {
+      val src = t(s, dir, "embeddings").select(
+        lpad(col("vec_id").cast("string"), 6, "0").as("id"),
+        concat(lit("d"), pmod(col("vec_id"), lit(50))).as("document_id"),
+        concat(lit("vector "), col("vec_id")).as("text"),
+        col("embedding"))
+      boot.createLibrary(IvfPqDemoLib, Models.IvfPqIndexer, src,
+        dim = 64, overwrite = true)
+    }
+    new LibraryCatalog(s, wh)
+  }
+
   private def hnswDemoCatalog(
       s: SparkSession, dir: String): graft.catalog.LibraryCatalog = {
     import graft.catalog.{LibraryCatalog, Models}

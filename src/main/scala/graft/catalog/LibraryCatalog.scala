@@ -8,7 +8,7 @@ import org.slf4j.LoggerFactory
 import graft.catalog.Models._
 import graft.functions.{Embedder, VectorFunctions}
 import graft.functions.VectorFunctions.{Euclidean, Metric}
-import graft.operators.{FlatKnn, HnswIndex, IvfIndex, LshIndex}
+import graft.operators.{FlatKnn, HnswIndex, IvfIndex, LshIndex, PqIndex}
 
 /** The library store: persistence, recovery, CRUD, and the full search
   * read path — the Spark-native replacement for the reference's service
@@ -336,9 +336,10 @@ class LibraryCatalog(
 
   private def artifactPartitioning(ix: IndexerType, artifact: String): Seq[String] =
     (ix, artifact) match {
-      case (LshIndexer, "index") => Seq("table_idx")
-      case (IvfIndexer, "index") => Seq("cell")
-      case _                     => Nil
+      case (LshIndexer, "index")   => Seq("table_idx")
+      case (IvfIndexer, "index")   => Seq("cell")
+      case (IvfPqIndexer, "index") => Seq("cell")
+      case _                       => Nil
     }
 
   private def artifactSortWithin(ix: IndexerType, artifact: String): Seq[String] =
@@ -448,6 +449,11 @@ class LibraryCatalog(
   /** The persisted IVF centroids table (cid, embedding), when present. */
   def centroidsTable(name: String): Option[DataFrame] = artifact(name, "centroids")
 
+  /** The persisted PQ codebook table (s, j, vals), when present —
+    * build-once like the centroids: a quantizer, not data, carried
+    * forward by reference across delta commits. */
+  def codebookTable(name: String): Option[DataFrame] = artifact(name, "codebook")
+
   // ------------------------------------------------------------- writing
 
   private def now(): String = java.time.Instant.now().toString
@@ -461,6 +467,7 @@ class LibraryCatalog(
   private def lshParams(dim: Int) =
     LshIndex.Params(dim = dim, maxFlips = lshMaxFlips)
   private def ivfParams = IvfIndex.Params()
+  private def pqParams = PqIndex.Params()
 
   /** Buckets that got a leaf dir in this version's chunks write. */
   private def presentBuckets(vdir: Path): Set[Int] = {
@@ -870,6 +877,23 @@ class LibraryCatalog(
             Seq("cell")),
           IndexArtifact(
             "centroids", IvfIndex.centroidsDfFromVecs(spark, cents), Nil))
+      case IvfPqIndexer =>
+        // IVF-PQ: coarse centroids and PQ codebook share ONE dense
+        // sample (the nCells lowest-id vectors); the codes table —
+        // m small ints + a cell per chunk, cell-partitioned — is the
+        // persisted index, 4 bytes/vector at scale. Both quantizers are
+        // build-once artifacts: delta commits encode against them by
+        // reference, rebuildIndex re-derives them.
+        val sample = IvfIndex.centroids(chunksDf, ivfParams, "id", "embedding")
+        val cb = PqIndex.codebookFromSample(sample, pqParams)
+        Seq(
+          IndexArtifact(
+            "index",
+            PqIndex.codesForWrite(chunksDf, cb, sample, pqParams, "id", "embedding"),
+            Seq("cell")),
+          IndexArtifact(
+            "centroids", IvfIndex.centroidsDfFromVecs(spark, sample), Nil),
+          IndexArtifact("codebook", PqIndex.codebookDf(spark, cb), Nil))
       case HnswIndexer =>
         // K3: the graph itself is a persisted artifact (hnsw.py:372-401
         // save_to_dict/load_from_dict parity) — nodes + adjacency as
@@ -1071,6 +1095,16 @@ class LibraryCatalog(
         centroidsTable(name).map(c =>
           IvfIndex.assignmentsForWrite(
             added, IvfIndex.centroidsOf(c), "id", "embedding"))
+      case IvfPqIndexer =>
+        // encode only the added rows against the FIXED persisted
+        // quantizers (codebook + coarse centroids) — O(delta), standard
+        // IVF-PQ practice; rebuildIndex re-derives both
+        for {
+          c <- centroidsTable(name)
+          cbT <- codebookTable(name)
+        } yield PqIndex.codesForWrite(
+          added, PqIndex.codebookOf(cbT, pqParams),
+          IvfIndex.centroidsOf(c), pqParams, "id", "embedding")
       case _ => None
     }
 
@@ -1128,7 +1162,8 @@ class LibraryCatalog(
     incrementalIndexRows(m, name, added) match {
       case Some(newRows) =>
         commitDelta(m, added, None, PatchIndex(Some(newRows), None))
-      case None if m.indexer == LshIndexer || m.indexer == IvfIndexer =>
+      case None if m.indexer == LshIndexer || m.indexer == IvfIndexer ||
+          m.indexer == IvfPqIndexer =>
         // index table missing (shouldn't happen post-create): full rebuild
         commitFull(m, chunks(name).unionByName(added), w => buildIndex(m, w))
       case None =>
@@ -1831,6 +1866,14 @@ class LibraryCatalog(
           case (Some(asn), Some(centsDf)) =>
             // cell-partitioned assignments: nProbe partition dirs read
             IvfIndex.candidateBase(all, asn, centsDf, qv, k, ivfParams, "id")
+          case _ => all
+        }
+      case IvfPqIndexer =>
+        (indexTable(name), centroidsTable(name), codebookTable(name)) match {
+          case (Some(codes), Some(centsDf), Some(cbT)) =>
+            // cell-pruned codes read, ADC-ranked to RefineFactor*k
+            // candidate ids, exact re-rank below; under-k → full scan
+            PqIndex.candidateBase(all, codes, centsDf, cbT, qv, k, pqParams, "id")
           case _ => all
         }
       case HnswIndexer =>

@@ -46,8 +46,10 @@ object Models {
   case object LshIndexer extends IndexerType { val name = "lsh" }
   case object HnswIndexer extends IndexerType { val name = "hnsw" }
   case object IvfIndexer extends IndexerType { val name = "ivf" }
+  case object IvfPqIndexer extends IndexerType { val name = "ivfpq" }
   object IndexerType {
-    val all: Seq[IndexerType] = Seq(FlatIndexer, LshIndexer, HnswIndexer, IvfIndexer)
+    val all: Seq[IndexerType] =
+      Seq(FlatIndexer, LshIndexer, HnswIndexer, IvfIndexer, IvfPqIndexer)
     def fromString(s: String): IndexerType = all
       .find(_.name == s.toLowerCase)
       .getOrElse(throw new IllegalArgumentException(s"unknown indexer: $s"))

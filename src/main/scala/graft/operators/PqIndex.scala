@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Product quantization (PQ) + asymmetric distance computation (ADC) —
+  * the compressed-corpus half of the IVF-PQ ANN layout (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+  * each vector's first `m*dsub` components split into `m` subvectors,
+  * each encoded as the index of its nearest codebook entry, so the
+  * persisted index is `m` small ints (+ a coarse IVF cell) per vector.
+  * A query never decodes: its per-subspace distance table to every
+  * codebook entry is computed ONCE driver-side and rides the plan as
+  * literals; scoring a candidate is `m` array lookups and a fixed-order
+  * sum — pure per-row codegen, shuffle-free top-k.
+  *
+  * The v1 codebook is the DETERMINISTIC dense sample (the `k` lowest-id
+  * vectors — the [[IvfIndex.centroids]] discipline), so Spark, the
+  * driver-local path, and the DuckDB oracle derive the SAME codebook; a
+  * k-means-trained codebook would drop into [[codebookFromSample]]'s
+  * callers without touching encode/ADC/search.
+  *
+  * Reference relevance: the compressed-ANN spectrum beside the int8 and
+  * 1-bit paths (SURVEY §2 extras); the reference itself has only flat/
+  * LSH/HNSW (`app/core/indexers/`), PQ is the beyond-parity scale path.
+  *
+  * At 100 TB: the codes table written `partitionBy("cell")` IS the
+  * index — 4 bytes of codes per vector, probes read nProbe partition
+  * dirs, and the float corpus is touched only by an exact re-rank of
+  * the few survivors (catalog path) or never (pure ADC ranking).
+  */
+object PqIndex {
+
+  /** `m` subspaces × `dsub` dims each (covering the first `m*dsub`
+    * vector components), `k` codebook entries per subspace, `nProbe`
+    * coarse cells probed per query. */
+  case class Params(m: Int = 4, dsub: Int = 4, k: Int = 16, nProbe: Int = 4)
+
+  /** Candidate multiple for the catalog's exact re-rank: ADC keeps
+    * `RefineFactor * k` best codes as the re-rank input. */
+  val RefineFactor = 4
+
+  /** Codebook from an already-collected dense sample (the `k` lowest-id
+    * vectors, in id order): `cb(s)(j)(d)` = dim `d` of entry `j` of
+    * subspace `s`. */
+  def codebookFromSample(
+      sample: IndexedSeq[Array[Float]], p: Params): Array[Array[Array[Double]]] = {
+    require(sample.length >= p.k,
+      s"PQ codebook needs ${p.k} sample vectors, got ${sample.length}")
+    require(sample.head.length >= p.m * p.dsub,
+      s"PQ needs dim >= ${p.m * p.dsub}, got ${sample.head.length}")
+    Array.tabulate(p.m, p.k, p.dsub)((s, j, d) => sample(j)(s * p.dsub + d).toDouble)
+  }
+
+  /** Per-subspace code columns `c0..c{m-1}`: argmin over the codebook by
+    * fixed-order double L2, FIRST-minimum tie-break (the oracle's
+    * `list_position(ds, list_min(ds))` semantics). Static expressions —
+    * no higher-order lambda in the corpus pass. */
+  def codeColumns(
+      cb: Array[Array[Array[Double]]],
+      p: Params,
+      embCol: String = "embedding"): Seq[Column] =
+    (0 until p.m).map { s =>
+      val ds = array((0 until p.k).map { j =>
+        (0 until p.dsub).map { d =>
+          val diff =
+            col(embCol).getItem(s * p.dsub + d).cast("double") - lit(cb(s)(j)(d))
+          diff * diff
+        }.reduce(_ + _)
+      }: _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int").as(s"c$s")
+    }
+
+  /** ONE corpus scan emitting `(id, c0..c{m-1}, cell)` — the
+    * persistable IVF-PQ index. `cell` is an int (parquet partition
+    * discovery round-trips IntegerType); write `partitionBy("cell")`
+    * and a probe reads nProbe partition dirs, never the corpus. */
+  def codesForWrite(
+      df: DataFrame,
+      cb: Array[Array[Array[Double]]],
+      coarseCents: IndexedSeq[Array[Float]],
+      p: Params = Params(),
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val cellDs = array(coarseCents.map(c =>
+      VectorFunctions.euclidean(col(embCol), typedLit(c.toSeq))): _*)
+    df.select(col(idCol) +: codeColumns(cb, p, embCol) :+
+      (array_position(cellDs, array_min(cellDs)) - 1).cast("int").as("cell"): _*)
+  }
+
+  /** Codebook as a persistable DataFrame `(s, j, vals)` — m*k rows. */
+  def codebookDf(spark: SparkSession, cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cb.iterator.zipWithIndex.flatMap { case (sub, s) =>
+      sub.iterator.zipWithIndex.map { case (v, j) => (s, j, v.toSeq) }
+    }.toSeq.toDF("s", "j", "vals")
+  }
+
+  /** Codebook back out of a persisted [[codebookDf]] table — loud on
+    * missing entries (a partial codebook must never silently encode). */
+  def codebookOf(df: DataFrame, p: Params = Params()): Array[Array[Array[Double]]] = {
+    val cb = Array.ofDim[Array[Double]](p.m, p.k)
+    df.select("s", "j", "vals").collect().foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    for (s <- 0 until p.m; j <- 0 until p.k)
+      require(cb(s)(j) != null, s"persisted PQ codebook missing entry ($s, $j)")
+    cb
+  }
+
+  /** Query's ADC table: `adc(s)(j) = ||q_s - cb(s)(j)||²` (squared —
+    * PQ ranks by the additive squared form). Driver-side, m*k cells. */
+  def adcTable(
+      query: Seq[Float],
+      cb: Array[Array[Array[Double]]],
+      p: Params = Params()): Array[Array[Double]] =
+    Array.tabulate(p.m, p.k) { (s, j) =>
+      (0 until p.dsub).foldLeft(0.0) { (acc, d) =>
+        val diff = query(s * p.dsub + d).toDouble - cb(s)(j)(d)
+        acc + diff * diff
+      }
+    }
+
+  /** ADC score of a row's code columns: m literal-array lookups summed
+    * in fixed subspace order. */
+  def adcColumn(adcT: Array[Array[Double]], p: Params = Params()): Column =
+    (0 until p.m).map(s =>
+      element_at(typedLit(adcT(s).toSeq), col(s"c$s") + 1)).reduce(_ + _)
+
+  /** Pure ADC top-k over a persisted codes table: probe the nProbe
+    * nearest coarse cells (partition-pruned), rank by the literal ADC
+    * table, degenerate to the full codes table under k. Output
+    * `(idCol, adc)` — the float corpus is never read. */
+  def searchCodes(
+      codes: DataFrame,
+      query: Seq[Float],
+      cb: Array[Array[Array[Double]]],
+      coarseCents: IndexedSeq[Array[Float]],
+      k: Int,
+      p: Params = Params(),
+      idCol: String = "vec_id"): DataFrame = {
+    val probed = IvfIndex.probeCells(query, coarseCents, p.nProbe).map(_.toInt)
+    val cand = codes.where(col("cell").isin(probed: _*)).localCheckpoint(true)
+    val base = if (cand.count() >= k) cand else codes
+    base.select(col(idCol), adcColumn(adcT = adcTable(query, cb, p), p).as("adc"))
+      .orderBy(col("adc").asc_nulls_last, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Candidate base for the catalog search path: ADC-rank the probed
+    * codes to `RefineFactor * k` candidate ids, semi-join the corpus for
+    * the exact re-rank, full-corpus fallback under k. */
+  def candidateBase(
+      df: DataFrame,
+      codes: DataFrame,
+      centsDf: DataFrame,
+      codebookTbl: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      p: Params = Params(),
+      idCol: String = "vec_id"): DataFrame = {
+    val cents = IvfIndex.centroidsOf(centsDf)
+    val cb = codebookOf(codebookTbl, p)
+    val probed = IvfIndex.probeCells(query, cents, p.nProbe).map(_.toInt)
+    val cand = codes.where(col("cell").isin(probed: _*)).localCheckpoint(true)
+    if (cand.count() < k) df
+    else {
+      val topIds = cand
+        .select(col(idCol), adcColumn(adcTable(query, cb, p), p).as("__adc"))
+        .orderBy(col("__adc").asc_nulls_last, col(idCol).asc)
+        .limit(RefineFactor * k)
+        .select(idCol)
+      df.join(topIds, Seq(idCol), "left_semi")
+    }
+  }
+}

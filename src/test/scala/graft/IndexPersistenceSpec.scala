@@ -120,6 +120,78 @@ class IndexPersistenceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(asn.groupBy("id").count().where(col("count") =!= 1).isEmpty)
   }
 
+  test("catalog IVF-PQ library: cell-partitioned codes + persisted codebook, cold load ≡ rebuild, pruned probe, self-match") {
+    import graft.operators.PqIndex
+    catalog.createLibrary("lib_ivfpq", IvfPqIndexer, corpus(), overwrite = true)
+    val m = catalog.readMeta("lib_ivfpq").get
+    val idxDir = new java.io.File(f"$warehouse/lib_ivfpq/v${m.version}%06d/index")
+    assert(idxDir.listFiles().exists(_.getName.startsWith("cell=")),
+      "codes not partitioned by cell on disk")
+
+    // cold catalog: codebook and codes load off parquet and are
+    // BIT-IDENTICAL to a re-derivation from the chunk corpus
+    val cold = new LibraryCatalog(spark, warehouse)
+    val p = PqIndex.Params()
+    val cbLoaded = PqIndex.codebookOf(cold.codebookTable("lib_ivfpq").get, p)
+    val sample = IvfIndex.centroids(
+      cold.chunks("lib_ivfpq"), IvfIndex.Params(), "id", "embedding")
+    val cbRebuilt = PqIndex.codebookFromSample(sample, p)
+    assert(cbLoaded.flatten.flatten.toSeq === cbRebuilt.flatten.flatten.toSeq,
+      "persisted codebook != rebuilt codebook")
+    val codesLoaded = cold.indexTable("lib_ivfpq").get
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val codesRebuilt = PqIndex
+      .codesForWrite(cold.chunks("lib_ivfpq"), cbRebuilt, sample, p, "id", "embedding")
+      .withColumn("cell", col("cell").cast("int"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(codesLoaded === codesRebuilt, "persisted codes != rebuilt codes")
+
+    // probe plan: the codes scan must carry a cell partition filter
+    val probePlan = cold.indexTable("lib_ivfpq").get
+      .where(col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters: [cell"),
+      "codes scan not partition-pruned on cell")
+
+    // end-to-end: self-text search through the catalog's ADC read path
+    // (the self vector's ADC score is the global minimum by construction)
+    val text = cold.chunks("lib_ivfpq")
+      .where(col("id") === "chunk-11").head().getAs[String]("text")
+    val res = cold.search("lib_ivfpq", text, k = 3).collect()
+    assert(res.head.getAs[String]("id") === "chunk-11")
+    assert(res.head.getAs[Double]("dist") === 0.0)
+  }
+
+  test("IVF-PQ incremental add encodes only new rows against the FIXED persisted codebook") {
+    import spark.implicits._
+    val cbBefore = catalog.codebookTable("lib_ivfpq").get
+      .orderBy("s", "j").collect().map(_.getSeq[Double](2)).toSeq
+    val extra = Seq(("zz-new", "doc-new", "a brand new chunk about pq codes"))
+      .toDF("id", "document_id", "text")
+    catalog.addChunks("lib_ivfpq", extra)
+    val cbAfter = catalog.codebookTable("lib_ivfpq").get
+      .orderBy("s", "j").collect().map(_.getSeq[Double](2)).toSeq
+    assert(cbBefore === cbAfter, "incremental add must not retrain the codebook")
+    assert(catalog.indexTable("lib_ivfpq").get
+      .where(col("id") === "zz-new").count() === 1L)
+    val res = catalog
+      .search("lib_ivfpq", "a brand new chunk about pq codes", k = 1).head()
+    assert(res.getAs[String]("id") === "zz-new")
+  }
+
+  test("rebuildIndex over IVF-PQ reproduces the incremental codes exactly") {
+    val before = catalog.indexTable("lib_ivfpq").get
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    catalog.rebuildIndex("lib_ivfpq")
+    val after = catalog.indexTable("lib_ivfpq").get
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    // the sample ids ("chunk-*") sort below "zz-new", so the rebuild's
+    // re-derived quantizers equal the originals and codes match bitwise
+    assert(after === before)
+    assert(catalog.indexTable("lib_ivfpq").get.count() ===
+      catalog.chunks("lib_ivfpq").count())
+  }
+
   test("persisted probes fall back to the full corpus when candidates < k") {
     // k larger than the whole library: the under-k branch must widen to
     // the corpus (lsh.py:199-202 semantics) through BOTH persisted paths
