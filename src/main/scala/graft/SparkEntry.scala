@@ -1475,6 +1475,87 @@ object SparkEntry {
       } finally q.stop()
       ss.table("q_stream_agg_sink")
     }),
+    // ---- WATERMARKED APPEND-MODE streaming under the oracle: the
+    //      production shape (StreamingIngest.eventsHourly — bounded
+    //      state, emit-on-close) exercised as a REAL two-run streaming
+    //      execution. Run 1 drains the on-time events (even user_id)
+    //      through the connector's MicroBatchStream with AvailableNow;
+    //      its final no-data micro-batch advances the watermark to
+    //      max(even ts) - 2h and emits every closed window into the
+    //      sink AND the checkpoint's commit log. Run 2 (SAME
+    //      checkpoint) drains the late file (odd user_id): rows whose
+    //      hour window already closed under the RESTORED watermark are
+    //      dropped by the state store, survivors join still-open
+    //      windows, and the final no-data batch advances to
+    //      max(all ts) - 2h and emits the remainder. The hashed result
+    //      is the union of both runs' emissions — which windows closed,
+    //      with which late rows admitted, is pinned against a DuckDB
+    //      re-derivation of the same watermark algebra (ms-truncated
+    //      max-event-time minus delay, window_end <= watermark closes,
+    //      late row admitted iff its window_end > restored watermark).
+    //      At scale this is the continuous-ingest shape: state is
+    //      bounded by the watermark horizon, emissions are append-only
+    //      facts, and restart recovery comes from the commit log — all
+    //      three are what this query proves. ----
+    "q_stream_watermark" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val base = cachePath("stream_wm", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        val ev = events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        ev.where(pmod(col("user_id"), lit(2)) === 0)
+          .write.format("graft-jsonl").mode("overwrite").save(s"$base/ontime")
+        ev.where(pmod(col("user_id"), lit(2)) === 1)
+          .write.format("graft-jsonl").mode("overwrite").save(s"$base/late")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts_us", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 8)
+      // per-call temp input + checkpoint: the two runs SHARE them (the
+      // watermark restore across restarts is the point); a re-invocation
+      // replays from scratch deterministically
+      val inDir = java.nio.file.Files.createTempDirectory("graft_wm_in").toFile
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_wm_ck").toString
+      // FILE sink (the production emission shape): supports checkpoint
+      // recovery across the two runs — both append into one output dir
+      val outDir = java.nio.file.Files.createTempDirectory("graft_wm_out").toString
+      def stage(src: String, prefix: String): Unit =
+        new java.io.File(src).listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_"))
+          .foreach(f => java.nio.file.Files.copy(f.toPath,
+            new java.io.File(inDir, s"$prefix-${f.getName}").toPath))
+      def drain(runName: String): Unit = {
+        val q = graft.streaming.StreamingIngest.eventsHourly(
+            ss.readStream.format("graft-jsonl").schema(schema)
+              .load(inDir.toString)
+              .select(timestamp_micros(col("ts_us")).as("ts"),
+                col("event_type"), col("value")),
+            watermark = "2 hours")
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw new IllegalStateException(s"$runName did not drain in 300 s")
+        } finally q.stop()
+      }
+      stage(s"$base/ontime", "a")
+      drain("wm_run1")
+      stage(s"$base/late", "b")
+      drain("wm_run2")
+      s.read.parquet(outDir)
+        .select(col("hour_start"), col("event_type"), col("n"),
+          rn(col("sum_value"), 4).as("sum_value"))
+    }),
     // ---- the connector's aggregate pushdown under the oracle: an
     //      ungrouped COUNT(*)/COUNT(col)/MIN/MAX over the V2 source
     //      plans as one partial row per split merged by Spark's final
@@ -3679,6 +3760,7 @@ object SparkEntry {
     "q_zorder_skip" -> Seq("event_type"),
     "q_dsv2_source" -> Seq("lang", "source"),
     "q_stream_agg" -> Seq("lang"),
+    "q_stream_watermark" -> Seq("hour_start", "event_type"),
     "q_dsv2_agg" -> Seq("n_rows"), // single row
     "q_funnel" -> Seq("stage"),
     "q_fuzzy_join" -> Seq("probe_id"),
@@ -4549,6 +4631,34 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the append-mode watermark algebra re-derived: watermark = the
+    // ms-truncated max event time minus the 2 h delay (Spark's
+    // EventTimeStats collects max in milliseconds); run-1's restored
+    // watermark w1 comes from the even rows only, the final watermark
+    // w2 from all rows (dropped rows still feed the stats); a late odd
+    // row is admitted iff its hour window was still open under w1; a
+    // window is emitted iff its end closed under w2
+    "q_stream_watermark" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, event_type, value FROM events),
+        |w1 AS (SELECT ((max(tu) // 1000) - 7200000) * 1000 AS w
+        |       FROM ev WHERE user_id % 2 = 0),
+        |w2 AS (SELECT ((max(tu) // 1000) - 7200000) * 1000 AS w FROM ev),
+        |admitted AS (
+        |  SELECT * FROM ev WHERE user_id % 2 = 0
+        |  UNION ALL
+        |  SELECT e.* FROM ev e, w1
+        |  WHERE e.user_id % 2 = 1
+        |    AND ((e.tu // 3600000000) + 1) * 3600000000 > w1.w),
+        |agg AS (
+        |  SELECT (tu // 3600000000) * 3600000000 AS ws,
+        |         ((tu // 3600000000) + 1) * 3600000000 AS we,
+        |         event_type, count(*) AS n, sum(value) AS sv
+        |  FROM admitted GROUP BY 1, 2, 3)
+        |SELECT make_timestamp(ws) AS hour_start, event_type,
+        |  CAST(n AS BIGINT) AS n, (round(sv, 4) + 0.0) AS sum_value
+        |FROM agg, w2 WHERE we <= w2.w
+        |ORDER BY hour_start, event_type""".stripMargin,
     // the pushed-aggregate partials merged by Spark must equal the
     // one-shot aggregate over the parquet originals
     "q_dsv2_agg" ->
