@@ -2003,12 +2003,58 @@ object SparkEntry {
           .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
           .withColumn("branch", lit("under_k_fallback"))
         val out = probed.unionByName(fallback)
-        // pin the rewrite NOW: the optimized plan is cached on the
-        // QueryExecution, so later execution (after the conf reset
-        // below) keeps the probe
-        out.queryExecution.executedPlan
-        out
+        // pin the rewrite NOW and return a DataFrame OVER the rewritten
+        // plan: a caller that wraps the result (Verify's orderBy dump)
+        // re-plans from the logical plan AFTER the conf reset below, so
+        // returning `out` directly would silently lose the probe — the
+        // idempotence guard keeps later re-optimizations from stacking
+        // a second one
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.ofRows(s, out.queryExecution.optimizedPlan)
       } finally s.conf.set(AnnProbeRule.ConfKey, "false")
+    }),
+    // ---- the same Catalyst rewrite selecting a DIFFERENT persisted
+    //      index family: the coarse quantizer is LOADED from q_ivf_knn's
+    //      persisted centroids artifact and registered with the rule
+    //      (the rule never derives a quantizer — it probes what the
+    //      catalog persisted), kind=ivf scopes the choice to this
+    //      query's conf window. The identical exact-kNN DataFrame is
+    //      rewritten into a cell-membership probe (first-minimum
+    //      VectorDistance argmin, nProbe nearest cells) with the SAME
+    //      scalar-subquery under-k guard; the probe branch hashes
+    //      against the IVF SQL emulation, the 2000-branch against the
+    //      exact scan. ----
+    "q_ann_probe_rule_ivf" -> ((s, dir) => {
+      import graft.plans.AnnProbeRule
+      if (!s.experimental.extraOptimizations.contains(AnnProbeRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ AnnProbeRule
+      val emb = t(s, dir, "embeddings")
+      val qv = queryVec(s, dir)
+      val idxDir = ivfIdxDir(s, dir)
+      AnnProbeRule.registerIvf(
+        IvfIndex.centroidsOf(s.read.parquet(s"$idxDir/centroids")),
+        IvfIndex.Params().nProbe)
+      s.conf.set(AnnProbeRule.ConfKey, "true")
+      s.conf.set(AnnProbeRule.KindKey, "ivf")
+      try {
+        val probed = FlatKnn.search(emb, qv, 10, Euclidean)
+          .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
+          .withColumn("branch", lit("probe"))
+        val fallback = FlatKnn.search(emb, qv, 2000, Euclidean)
+          .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
+          .withColumn("branch", lit("under_k_fallback"))
+        val out = probed.unionByName(fallback)
+        // return the plan REWRITTEN under this conf window (see
+        // q_ann_probe_rule: a wrapped re-plan after the reset would
+        // silently drop the probe — here that would be visible, since
+        // the IVF probe's top-10 genuinely differs from the exact scan)
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.ofRows(s, out.queryExecution.optimizedPlan)
+      } finally {
+        s.conf.set(AnnProbeRule.ConfKey, "false")
+        s.conf.set(AnnProbeRule.KindKey, "lsh")
+      }
     }),
     // ---- training-pipeline: symmetric int8 embedding quantization —
     //      the storage/ANN-memory path (4× smaller vectors). Per-vector
@@ -2225,20 +2271,7 @@ object SparkEntry {
     //      exact re-rank, under-k full-scan fallback. ----
     "q_ivf_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idxDir = cachePath("ivf_idx", dir)
-      // driver-local marker check: this is a /tmp demo cache — at real
-      // scale the LibraryCatalog owns index persistence (IvfIndexer)
-      if (!new java.io.File(s"$idxDir/_built").exists()) {
-        val cents = IvfIndex.centroids(emb, IvfIndex.Params())
-        IvfIndex
-          .assignmentsForWrite(emb, cents)
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$idxDir/assignments")
-        IvfIndex
-          .centroidsDfFromVecs(s, cents)
-          .write.mode("overwrite").parquet(s"$idxDir/centroids")
-        new java.io.File(s"$idxDir/_built").createNewFile()
-      }
+      val idxDir = ivfIdxDir(s, dir)
       IvfIndex
         .searchWithTable(
           emb,
@@ -3062,10 +3095,13 @@ object SparkEntry {
           .where(array_contains(tk, "dup") && array_contains(tk, "window") &&
             array_contains(tk, "spark") && col("n_chars") > 0)
           .select(col("doc_id"), col("n_chars"))
-        // pin the rewrite NOW (the optimized plan caches on the
-        // QueryExecution) so the conf reset below can't undo it
-        out.queryExecution.executedPlan
-        out
+        // pin the rewrite by returning the plan OPTIMIZED under this
+        // conf window: a caller that wraps the result (Verify's dump)
+        // re-plans after the reset below and would silently fall back
+        // to the scan form (same rows — the rewrite is exact — but the
+        // semi-join plan is the thing this query exists to exercise)
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.ofRows(s, out.queryExecution.optimizedPlan)
       } finally {
         s.conf.set(TermProbeRule.ConfKey, "false")
         s.conf.unset(TermProbeRule.PathKey)
@@ -3676,6 +3712,27 @@ object SparkEntry {
     * version + sf dir. ALWAYS returns a fresh LibraryCatalog instance —
     * the cold driver cache is the point: the caller's graph must come
     * from the persisted hnsw_graph artifact, not memory. */
+  /** Build-once persisted IVF index for the embeddings table
+    * (assignments partitionBy(cell) + centroids); returns its dir.
+    * Driver-local marker check: this is a /tmp demo cache — at real
+    * scale the LibraryCatalog owns index persistence (IvfIndexer). */
+  private def ivfIdxDir(s: SparkSession, dir: String): String = {
+    val idxDir = cachePath("ivf_idx", dir)
+    if (!new java.io.File(s"$idxDir/_built").exists()) {
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfIndex.centroids(emb, IvfIndex.Params())
+      IvfIndex
+        .assignmentsForWrite(emb, cents)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$idxDir/assignments")
+      IvfIndex
+        .centroidsDfFromVecs(s, cents)
+        .write.mode("overwrite").parquet(s"$idxDir/centroids")
+      new java.io.File(s"$idxDir/_built").createNewFile()
+    }
+    idxDir
+  }
+
   private val IvfPqDemoLib = "ivfpq_demo"
 
   /** Build-once IVF-PQ demo library (codes + centroids + codebook as
@@ -3752,6 +3809,7 @@ object SparkEntry {
     "q_dedup_clusters" -> Seq("cluster_rep"),
     "q_catalog_search" -> Seq("dist", "id"),
     "q_ann_probe_rule" -> Seq("branch", "dist", "vec_id"),
+    "q_ann_probe_rule_ivf" -> Seq("branch", "dist", "vec_id"),
     "q_kmv_distinct" -> Seq("k_n"), // single row; trivial canonical order
     "q_kmv_grouped" -> Seq("event_type"),
     "q_embed_cov" -> Seq("i", "j"),
@@ -3906,7 +3964,22 @@ object SparkEntry {
     base ++ Map(
       "q_lsh_recall" -> oRecall(oKnn(oEuclid), base("q_lsh_knn")),
       "q_ivf_recall" -> oRecall(oKnn(oEuclid), base("q_ivf_knn")),
-      "q_hnsw_recall" -> oRecall(oHnsw(10), base("q_hnsw_knn")))
+      "q_hnsw_recall" -> oRecall(oHnsw(10), base("q_hnsw_knn")),
+      // Both branches of each Catalyst probe rewrite: the probe branch
+      // reuses the SAME index-emulation SQL as the index's own query
+      // (the rewrite IS that probe, chosen by the optimizer), the
+      // 2000-branch proves the under-k scalar-subquery guard
+      // degenerates to the exact scan.
+      "q_ann_probe_rule" ->
+        s"""SELECT vec_id, dist, 'probe' AS branch FROM (${base("q_lsh_knn")}) p
+           |UNION ALL
+           |SELECT vec_id, dist, 'under_k_fallback' AS branch
+           |FROM (${oKnn(oEuclid, 2000)}) f""".stripMargin,
+      "q_ann_probe_rule_ivf" ->
+        s"""SELECT vec_id, dist, 'probe' AS branch FROM (${base("q_ivf_knn")}) p
+           |UNION ALL
+           |SELECT vec_id, dist, 'under_k_fallback' AS branch
+           |FROM (${oKnn(oEuclid, 2000)}) f""".stripMargin)
   }
 
   private lazy val baseOracleSql: Map[String, String] = Map(
@@ -5503,15 +5576,8 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_overlap,
         |  (round(CAST(count(*) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) + 0.0) AS recall_at_10
         |FROM bth""".stripMargin,
-    // Both branches of the Catalyst probe rewrite against the EXACT
-    // ranking: the probe branch is a hard recall signal (bucket top-10
-    // must equal exact top-10), the 2000-branch proves the under-k
-    // scalar-subquery guard degenerates to the exact scan.
-    "q_ann_probe_rule" ->
-      s"""SELECT vec_id, dist, 'probe' AS branch FROM (${oKnn(oEuclid)}) p
-         |UNION ALL
-         |SELECT vec_id, dist, 'under_k_fallback' AS branch
-         |FROM (${oKnn(oEuclid, 2000)}) f""".stripMargin,
+    // (q_ann_probe_rule's oracle is derived in oracleSql below — its
+    // probe branch reuses the full q_lsh_knn emulation)
     "q_embed_knn" -> {
       val de = Embedder.oracleEmbed("d.text")
       val qe = Embedder.oracleEmbed(s"'$EmbedQueryText'")

@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Cast, EqualTo, Expression, LessThan, Literal, Or, ScalarSubquery, SortOrder}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayMin, ArrayPosition, Ascending, Cast, CreateArray, EqualTo, Expression, In, LessThan, Literal, Or, ScalarSubquery, SortOrder}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.internal.SQLConf
 
 import graft.functions.{LshSignature, VectorDistance}
-import graft.operators.LshIndex
+import graft.operators.{IvfIndex, LshIndex}
 
 /** SURVEY §4's "stretch scope" ANN plan rewrite: an OPT-IN optimizer
   * rule that recognizes the exact-kNN pattern
@@ -44,8 +44,37 @@ object AnnProbeRule extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.ann.probe"
 
+  /** Which persisted index family the rewrite probes: "lsh" (default —
+    * inline sign-signature buckets, no artifact needed) or "ivf" (the
+    * registered PERSISTED coarse quantizer). Explicit, not auto: the
+    * two probes have different recall behavior and a caller opting into
+    * approximate search picks the index, exactly like the reference's
+    * per-library indexer choice. */
+  val KindKey = "spark.graft.ann.probe.kind"
+
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "false").toBoolean
+
+  private def kind: String =
+    SQLConf.get.getConfString(KindKey, "lsh").toLowerCase
+
+  /** A PERSISTED IVF quantizer a caller loaded from catalog/index
+    * artifacts and registered for plan rewriting, keyed by vector dim
+    * (the rule's analog of catalog metadata: it never derives a
+    * quantizer itself — it reuses what was persisted, as literals). */
+  final case class IvfProbe(cents: IndexedSeq[Array[Float]], nProbe: Int)
+
+  @volatile private var ivfProbes: Map[Int, IvfProbe] = Map.empty
+
+  /** Register a persisted IVF quantizer (e.g. loaded via
+    * `LibraryCatalog.centroidsTable` / a centroids parquet artifact)
+    * for `kind=ivf` rewrites of queries over same-dim vectors. */
+  def registerIvf(cents: IndexedSeq[Array[Float]], nProbe: Int): Unit = {
+    require(cents.nonEmpty, "registerIvf needs at least one centroid")
+    ivfProbes += cents.head.length -> IvfProbe(cents, nProbe)
+  }
+
+  def clearIvfRegistry(): Unit = ivfProbes = Map.empty
 
   private def queryVector(lit: Literal): Option[Array[Float]] = lit.value match {
     case a: ArrayData => Some(a.toFloatArray())
@@ -57,9 +86,42 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     * check every iteration would stack another probe filter (the fresh
     * subquery expr-ids keep the predicates from ever comparing equal). */
   private def alreadyProbed(p: LogicalPlan): Boolean = p match {
-    case Filter(cond, _) => cond.exists(_.isInstanceOf[LshSignature])
-    case _               => false
+    case Filter(cond, _) => cond.exists(e =>
+      e.isInstanceOf[LshSignature] || e.isInstanceOf[VectorDistance])
+    case _ => false
   }
+
+  /** Probe predicate for the configured index kind; None when the kind
+    * needs a registered artifact that isn't there (no rewrite — the
+    * exact plan stands). */
+  private def probeCond(emb: Expression, qv: Array[Float]): Option[Expression] =
+    kind match {
+      case "ivf" =>
+        ivfProbes.get(qv.length).map { p =>
+          // per-row coarse cell = first-minimum centroid (ArrayPosition
+          // of ArrayMin — the oracle's list_position(list_min) tie-break;
+          // VectorDistance is the bitwise twin of the composed euclid the
+          // persisted assignments were computed with), membership in the
+          // nProbe cells nearest the query
+          val dists = p.cents.map(c =>
+            VectorDistance(
+              emb,
+              Literal.create(c.toSeq, ArrayType(FloatType, containsNull = false)),
+              "euclidean"): Expression)
+          val arr = CreateArray(dists)
+          val probed = IvfIndex.probeCells(qv.toSeq, p.cents, p.nProbe)
+          In(ArrayPosition(arr, ArrayMin(arr)),
+            probed.map(c => Literal(c + 1L): Expression))
+        }
+      case _ =>
+        val params = LshIndex.Params(dim = qv.length)
+        val planes = LshIndex.planes(params)
+        val sigs = planes.map(LshIndex.signatureLocal(qv, _))
+        Some(planes.indices
+          .map(t =>
+            EqualTo(LshSignature(emb, planes(t)), Literal(sigs(t))): Expression)
+          .reduce(Or))
+    }
 
   /** Inject the probe filter + under-k guard below `sort`'s projection;
     * None when the sort key isn't a literal-query vector distance. */
@@ -76,26 +138,21 @@ object AnnProbeRule extends Rule[LogicalPlan] {
         (emb, q, metric)
     }
     distAlias.flatMap { case (emb, qLit, _) =>
-      queryVector(qLit).map { qv =>
-        val params = LshIndex.Params(dim = qv.length)
-        val planes = LshIndex.planes(params)
-        val sigs = planes.map(LshIndex.signatureLocal(qv, _))
-        val cond: Expression = planes.indices
-          .map(t =>
-            EqualTo(LshSignature(emb, planes(t)), Literal(sigs(t))): Expression)
-          .reduce(Or)
-        // under-k fallback: count the bucket members in an
-        // uncorrelated scalar subquery; an under-filled probe turns
-        // the whole predicate true and the plan is the exact scan
-        val candCount = Aggregate(
-          Nil,
-          Seq(Alias(
-            AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
-            "cand_n")()),
-          Filter(cond, child))
-        val underK: Expression =
-          LessThan(ScalarSubquery(candCount), Cast(gl.limitExpr, LongType))
-        sort.copy(child = proj.copy(child = Filter(Or(underK, cond), child)))
+      queryVector(qLit).flatMap { qv =>
+        probeCond(emb, qv).map { cond =>
+          // under-k fallback: count the probe's members in an
+          // uncorrelated scalar subquery; an under-filled probe turns
+          // the whole predicate true and the plan is the exact scan
+          val candCount = Aggregate(
+            Nil,
+            Seq(Alias(
+              AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
+              "cand_n")()),
+            Filter(cond, child))
+          val underK: Expression =
+            LessThan(ScalarSubquery(candCount), Cast(gl.limitExpr, LongType))
+          sort.copy(child = proj.copy(child = Filter(Or(underK, cond), child)))
+        }
       }
     }
   }

@@ -87,6 +87,46 @@ class AnnProbeRuleSpec extends SparkSpec with BeforeAndAfterAll {
     } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
   }
 
+  test("kind=ivf: cell-membership probe from the REGISTERED persisted quantizer, and the probe choice is pinned") {
+    import graft.operators.IvfIndex
+    spark.conf.set(AnnProbeRule.ConfKey, "true")
+    spark.conf.set(AnnProbeRule.KindKey, "ivf")
+    try {
+      AnnProbeRule.registerIvf(
+        IvfIndex.centroids(emb, IvfIndex.Params()), IvfIndex.Params().nProbe)
+      val df = FlatKnn.search(emb, q0, 5)
+      val plan = df.queryExecution.optimizedPlan.toString
+      // which probe was chosen: the IVF argmin membership, NOT the LSH
+      // signature predicate
+      assert(plan.contains("array_position"), s"no cell probe in:\n$plan")
+      assert(!plan.contains("lsh_signature"), s"wrong probe kind in:\n$plan")
+      assert(plan.contains("scalar-subquery"), "under-k guard missing")
+      // result equals the hand-built IVF search over the same quantizer
+      val expect = IvfIndex.search(emb, q0, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === expect)
+    } finally {
+      spark.conf.set(AnnProbeRule.ConfKey, "false")
+      spark.conf.set(AnnProbeRule.KindKey, "lsh")
+      AnnProbeRule.clearIvfRegistry()
+    }
+  }
+
+  test("kind=ivf with no registered quantizer: no rewrite, the exact plan stands") {
+    spark.conf.set(AnnProbeRule.ConfKey, "true")
+    spark.conf.set(AnnProbeRule.KindKey, "ivf")
+    try {
+      AnnProbeRule.clearIvfRegistry()
+      val plan = FlatKnn.search(emb, q0, 5).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("array_position") && !plan.contains("lsh_signature"),
+        s"rewrite fired without an artifact:\n$plan")
+    } finally {
+      spark.conf.set(AnnProbeRule.ConfKey, "false")
+      spark.conf.set(AnnProbeRule.KindKey, "lsh")
+    }
+  }
+
   test("the rewrite leaves non-kNN sorts alone") {
     spark.conf.set(AnnProbeRule.ConfKey, "true")
     try {

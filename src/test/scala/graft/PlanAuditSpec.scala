@@ -172,4 +172,12 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .queryExecution.optimizedPlan.toString
     assert(!after.contains("lsh_signature"), "probe conf leaked out of the query body")
   }
+
+  test("q_ann_probe_rule_ivf: the IVF cell probe (not the LSH one) is in the returned plan") {
+    val plan = planOf("q_ann_probe_rule_ivf")
+    assert(plan.contains("array_position"), "IVF cell probe missing from the plan")
+    assert(!plan.contains("lsh_signature"), "wrong probe kind selected")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      "under-k scalar-subquery guard missing")
+  }
 }
