@@ -1556,6 +1556,35 @@ object SparkEntry {
         .select(col("hour_start"), col("event_type"), col("n"),
           rn(col("sum_value"), 4).as("sum_value"))
     }),
+    // ---- connector ZONE MAPS under the oracle: the corpus is written
+    //      through the connector range-clustered by doc_id, so the job
+    //      commit's per-file _zones.json manifest gives each file a
+    //      disjoint doc_id range; the range predicate here then skips
+    //      every non-overlapping file at SPLIT-PLANNING time (whole-file
+    //      pruning, the JSONL analog of parquet row-group stats —
+    //      Dsv2SourceSpec pins the reduced split count). Hash equality
+    //      with the parquet originals proves pruning is invisible to
+    //      results. ----
+    "q_dsv2_zones" -> ((s, dir) => {
+      val base = cachePath("jsonl_zones", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        t(s, dir, "documents")
+          .repartitionByRange(8, col("doc_id"))
+          .write.format("graft-jsonl").mode("overwrite").save(s"$base/docs")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      s.read.format("graft-jsonl").schema(schema).load(s"$base/docs")
+        .where(col("doc_id") >= 100 && col("doc_id") < 200)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
     // ---- the connector's aggregate pushdown under the oracle: an
     //      ungrouped COUNT(*)/COUNT(col)/MIN/MAX over the V2 source
     //      plans as one partial row per split merged by Spark's final
@@ -3819,6 +3848,7 @@ object SparkEntry {
     "q_dsv2_source" -> Seq("lang", "source"),
     "q_stream_agg" -> Seq("lang"),
     "q_stream_watermark" -> Seq("hour_start", "event_type"),
+    "q_dsv2_zones" -> Seq("lang"),
     "q_dsv2_agg" -> Seq("n_rows"), // single row
     "q_funnel" -> Seq("stage"),
     "q_fuzzy_join" -> Seq("probe_id"),
@@ -4732,6 +4762,12 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n, (round(sv, 4) + 0.0) AS sum_value
         |FROM agg, w2 WHERE we <= w2.w
         |ORDER BY hour_start, event_type""".stripMargin,
+    // zone-pruned range read ≡ the unpruned aggregate over the originals
+    "q_dsv2_zones" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the pushed-aggregate partials merged by Spark must equal the
     // one-shot aggregate over the parquet originals
     "q_dsv2_agg" ->

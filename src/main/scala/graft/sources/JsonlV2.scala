@@ -187,6 +187,91 @@ object JsonlV2 {
         _: java.lang.Short | _: java.lang.Byte => true
     case _ => false
   }
+
+  // --------------------------------------------------- per-file zone maps
+
+  /** Name of the per-file column-stats manifest the write half commits:
+    * `{fileName: {col: [min, max]}}` for NUMERIC columns (strings are
+    * excluded — UTF8String binary order and java String order disagree
+    * on non-ASCII, so string zones could mis-prune). Read-side, a file
+    * whose zone range provably excludes every pushed/runtime comparison
+    * filter is skipped WHOLE at split-planning time — the JSONL analog
+    * of parquet row-group statistics. */
+  val ZonesFile = "_zones.json"
+
+  private[sources] def readZones(
+      path: String): Map[String, Map[String, (Double, Double)]] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val zp = new Path(p, ZonesFile)
+    if (!fs.exists(zp)) return Map.empty
+    val in = fs.open(zp)
+    try {
+      val node = new ObjectMapper().readTree(in)
+      node.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { c =>
+          c.getKey -> (c.getValue.get(0).asDouble(), c.getValue.get(1).asDouble())
+        }.toMap
+      }.toMap
+    } finally in.close()
+  }
+
+  private[sources] def writeZones(
+      path: String, zones: Map[String, Map[String, (Double, Double)]]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val out = fs.create(new Path(p, ZonesFile), true)
+    val g = new com.fasterxml.jackson.core.JsonFactory()
+      .createGenerator(out.asInstanceOf[java.io.OutputStream])
+    g.writeStartObject()
+    zones.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+      g.writeObjectFieldStart(f)
+      cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        g.writeArrayFieldStart(c)
+        g.writeNumber(mn); g.writeNumber(mx)
+        g.writeEndArray()
+      }
+      g.writeEndObject()
+    }
+    g.writeEndObject()
+    g.close()
+  }
+
+  /** True when `f` provably matches NO row of a file with the given
+    * numeric zone ranges. Missing column stats never prune (all-null or
+    * non-numeric columns are conservative); comparison filters are
+    * null-rejecting, so range disjointness is sufficient. Ranges are
+    * widened by one ulp before testing: int64 stats round through
+    * double (error ≤ 0.5 ulp), and a min that rounded UP must never
+    * exclude an EqualTo at the true minimum. */
+  private[sources] def zoneExcludes(
+      f: Filter, rawZones: Map[String, (Double, Double)]): Boolean = {
+    val zones = rawZones.view.mapValues { case (mn, mx) =>
+      (mn - Math.ulp(mn), mx + Math.ulp(mx))
+    }.toMap
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _         => None
+    }
+    f match {
+      case sources.EqualTo(a, v) =>
+        zones.get(a).zip(num(v)).exists { case ((mn, mx), d) => d < mn || d > mx }
+      case sources.GreaterThan(a, v) =>
+        zones.get(a).zip(num(v)).exists { case ((_, mx), d) => mx <= d }
+      case sources.GreaterThanOrEqual(a, v) =>
+        zones.get(a).zip(num(v)).exists { case ((_, mx), d) => mx < d }
+      case sources.LessThan(a, v) =>
+        zones.get(a).zip(num(v)).exists { case ((mn, _), d) => mn >= d }
+      case sources.LessThanOrEqual(a, v) =>
+        zones.get(a).zip(num(v)).exists { case ((mn, _), d) => mn > d }
+      case sources.In(a, vs) =>
+        zones.get(a).exists { case (mn, mx) =>
+          vs.nonEmpty && vs.forall(v =>
+            num(v).exists(d => d < mn || d > mx))
+        }
+      case _ => false
+    }
+  }
 }
 
 case class JsonlTable(
@@ -336,10 +421,20 @@ case class JsonlScan(
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
     new JsonlMicroBatchStream(path, fullSchema, required, pushed, splitBytes, failFast)
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // zone pruning: a file whose committed numeric min/max provably
+    // excludes every row under a pushed (or DPP runtime) comparison
+    // filter contributes NO splits — whole-file skipping, the JSONL
+    // analog of parquet row-group stats. Runtime filters arrive via
+    // SupportsRuntimeFiltering BEFORE split planning, so a selective
+    // join build side prunes files too.
+    val zones = JsonlV2.readZones(path)
+    val active = pushed ++ runtime
     JsonlV2.listFiles(path).flatMap { f =>
       val len = f.getLen
-      if (len == 0) Nil
+      val skip = zones.get(f.getPath.getName).exists(z =>
+        active.exists(JsonlV2.zoneExcludes(_, z)))
+      if (len == 0 || skip) Nil
       else
         (0L until len by splitBytes).map { start =>
           JsonlSplit(f.getPath.toString, start,
@@ -347,6 +442,7 @@ case class JsonlScan(
             alignedStart = start == 0L)
         }
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = pushedAggs match {
     case None =>
@@ -652,21 +748,30 @@ case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    val staged = messages.collect { case JsonlStaged(s, d) => (s, d) }
+    val staged = messages.collect { case m: JsonlStaged => m }
     if (doTruncate && fs.exists(p))
       JsonlV2.listFiles(path).foreach(f => fs.delete(f.getPath, false))
-    staged.foreach { case (s, d) =>
-      val src = new Path(s); val dst = new Path(d)
+    staged.foreach { m =>
+      val src = new Path(m.staged); val dst = new Path(m.dest)
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"graft-jsonl job commit: rename $src -> $dst failed")
     }
+    // zone manifest: per-file numeric min/max collected by the task
+    // writers, published atomically with the data at job commit —
+    // overwrite replaces it, append merges with the surviving entries
+    val fresh = staged.map(m =>
+      new Path(m.dest).getName -> m.stats).toMap
+    val zones =
+      if (doTruncate) fresh
+      else JsonlV2.readZones(path) ++ fresh
+    JsonlV2.writeZones(path, zones)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(new Configuration())
     messages.foreach {
-      case JsonlStaged(s, _) => fs.delete(new Path(s), false)
-      case _                 => () // uncommitted tasks cleaned up in task abort
+      case m: JsonlStaged => fs.delete(new Path(m.staged), false)
+      case _              => () // uncommitted tasks cleaned up in task abort
     }
   }
 }
@@ -694,15 +799,35 @@ class JsonlDataWriter(
     new com.fasterxml.jackson.core.JsonFactory().createGenerator(
       out.asInstanceOf[java.io.OutputStream])
 
+  // running numeric min/max per column for the zone manifest
+  private val zMin = new Array[Double](schema.length)
+  private val zMax = new Array[Double](schema.length)
+  private val zSeen = new Array[Boolean](schema.length)
+
+  private def zUpdate(i: Int, v: Double): Unit = {
+    if (!zSeen(i)) { zMin(i) = v; zMax(i) = v; zSeen(i) = true }
+    else {
+      if (v < zMin(i)) zMin(i) = v
+      if (v > zMax(i)) zMax(i) = v
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
     gen.writeStartObject()
     var i = 0
     while (i < schema.length) {
       val f = schema.fields(i)
       if (!row.isNullAt(i)) f.dataType match {
-        case LongType    => gen.writeNumberField(f.name, row.getLong(i))
-        case IntegerType => gen.writeNumberField(f.name, row.getInt(i))
-        case DoubleType  => gen.writeNumberField(f.name, row.getDouble(i))
+        case LongType =>
+          val v = row.getLong(i); zUpdate(i, v.toDouble)
+          gen.writeNumberField(f.name, v)
+        case IntegerType =>
+          val v = row.getInt(i); zUpdate(i, v.toDouble)
+          gen.writeNumberField(f.name, v)
+        case DoubleType =>
+          val v = row.getDouble(i)
+          if (!v.isNaN) zUpdate(i, v)
+          gen.writeNumberField(f.name, v)
         case BooleanType => gen.writeBooleanField(f.name, row.getBoolean(i))
         case StringType  => gen.writeStringField(f.name, row.getUTF8String(i).toString)
         case other => throw new UnsupportedOperationException(
@@ -720,7 +845,10 @@ class JsonlDataWriter(
     // performs the visible rename after every task has committed
     if (!fs.rename(tmp, staged))
       throw new java.io.IOException(s"rename $tmp -> $staged failed")
-    JsonlStaged(staged.toString, dest.toString)
+    val stats = schema.fields.indices.collect {
+      case i if zSeen(i) => schema.fields(i).name -> (zMin(i), zMax(i))
+    }.toMap
+    JsonlStaged(staged.toString, dest.toString, stats)
   }
 
   override def abort(): Unit = {
@@ -731,7 +859,11 @@ class JsonlDataWriter(
   override def close(): Unit = ()
 }
 
-case class JsonlStaged(staged: String, dest: String) extends WriterCommitMessage
+case class JsonlStaged(
+    staged: String,
+    dest: String,
+    stats: Map[String, (Double, Double)] = Map.empty)
+    extends WriterCommitMessage
 
 /** Streaming (micro-batch) read of a JSONL directory: the offset is the
   * per-file byte length at snapshot time, so each batch reads exactly
@@ -782,9 +914,15 @@ class JsonlMicroBatchStream(
       start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[JsonlStreamOffset].files
     val s1 = end.asInstanceOf[JsonlStreamOffset].files
+    // zone pruning (batch parity): a committed-manifest file whose
+    // stats exclude every pushed filter advances the offset without
+    // producing splits — its rows could never pass the filter
+    val zones = JsonlV2.readZones(path)
     s1.toSeq.sortBy(_._1).flatMap { case (file, len) =>
       val done = s0.getOrElse(file, 0L)
-      if (len <= done) Nil
+      val skip = zones.get(new Path(file).getName)
+        .exists(z => pushed.exists(JsonlV2.zoneExcludes(_, z)))
+      if (len <= done || skip) Nil
       else (done until len by splitBytes).map { off =>
         val l = math.min(splitBytes, len - off)
         JsonlSplit(file, off, l,

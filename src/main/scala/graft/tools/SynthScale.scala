@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress corpus synthesizer: replicates an sf testdata dir K
+  * times with key offsets (`args: srcDir destDir K`), producing a
+  * larger corpus with the SAME schemas and referential structure —
+  * every fact-table key is shifted per replica so joins stay 1:1-ish
+  * instead of exploding, while dimension tables (region/nation) are
+  * shared, exactly like a real scale-up.
+  *
+  * Document text gets a per-replica suffix token (replica 0 unchanged)
+  * so exact/near-dup pipelines see realistic near-duplicates instead of
+  * a degenerate K-way exact-copy corpus; n_chars is recomputed to stay
+  * consistent. Embeddings replicate unperturbed (ANN ties break by id).
+  *
+  * Usage: runMain graft.tools.SynthScale /root/testdata/sf0.1 \
+  *   target/sf1-synth 10
+  */
+object SynthScale {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dest, kStr) = args
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+
+    /** K offset copies of `df`, each listed key column shifted by
+      * `i * (max(key) + 1)` — ids stay dense-ish and disjoint. */
+    def replicate(df: DataFrame, keys: Seq[String])(
+        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      val spans = keys.map(c =>
+        c -> (df.agg(max(col(c))).head().getLong(0) + 1L)).toMap
+      (0 until k).map { i =>
+        val shifted = keys.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(i * spans(c))))
+        perReplica(shifted, i)
+      }.reduce(_ unionByName _)
+    }
+
+    // dimension tables: shared, not replicated
+    write(t("region"), "region")
+    write(t("nation"), "nation")
+
+    write(replicate(t("customer"), Seq("c_custkey"))(), "customer")
+    write(replicate(t("supplier"), Seq("s_suppkey"))(), "supplier")
+    write(replicate(t("part"), Seq("p_partkey"))(), "part")
+    write(replicate(t("orders"), Seq("o_orderkey", "o_custkey"))(), "orders")
+    write(
+      replicate(t("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))(),
+      "lineitem")
+    write(replicate(t("events"), Seq("event_id", "user_id"))(), "events")
+    write(
+      replicate(t("documents"), Seq("doc_id")) { (d, i) =>
+        if (i == 0) d
+        else d
+          .withColumn("text", concat(col("text"), lit(s" r$i")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      },
+      "documents")
+    write(replicate(t("embeddings"), Seq("vec_id"))(), "embeddings")
+
+    println(s"[synth] wrote ${k}x of $src to $dest")
+    spark.stop()
+  }
+}

@@ -158,6 +158,29 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(visible() === Seq(20L))
   }
 
+  test("zone maps: committed per-file stats skip whole files under a selective range filter") {
+    val out = Files.createTempDirectory("dsv2zones").toString + "/z"
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+    // range-clustered write → each file owns a contiguous doc_id range,
+    // so the committed _zones.json can prove disjointness per file
+    src.repartitionByRange(8, col("doc_id"))
+      .write.format("graft-jsonl").mode("overwrite").save(out)
+    assert(new java.io.File(out, "_zones.json").exists(),
+      "job commit did not publish the zone manifest")
+    val all = spark.read.format("graft-jsonl").schema(docsSchema).load(out)
+    val full = all.rdd.getNumPartitions
+    val filtered = all.where(col("doc_id") < 50)
+    val planned = filtered.rdd.getNumPartitions
+    assert(planned < full,
+      s"zone pruning did not reduce splits: $planned of $full")
+    // pruning must be invisible to results
+    assert(filtered.select("doc_id").as[Long].collect().sorted.toSeq ===
+      src.where(col("doc_id") < 50).select("doc_id").as[Long].collect().sorted.toSeq)
+    // a filter on an UN-zoned column (string) must not prune
+    assert(all.where(col("lang") === "en").count() ===
+      src.where(col("lang") === "en").count())
+  }
+
   test("limit pushdown stops the reader early and surfaces in the scan") {
     val df = v2().limit(7)
     val plan = planOf(df)

@@ -79,6 +79,56 @@ class SaltingSpec extends SparkSpec {
     assert(out.where(col("name") === "hot").count() === 50000L)
   }
 
+  test("AQE OptimizeSkewedJoin splits the hot partition (the built-in sibling of saltedJoin)") {
+    // Why both exist: AQE skew-join splits oversized SHUFFLE PARTITIONS
+    // of a sort-merge join at runtime — zero code, the 100 TB default
+    // for skewed joins. Salting stays for what AQE cannot split: a
+    // single giant GROUP BY key (aggregation state is per-key, not
+    // per-partition) and broadcast-ineligible joins whose hot key must
+    // be sprayed BEFORE the shuffle. This pins that the built-in path
+    // actually fires under skew, so the operators divide the work as
+    // documented in Salting's scaladoc.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // one hot key carrying 100k rows with incompressible payloads
+      // (several MB in one reduce partition vs ~100s of KB median)
+      // against a dim too large to broadcast under the disabled threshold
+      val big = spark.range(150000).select(
+        when(col("id") < 100000, lit(7L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(300000)
+        .select(col("id").as("k2"), md5(col("id").cast("string")).as("v"))
+      val joined = big.join(dim, col("k") === col("k2"))
+        .agg(count(lit(1)).as("n"), max(length(col("payload"))).as("lp"))
+      val n = joined.collect().head.getLong(0)
+      assert(n === 150000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join did not fire:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("non-decomposable aggregates are rejected loudly") {
     assertThrows[IllegalArgumentException](
       Salting.saltedAggregate(lineitem, Seq("l_returnflag"), Seq("a" -> ("l_quantity", "avg"))))
