@@ -57,7 +57,8 @@ class LibraryCatalog(
     spark: SparkSession,
     warehouse: String,
     hnswMaxRows: Int = HnswIndex.DefaultMaxRows,
-    lshMaxFlips: Int = 0) {
+    lshMaxFlips: Int = 0,
+    autoCompactRefs: Int = LibraryCatalog.DefaultAutoCompactRefs) {
 
   private val log = LoggerFactory.getLogger(classOf[LibraryCatalog])
   private def fs: FileSystem =
@@ -856,7 +857,32 @@ class LibraryCatalog(
       if (m.indexer == HnswIndexer) carried - HnswGraphArtifact - HnswMetaArtifact
       else carried
     writeArtifactRefs(vdir, refs)
-    finishCommit(m, v, mf)
+    val committed = finishCommit(m, v, mf)
+    maybeAutoCompact(committed, mf, refs)
+  }
+
+  /** Auto-compaction policy: a delta commit whose read amplification —
+    * the largest part-list any chunk bucket or index artifact has
+    * accumulated — exceeds `autoCompactRefs` triggers a full
+    * [[compactLibrary]] in the same lock scope, folding the lists back
+    * to one referenced version. Between triggers every mutation stays
+    * O(delta); the threshold bounds the read side's per-scan part count
+    * (and the per-read anti-join count from deletion vectors) at any
+    * commit rate, the RocksDB/Delta-style amortization: total write
+    * cost stays O(data · log-ish) while reads never see more than the
+    * threshold's worth of parts. 0 disables (callers that own their
+    * compaction schedule). */
+  private def maybeAutoCompact(
+      m: LibraryMeta,
+      mf: Map[Int, Seq[String]],
+      refs: Map[String, Seq[String]]): LibraryMeta = {
+    val amp = (mf.values.map(_.size) ++ refs.values.map(_.size))
+      .maxOption.getOrElse(0)
+    if (autoCompactRefs > 0 && amp > autoCompactRefs) {
+      log.info(
+        s"auto-compacting '${m.name}': read amplification $amp > $autoCompactRefs")
+      compactLibrary(m.name)
+    } else m
   }
 
   private def buildIndex(m: LibraryMeta, chunksDf: DataFrame): Seq[IndexArtifact] =
@@ -1931,6 +1957,13 @@ object LibraryCatalog {
     * fixed constant (~64 MB of estimated input per bucket, clamped to
     * [1, 65536]). */
   val AutoBuckets = 0
+
+  /** Default read-amplification bound before a delta commit triggers
+    * auto-compaction (see maybeAutoCompact): 32 parts per bucket/
+    * artifact keeps the worst scan fan-in bounded while compacting
+    * rarely enough that sustained small-delta ingest stays O(delta)
+    * amortized. */
+  val DefaultAutoCompactRefs = 32
 
   /** Mutations expressible in [[LibraryCatalog.applyBatch]] — each the
     * batched twin of the corresponding single-commit method. */

@@ -327,4 +327,52 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     // while the retained previous version still reads back whole
     assert(catalog.chunksAt("dlib", live.min).count() > 0)
   }
+
+  test("auto-compaction: a delta commit past the read-amplification bound folds the part lists back to one") {
+    val wh = Files.createTempDirectory("graft-autocompact-").toString
+    // tiny threshold so a handful of appends trips the policy
+    val auto = new LibraryCatalog(spark, wh, autoCompactRefs = 4)
+    auto.createLibrary("alib", LshIndexer,
+      chunkRows(Seq(("a0", "seed row text"))), overwrite = true)
+    def maxAmp(): Int = {
+      val m = auto.readMeta("alib").get
+      val root = new java.io.File(s"$wh/alib")
+      val mf = new java.io.File(root, f"v${m.version}%06d/manifest.txt")
+      val src = scala.io.Source.fromFile(mf, "UTF-8")
+      val bucketAmp = try src.getLines().filter(_.contains("="))
+        .map(_.split("=", 2)(1).split(",").count(_.nonEmpty)).maxOption.getOrElse(0)
+      finally src.close()
+      val af = new java.io.File(root, f"v${m.version}%06d/artifacts.txt")
+      val asrc = scala.io.Source.fromFile(af, "UTF-8")
+      val artAmp = try asrc.getLines().filter(_.contains("="))
+        .map(_.split("=", 2)(1).split(",").count(_.nonEmpty)).maxOption.getOrElse(0)
+      finally asrc.close()
+      math.max(bucketAmp, artAmp)
+    }
+    // appends accumulate part lists... until the bound trips and a full
+    // commit folds them; amplification must NEVER exceed threshold + 1
+    (1 to 10).foreach { i =>
+      auto.addChunks("alib", chunkRows(Seq((s"a$i", s"appended row $i"))))
+      assert(maxAmp() <= 5, s"read amplification ${maxAmp()} after append $i")
+    }
+    // at least one auto-compaction happened: part lists are short again
+    assert(maxAmp() <= 5)
+    // and no rows were lost across the folds
+    assert(auto.chunks("alib").count() === 11L)
+    assert(auto.indexTable("alib").get.select("id").distinct().count() === 11L)
+
+    // threshold 0 disables: the same ingest accumulates parts untouched
+    val off = new LibraryCatalog(spark, wh, autoCompactRefs = 0)
+    off.createLibrary("olib", LshIndexer,
+      chunkRows(Seq(("b0", "seed row text"))), overwrite = true)
+    (1 to 6).foreach(i =>
+      off.addChunks("olib", chunkRows(Seq((s"b$i", s"appended row $i")))))
+    val m = off.readMeta("olib").get
+    val mf = new java.io.File(s"$wh/olib/v${"%06d".format(m.version)}/manifest.txt")
+    val src = scala.io.Source.fromFile(mf, "UTF-8")
+    val amp = try src.getLines().filter(_.contains("="))
+      .map(_.split("=", 2)(1).split(",").count(_.nonEmpty)).max
+    finally src.close()
+    assert(amp >= 6, s"disabled policy must not compact (amp=$amp)")
+  }
 }
