@@ -33,8 +33,23 @@ object SynthScale {
     spark.sparkContext.setLogLevel("WARN")
 
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+    // each table lands as ONE plain <name>.parquet FILE (not a Spark
+    // part directory) so the DuckDB oracle gate and pyarrow read the
+    // synthetic dir exactly like the driver-generated testdata; Spark
+    // still parallelizes the read by row-group splits
+    def write(df: DataFrame, name: String): Unit = {
+      import org.apache.hadoop.conf.Configuration
+      import org.apache.hadoop.fs.Path
+      val tmp = s"$dest/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new Path(dest).getFileSystem(new Configuration())
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet")).head
+      fs.delete(new Path(s"$dest/$name.parquet"), true)
+      fs.rename(part, new Path(s"$dest/$name.parquet"))
+      fs.delete(new Path(tmp), true)
+    }
 
     /** K offset copies of `df`, each listed key column shifted by
       * `i * (max(key) + 1)` — ids stay dense-ish and disjoint. */
