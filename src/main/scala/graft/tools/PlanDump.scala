@@ -70,7 +70,11 @@ object PlanDump {
     "q_funnel" ->
       "Funnel conversion: events collapse to user-level stage times BEFORE each join, so the three stage joins move user-level rows only; all three stage frames and the final union-groupBy co-partition on user_id.",
     "q_dsv2_agg" ->
-      "Connector aggregate pushdown: the BatchScan line carries PushedAggregation — each split returns ONE partial COUNT/MIN/MAX row (the COUNT(*) partial is line counting, no JSON parse) and the HashAggregate above merges partials; the corpus is never materialized as rows.")
+      "Connector aggregate pushdown: the BatchScan line carries PushedAggregation — each split returns ONE partial COUNT/MIN/MAX row (the COUNT(*) partial is line counting, no JSON parse) and the HashAggregate above merges partials; the corpus is never materialized as rows.",
+    "q_ann_probe_rule_ivf" ->
+      "Catalyst ANN rewrite selecting the IVF index kind: the same kNN pattern, but the injected filter is cell membership — ArrayPosition/ArrayMin over per-centroid VectorDistance expressions against the REGISTERED persisted quantizer — with the identical scalar-subquery under-k guard. Which index family probes is an optimizer decision driven by persisted-artifact registration, not caller code.",
+    "q_dsv2_zones" ->
+      "Connector zone maps: the range predicate reaches the reader as pushed filters AND prunes whole files at split-planning time via the job-commit _zones.json manifest (range-clustered write → disjoint per-file doc_id ranges) — at 100 TB a selective range predicate reads the few overlapping files, not the directory.")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
