@@ -1812,8 +1812,15 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n_items"),
+          // l_quantity is integer-valued: double sums are exact at any
+          // group size. The revenue PRODUCT is fractional, so the sum
+          // must be order-invariant to survive large groups (the sf1
+          // gate caught the double accumulation drifting past 2dp at
+          // ~1.2M rows/group): round each product to 4dp — the same
+          // double on both engines — and accumulate in exact DECIMAL.
           rn(sum("l_quantity"), 4).as("sum_qty"),
-          rn(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          rn(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .cast("decimal(30,4)")).cast("double"), 2)
             .as("revenue"))
         .orderBy("o_orderpriority")
     }),
@@ -3978,6 +3985,67 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The q_lsh_knn pipeline as SQL, parameterized by k: derive the
+    * hyperplanes from md5 (planes CTE), signature = sign-bit sum per
+    * (vector, table), candidates = any-table signature match with the
+    * query's independently computed signature, under-k fallback to the
+    * full corpus, exact euclidean re-rank. Used at k=10 (the index
+    * query) and k=2000 (the plan-rewrite fallback branch — the
+    * emulation is SCALE-INVARIANT: at gate scales the bucket holds
+    * < 2000 members and this degenerates to the exact scan, at larger
+    * corpora it stays the probe, exactly like the rewrite itself). */
+  private def oLshKnnSql(k: Int): String = {
+    val p = LshIndex.Params()
+    val planeExpr =
+      s"(((('0x'||substr(md5('${p.tag}|'||t||'|'||b||'|'||d),1,8))::BIGINT % 2001)-1000)/1000.0)"
+    def sigSum(vec: String) =
+      s"sum(CASE WHEN list_sum(list_transform(list_zip($vec, p.pl), " +
+        "z -> CAST(z[1] AS DOUBLE)*z[2])) >= 0 THEN (1<<p.b)::BIGINT ELSE 0 END)"
+    s"""WITH planes AS (
+       |  SELECT t, b, list($planeExpr ORDER BY d) AS pl
+       |  FROM range(0,${p.numTables}) tt(t), range(0,${p.hashSize}) bb(b), range(0,${p.dim}) dd(d)
+       |  GROUP BY t, b
+       |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qsigs AS (SELECT p.t AS t, ${sigSum("q.qv")} AS sig FROM q, planes p GROUP BY p.t),
+       |sigs AS (SELECT e.vec_id AS vec_id, p.t AS t, ${sigSum("e.embedding")} AS sig
+       |         FROM embeddings e, planes p GROUP BY e.vec_id, p.t),
+       |cand AS (SELECT DISTINCT s.vec_id FROM sigs s, qsigs qs WHERE s.t = qs.t AND s.sig = qs.sig),
+       |base AS (SELECT e.vec_id, e.embedding FROM embeddings e
+       |         WHERE (SELECT count(*) FROM cand) < $k OR e.vec_id IN (SELECT vec_id FROM cand))
+       |SELECT vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
+       |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
+       |  FROM base e, q
+       |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** The q_ivf_knn pipeline as SQL, parameterized by k (same
+    * scale-invariance rationale as [[oLshKnnSql]]). */
+  private def oIvfKnnSql(k: Int): String = {
+    val p = IvfIndex.Params()
+    def euclid(a: String, b: String) =
+      s"sqrt(list_sum(list_transform(list_zip($a, $b), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
+    // cents cids are the dense vec_ids 0..nCells-1, so the ordinal
+    // cell index equals the centroid's vec_id (asserted dense in
+    // IvfIndexSpec); list_position gives the same first-minimum
+    // tie-break as Spark's array_position.
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cents AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT ${p.nCells}),
+       |asn AS (
+       |  SELECT e.vec_id AS vec_id, list(${euclid("e.embedding", "c.embedding")} ORDER BY c.cid) AS ds
+       |  FROM embeddings e, cents c GROUP BY e.vec_id),
+       |cells AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell FROM asn),
+       |qc AS (SELECT c.cid AS cell FROM cents c, q
+       |       ORDER BY ${euclid("q.qv", "c.embedding")}, c.cid LIMIT ${p.nProbe}),
+       |cand AS (SELECT vec_id FROM cells WHERE cell IN (SELECT cell FROM qc)),
+       |base AS (SELECT e.vec_id, e.embedding FROM embeddings e
+       |         WHERE (SELECT count(*) FROM cand) < $k OR e.vec_id IN (SELECT vec_id FROM cand))
+       |SELECT vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
+       |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
+       |  FROM base e, q
+       |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
+  }
+
   /** recall@10 oracle: both rankings re-derived in SQL, intersected by
     * id (DuckDB allows a WITH inside a parenthesized subquery, so the
     * approximate side reuses the full index-emulation SQL verbatim). */
@@ -3995,21 +4063,24 @@ object SparkEntry {
       "q_lsh_recall" -> oRecall(oKnn(oEuclid), base("q_lsh_knn")),
       "q_ivf_recall" -> oRecall(oKnn(oEuclid), base("q_ivf_knn")),
       "q_hnsw_recall" -> oRecall(oHnsw(10), base("q_hnsw_knn")),
-      // Both branches of each Catalyst probe rewrite: the probe branch
-      // reuses the SAME index-emulation SQL as the index's own query
-      // (the rewrite IS that probe, chosen by the optimizer), the
-      // 2000-branch proves the under-k scalar-subquery guard
-      // degenerates to the exact scan.
+      // Both branches of each Catalyst probe rewrite: each branch is
+      // the full index emulation at that branch's k (the rewrite IS
+      // that probe, chosen by the optimizer). At gate scales the
+      // k=2000 emulation's candidate count is under k, so it
+      // degenerates to the exact scan — and at larger corpora (the
+      // sf1 synthetic gate) it stays the probe, exactly like the
+      // rewrite's scalar-subquery guard. A hard-coded exact-scan
+      // oracle for that branch would bake the small-corpus premise in.
       "q_ann_probe_rule" ->
-        s"""SELECT vec_id, dist, 'probe' AS branch FROM (${base("q_lsh_knn")}) p
+        s"""SELECT vec_id, dist, 'probe' AS branch FROM (${oLshKnnSql(10)}) p
            |UNION ALL
            |SELECT vec_id, dist, 'under_k_fallback' AS branch
-           |FROM (${oKnn(oEuclid, 2000)}) f""".stripMargin,
+           |FROM (${oLshKnnSql(2000)}) f""".stripMargin,
       "q_ann_probe_rule_ivf" ->
-        s"""SELECT vec_id, dist, 'probe' AS branch FROM (${base("q_ivf_knn")}) p
+        s"""SELECT vec_id, dist, 'probe' AS branch FROM (${oIvfKnnSql(10)}) p
            |UNION ALL
            |SELECT vec_id, dist, 'under_k_fallback' AS branch
-           |FROM (${oKnn(oEuclid, 2000)}) f""".stripMargin)
+           |FROM (${oIvfKnnSql(2000)}) f""".stripMargin)
   }
 
   private lazy val baseOracleSql: Map[String, String] = Map(
@@ -4222,7 +4293,7 @@ object SparkEntry {
     "q_bucketed_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,
         |  (round(sum(l.l_quantity), 4) + 0.0) AS sum_qty,
-        |  (round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) + 0.0) AS revenue
+        |  (round(CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 4) AS DECIMAL(30,4))) AS DOUBLE), 2) + 0.0) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // vocab ids re-derived in SQL as row_number over (count DESC, token)
@@ -5413,32 +5484,7 @@ object SparkEntry {
         |SELECT 'current', count(*),
         |       CAST(sum(length(text)) AS BIGINT) FROM base WHERE page <> 0
         |ORDER BY snap""".stripMargin,
-    "q_ivf_knn" -> {
-      val p = IvfIndex.Params()
-      val k = 10
-      def euclid(a: String, b: String) =
-        s"sqrt(list_sum(list_transform(list_zip($a, $b), " +
-          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
-      // cents cids are the dense vec_ids 0..nCells-1, so the ordinal
-      // cell index equals the centroid's vec_id (asserted dense in
-      // IvfIndexSpec); list_position gives the same first-minimum
-      // tie-break as Spark's array_position.
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |cents AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT ${p.nCells}),
-         |asn AS (
-         |  SELECT e.vec_id AS vec_id, list(${euclid("e.embedding", "c.embedding")} ORDER BY c.cid) AS ds
-         |  FROM embeddings e, cents c GROUP BY e.vec_id),
-         |cells AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell FROM asn),
-         |qc AS (SELECT c.cid AS cell FROM cents c, q
-         |       ORDER BY ${euclid("q.qv", "c.embedding")}, c.cid LIMIT ${p.nProbe}),
-         |cand AS (SELECT vec_id FROM cells WHERE cell IN (SELECT cell FROM qc)),
-         |base AS (SELECT e.vec_id, e.embedding FROM embeddings e
-         |         WHERE (SELECT count(*) FROM cand) < $k OR e.vec_id IN (SELECT vec_id FROM cand))
-         |SELECT vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
-         |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
-         |  FROM base e, q
-         |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
-    },
+    "q_ivf_knn" -> oIvfKnnSql(10),
     // the PQ funnel re-derived: same dense-sample codebook, per-subspace
     // argmin encode (first-minimum tie-break), ADC table joined by code
     "q_pq_adc" -> {
@@ -5481,35 +5527,7 @@ object SparkEntry {
          |SELECT CAST(count(*) AS BIGINT) AS n_overlap,
          |  (round(CAST(count(*) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) + 0.0) AS recall_at_10
          |FROM bth""".stripMargin,
-    "q_lsh_knn" -> {
-      val p = LshIndex.Params()
-      val k = 10
-      // Same pipeline as LshIndex.search, in SQL: derive the hyperplanes
-      // from md5 (planes CTE), signature = sign-bit sum per (vector,
-      // table), candidates = any-table signature match with the query's
-      // independently computed signature, under-k fallback to the full
-      // corpus, exact euclidean re-rank.
-      val planeExpr =
-        s"(((('0x'||substr(md5('${p.tag}|'||t||'|'||b||'|'||d),1,8))::BIGINT % 2001)-1000)/1000.0)"
-      def sigSum(vec: String) =
-        s"sum(CASE WHEN list_sum(list_transform(list_zip($vec, p.pl), " +
-          "z -> CAST(z[1] AS DOUBLE)*z[2])) >= 0 THEN (1<<p.b)::BIGINT ELSE 0 END)"
-      s"""WITH planes AS (
-         |  SELECT t, b, list($planeExpr ORDER BY d) AS pl
-         |  FROM range(0,${p.numTables}) tt(t), range(0,${p.hashSize}) bb(b), range(0,${p.dim}) dd(d)
-         |  GROUP BY t, b
-         |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |qsigs AS (SELECT p.t AS t, ${sigSum("q.qv")} AS sig FROM q, planes p GROUP BY p.t),
-         |sigs AS (SELECT e.vec_id AS vec_id, p.t AS t, ${sigSum("e.embedding")} AS sig
-         |         FROM embeddings e, planes p GROUP BY e.vec_id, p.t),
-         |cand AS (SELECT DISTINCT s.vec_id FROM sigs s, qsigs qs WHERE s.t = qs.t AND s.sig = qs.sig),
-         |base AS (SELECT e.vec_id, e.embedding FROM embeddings e
-         |         WHERE (SELECT count(*) FROM cand) < $k OR e.vec_id IN (SELECT vec_id FROM cand))
-         |SELECT vec_id, (round(dist_exact, 6) + 0.0) AS dist FROM (
-         |  SELECT e.vec_id AS vec_id, $oEuclid AS dist_exact
-         |  FROM base e, q
-         |) ORDER BY dist_exact, vec_id LIMIT $k""".stripMargin
-    },
+    "q_lsh_knn" -> oLshKnnSql(10),
     "q_lsh_multiprobe" -> {
       val p = LshIndex.Params()
       val k = 5

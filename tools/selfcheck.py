@@ -27,7 +27,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -36,7 +36,12 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    n_skip = 0
     for name in sorted(oracles):
+        if name in skip:
+            print(f"SKIP {name} (oracle excluded by caller)")
+            n_skip += 1
+            continue
         sql = oracles[name]
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -72,9 +77,14 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(orows)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    tail = f", {n_skip} skipped" if n_skip else ""
+    print(f"\n{n_pass} passed, {n_fail} failed{tail}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd arg: comma-separated oracle names to skip (used for
+    # synthetic scale corpora where an oracle's DuckDB emulation is
+    # definitionally super-linear — the Spark side still runs)
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+    sys.exit(main(sys.argv[1], sys.argv[2], skip))
