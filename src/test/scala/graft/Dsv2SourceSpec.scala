@@ -181,6 +181,25 @@ class Dsv2SourceSpec extends SparkSpec {
       src.where(col("lang") === "en").count())
   }
 
+  test("zone maps prune the streaming read's splits too (batch parity)") {
+    import graft.sources.{JsonlMicroBatchStream, JsonlStreamOffset}
+    import org.apache.spark.sql.sources.LessThan
+    val out = Files.createTempDirectory("dsv2zstream").toString + "/z"
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartitionByRange(8, col("doc_id"))
+      .write.format("graft-jsonl").mode("overwrite").save(out)
+    def splits(pushed: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val ms = new JsonlMicroBatchStream(
+        out, docsSchema, docsSchema, pushed, splitBytes = 1L << 20)
+      ms.planInputPartitions(
+        JsonlStreamOffset(Map.empty), ms.latestOffset()).length
+    }
+    val all = splits(Array.empty)
+    val pruned = splits(Array(LessThan("doc_id", 50L)))
+    assert(all === 8, s"expected 8 one-file splits, got $all")
+    assert(pruned < all, s"streaming zone pruning did not fire: $pruned of $all")
+  }
+
   test("limit pushdown stops the reader early and surfaces in the scan") {
     val df = v2().limit(7)
     val plan = planOf(df)
