@@ -25,11 +25,36 @@ object SparkEntry {
     * on any change to the persisted layouts or the queries over them. */
   private val CacheVersion = "r8a"
 
-  /** Tmp path for a persisted demo artifact, keyed by code version + sf
-    * dir (Verify at sf0.01 and Bench at sf0.1 must not share). */
+  /** Fingerprint of the sf dir's DATA (size + mtime of the two
+    * index-bearing tables): a build-once artifact cached against one
+    * generation of testdata must never silently serve a regenerated
+    * one — the CacheVersion bump covers code/layout changes, this
+    * covers the data itself. Memoized: one stat per dir per JVM. */
+  private val dataStampCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private def dataStamp(dir: String): String =
+    dataStampCache.getOrElseUpdate(dir, {
+      val s = Seq("embeddings", "documents").map { t =>
+        val f = new java.io.File(s"$dir/$t.parquet")
+        // a directory-shaped table stamps its newest part
+        val leaf =
+          if (f.isDirectory)
+            f.listFiles().filter(_.getName.endsWith(".parquet"))
+              .sortBy(_.getName).lastOption.getOrElse(f)
+          else f
+        s"${leaf.length()}_${leaf.lastModified()}"
+      }.mkString("_")
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
+    })
+
+  /** Tmp path for a persisted demo artifact, keyed by code version +
+    * sf dir + DATA fingerprint (Verify at sf0.01 and Bench at sf0.1
+    * must not share; a regenerated testdata dir must not reuse stale
+    * artifacts). */
   private def cachePath(kind: String, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_${CacheVersion}_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + dataStamp(dir)
 
   /** Canonicalizing round: `round(c, n) + 0.0` maps IEEE `-0.0` to `+0.0`
     * (identity for every other value). Without it, a cosine distance of
@@ -1779,7 +1804,9 @@ object SparkEntry {
     //      metadata; data lands under spark-warehouse keyed by code
     //      version + sf dir). ----
     "q_bucketed_join" -> ((s, dir) => {
-      val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // data-stamped like cachePath: regenerated testdata must not hit
+      // a stale bucketed table
+      val slug = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + dataStamp(dir)
       val liT = s"graft_bli_${CacheVersion}_$slug"
       val ordT = s"graft_bord_${CacheVersion}_$slug"
       if (!s.catalog.tableExists(liT)) {
