@@ -74,6 +74,28 @@ class CorruptPersistenceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e.getMessage.contains("corrupt manifest"))
   }
 
+  test("partially-deleted PQ codebook artifact fails loudly, never encodes with a hole") {
+    import graft.operators.PqIndex
+    val docs = spark.range(40).select(
+      concat(lit("p"), format_string("%03d", col("id"))).as("id"),
+      lit("d0").as("document_id"),
+      concat(lit("pq corrupt spec chunk "), col("id")).as("text"))
+    catalog.createLibrary("c_pq", IvfPqIndexer, docs, overwrite = true)
+    // sanity: the intact codebook loads
+    PqIndex.codebookOf(catalog.codebookTable("c_pq").get)
+    // drop half the codebook rows on disk (a torn write / bad copy)
+    val m = catalog.readMeta("c_pq").get
+    val cbDir = libFile("c_pq", f"v${m.version}%06d", "codebook").toFile
+    val holed = catalog.codebookTable("c_pq").get.where(col("j") < 8)
+    val tmp = Files.createTempDirectory("pqhole").toString
+    holed.coalesce(1).write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(cbDir)
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(tmp), cbDir)
+    val e = intercept[IllegalArgumentException](
+      PqIndex.codebookOf(catalog.codebookTable("c_pq").get))
+    assert(e.getMessage.contains("missing entry"), e.getMessage)
+  }
+
   test("manifest referencing a deleted chunk leaf fails naming the missing path") {
     mkLib("c_leaf")
     val leaf = libFile("c_leaf", "v000000", "chunks", "__b=0")
