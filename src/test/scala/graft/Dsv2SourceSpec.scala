@@ -181,6 +181,42 @@ class Dsv2SourceSpec extends SparkSpec {
       src.where(col("lang") === "en").count())
   }
 
+  test("zone pruning is invisible under randomized predicates, extremes, and nulls") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260814L)
+    val rows = (0 until 400).map { i =>
+      val k: java.lang.Long =
+        if (i % 37 == 0) null
+        else if (i % 23 == 0) Long.MaxValue - rng.nextInt(3)
+        else if (i % 29 == 0) Long.MinValue + rng.nextInt(3)
+        else rng.nextLong() % 1000000L
+      val v: java.lang.Double =
+        if (i % 17 == 0) null else rng.nextDouble() * 2e6 - 1e6
+      (i.toLong, k, v)
+    }
+    val df = rows.toDF("rid", "k", "v")
+    val out = Files.createTempDirectory("dsv2zprop").toString + "/p"
+    df.repartitionByRange(7, col("k")).write.format("graft-jsonl")
+      .mode("overwrite").save(out)
+    val schema = StructType(Seq(
+      StructField("rid", LongType), StructField("k", LongType),
+      StructField("v", DoubleType)))
+    val back = spark.read.format("graft-jsonl").schema(schema).load(out)
+    val preds: Seq[org.apache.spark.sql.Column] = Seq(
+      col("k") === Long.MaxValue, col("k") === Long.MinValue,
+      col("k") > 500000L, col("k") <= -999999L, col("k") < 0L,
+      col("k").isin(0L, Long.MaxValue, -42L),
+      col("v") > 999999.0, col("v") <= -999999.5,
+      col("k") > 100L && col("v") < 0.0) ++
+      (1 to 8).map(_ => col("k") > (rng.nextLong() % 1000000L)) ++
+      (1 to 4).map(_ => col("v") < (rng.nextDouble() * 2e6 - 1e6))
+    preds.zipWithIndex.foreach { case (p, i) =>
+      val got = back.where(p).select("rid").as[Long].collect().sorted.toSeq
+      val want = df.where(p).select("rid").as[Long].collect().sorted.toSeq
+      assert(got === want, s"predicate #$i changed results under zone pruning")
+    }
+  }
+
   test("zone maps prune the streaming read's splits too (batch parity)") {
     import graft.sources.{JsonlMicroBatchStream, JsonlStreamOffset}
     import org.apache.spark.sql.sources.LessThan
