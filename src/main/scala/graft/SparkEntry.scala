@@ -25,24 +25,29 @@ object SparkEntry {
     * on any change to the persisted layouts or the queries over them. */
   private val CacheVersion = "r8a"
 
-  /** Fingerprint of the sf dir's DATA (size + mtime of the two
-    * index-bearing tables): a build-once artifact cached against one
-    * generation of testdata must never silently serve a regenerated
-    * one — the CacheVersion bump covers code/layout changes, this
-    * covers the data itself. Memoized: one stat per dir per JVM. */
+  /** Fingerprint of the sf dir's DATA (size + mtime of EVERY
+    * `*.parquet` table entry, sorted by name): a build-once artifact
+    * cached against one generation of testdata must never silently
+    * serve a regenerated one — the CacheVersion bump covers code/layout
+    * changes, this covers the data itself, including the tables a
+    * specific cache derives from (bucketed lineitem/orders, the
+    * watermark fixture's events). Memoized: one listing per dir per
+    * JVM. */
   private val dataStampCache =
     new scala.collection.concurrent.TrieMap[String, String]
   private def dataStamp(dir: String): String =
     dataStampCache.getOrElseUpdate(dir, {
-      val s = Seq("embeddings", "documents").map { t =>
-        val f = new java.io.File(s"$dir/$t.parquet")
+      val entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val s = entries.map { f =>
         // a directory-shaped table stamps its newest part
         val leaf =
           if (f.isDirectory)
             f.listFiles().filter(_.getName.endsWith(".parquet"))
               .sortBy(_.getName).lastOption.getOrElse(f)
           else f
-        s"${leaf.length()}_${leaf.lastModified()}"
+        s"${f.getName}_${leaf.length()}_${leaf.lastModified()}"
       }.mkString("_")
       java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
@@ -2274,26 +2279,16 @@ object SparkEntry {
     //      vs the exact dot ranking — composed from the two existing
     //      query builders so the measured rankings are EXACTLY the ones
     //      the other queries ship; tiny (10×10) id join, one row out. ----
-    "q_ann_recall" -> ((s, dir) => {
-      val exact = queries("q_knn_dot")(s, dir).select("vec_id")
-      val approx = queries("q_quantized_knn")(s, dir).select("vec_id")
-      exact.join(approx, Seq("vec_id"))
-        .agg(count(lit(1)).as("n_overlap"))
-        .select(col("n_overlap"),
-          rn(col("n_overlap").cast("double") / lit(10.0), 6).as("recall_at_10"))
-    }),
+    "q_ann_recall" -> ((s, dir) => recallOf(
+      queries("q_knn_dot")(s, dir),
+      queries("q_quantized_knn")(s, dir))),
     // ---- same harness over the compressed path: recall@10 of the
     //      IVF-PQ (cell-probed, ADC-ranked) top-10 vs the exact
     //      euclidean top-10 — the number a user tunes nProbe/M against.
     //      Composed from the shipped builders; tiny 10×10 id join. ----
-    "q_pq_recall" -> ((s, dir) => {
-      val exact = queries("q_knn_euclidean")(s, dir).select("vec_id")
-      val approx = queries("q_ivfpq_knn")(s, dir).select("vec_id")
-      exact.join(approx, Seq("vec_id"))
-        .agg(count(lit(1)).as("n_overlap"))
-        .select(col("n_overlap"),
-          rn(col("n_overlap").cast("double") / lit(10.0), 6).as("recall_at_10"))
-    }),
+    "q_pq_recall" -> ((s, dir) => recallOf(
+      queries("q_knn_euclidean")(s, dir),
+      queries("q_ivfpq_knn")(s, dir))),
     // ---- recall floors for EVERY approximate index (completing the
     //      harness beyond the quantized paths): recall@10 of the shipped
     //      LSH / IVF / HNSW rankings vs the exact ranking in each

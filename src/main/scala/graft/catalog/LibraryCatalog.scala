@@ -647,7 +647,8 @@ class LibraryCatalog(
     * below, update that call site — single-version-pinned readers must
     * then complete before the next commit is allowed to start. */
   private def finishCommit(
-      m: LibraryMeta, v: Long, mf: Map[Int, Seq[String]]): LibraryMeta = {
+      m: LibraryMeta, v: Long, mf: Map[Int, Seq[String]],
+      extraKeep: Set[String] = Set.empty): LibraryMeta = {
     val updated = m.copy(version = v, updatedAt = now())
     writeMeta(updated)
     val prevRefs =
@@ -656,7 +657,8 @@ class LibraryCatalog(
           readArtifactRefs(m.name, v - 1).values.flatten.toSet
       else Set.empty[String]
     val keep = mf.values.flatten.toSet ++
-      readArtifactRefs(m.name, v).values.flatten.toSet ++ prevRefs +
+      readArtifactRefs(m.name, v).values.flatten.toSet ++ prevRefs ++
+      extraKeep +
       versionDir(m.name, v).getName + versionDir(m.name, v - 1).getName
     fs.listStatus(libDir(m.name))
       .filter(_.isDirectory)
@@ -679,7 +681,8 @@ class LibraryCatalog(
   private def commitFull(
       m: LibraryMeta,
       chunksDf: DataFrame,
-      artifactsFor: DataFrame => Seq[IndexArtifact]): LibraryMeta = {
+      artifactsFor: DataFrame => Seq[IndexArtifact],
+      extraKeep: Set[String] = Set.empty): LibraryMeta = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -718,7 +721,7 @@ class LibraryCatalog(
     val mf = presentBuckets(vdir).map(b => b -> Seq(vname)).toMap
     writeManifest(vdir, mf)
     writeArtifactRefs(vdir, arts.map(a => a.name -> Seq(vname)).toMap)
-    finishCommit(m, v, mf)
+    finishCommit(m, v, mf, extraKeep)
   }
 
   /** What a delta commit does to the index artifacts — always O(delta)
@@ -881,7 +884,19 @@ class LibraryCatalog(
     if (autoCompactRefs > 0 && amp > autoCompactRefs) {
       log.info(
         s"auto-compacting '${m.name}': read amplification $amp > $autoCompactRefs")
-      compactLibrary(m.name)
+      // This mutation call now performs a SECOND commit, which would
+      // burn the one-later-commit file-retention allowance finishCommit
+      // documents for in-flight readers of the PRE-delta version. Keep
+      // that generation's referenced files (and its version dir) alive
+      // through the compaction commit too, so one mutation CALL still
+      // honors the one-commit contract regardless of auto-compaction.
+      val prev = m.version - 1
+      val extraKeep: Set[String] =
+        if (prev < 0) Set.empty
+        else readManifest(m.name, prev).values.flatten.toSet ++
+          readArtifactRefs(m.name, prev).values.flatten.toSet +
+          versionDir(m.name, prev).getName
+      compactLibrary(m.name, extraKeep)
     } else m
   }
 
@@ -1729,9 +1744,13 @@ class LibraryCatalog(
     * index artifact. Mutations never pay this cost implicitly — delta
     * commits stay O(delta) and an operator schedules compaction when
     * read amplification (part count) warrants it. */
-  def compactLibrary(name: String): LibraryMeta = withWriteLock(name) {
+  def compactLibrary(name: String): LibraryMeta =
+    compactLibrary(name, Set.empty)
+
+  private def compactLibrary(
+      name: String, extraKeep: Set[String]): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
-    commitFull(m, chunks(name), written => buildIndex(m, written))
+    commitFull(m, chunks(name), written => buildIndex(m, written), extraKeep)
   }
 
   /** M9: rebuild the index table from the current chunks. The chunk data

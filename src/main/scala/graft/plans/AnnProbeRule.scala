@@ -68,13 +68,17 @@ object AnnProbeRule extends Rule[LogicalPlan] {
 
   /** Register a persisted IVF quantizer (e.g. loaded via
     * `LibraryCatalog.centroidsTable` / a centroids parquet artifact)
-    * for `kind=ivf` rewrites of queries over same-dim vectors. */
-  def registerIvf(cents: IndexedSeq[Array[Float]], nProbe: Int): Unit = {
-    require(cents.nonEmpty, "registerIvf needs at least one centroid")
-    ivfProbes += cents.head.length -> IvfProbe(cents, nProbe)
-  }
+    * for `kind=ivf` rewrites of queries over same-dim vectors.
+    * Synchronized: `+=` on a @volatile map is a read-modify-write, and
+    * two concurrent registrations must not lose one. Last registration
+    * per dim wins (the registry is process-global, like the rule). */
+  def registerIvf(cents: IndexedSeq[Array[Float]], nProbe: Int): Unit =
+    synchronized {
+      require(cents.nonEmpty, "registerIvf needs at least one centroid")
+      ivfProbes += cents.head.length -> IvfProbe(cents, nProbe)
+    }
 
-  def clearIvfRegistry(): Unit = ivfProbes = Map.empty
+  def clearIvfRegistry(): Unit = synchronized { ivfProbes = Map.empty }
 
   private def queryVector(lit: Literal): Option[Array[Float]] = lit.value match {
     case a: ArrayData => Some(a.toFloatArray())
@@ -85,9 +89,15 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     * the rewritten shape still matches the kNN pattern — without this
     * check every iteration would stack another probe filter (the fresh
     * subquery expr-ids keep the predicates from ever comparing equal). */
+  /** Recognize the INJECTED probe shape only — `Or(under-k scalar
+    * subquery, probe predicate)` — never an arbitrary user filter that
+    * happens to mention a distance expression (a radius pre-filter
+    * under the kNN sort must not disable the rewrite). */
   private def alreadyProbed(p: LogicalPlan): Boolean = p match {
-    case Filter(cond, _) => cond.exists(e =>
-      e.isInstanceOf[LshSignature] || e.isInstanceOf[VectorDistance])
+    case Filter(Or(guard, probe), _) =>
+      guard.exists(_.isInstanceOf[ScalarSubquery]) &&
+        probe.exists(e =>
+          e.isInstanceOf[LshSignature] || e.isInstanceOf[VectorDistance])
     case _ => false
   }
 
@@ -113,7 +123,7 @@ object AnnProbeRule extends Rule[LogicalPlan] {
           In(ArrayPosition(arr, ArrayMin(arr)),
             probed.map(c => Literal(c + 1L): Expression))
         }
-      case _ =>
+      case "lsh" =>
         val params = LshIndex.Params(dim = qv.length)
         val planes = LshIndex.planes(params)
         val sigs = planes.map(LshIndex.signatureLocal(qv, _))
@@ -121,6 +131,11 @@ object AnnProbeRule extends Rule[LogicalPlan] {
           .map(t =>
             EqualTo(LshSignature(emb, planes(t)), Literal(sigs(t))): Expression)
           .reduce(Or))
+      case other =>
+        // the two probes have different recall behavior — a typo must
+        // fail loudly, never silently probe the wrong index family
+        throw new IllegalArgumentException(
+          s"$KindKey=$other is not a known probe kind (lsh | ivf)")
     }
 
   /** Inject the probe filter + under-k guard below `sort`'s projection;

@@ -205,22 +205,36 @@ object JsonlV2 {
     val fs = p.getFileSystem(new Configuration())
     val zp = new Path(p, ZonesFile)
     if (!fs.exists(zp)) return Map.empty
-    val in = fs.open(zp)
+    // the manifest is an OPTIMIZATION: a garbled one (torn copy, manual
+    // edit) must degrade to no-pruning — correct results from the data
+    // files — never make an intact table unreadable
     try {
-      val node = new ObjectMapper().readTree(in)
-      node.properties().asScala.map { e =>
-        e.getKey -> e.getValue.properties().asScala.map { c =>
-          c.getKey -> (c.getValue.get(0).asDouble(), c.getValue.get(1).asDouble())
+      val in = fs.open(zp)
+      try {
+        val node = new ObjectMapper().readTree(in)
+        node.properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala.map { c =>
+            c.getKey -> (c.getValue.get(0).asDouble(), c.getValue.get(1).asDouble())
+          }.toMap
         }.toMap
-      }.toMap
-    } finally in.close()
+      } finally in.close()
+    } catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft-jsonl: unreadable $ZonesFile under $path — zone pruning disabled: $e")
+        Map.empty
+    }
   }
 
   private[sources] def writeZones(
       path: String, zones: Map[String, Map[String, (Double, Double)]]): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    val out = fs.create(new Path(p, ZonesFile), true)
+    // write hidden, rename into place: the manifest becomes visible
+    // atomically with its full contents (same discipline as the data
+    // files' job commit — a crash mid-write leaves no partial manifest)
+    val tmp = new Path(p, s".$ZonesFile.inprogress")
+    val out = fs.create(tmp, true)
     val g = new com.fasterxml.jackson.core.JsonFactory()
       .createGenerator(out.asInstanceOf[java.io.OutputStream])
     g.writeStartObject()
@@ -235,37 +249,44 @@ object JsonlV2 {
     }
     g.writeEndObject()
     g.close()
+    val dest = new Path(p, ZonesFile)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"graft-jsonl: rename $tmp -> $dest failed")
   }
 
   /** True when `f` provably matches NO row of a file with the given
     * numeric zone ranges. Missing column stats never prune (all-null or
     * non-numeric columns are conservative); comparison filters are
-    * null-rejecting, so range disjointness is sufficient. Ranges are
-    * widened by one ulp before testing: int64 stats round through
-    * double (error ≤ 0.5 ulp), and a min that rounded UP must never
-    * exclude an EqualTo at the true minimum. */
+    * null-rejecting, so range disjointness is sufficient. The looked-up
+    * range is widened by one ulp before testing: int64 stats round
+    * through double (error ≤ 0.5 ulp), and a min that rounded UP must
+    * never exclude an EqualTo at the true minimum. (Widening happens on
+    * the single referenced column only — split planning calls this
+    * per (file × filter) and must not rebuild whole-map copies.) */
   private[sources] def zoneExcludes(
       f: Filter, rawZones: Map[String, (Double, Double)]): Boolean = {
-    val zones = rawZones.view.mapValues { case (mn, mx) =>
-      (mn - Math.ulp(mn), mx + Math.ulp(mx))
-    }.toMap
+    def zone(c: String): Option[(Double, Double)] =
+      rawZones.get(c).map { case (mn, mx) =>
+        (mn - Math.ulp(mn), mx + Math.ulp(mx))
+      }
     def num(v: Any): Option[Double] = v match {
       case n: Number => Some(n.doubleValue())
       case _         => None
     }
     f match {
       case sources.EqualTo(a, v) =>
-        zones.get(a).zip(num(v)).exists { case ((mn, mx), d) => d < mn || d > mx }
+        zone(a).zip(num(v)).exists { case ((mn, mx), d) => d < mn || d > mx }
       case sources.GreaterThan(a, v) =>
-        zones.get(a).zip(num(v)).exists { case ((_, mx), d) => mx <= d }
+        zone(a).zip(num(v)).exists { case ((_, mx), d) => mx <= d }
       case sources.GreaterThanOrEqual(a, v) =>
-        zones.get(a).zip(num(v)).exists { case ((_, mx), d) => mx < d }
+        zone(a).zip(num(v)).exists { case ((_, mx), d) => mx < d }
       case sources.LessThan(a, v) =>
-        zones.get(a).zip(num(v)).exists { case ((mn, _), d) => mn >= d }
+        zone(a).zip(num(v)).exists { case ((mn, _), d) => mn >= d }
       case sources.LessThanOrEqual(a, v) =>
-        zones.get(a).zip(num(v)).exists { case ((mn, _), d) => mn > d }
+        zone(a).zip(num(v)).exists { case ((mn, _), d) => mn > d }
       case sources.In(a, vs) =>
-        zones.get(a).exists { case (mn, mx) =>
+        zone(a).exists { case (mn, mx) =>
           vs.nonEmpty && vs.forall(v =>
             num(v).exists(d => d < mn || d > mx))
         }

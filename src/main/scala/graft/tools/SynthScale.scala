@@ -51,40 +51,64 @@ object SynthScale {
       fs.delete(new Path(tmp), true)
     }
 
-    /** K offset copies of `df`, each listed key column shifted by
-      * `i * (max(key) + 1)` — ids stay dense-ish and disjoint. */
-    def replicate(df: DataFrame, keys: Seq[String])(
-        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
-      val spans = keys.map(c =>
-        c -> (df.agg(max(col(c))).head().getLong(0) + 1L)).toMap
+    /** K offset copies of `df`; each key column shifts by
+      * `i * span(key)`. A span is `max(key in ITS OWN table) + 1` and
+      * is REUSED for every foreign-key column referencing that table —
+      * shifting a PK and its FK by different amounts (per-table maxes)
+      * would dangle every replica's references whenever a tail key has
+      * no referencing row. */
+    def replicate(df: DataFrame, keys: Map[String, Long])(
+        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
       (0 until k).map { i =>
-        val shifted = keys.foldLeft(df)((d, c) =>
-          d.withColumn(c, col(c) + lit(i * spans(c))))
+        val shifted = keys.foldLeft(df) { case (d, (c, span)) =>
+          d.withColumn(c, col(c) + lit(i * span))
+        }
         perReplica(shifted, i)
       }.reduce(_ unionByName _)
-    }
+
+    def span(table: String, key: String): Long =
+      t(table).agg(max(col(key))).head().getLong(0) + 1L
+
+    // one span per KEY FAMILY, derived from the owning table and shared
+    // with every referencing column
+    val custSpan = span("customer", "c_custkey")
+    val suppSpan = span("supplier", "s_suppkey")
+    val partSpan = span("part", "p_partkey")
+    val orderSpan = span("orders", "o_orderkey")
+    val eventSpan = span("events", "event_id")
+    val userSpan = span("events", "user_id")
+    val docSpan = span("documents", "doc_id")
+    val vecSpan = span("embeddings", "vec_id")
 
     // dimension tables: shared, not replicated
     write(t("region"), "region")
     write(t("nation"), "nation")
 
-    write(replicate(t("customer"), Seq("c_custkey"))(), "customer")
-    write(replicate(t("supplier"), Seq("s_suppkey"))(), "supplier")
-    write(replicate(t("part"), Seq("p_partkey"))(), "part")
-    write(replicate(t("orders"), Seq("o_orderkey", "o_custkey"))(), "orders")
+    write(replicate(t("customer"), Map("c_custkey" -> custSpan))(), "customer")
+    write(replicate(t("supplier"), Map("s_suppkey" -> suppSpan))(), "supplier")
+    write(replicate(t("part"), Map("p_partkey" -> partSpan))(), "part")
     write(
-      replicate(t("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))(),
+      replicate(t("orders"),
+        Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan))(),
+      "orders")
+    write(
+      replicate(t("lineitem"),
+        Map("l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
+          "l_suppkey" -> suppSpan))(),
       "lineitem")
-    write(replicate(t("events"), Seq("event_id", "user_id"))(), "events")
     write(
-      replicate(t("documents"), Seq("doc_id")) { (d, i) =>
+      replicate(t("events"),
+        Map("event_id" -> eventSpan, "user_id" -> userSpan))(),
+      "events")
+    write(
+      replicate(t("documents"), Map("doc_id" -> docSpan)) { (d, i) =>
         if (i == 0) d
         else d
           .withColumn("text", concat(col("text"), lit(s" r$i")))
           .withColumn("n_chars", length(col("text")).cast("long"))
       },
       "documents")
-    write(replicate(t("embeddings"), Seq("vec_id"))(), "embeddings")
+    write(replicate(t("embeddings"), Map("vec_id" -> vecSpan))(), "embeddings")
 
     println(s"[synth] wrote ${k}x of $src to $dest")
     spark.stop()

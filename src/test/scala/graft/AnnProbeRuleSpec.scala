@@ -127,6 +127,40 @@ class AnnProbeRuleSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("a user's own distance pre-filter does not disable the rewrite (guard matches the injected shape only)") {
+    spark.conf.set(AnnProbeRule.ConfKey, "true")
+    try {
+      import graft.functions.VectorFunctions
+      val radius = emb
+        .where(VectorFunctions.euclidean(col("embedding"),
+          typedLit(q0)) < 100.0)
+      val df = FlatKnn.search(radius, q0, 5)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("lsh_signature"),
+        s"radius pre-filter wrongly suppressed the probe:\n$plan")
+      // and fixpoint idempotence still holds: exactly ONE probe filter
+      assert("scalar-subquery".r.findAllIn(plan).length <= 2, // guard + its ref
+        s"probe stacked more than once:\n$plan")
+      df.collect() // sanity: executes
+    } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
+  }
+
+  test("an unknown probe kind fails loudly instead of silently probing LSH") {
+    spark.conf.set(AnnProbeRule.ConfKey, "true")
+    spark.conf.set(AnnProbeRule.KindKey, "hnswish-typo")
+    try {
+      val e = intercept[Exception] {
+        FlatKnn.search(emb, q0, 5).queryExecution.optimizedPlan
+      }
+      def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs(e).contains("not a known probe kind"), msgs(e))
+    } finally {
+      spark.conf.set(AnnProbeRule.ConfKey, "false")
+      spark.conf.set(AnnProbeRule.KindKey, "lsh")
+    }
+  }
+
   test("the rewrite leaves non-kNN sorts alone") {
     spark.conf.set(AnnProbeRule.ConfKey, "true")
     try {
