@@ -361,6 +361,30 @@ class DeltaCommitSpec extends SparkSpec with BeforeAndAfterAll {
     assert(auto.chunks("alib").count() === 11L)
     assert(auto.indexTable("alib").get.select("id").distinct().count() === 11L)
 
+    // the one-commit retention contract survives auto-compaction: a
+    // reader that planned over the PRE-mutation version must still read
+    // after a single mutation CALL that internally commits twice
+    // (bucket-rewriting delta + auto-compact) — the compaction commit
+    // retains the pre-delta generation's referenced files (extraKeep)
+    val wh2 = Files.createTempDirectory("graft-retention-").toString
+    val ret = new LibraryCatalog(spark, wh2, autoCompactRefs = 4)
+    ret.createLibrary("rlib", LshIndexer,
+      chunkRows((0 to 9).map(i => (s"r$i", s"retention row $i"))),
+      overwrite = true)
+    (1 to 3).foreach(i => // index refs grow to 4 — at the threshold edge
+      ret.addChunks("rlib", chunkRows(Seq((s"x$i", s"extra row $i")))))
+    val pinned = ret.chunks("rlib") // plan references v0..v3 part dirs
+    val vBefore = ret.readMeta("rlib").get.version
+    // bucket-rewriting mutation: drops the old chunk dirs from the new
+    // manifest AND pushes index refs past the threshold -> auto-compact
+    ret.updateChunk("rlib", "r5", newText = Some("rewritten row five"))
+    assert(ret.readMeta("rlib").get.version === vBefore + 2,
+      "expected delta + auto-compaction commits")
+    assert(pinned.count() === 13L,
+      "pre-mutation reader lost files to the auto-compaction GC")
+    assert(pinned.where(col("id") === "r5").head().getAs[String]("text")
+      === "retention row 5") // the PINNED version's content, pre-update
+
     // threshold 0 disables: the same ingest accumulates parts untouched
     val off = new LibraryCatalog(spark, wh, autoCompactRefs = 0)
     off.createLibrary("olib", LshIndexer,
