@@ -25,41 +25,51 @@ object SparkEntry {
     * on any change to the persisted layouts or the queries over them. */
   private val CacheVersion = "r8a"
 
-  /** Fingerprint of the sf dir's DATA (size + mtime of EVERY
-    * `*.parquet` table entry, sorted by name): a build-once artifact
-    * cached against one generation of testdata must never silently
-    * serve a regenerated one — the CacheVersion bump covers code/layout
-    * changes, this covers the data itself, including the tables a
-    * specific cache derives from (bucketed lineitem/orders, the
-    * watermark fixture's events). Memoized: one listing per dir per
-    * JVM. */
-  private val dataStampCache =
-    new scala.collection.concurrent.TrieMap[String, String]
-  private def dataStamp(dir: String): String =
-    dataStampCache.getOrElseUpdate(dir, {
-      val entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      val s = entries.map { f =>
-        // a directory-shaped table stamps its newest part
-        val leaf =
-          if (f.isDirectory)
-            f.listFiles().filter(_.getName.endsWith(".parquet"))
-              .sortBy(_.getName).lastOption.getOrElse(f)
-          else f
-        s"${f.getName}_${leaf.length()}_${leaf.lastModified()}"
-      }.mkString("_")
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
-    })
+  /** Fingerprint of the sf dir's DATA (name + size + mtime of EVERY
+    * `*.parquet` table entry, and of every nested part file for
+    * directory-shaped tables): a build-once artifact cached against one
+    * generation of testdata must never silently serve a regenerated
+    * one — the CacheVersion bump covers code/layout changes, this
+    * covers the data itself, including the tables a specific cache
+    * derives from (bucketed lineitem/orders, the watermark fixture's
+    * events). NOT memoized: a regeneration during this JVM's lifetime
+    * must change the key too, and the directory listing is a handful of
+    * stat calls. */
+  private[graft] def dataStamp(dir: String): String = {
+    def parts(f: java.io.File): Array[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val s = parts(new java.io.File(dir)).map { f =>
+      if (f.isDirectory)
+        f.getName + parts(f)
+          .map(p => s"${p.getName}_${p.length()}_${p.lastModified()}")
+          .mkString("|")
+      else s"${f.getName}_${f.length()}_${f.lastModified()}"
+    }.mkString("_")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
+  }
 
   /** Tmp path for a persisted demo artifact, keyed by code version +
     * sf dir + DATA fingerprint (Verify at sf0.01 and Bench at sf0.1
     * must not share; a regenerated testdata dir must not reuse stale
-    * artifacts). */
-  private def cachePath(kind: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_${CacheVersion}_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + dataStamp(dir)
+    * artifacts). On the FIRST use of a new data generation, sibling
+    * caches of the same kind+dir under older stamps are swept — without
+    * this, every regeneration would orphan the previous generation's
+    * artifacts in tmp forever. */
+  private def cachePath(kind: String, dir: String): String = {
+    val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val name = s"graft_${kind}_${CacheVersion}_${slug}_${dataStamp(dir)}"
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cur = new java.io.File(base, name)
+    if (!cur.exists()) {
+      val prefix = s"graft_${kind}_${CacheVersion}_${slug}_"
+      Option(base.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getName != name)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
+    cur.toString
+  }
 
   /** Canonicalizing round: `round(c, n) + 0.0` maps IEEE `-0.0` to `+0.0`
     * (identity for every other value). Without it, a cosine distance of
@@ -1811,20 +1821,32 @@ object SparkEntry {
     "q_bucketed_join" -> ((s, dir) => {
       // data-stamped like cachePath: regenerated testdata must not hit
       // a stale bucketed table
-      val slug = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + dataStamp(dir)
+      val rawSlug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val slug = rawSlug + "_" + dataStamp(dir)
       val liT = s"graft_bli_${CacheVersion}_$slug"
       val ordT = s"graft_bord_${CacheVersion}_$slug"
       if (!s.catalog.tableExists(liT)) {
         // a PREVIOUS session's managed-table dir survives under
         // spark-warehouse while the in-memory catalog metadata doesn't;
-        // clear the location or saveAsTable rejects the name
+        // clear the location or saveAsTable rejects the name — and
+        // sweep OLDER-stamP generations of the same dir's tables so
+        // regenerations don't orphan bucketed data in the warehouse
         val hconf = s.sparkContext.hadoopConfiguration
-        Seq(liT, ordT).foreach { tn =>
-          val p = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir") + "/" + tn)
-          val fs = p.getFileSystem(hconf)
-          if (fs.exists(p)) fs.delete(p, true)
-        }
+        val whDir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = whDir.getFileSystem(hconf)
+        val stale =
+          if (fs.exists(whDir))
+            fs.listStatus(whDir).map(_.getPath).filter { p =>
+              val n = p.getName
+              (n.startsWith(s"graft_bli_${CacheVersion}_${rawSlug}_") ||
+                n.startsWith(s"graft_bord_${CacheVersion}_${rawSlug}_")) &&
+                n != liT && n != ordT
+            }.toSeq
+          else Seq.empty
+        (stale ++ Seq(liT, ordT).map(tn =>
+          new org.apache.hadoop.fs.Path(whDir, tn)))
+          .foreach(p => if (fs.exists(p)) fs.delete(p, true))
         t(s, dir, "lineitem")
           .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
           .repartition(16, col("l_orderkey"))

@@ -92,12 +92,22 @@ object AnnProbeRule extends Rule[LogicalPlan] {
   /** Recognize the INJECTED probe shape only — `Or(under-k scalar
     * subquery, probe predicate)` — never an arbitrary user filter that
     * happens to mention a distance expression (a radius pre-filter
-    * under the kNN sort must not disable the rewrite). */
+    * under the kNN sort must not disable the rewrite). The Or is
+    * searched ANYWHERE in the condition, not just at the top: when the
+    * rule runs inside the operator-optimization batch
+    * (injectOptimizerRule), CombineFilters can merge a user predicate
+    * over the injected filter into `And(user, Or(guard, probe))`, and a
+    * top-level-only check would re-inject a probe every fixpoint
+    * iteration. */
   private def alreadyProbed(p: LogicalPlan): Boolean = p match {
-    case Filter(Or(guard, probe), _) =>
-      guard.exists(_.isInstanceOf[ScalarSubquery]) &&
-        probe.exists(e =>
-          e.isInstanceOf[LshSignature] || e.isInstanceOf[VectorDistance])
+    case Filter(cond, _) =>
+      cond.exists {
+        case Or(guard, probe) =>
+          guard.exists(_.isInstanceOf[ScalarSubquery]) &&
+            probe.exists(e =>
+              e.isInstanceOf[LshSignature] || e.isInstanceOf[VectorDistance])
+        case _ => false
+      }
     case _ => false
   }
 

@@ -77,8 +77,10 @@ object SynthScale {
     val orderSpan = span("orders", "o_orderkey")
     val eventSpan = span("events", "event_id")
     val userSpan = span("events", "user_id")
+    // vec_id is a FOREIGN KEY into documents.doc_id (the RAG/hybrid
+    // queries join knn vec_ids to doc_ids), so embeddings shift by the
+    // DOCUMENT span — per the key-family rule above
     val docSpan = span("documents", "doc_id")
-    val vecSpan = span("embeddings", "vec_id")
 
     // dimension tables: shared, not replicated
     write(t("region"), "region")
@@ -108,7 +110,7 @@ object SynthScale {
           .withColumn("n_chars", length(col("text")).cast("long"))
       },
       "documents")
-    write(replicate(t("embeddings"), Map("vec_id" -> vecSpan))(), "embeddings")
+    write(replicate(t("embeddings"), Map("vec_id" -> docSpan))(), "embeddings")
 
     println(s"[synth] wrote ${k}x of $src to $dest")
     spark.stop()
