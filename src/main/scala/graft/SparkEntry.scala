@@ -254,6 +254,22 @@ object SparkEntry {
         ColumnBridge.expression(col("text")), 3))).as("shingle"): _*)
   }
 
+  /** Per-call temp dir removed at JVM exit: callers whose lazily-read
+    * outputs live in the dir can't delete eagerly, and never deleting
+    * would leak a dir per invocation into tmp. */
+  private val exitTempDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File])
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitTempDirs.forEach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d): Unit)))
+  }
+  private def tempDirCleanedOnExit(prefix: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    exitTempDirs.add(d)
+    d
+  }
+
   /** recall@10 as a single hashed row: |exact ∩ approx| by vec_id. */
   private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select("vec_id").join(approx.select("vec_id"), Seq("vec_id"))
@@ -1559,11 +1575,13 @@ object SparkEntry {
       // per-call temp input + checkpoint: the two runs SHARE them (the
       // watermark restore across restarts is the point); a re-invocation
       // replays from scratch deterministically
-      val inDir = java.nio.file.Files.createTempDirectory("graft_wm_in").toFile
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_wm_ck").toString
+      val inDir = tempDirCleanedOnExit("graft_wm_in")
+      val ckpt = tempDirCleanedOnExit("graft_wm_ck").toString
       // FILE sink (the production emission shape): supports checkpoint
       // recovery across the two runs — both append into one output dir
-      val outDir = java.nio.file.Files.createTempDirectory("graft_wm_out").toString
+      // (per-call dirs; the result DataFrame reads outDir lazily, so
+      // deletion is deferred to JVM exit rather than leaked forever)
+      val outDir = tempDirCleanedOnExit("graft_wm_out").toString
       def stage(src: String, prefix: String): Unit =
         new java.io.File(src).listFiles()
           .filter(f => f.isFile && !f.getName.startsWith(".") &&
