@@ -10,13 +10,17 @@ import graft.functions.Embedder
   * instance per partition (the initialization pattern a real codec or
   * model requires).
   *
-  * The actual byte decoding is a clearly-marked STUB ([[Md5StubDecoder]])
-  * because no image/audio libraries exist in this environment — but it
-  * is a DETERMINISTIC stub built on the same md5 math as the text
-  * embedder, so the full plumbing (binary schema, partition batching,
-  * decoder lifecycle, downstream aggregation) is exercised AND
-  * hash-checked against the DuckDB oracle (q_media_stats). Swapping in
-  * a real decoder changes one class, nothing else.
+  * Two decoders implement the seam:
+  *  - [[ImageIoDecoder]] — REAL pixel decoding via the JDK's own
+  *    `javax.imageio` codecs (PNG/JPEG/BMP/GIF): true dimensions, mean
+  *    luminance, 8×8 luminance-grid features; spec-verified against
+  *    independently computed pixels (MultimodalSpec). Audio/video
+  *    would slot in the same way given their codecs.
+  *  - [[Md5StubDecoder]] — a DETERMINISTIC md5 stand-in used by the
+  *    ORACLE-checked queries (q_media_*): DuckDB cannot decode images,
+  *    so the hash-compared pipeline runs on oracle-expressible fake
+  *    features while exercising the identical plumbing (binary schema,
+  *    partition batching, decoder lifecycle, downstream aggregation).
   *
   * At 100 TB: media bytes never shuffle — decode happens in the scan
   * stage via mapPartitions, and only small decoded features/metadata
@@ -59,6 +63,50 @@ object Multimodal {
         height = ((n * 7L) % 1080L).toInt,
         f0 = (h % 10000L) / 10000.0,
         features = Embedder.embedLocal(text))
+    }
+  }
+
+  /** REAL image decoder on the JDK's own codecs (`javax.imageio` —
+    * PNG/JPEG/BMP/GIF, headless-safe, zero external dependencies):
+    * decodes actual pixels, extracts true width/height, mean luminance
+    * (`f0` ∈ [0,1]), and an 8×8 mean-luminance grid as the feature
+    * vector — the shape a perceptual-hash / quality-filter stage
+    * consumes. The md5 stub remains for the ORACLE-checked queries
+    * (DuckDB cannot decode images, so those pin the plumbing with
+    * oracle-expressible fake features); this is the production seam
+    * made real, spec-verified against independently computed pixels
+    * (MultimodalSpec). Unsupported/corrupt payloads fail LOUDLY with
+    * the row id — a silent null row would poison downstream stats. */
+  class ImageIoDecoder extends MediaDecoder {
+    // per-partition instance; ImageIO plugin lookup happens once here
+    def decode(row: MediaRow): DecodedMedia = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.media))
+      require(img != null,
+        s"media id=${row.id} (${row.mime}): not a decodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val grid = 8
+      val cells = Array.fill(grid * grid)(0.0)
+      val counts = Array.fill(grid * grid)(0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+            (rgb & 0xff) * 114L) / 1000.0
+          val c = math.min(grid - 1, y * grid / h) * grid +
+            math.min(grid - 1, x * grid / w)
+          cells(c) += lum
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val features = Array.tabulate(grid * grid)(i =>
+        if (counts(i) == 0) 0f else (cells(i) / counts(i) / 255.0).toFloat)
+      val mean = cells.sum / math.max(1L, counts.sum) / 255.0
+      DecodedMedia(row.id, row.mime, row.media.length.toLong, w, h, mean, features)
     }
   }
 
