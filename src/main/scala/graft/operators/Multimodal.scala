@@ -79,11 +79,45 @@ object Multimodal {
     * the row id — a silent null row would poison downstream stats. */
   class ImageIoDecoder extends MediaDecoder {
     // per-partition instance; ImageIO plugin lookup happens once here
-    def decode(row: MediaRow): DecodedMedia = {
+    def decode(row: MediaRow): DecodedMedia =
+      featuresOf(row.id, row.mime, row.media.length.toLong, readImage(row))
+
+    /** REAL downscale (the resizeStub made genuine): bilinear
+      * Graphics2D resample to fit (maxW, maxH) preserving aspect,
+      * features re-extracted from the RESAMPLED pixels. Never
+      * upscales. */
+    def resize(row: MediaRow, maxW: Int, maxH: Int): DecodedMedia = {
+      val img = readImage(row)
+      val scale = math.min(1.0, math.min(
+        maxW.toDouble / math.max(1, img.getWidth),
+        maxH.toDouble / math.max(1, img.getHeight)))
+      if (scale >= 1.0)
+        featuresOf(row.id, row.mime, row.media.length.toLong, img)
+      else {
+        val w2 = math.max(1, (img.getWidth * scale).toInt)
+        val h2 = math.max(1, (img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w2, h2, null)
+        g.dispose()
+        featuresOf(row.id, row.mime, row.media.length.toLong, out)
+      }
+    }
+
+    private def readImage(row: MediaRow): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(row.media))
       require(img != null,
         s"media id=${row.id} (${row.mime}): not a decodable image payload")
+      img
+    }
+
+    private def featuresOf(
+        id: Long, mime: String, byteSize: Long,
+        img: java.awt.image.BufferedImage): DecodedMedia = {
       val (w, h) = (img.getWidth, img.getHeight)
       val grid = 8
       val cells = Array.fill(grid * grid)(0.0)
@@ -106,7 +140,7 @@ object Multimodal {
       val features = Array.tabulate(grid * grid)(i =>
         if (counts(i) == 0) 0f else (cells(i) / counts(i) / 255.0).toFloat)
       val mean = cells.sum / math.max(1L, counts.sum) / 255.0
-      DecodedMedia(row.id, row.mime, row.media.length.toLong, w, h, mean, features)
+      DecodedMedia(id, mime, byteSize, w, h, mean, features)
     }
   }
 

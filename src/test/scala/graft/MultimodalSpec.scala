@@ -65,6 +65,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real resize resamples pixels: fitted dims, luminance preserved within tolerance") {
+    val dec = new Multimodal.ImageIoDecoder
+    val row = MediaRow(5L, encode(testImage(80, 48), "png"), "image/png")
+    val orig = dec.decode(row)
+    val small = dec.resize(row, maxW = 20, maxH = 20)
+    // aspect-preserving fit: 80x48 -> 20x12
+    assert(small.width === 20 && small.height === 12)
+    // bilinear downsample of a smooth gradient keeps mean luminance close
+    assert(math.abs(small.f0 - orig.f0) < 0.05, s"${small.f0} vs ${orig.f0}")
+    // and the gradient's left-right ordering survives resampling
+    assert(small.features(0) < small.features(7))
+    // no-op when already within bounds
+    val same = dec.resize(row, maxW = 100, maxH = 100)
+    assert(same.width === 80 && same.height === 48)
+  }
+
   test("corrupt payloads fail loudly with the offending row id") {
     import spark.implicits._
     val junk = spark.createDataset(Seq(
