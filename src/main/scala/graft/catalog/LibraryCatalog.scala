@@ -82,7 +82,24 @@ class LibraryCatalog(
 
   // ---------------------------------------------------------------- meta
 
+  /** Library names become filesystem paths and meta.json fields, and
+    * tags ride the hand-built JSON — both are validated LOUDLY at write
+    * time: a quote in a name would silently truncate through the meta
+    * round-trip and later commits would write into a phantom directory;
+    * a '/' or '..' would escape the warehouse. */
+  private def validateName(name: String): Unit =
+    require(
+      name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,127}") && !name.contains(".."),
+      s"invalid library name '$name': must match [A-Za-z0-9][A-Za-z0-9._-]* " +
+        "(no quotes, slashes, or parent-dir segments)")
+
+  private def validateTags(tags: Seq[String]): Unit =
+    tags.foreach(t =>
+      require(!t.exists(c => c == '"' || c == '\\' || c == ']' || c < ' '),
+        s"""library tag contains unsupported characters ('"', '\\', ']', control): $t"""))
+
   private def writeMeta(m: LibraryMeta): Unit = {
+    validateTags(m.tags)
     val tagsJson = m.tags.map(t => s""""$t"""").mkString("[", ",", "]")
     val json =
       s"""{"name":"${m.name}","indexer":"${m.indexer.name}","dim":${m.dim},""" +
@@ -92,10 +109,19 @@ class LibraryCatalog(
     val out = fs.create(tmp, true)
     out.write(json.getBytes("UTF-8"))
     out.close()
-    // rename is the atomic pointer swap (M10's lock replacement)
-    fs.delete(metaPath(m.name), false)
-    if (!fs.rename(tmp, metaPath(m.name)))
-      throw new IllegalStateException(s"meta swap failed for ${m.name}")
+    // OVERWRITE rename is the atomic pointer swap (M10's lock
+    // replacement): a delete-then-rename pair would leave a no-meta
+    // window that a lock-free concurrent reader could hit as a spurious
+    // "library not found"
+    try
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(metaPath(m.name).toUri, fs.getConf)
+        .rename(tmp, metaPath(m.name),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case e: Exception =>
+        throw new IllegalStateException(s"meta swap failed for ${m.name}", e)
+    }
   }
 
   /** Schema-checked meta load (S3's validation analog for the pointer). */
@@ -238,9 +264,25 @@ class LibraryCatalog(
     * of ids. Reads reconstruct a local relation ([[artifactParts]]).
     * Larger deletes keep the distributed parquet part. */
   private val InlineIdsFile = "ids.txt"
+  /** Chunk ids are caller-supplied free text; the inline tombstone file
+    * is newline-delimited, so ids are percent-escaped on write and
+    * decoded on read — an embedded newline must not split one tombstone
+    * into two bogus ids (leaving the real id's stale index rows live
+    * and wrongly tombstoning innocents). */
+  private def escapeTombstoneId(id: String): String =
+    id.flatMap {
+      case '%'  => "%25"
+      case '\n' => "%0A"
+      case '\r' => "%0D"
+      case c    => c.toString
+    }
+
+  private def unescapeTombstoneId(s: String): String =
+    s.replace("%0A", "\n").replace("%0D", "\r").replace("%25", "%")
+
   private def writeInlineTombstone(vdir: Path, ids: Seq[String]): Unit = {
     val out = fs.create(new Path(new Path(vdir, "index_deletes"), InlineIdsFile), true)
-    try out.write(ids.mkString("\n").getBytes("UTF-8"))
+    try out.write(ids.map(escapeTombstoneId).mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -405,7 +447,9 @@ class LibraryCatalog(
       val part = new Path(new Path(libDir(name), d), artifactName)
       val inline = new Path(part, InlineIdsFile)
       val base =
-        if (fs.exists(inline)) idsDf(readSmallTextFile(inline).linesIterator.toSeq)
+        if (fs.exists(inline))
+          idsDf(readSmallTextFile(inline).linesIterator
+            .map(unescapeTombstoneId).toSeq)
         else {
           val key = (name, artifactName)
           artifactSchemas.get(key) match {
@@ -588,6 +632,19 @@ class LibraryCatalog(
     * version pointer never advanced to it). */
   private val StaleClaimMs = 15L * 60 * 1000
 
+  /** Post-claim failure cleanup: any throw between [[claimVersion]] and
+    * the pointer swap must delete the claimed dir — a leaked `_claim`
+    * would lock the name out of writes for [[StaleClaimMs]] with no
+    * overwrite recovery. Never deletes once the pointer reached `v`
+    * (and keeps the dir when the meta state is unreadable — unsure
+    * means hands off). */
+  private def cleanupFailedCommit(name: String, v: Long, vdir: Path): Unit =
+    scala.util.Try(readMeta(name)) match {
+      case scala.util.Success(meta) if meta.forall(_.version != v) =>
+        fs.delete(vdir, true)
+      case _ => () // published at v, or meta unreadable — hands off
+    }
+
   /** Claim version `v` of a library by atomically creating its
     * `_claim` marker (create with overwrite=false — the filesystem's
     * compare-and-set). Two writers racing from the same base version
@@ -663,7 +720,15 @@ class LibraryCatalog(
     fs.listStatus(libDir(m.name))
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter(p => p.getName.startsWith("v") && !keep.contains(p.getName))
+      .filter { p =>
+        val n = p.getName
+        // never touch a FUTURE version dir: cross-process, another
+        // writer may have already claimed v+1 off this commit's pointer
+        // and be mid-write — GC only reaps strictly-older history
+        val isOld = n.startsWith("v") &&
+          scala.util.Try(n.stripPrefix("v").toLong).toOption.exists(_ < v)
+        isOld && !keep.contains(n)
+      }
       .foreach(fs.delete(_, true))
     // the driver-side twin of the on-disk GC above: drop superseded
     // versions' graphs from the hnsw cache
@@ -690,6 +755,21 @@ class LibraryCatalog(
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
     claimVersion(m.name, vdir)
+    try commitFullClaimed(m, chunksDf, artifactsFor, extraKeep, v, vdir, vname)
+    catch {
+      case e: Throwable => cleanupFailedCommit(m.name, v, vdir); throw e
+    }
+  }
+
+  private def commitFullClaimed(
+      m: LibraryMeta,
+      chunksDf: DataFrame,
+      artifactsFor: DataFrame => Seq[IndexArtifact],
+      extraKeep: Set[String],
+      v: Long, vdir: Path, vname: String): LibraryMeta = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val arts =
       if (fitsOneSplit(chunksDf)) {
         // Small ingest: cache the normalized delta (embedding runs ONCE,
@@ -769,7 +849,8 @@ class LibraryCatalog(
       deltaRows: DataFrame,
       replaceBuckets: Option[Set[Int]],
       op: ArtifactOp,
-      postWrite: () => Unit = () => ()): LibraryMeta = {
+      postWrite: () => Unit = () => (),
+      metadataOnly: Boolean = false): LibraryMeta = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -777,6 +858,7 @@ class LibraryCatalog(
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
     claimVersion(m.name, vdir)
+    try {
     val oldRefs = readArtifactRefs(m.name, m.version)
     val patch = op match {
       case CarryArtifacts => None
@@ -856,12 +938,22 @@ class LibraryCatalog(
     // structure, not an O(delta)-patchable table): drop its refs so the
     // next cold read rebuilds lazily; rebuildIndex/compactLibrary write a
     // fresh one. Chunk data and every other artifact stay O(delta).
+    // EXCEPTION: a caller-certified metadata-only commit changes no
+    // (id, embedding) pair — the graph is a pure function of those, so
+    // it carries forward and the next search pays neither an artifact
+    // re-read nor the O(n log n) rebuild. (op == CarryArtifacts alone
+    // is NOT that certificate: the HNSW add/update fallbacks also use
+    // it while rows genuinely change.)
     val refs =
-      if (m.indexer == HnswIndexer) carried - HnswGraphArtifact - HnswMetaArtifact
+      if (m.indexer == HnswIndexer && !metadataOnly)
+        carried - HnswGraphArtifact - HnswMetaArtifact
       else carried
     writeArtifactRefs(vdir, refs)
     val committed = finishCommit(m, v, mf)
     maybeAutoCompact(committed, mf, refs)
+    } catch {
+      case e: Throwable => cleanupFailedCommit(m.name, v, vdir); throw e
+    }
   }
 
   /** Auto-compaction policy: a delta commit whose read amplification —
@@ -1073,6 +1165,7 @@ class LibraryCatalog(
       overwrite: Boolean = false,
       embedder: String = "md5",
       numBuckets: Int = LibraryCatalog.AutoBuckets): LibraryMeta = withWriteLock(name) {
+    validateName(name)
     require(numBuckets == LibraryCatalog.AutoBuckets || numBuckets > 0,
       s"numBuckets must be positive (or AutoBuckets): $numBuckets")
     if (exists(name)) {
@@ -1339,7 +1432,8 @@ class LibraryCatalog(
     commitDelta(m, bucketRows, Some(Set(b)), op,
       postWrite = () =>
         if (obs.get("hits").asInstanceOf[Long] == 0L)
-          throw new NoSuchElementException(s"chunk not found: $id"))
+          throw new NoSuchElementException(s"chunk not found: $id"),
+      metadataOnly = newText.isEmpty)
   }
 
   // (only createLibrary and rebuildIndex compute a full index; every
@@ -1383,7 +1477,8 @@ class LibraryCatalog(
           when(matches,
             newMetadata.withField("created_at", col("metadata.created_at")))
             .otherwise(col("metadata")))
-      commitDelta(m, bucketRows, Some(affected), CarryArtifacts)
+      commitDelta(m, bucketRows, Some(affected), CarryArtifacts,
+        metadataOnly = true)
     }
     }
   }
@@ -1570,7 +1665,10 @@ class LibraryCatalog(
             if ((0 until nOps)
                 .map(i => obs.get(s"n_$i").asInstanceOf[Long]).sum == 0L)
               throw NoopMutation
-          })
+          },
+            // in THIS arm CarryArtifacts ⇔ no adds/deletes/re-embeds —
+            // a pure metadata batch, embeddings untouched
+            metadataOnly = op == CarryArtifacts)
         } catch {
           case NoopMutation => m // nothing matched: no new version
         }
@@ -1582,6 +1680,26 @@ class LibraryCatalog(
     * every matched (id, bucket, per-op hit) to the driver under the inline
     * cap, then only the affected buckets are rewritten. Past the cap the
     * batch degrades to sequential single-commit application. */
+  /** Sequential degradation shared by both applyBatch fallbacks: each
+    * mutation through its own single-commit method, returning the final
+    * meta. */
+  private def applySequentially(
+      name: String,
+      m: LibraryMeta,
+      ops: Seq[LibraryCatalog.Mutation]): LibraryMeta = {
+    import LibraryCatalog._
+    ops.foldLeft(m) { (_, op) =>
+      op match {
+        case UpdateChunkOp(id, t, md)     => updateChunk(name, id, t, md)
+        case UpdateMetadataWhereOp(p, nm) => updateMetadataWhere(name, p, nm)
+        case DeleteChunksOp(ids)          => deleteChunks(name, ids)
+        case DeleteChunksWhereOp(p)       => deleteChunksWhere(name, p)
+        case DeleteDocumentOp(d)          => deleteDocument(name, d)
+        case AddChunksOp(rows)            => addChunks(name, rows)
+      }
+    }
+  }
+
   private def applyBatchProbed(
       name: String,
       m: LibraryMeta,
@@ -1594,16 +1712,7 @@ class LibraryCatalog(
     // bulk add is a data job, not per-commit overhead — the single-pass
     // arm is the small-library play).
     if (norm.exists(_.isInstanceOf[AddChunksOp]))
-      return ops.foldLeft(m) { (_, op) =>
-        op match {
-          case UpdateChunkOp(id, t, md)     => updateChunk(name, id, t, md)
-          case UpdateMetadataWhereOp(p, nm) => updateMetadataWhere(name, p, nm)
-          case DeleteChunksOp(ids)          => deleteChunks(name, ids)
-          case DeleteChunksWhereOp(p)       => deleteChunksWhere(name, p)
-          case DeleteDocumentOp(d)          => deleteDocument(name, d)
-          case AddChunksOp(rows)            => addChunks(name, rows)
-        }
-      }
+      return applySequentially(name, m, ops)
     val nOps = norm.size
     def hitCol(i: Int): String = s"__hit_$i"
       // ONE probe job: (id, bucket, per-op hit) for rows any op touched.
@@ -1620,16 +1729,7 @@ class LibraryCatalog(
           .collect()
       if (rows.length > MaxInlineTombstone) {
         // cap tripped: fall back to the sequential single-commit methods
-        ops.foldLeft(m) { (_, op) =>
-          op match {
-            case UpdateChunkOp(id, t, md)       => updateChunk(name, id, t, md)
-            case UpdateMetadataWhereOp(p, nm)   => updateMetadataWhere(name, p, nm)
-            case DeleteChunksOp(ids)            => deleteChunks(name, ids)
-            case DeleteChunksWhereOp(p)         => deleteChunksWhere(name, p)
-            case DeleteDocumentOp(d)            => deleteDocument(name, d)
-            case AddChunksOp(rows)              => addChunks(name, rows)
-          }
-        }
+        applySequentially(name, m, ops)
       } else {
         // 404 parity (chunk_service.py:193-217): a point update that
         // matched nothing aborts the whole batch before anything writes
@@ -1671,7 +1771,10 @@ class LibraryCatalog(
             else PatchIndex(appends,
               if (tombstoneIds.isEmpty) None
               else Some(InlineIds(tombstoneIds.toSeq)))
-          commitDelta(m, bucketRows, Some(affected), op)
+          // same certificate as the small-library arm: CarryArtifacts
+          // here means no adds/deletes/re-embeds in the batch
+          commitDelta(m, bucketRows, Some(affected), op,
+            metadataOnly = op == CarryArtifacts)
         }
       }
   }
@@ -1688,10 +1791,16 @@ class LibraryCatalog(
     val m = requireMeta(name)
     val target = newName.getOrElse(name)
     if (target != name) {
+      validateName(target)
       if (exists(target))
         throw new IllegalStateException(s"library already exists: $target")
       if (!fs.rename(libDir(name), libDir(target)))
         throw new IllegalStateException(s"rename failed: $name -> $target")
+      // the OLD name's cached graphs/schemas must not survive the
+      // rename: a library recreated under it would silently serve the
+      // renamed library's index (same eviction deleteLibrary does)
+      artifactSchemas.keys.filter(_._1 == name).foreach(artifactSchemas.remove)
+      evictStaleHnsw(name, current = -1L)
     }
     val updated = m.copy(
       name = target,
@@ -1766,12 +1875,16 @@ class LibraryCatalog(
     val vdir = versionDir(m.name, v)
     val vname = vdir.getName
     claimVersion(m.name, vdir)
-    val mf = readManifest(m.name, m.version)
-    writeManifest(vdir, mf)
-    val arts = buildIndex(m, readChunksAt(m.name, mf))
-    writeArtifacts(vdir, arts, fileParallel = true)
-    writeArtifactRefs(vdir, arts.map(a => a.name -> Seq(vname)).toMap)
-    finishCommit(m, v, mf)
+    try {
+      val mf = readManifest(m.name, m.version)
+      writeManifest(vdir, mf)
+      val arts = buildIndex(m, readChunksAt(m.name, mf))
+      writeArtifacts(vdir, arts, fileParallel = true)
+      writeArtifactRefs(vdir, arts.map(a => a.name -> Seq(vname)).toMap)
+      finishCommit(m, v, mf)
+    } catch {
+      case e: Throwable => cleanupFailedCommit(m.name, v, vdir); throw e
+    }
   }
 
   // -------------------------------------------------------------- search
@@ -1963,8 +2076,11 @@ class LibraryCatalog(
       metric: Metric = Euclidean): DataFrame = {
     val res = search(name, queryText, k, metric)
     val docs = documents(name).withColumnRenamed("id", "matched_document_id")
-    res
-      .join(broadcast(docs), res("document_id") === docs("matched_document_id"))
+    // broadcast the ≤ k-ROW result side, never the corpus-wide derived
+    // documents view — at scale the view is a full-library aggregation
+    // whose broadcast would blow the size limit
+    broadcast(res)
+      .join(docs, res("document_id") === docs("matched_document_id"))
       .drop("matched_document_id")
   }
 }

@@ -96,6 +96,33 @@ class CorruptPersistenceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e.getMessage.contains("missing entry"), e.getMessage)
   }
 
+  test("a failed create does not leak its claim: the immediate retry succeeds") {
+    // IvfPq needs >= 16 sample rows — a 3-row corpus throws during
+    // buildIndex, AFTER the version claim; the claim must be cleaned up
+    // or the name is locked out of writes for 15 minutes
+    val tiny = spark.range(3).select(
+      concat(lit("t"), col("id")).as("id"),
+      lit("d0").as("document_id"),
+      concat(lit("too few rows "), col("id")).as("text"))
+    intercept[IllegalArgumentException](
+      catalog.createLibrary("c_claim", IvfPqIndexer, tiny, overwrite = true))
+    // immediate retry with a viable corpus must not hit a stale claim
+    catalog.createLibrary("c_claim", IvfPqIndexer, corpus(), overwrite = true)
+    assert(catalog.chunks("c_claim").count() === 20L)
+  }
+
+  test("invalid library names and tags are rejected loudly before touching disk") {
+    intercept[IllegalArgumentException](
+      catalog.createLibrary("""bad"name""", FlatIndexer, corpus()))
+    intercept[IllegalArgumentException](
+      catalog.createLibrary("../escape", FlatIndexer, corpus()))
+    intercept[IllegalArgumentException](
+      catalog.createLibrary("a/b", FlatIndexer, corpus()))
+    mkLib("c_tags")
+    intercept[IllegalArgumentException](
+      catalog.updateLibrary("c_tags", newTags = Some(Seq("""has"quote"""))))
+  }
+
   test("manifest referencing a deleted chunk leaf fails naming the missing path") {
     mkLib("c_leaf")
     val leaf = libFile("c_leaf", "v000000", "chunks", "__b=0")
