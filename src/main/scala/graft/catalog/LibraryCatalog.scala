@@ -1810,6 +1810,35 @@ class LibraryCatalog(
     updated
   }
 
+  /** Streaming-ingest idempotence markers: the last micro-batch id a
+    * named stream applied to this library (see
+    * StreamingIngest.ingestInto — foreachBatch is at-least-once, so
+    * replays must be detectable). One tiny file per (library, source),
+    * atomically overwrite-renamed like meta.json. */
+  def lastIngestedBatch(name: String, sourceId: String): Option[Long] = {
+    val p = new Path(libDir(name), s"_ingest_${sourceId.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    if (!fs.exists(p)) None
+    else scala.util.Try(readSmallTextFile(p).trim.toLong).toOption
+  }
+
+  def recordIngestedBatch(name: String, sourceId: String, batchId: Long): Unit = {
+    val safe = sourceId.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tmp = new Path(libDir(name), s"_ingest_$safe.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8"))
+    finally out.close()
+    try
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(tmp.toUri, fs.getConf)
+        .rename(tmp, new Path(libDir(name), s"_ingest_$safe"),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"ingest marker swap failed for $name/$sourceId", e)
+    }
+  }
+
   /** M8: drop the library (the reference's endpoint is broken,
     * endpoints/libraries.py:104 — intended semantics implemented). */
   def deleteLibrary(name: String): Unit = withWriteLock(name) {

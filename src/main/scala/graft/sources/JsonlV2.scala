@@ -76,13 +76,32 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
       Option(opts.get("splitSizeBytes"))
         .map(_.toLong)
         .getOrElse(JsonlV2.DefaultSplitBytes),
-      Option(opts.get("mode")).map(_.toUpperCase)
-        .getOrElse("PERMISSIVE") == "FAILFAST")
+      {
+        val mode = Option(opts.get("mode")).map(_.toUpperCase)
+          .getOrElse("PERMISSIVE")
+        // unsupported modes must fail loudly — silently coercing e.g.
+        // DROPMALFORMED to PERMISSIVE would change row counts vs the
+        // same read through spark.read.json
+        require(mode == "PERMISSIVE" || mode == "FAILFAST",
+          s"graft-jsonl: unsupported mode '$mode' (PERMISSIVE | FAILFAST)")
+        mode == "FAILFAST"
+      })
   }
 }
 
 object JsonlV2 {
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Hadoop conf for filesystem access: the active/default session's
+    * `hadoopConfiguration` when one exists (so `spark.hadoop.*`
+    * settings and credentials reach the connector, like every built-in
+    * source), classpath defaults otherwise (executor-side readers
+    * without a session keep their previous behavior). */
+  private[sources] def hconf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -94,7 +113,7 @@ object JsonlV2 {
     * non-hidden files are data). */
   private[sources] def listFiles(path: String): Seq[FileStatus] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(JsonlV2.hconf())
     val st = fs.getFileStatus(p)
     val files =
       if (st.isDirectory)
@@ -111,7 +130,7 @@ object JsonlV2 {
   private[sources] def inferFromFirstLine(path: String): StructType = {
     val files = listFiles(path)
     require(files.nonEmpty, s"no data files under $path")
-    val fs = files.head.getPath.getFileSystem(new Configuration())
+    val fs = files.head.getPath.getFileSystem(JsonlV2.hconf())
     val in = fs.open(files.head.getPath)
     try {
       val reader = new LineReader(in)
@@ -202,7 +221,7 @@ object JsonlV2 {
   private[sources] def readZones(
       path: String): Map[String, Map[String, (Double, Double)]] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(JsonlV2.hconf())
     val zp = new Path(p, ZonesFile)
     if (!fs.exists(zp)) return Map.empty
     // the manifest is an OPTIMIZATION: a garbled one (torn copy, manual
@@ -229,7 +248,7 @@ object JsonlV2 {
   private[sources] def writeZones(
       path: String, zones: Map[String, Map[String, (Double, Double)]]): Unit = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(JsonlV2.hconf())
     // write hidden, rename into place: the manifest becomes visible
     // atomically with its full contents (same discipline as the data
     // files' job commit — a crash mid-write leaves no partial manifest)
@@ -392,6 +411,13 @@ case class JsonlScan(
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
+  // one LIST + one manifest read per Scan instance: the file set is
+  // immutable within a plan, and estimateStatistics + planInputPartitions
+  // (+ AQE re-asking for stats) would otherwise each pay a remote
+  // metadata round-trip
+  @transient private lazy val fileList = JsonlV2.listFiles(path)
+  @transient private lazy val zoneMap = JsonlV2.readZones(path)
+
   /** Runtime (DPP-style) filters from a join's build side, applied
     * ROW-LEVEL: JSONL files carry no per-file statistics to prune
     * whole splits with, but the supported subset joins the pushed set
@@ -423,7 +449,7 @@ case class JsonlScan(
     * sane broadcast and shuffle decisions against this source instead
     * of falling back to the worst-case default size. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = JsonlV2.listFiles(path).map(_.getLen).sum
+    private val bytes = fileList.map(_.getLen).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -449,11 +475,10 @@ case class JsonlScan(
     // analog of parquet row-group stats. Runtime filters arrive via
     // SupportsRuntimeFiltering BEFORE split planning, so a selective
     // join build side prunes files too.
-    val zones = JsonlV2.readZones(path)
     val active = pushed ++ runtime
-    JsonlV2.listFiles(path).flatMap { f =>
+    fileList.flatMap { f =>
       val len = f.getLen
-      val skip = zones.get(f.getPath.getName).exists(z =>
+      val skip = zoneMap.get(f.getPath.getName).exists(z =>
         active.exists(JsonlV2.zoneExcludes(_, z)))
       if (len == 0 || skip) Nil
       else
@@ -628,7 +653,7 @@ class JsonlPartitionReader(
 
   private val mapper = new ObjectMapper()
   private val hPath = new Path(split.file)
-  private val in = hPath.getFileSystem(new Configuration()).open(hPath)
+  private val in = hPath.getFileSystem(JsonlV2.hconf()).open(hPath)
   private val reader = new LineReader(in)
   private val text = new Text()
   // bytes of the split consumed so far (counting from split.start)
@@ -761,14 +786,20 @@ case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
     // exists — truncation is DEFERRED to job commit so a failed
     // overwrite never loses the previous table contents
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(JsonlV2.hconf())
     fs.mkdirs(p)
-    JsonlWriterFactory(path, schema)
+    // per-JOB unique token in every output name: two applications
+    // appending to the same directory must never regenerate the same
+    // part-<partition>-<task> names and silently overwrite each other's
+    // files at job commit (Spark's own file sources embed a job UUID
+    // for exactly this reason)
+    JsonlWriterFactory(path, schema,
+      java.util.UUID.randomUUID().toString.substring(0, 8))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(JsonlV2.hconf())
     val staged = messages.collect { case m: JsonlStaged => m }
     if (doTruncate && fs.exists(p))
       JsonlV2.listFiles(path).foreach(f => fs.delete(f.getPath, false))
@@ -789,7 +820,7 @@ case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(JsonlV2.hconf())
     messages.foreach {
       case m: JsonlStaged => fs.delete(new Path(m.staged), false)
       case _              => () // uncommitted tasks cleaned up in task abort
@@ -797,33 +828,40 @@ case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
   }
 }
 
-case class JsonlWriterFactory(path: String, schema: StructType)
+case class JsonlWriterFactory(
+    path: String, schema: StructType, jobToken: String)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonlDataWriter(path, schema, partitionId, taskId)
+    new JsonlDataWriter(path, schema, partitionId, taskId, jobToken)
 }
 
 class JsonlDataWriter(
     dir: String,
     schema: StructType,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    jobToken: String)
     extends DataWriter[InternalRow] {
 
-  private val fs = new Path(dir).getFileSystem(new Configuration())
-  private val tmp = new Path(dir, s".part-$partitionId-$taskId.inprogress")
-  private val staged = new Path(dir, s".part-$partitionId-$taskId.staged")
-  private val dest = new Path(dir, s"part-$partitionId-$taskId.jsonl")
+  private val fs = new Path(dir).getFileSystem(JsonlV2.hconf())
+  private val tmp = new Path(dir, s".part-$partitionId-$taskId-$jobToken.inprogress")
+  private val staged = new Path(dir, s".part-$partitionId-$taskId-$jobToken.staged")
+  private val dest = new Path(dir, s"part-$partitionId-$taskId-$jobToken.jsonl")
   private val out = fs.create(tmp, true)
   private val gen =
     new com.fasterxml.jackson.core.JsonFactory().createGenerator(
       out.asInstanceOf[java.io.OutputStream])
 
-  // running numeric min/max per column for the zone manifest
+  // running numeric min/max per column for the zone manifest; a NaN
+  // POISONS the column's stats for this file — NaN compares greater
+  // than every number in Spark/eval semantics, so a [min,max] range
+  // that silently excluded NaN rows could wrongly prune a file whose
+  // NaN rows match a > / >= filter
   private val zMin = new Array[Double](schema.length)
   private val zMax = new Array[Double](schema.length)
   private val zSeen = new Array[Boolean](schema.length)
+  private val zNaN = new Array[Boolean](schema.length)
 
   private def zUpdate(i: Int, v: Double): Unit = {
     if (!zSeen(i)) { zMin(i) = v; zMax(i) = v; zSeen(i) = true }
@@ -847,7 +885,7 @@ class JsonlDataWriter(
           gen.writeNumberField(f.name, v)
         case DoubleType =>
           val v = row.getDouble(i)
-          if (!v.isNaN) zUpdate(i, v)
+          if (v.isNaN) zNaN(i) = true else zUpdate(i, v)
           gen.writeNumberField(f.name, v)
         case BooleanType => gen.writeBooleanField(f.name, row.getBoolean(i))
         case StringType  => gen.writeStringField(f.name, row.getUTF8String(i).toString)
@@ -867,7 +905,8 @@ class JsonlDataWriter(
     if (!fs.rename(tmp, staged))
       throw new java.io.IOException(s"rename $tmp -> $staged failed")
     val stats = schema.fields.indices.collect {
-      case i if zSeen(i) => schema.fields(i).name -> (zMin(i), zMax(i))
+      case i if zSeen(i) && !zNaN(i) =>
+        schema.fields(i).name -> (zMin(i), zMax(i))
     }.toMap
     JsonlStaged(staged.toString, dest.toString, stats)
   }
@@ -903,9 +942,38 @@ class JsonlMicroBatchStream(
     extends streaming.MicroBatchStream
     with streaming.SupportsTriggerAvailableNow {
 
-  private def snapshot(): JsonlStreamOffset =
+  /** Last length per file KNOWN to end on a newline — the fallback an
+    * unaligned snapshot clamps to (a writer may be mid-append when the
+    * directory is listed). */
+  @transient private val lastAligned =
+    new scala.collection.concurrent.TrieMap[String, Long]
+
+  /** Offset snapshot with LINE-ALIGNMENT: a raw getLen taken while a
+    * writer is mid-append would make this batch read through the torn
+    * line's eventual newline and the next batch re-parse its tail as a
+    * garbage row. One ranged 1-byte read per file checks the final
+    * byte; a file not ending in '\n' is clamped back to its last known
+    * aligned length (0 if never seen) and picked up whole next
+    * trigger. */
+  private def snapshot(): JsonlStreamOffset = {
+    val fs = new Path(path).getFileSystem(JsonlV2.hconf())
     JsonlStreamOffset(
-      JsonlV2.listFiles(path).map(f => f.getPath.toString -> f.getLen).toMap)
+      JsonlV2.listFiles(path).map { f =>
+        val p = f.getPath
+        val len = f.getLen
+        val aligned =
+          if (len == 0L) 0L
+          else {
+            val in = fs.open(p)
+            try {
+              in.seek(len - 1)
+              if (in.read() == '\n'.toInt) { lastAligned.put(p.toString, len); len }
+              else lastAligned.getOrElse(p.toString, 0L)
+            } finally in.close()
+          }
+        p.toString -> aligned
+      }.toMap)
+  }
 
   // Trigger.AvailableNow contract: pin the end offset ONCE at query
   // start; every batch drains toward that fixed snapshot and the query
@@ -935,13 +1003,15 @@ class JsonlMicroBatchStream(
       start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[JsonlStreamOffset].files
     val s1 = end.asInstanceOf[JsonlStreamOffset].files
-    // zone pruning (batch parity): a committed-manifest file whose
-    // stats exclude every pushed filter advances the offset without
-    // producing splits — its rows could never pass the filter
+    // zone pruning (batch parity) — ONLY for a file read whole from
+    // byte 0: the committed manifest describes the file as it was at
+    // its job commit, so applying it to a later GROWTH region (done>0)
+    // could permanently skip appended rows the stats never saw while
+    // the offset still advances past them
     val zones = JsonlV2.readZones(path)
     s1.toSeq.sortBy(_._1).flatMap { case (file, len) =>
       val done = s0.getOrElse(file, 0L)
-      val skip = zones.get(new Path(file).getName)
+      val skip = done == 0L && zones.get(new Path(file).getName)
         .exists(z => pushed.exists(JsonlV2.zoneExcludes(_, z)))
       if (len <= done || skip) Nil
       else (done until len by splitBytes).map { off =>

@@ -64,16 +64,34 @@ object StreamingIngest {
   /** Streaming ingest into a catalog library: each micro-batch flows
     * through the exact batch `addChunks` path (normalize → embed →
     * union → incremental index → version swap). Returns the writer so
-    * the caller picks the trigger/checkpoint. */
+    * the caller picks the trigger/checkpoint.
+    *
+    * foreachBatch is AT-LEAST-ONCE: a crash between the catalog commit
+    * and the streaming checkpoint commit replays the batch. The applied
+    * batchId is therefore recorded (per `sourceId`) in the library dir
+    * right after each commit, and replayed batches ≤ the recorded id
+    * are skipped — idempotent ingest up to the ms-scale window between
+    * the two driver writes (a duplicate there requires dying exactly
+    * between them; exactly-once would need the marker transactional
+    * with the commit itself).
+    *
+    * `sourceId` MUST be unique per logical stream — batch ids are
+    * per-CHECKPOINT, so reusing a sourceId with a fresh checkpoint
+    * would misread the new stream's early batch ids as replays and
+    * silently drop them (derive it from the checkpoint location, as
+    * [[runOnce]] does). */
   def ingestInto(
       catalog: LibraryCatalog,
       library: String,
-      chunks: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+      chunks: DataFrame,
+      sourceId: String = "default"): DataStreamWriter[org.apache.spark.sql.Row] =
     chunks.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty &&
+            catalog.lastIngestedBatch(library, sourceId).forall(_ < batchId)) {
           catalog.addChunks(library, batch.toDF())
+          catalog.recordIngestedBatch(library, sourceId, batchId)
         }
         ()
       }
@@ -85,7 +103,12 @@ object StreamingIngest {
       library: String,
       chunks: DataFrame,
       checkpoint: String): Unit = {
-    val q = ingestInto(catalog, library, chunks)
+    // marker keyed by the CHECKPOINT (batch ids are per-checkpoint):
+    // resuming this checkpoint skips replays, a different checkpoint
+    // gets its own marker and never mistakes batch 0 for a replay
+    val sourceId = "ck" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint).toLong & 0xffffffffL)
+    val q = ingestInto(catalog, library, chunks, sourceId)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -100,16 +123,21 @@ object StreamingIngest {
     * stream had accumulated when it was admitted (always 0). */
   case class KeptDoc(textHash: Long, id: String)
 
-  /** Streaming exact dedup with CROSS-BATCH state (keep-first): emits a
-    * document only the first time its text hash appears anywhere in the
+  /** Streaming EXACT dedup with CROSS-BATCH state (keep-first): emits a
+    * document only the first time its text appears anywhere in the
     * stream's history; later occurrences — same batch or any later
-    * batch — are dropped. This is the custom-state operator the built-in
-    * `dropDuplicates` also offers, expressed via
-    * `flatMapGroupsWithState` because the state (kept id + running dup
-    * count) is richer than a membership bit: [[dupCounts]] reads the
-    * same state shape back out as a metric stream.
+    * batch — are dropped. Grouping keys on the FULL TEXT, not a hash:
+    * keying on a 64-bit hash alone would silently drop a distinct
+    * document on a birthday collision, which at billions of distinct
+    * texts is an expectation, not a tail risk — the exactness claim
+    * requires the text itself (`dropDuplicates` pays the same shuffle
+    * width). Expressed via `flatMapGroupsWithState` because the state
+    * (kept id + running duplicate count) is richer than a membership
+    * bit — the count is observable offline through Spark's state-store
+    * data source (`spark.read.format("statestore")` over the
+    * checkpoint) for dup-rate monitoring.
     *
-    * At scale: state is one (hash, id, count) triple per DISTINCT text —
+    * At scale: state is one (text, id, count) entry per DISTINCT text —
     * the same O(distinct) footprint a batch dedup's shuffle holds, kept
     * in the state store. Unbounded by design (dedup history must not
     * expire); a corpus-versioned restart is the compaction story. */
@@ -121,19 +149,21 @@ object StreamingIngest {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(xxhash64(col(textCol)).as("h"), col(idCol).as("id"))
-      .as[(Long, String)]
+      .select(col(textCol).as("text"), xxhash64(col(textCol)).as("h"),
+        col(idCol).as("id"))
+      .as[(String, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[DedupState, KeptDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (hash, rows, state: GroupState[DedupState]) =>
+        case (_, rows, state: GroupState[DedupState]) =>
           val batch = rows.toSeq
           val prev = state.getOption
           val kept = prev match {
-            case Some(_) => Iterator.empty // hash already admitted
-            case None    => Iterator.single(KeptDoc(hash, batch.map(_._2).min))
+            case Some(_) => Iterator.empty // text already admitted
+            case None =>
+              Iterator.single(KeptDoc(batch.head._2, batch.map(_._3).min))
           }
-          val keptId = prev.map(_.keptId).getOrElse(batch.map(_._2).min)
+          val keptId = prev.map(_.keptId).getOrElse(batch.map(_._3).min)
           val seenBefore = prev.map(_.seen).getOrElse(0L)
           state.update(DedupState(keptId, seenBefore + batch.size))
           kept
