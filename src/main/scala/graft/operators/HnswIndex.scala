@@ -203,7 +203,9 @@ class HnswIndex(
       return vectors.toSeq
         .map { case (id, v) => (id, dist(q, v)) }
         .sortBy(t => (t._2, t._1))
-    val effectiveEf = if (ef > 0) ef else math.max(k, efConstruction)
+    // an explicit ef is clamped to k (standard HNSW): a caller's
+    // ef < k would silently truncate the result set below k
+    val effectiveEf = if (ef > 0) math.max(ef, k) else math.max(k, efConstruction)
     val ep = entryPoint.get
     var cur = ep
     var l = levels(ep)
@@ -368,14 +370,18 @@ object HnswIndex {
         else {
           val idx = build(rows.iterator, m, efConstruction, seed = seed)
           val entry = idx.entry.get
+          // build parameters ride WITH the artifact: a restore that
+          // assumed defaults would probe a non-default graph with the
+          // wrong ef floor and mutate it with the wrong m/seed
           idx.exportNodes.iterator.zipWithIndex.map {
             case ((id, vec, lvl, nbrs), ord) =>
               (part, ord.toLong, id, vec.toSeq, lvl,
-                nbrs.map(_.toSeq).toSeq, entry)
+                nbrs.map(_.toSeq).toSeq, entry, m, efConstruction, seed)
           }
         }
       }
-      .toDF("part", "ord", "id", "vec", "level", "nbrs", "entry")
+      .toDF("part", "ord", "id", "vec", "level", "nbrs", "entry",
+        "m", "efc", "seed")
       .write.mode("overwrite").partitionBy("part").parquet(path)
   }
 
@@ -396,18 +402,22 @@ object HnswIndex {
     val qBc = spark.sparkContext.broadcast(queries)
     val art = spark.read.parquet(path)
       .select(col("part").cast("int"), col("ord"), col("id"),
-        col("vec"), col("level"), col("nbrs"), col("entry"))
-      .as[(Int, Long, Long, Array[Float], Int, Seq[Seq[Long]], Long)]
+        col("vec"), col("level"), col("nbrs"), col("entry"),
+        col("m"), col("efc"), col("seed"))
+      .as[(Int, Long, Long, Array[Float], Int, Seq[Seq[Long]], Long, Int, Int, Long)]
     val perPartition = art
       .groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
         val sorted = rows.toArray.sortBy(_._2)
         val idx = restore(
-          sorted.iterator.map { case (_, _, id, vec, lvl, nbrs, _) =>
+          sorted.iterator.map { case (_, _, id, vec, lvl, nbrs, _, _, _, _) =>
             (id, vec, lvl, nbrs.map(_.toArray).toArray)
           },
           entry = Some(sorted.head._7),
-          nextOrd = sorted.length.toLong)
+          nextOrd = sorted.length.toLong,
+          m = sorted.head._8,
+          efConstruction = sorted.head._9,
+          seed = sorted.head._10)
         qBc.value.iterator.flatMap { case (qid, qv) =>
           idx.search(qv, k).map { case (id, d) => (qid, id, d) }
         }

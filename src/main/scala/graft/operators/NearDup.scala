@@ -224,11 +224,20 @@ object NearDup {
     val inSh = docShingles(incoming, idCol, textCol, p)
     val exBands = capBuckets(
       bandRows(exSh, idCol, p), Seq("band", "band_key"), idCol, p.maxBucket)
-    val pairs = bandRows(inSh, idCol, p)
+    // the INCOMING side is capped too: a boilerplate-heavy batch (a
+    // re-crawl of one template) would otherwise put its whole bucket on
+    // one join key — the exact skew the cap exists to stop
+    val inBands = capBuckets(
+      bandRows(inSh, idCol, p), Seq("band", "band_key"), idCol, p.maxBucket)
+    val pairs = inBands
       .select(col(idCol).as("id_new"), col("band"), col("band_key"))
       .join(
         exBands.select(col(idCol).as("id_old"), col("band"), col("band_key")),
         Seq("band", "band_key"))
+      // re-ingesting an unchanged doc puts the same id on both sides;
+      // the degenerate (id, id, 1.0) self-pair must never be emitted
+      // (a pair-driven dedup dropping id_new would delete its only copy)
+      .where(col("id_new") =!= col("id_old"))
       .select("id_new", "id_old")
       .distinct()
     val verified = pairs
