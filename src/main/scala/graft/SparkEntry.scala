@@ -2102,7 +2102,14 @@ object SparkEntry {
           s.experimental.extraOptimizations :+ AnnProbeRule
       val emb = t(s, dir, "embeddings")
       val qv = queryVec(s, dir)
+      // the rewrite probes the PERSISTED signature table (built once,
+      // partitionBy(table_idx)) — registered under an explicit token so
+      // a same-dim foreign corpus can never match it by accident
+      val sigDir = s"${lshIdxDir(s, dir)}/sigs"
+      AnnProbeRule.register("emb_lsh",
+        AnnProbeRule.lshArtifact(() => s.read.parquet(sigDir), LshIndex.Params()))
       s.conf.set(AnnProbeRule.ConfKey, "true")
+      s.conf.set(AnnProbeRule.ArtifactKey, "emb_lsh")
       try {
         val probed = FlatKnn.search(emb, qv, 10, Euclidean)
           .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
@@ -2119,7 +2126,10 @@ object SparkEntry {
         // a second one
         import org.apache.spark.sql.graft.ColumnBridge
         ColumnBridge.ofRows(s, out.queryExecution.optimizedPlan)
-      } finally s.conf.set(AnnProbeRule.ConfKey, "false")
+      } finally {
+        s.conf.set(AnnProbeRule.ConfKey, "false")
+        s.conf.unset(AnnProbeRule.ArtifactKey)
+      }
     }),
     // ---- the same Catalyst rewrite selecting a DIFFERENT persisted
     //      index family: the coarse quantizer is LOADED from q_ivf_knn's
@@ -2140,11 +2150,16 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val qv = queryVec(s, dir)
       val idxDir = ivfIdxDir(s, dir)
-      AnnProbeRule.registerIvf(
-        IvfIndex.centroidsOf(s.read.parquet(s"$idxDir/centroids")),
-        IvfIndex.Params().nProbe)
+      // both halves of the persisted index artifact: the quantizer
+      // (centroids) loaded once at registration, the cell-partitioned
+      // assignments read (partition-pruned) per probe
+      AnnProbeRule.register("emb_ivf",
+        AnnProbeRule.ivfArtifact(
+          () => s.read.parquet(s"$idxDir/assignments"),
+          IvfIndex.centroidsOf(s.read.parquet(s"$idxDir/centroids")),
+          IvfIndex.Params().nProbe))
       s.conf.set(AnnProbeRule.ConfKey, "true")
-      s.conf.set(AnnProbeRule.KindKey, "ivf")
+      s.conf.set(AnnProbeRule.ArtifactKey, "emb_ivf")
       try {
         val probed = FlatKnn.search(emb, qv, 10, Euclidean)
           .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
@@ -2161,7 +2176,7 @@ object SparkEntry {
         ColumnBridge.ofRows(s, out.queryExecution.optimizedPlan)
       } finally {
         s.conf.set(AnnProbeRule.ConfKey, "false")
-        s.conf.set(AnnProbeRule.KindKey, "lsh")
+        s.conf.unset(AnnProbeRule.ArtifactKey)
       }
     }),
     // ---- training-pipeline: symmetric int8 embedding quantization —
@@ -3826,6 +3841,23 @@ object SparkEntry {
       IvfIndex
         .centroidsDfFromVecs(s, cents)
         .write.mode("overwrite").parquet(s"$idxDir/centroids")
+      new java.io.File(s"$idxDir/_built").createNewFile()
+    }
+    idxDir
+  }
+
+  /** Build-once persisted LSH signature table for the embeddings table
+    * (partitionBy(table_idx), so a probe is L pruned single-partition
+    * reads with the signature pushed); returns its dir. Same /tmp demo
+    * cache pattern as [[ivfIdxDir]] — at real scale the LibraryCatalog
+    * owns index persistence (LshIndexer). */
+  private def lshIdxDir(s: SparkSession, dir: String): String = {
+    val idxDir = cachePath("lsh_idx", dir)
+    if (!new java.io.File(s"$idxDir/_built").exists()) {
+      LshIndex
+        .signatureTable(t(s, dir, "embeddings"))
+        .write.mode("overwrite").partitionBy("table_idx")
+        .parquet(s"$idxDir/sigs")
       new java.io.File(s"$idxDir/_built").createNewFile()
     }
     idxDir

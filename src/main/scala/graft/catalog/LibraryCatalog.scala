@@ -635,14 +635,18 @@ class LibraryCatalog(
   /** Post-claim failure cleanup: any throw between [[claimVersion]] and
     * the pointer swap must delete the claimed dir — a leaked `_claim`
     * would lock the name out of writes for [[StaleClaimMs]] with no
-    * overwrite recovery. Never deletes once the pointer reached `v`
-    * (and keeps the dir when the meta state is unreadable — unsure
-    * means hands off). */
+    * overwrite recovery. Only deletes while the pointer never reached
+    * `v` (strictly below): once published at v — or past it, e.g. when
+    * an auto-compaction commit advanced the pointer to v+1 and THEN
+    * threw inside the same try — deleting the version-v dir would break
+    * readers pinned at v and the one-commit retention contract. Keeps
+    * the dir when the meta state is unreadable — unsure means hands
+    * off. */
   private def cleanupFailedCommit(name: String, v: Long, vdir: Path): Unit =
     scala.util.Try(readMeta(name)) match {
-      case scala.util.Success(meta) if meta.forall(_.version != v) =>
+      case scala.util.Success(meta) if meta.forall(_.version < v) =>
         fs.delete(vdir, true)
-      case _ => () // published at v, or meta unreadable — hands off
+      case _ => () // published at >= v, or meta unreadable — hands off
     }
 
   /** Claim version `v` of a library by atomically creating its
@@ -1815,14 +1819,26 @@ class LibraryCatalog(
     * StreamingIngest.ingestInto — foreachBatch is at-least-once, so
     * replays must be detectable). One tiny file per (library, source),
     * atomically overwrite-renamed like meta.json. */
+  /** Injective marker filename for a raw sourceId: the readable
+    * sanitized prefix alone would collide (e.g. "a/b" vs "a_b" — two
+    * streams would read each other's batch ids and silently skip real
+    * batches as replays), so an md5 of the RAW id is appended. */
+  private def ingestMarkerName(sourceId: String): String = {
+    val readable = sourceId.replaceAll("[^A-Za-z0-9._-]", "_").take(64)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sourceId.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+    s"${readable}-$digest"
+  }
+
   def lastIngestedBatch(name: String, sourceId: String): Option[Long] = {
-    val p = new Path(libDir(name), s"_ingest_${sourceId.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    val p = new Path(libDir(name), s"_ingest_${ingestMarkerName(sourceId)}")
     if (!fs.exists(p)) None
     else scala.util.Try(readSmallTextFile(p).trim.toLong).toOption
   }
 
   def recordIngestedBatch(name: String, sourceId: String, batchId: Long): Unit = {
-    val safe = sourceId.replaceAll("[^A-Za-z0-9._-]", "_")
+    val safe = ingestMarkerName(sourceId)
     val tmp = new Path(libDir(name), s"_ingest_$safe.tmp")
     val out = fs.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8"))

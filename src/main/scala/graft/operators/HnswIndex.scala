@@ -40,8 +40,37 @@ class HnswIndex(
   // neighbors(level)(node) = connected node ids
   private val neighbors =
     Array.fill(maxLevel + 1)(mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]])
+  // backRefs(level)(node) = nodes whose adjacency lists CONTAIN `node`.
+  // Maintained alongside `neighbors` (edges can be asymmetric after
+  // pruning, so a node's referrers are NOT just its own neighbors) so
+  // [[delete]] touches only the in-degree referrers instead of scanning
+  // every node's list — O(in-degree · degree), not O(n · degree).
+  private val backRefs =
+    Array.fill(maxLevel + 1)(mutable.HashMap.empty[Long, mutable.HashSet[Long]])
   private var entryPoint: Option[Long] = None
   private var insertOrdinal: Long = 0L
+
+  private def addBackRef(l: Int, target: Long, from: Long): Unit =
+    backRefs(l).getOrElseUpdate(target, mutable.HashSet.empty) += from
+
+  private def dropBackRef(l: Int, target: Long, from: Long): Unit =
+    backRefs(l).get(target).foreach { s =>
+      s -= from
+      if (s.isEmpty) backRefs(l).remove(target)
+    }
+
+  /** Spec hook: the reverse-reference index must always equal the one
+    * derived from the adjacency lists — any drift would make [[delete]]
+    * leave dangling edges. */
+  private[graft] def backRefsConsistent: Boolean =
+    (0 to maxLevel).forall { l =>
+      val derived = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+      neighbors(l).foreach { case (from, conns) =>
+        conns.foreach(c =>
+          derived.getOrElseUpdate(c, mutable.HashSet.empty) += from)
+      }
+      derived == backRefs(l)
+    }
 
   def size: Int = vectors.size
   def entry: Option[Long] = entryPoint
@@ -143,9 +172,9 @@ class HnswIndex(
 
   private def connect(a: Long, b: Long, level: Int): Unit = {
     val na = neighbors(level).getOrElseUpdate(a, mutable.ArrayBuffer.empty)
-    if (!na.contains(b)) na += b
+    if (!na.contains(b)) { na += b; addBackRef(level, b, a) }
     val nb = neighbors(level).getOrElseUpdate(b, mutable.ArrayBuffer.empty)
-    if (!nb.contains(a)) nb += a
+    if (!nb.contains(a)) { nb += a; addBackRef(level, a, b) }
     // prune over-connected nodes to their closest maxConn neighbors
     // (simple distance selection, hnsw.py:489-495)
     Seq(a, b).foreach { n =>
@@ -157,6 +186,8 @@ class HnswIndex(
           .sortBy(t => (t._1, t._2))
           .take(cap)
           .map(_._2)
+        val kept = pruned.toSet
+        conns.foreach(c => if (!kept.contains(c)) dropBackRef(level, c, n))
         neighbors(level)(n) = mutable.ArrayBuffer(pruned.toSeq: _*)
       }
     }
@@ -217,17 +248,24 @@ class HnswIndex(
   }
 
   /** Delete a node; if it was the entry point, re-elect the max-level
-    * survivor (A5, hnsw.py:213-270). */
+    * survivor (A5, hnsw.py:213-270). The maintained reverse-reference
+    * sets make this O(in-degree · degree) — only the nodes that LIST
+    * the deleted id are touched, never a scan of every node's
+    * adjacency (the round-8 implementation's O(n · degree) crawl). */
   def delete(id: Long): Unit = {
     require(vectors.contains(id), s"unknown id: $id")
     vectors.remove(id)
     val lvl = levels.remove(id).getOrElse(0)
     (0 to lvl).foreach { l =>
-      neighbors(l).remove(id)
-      neighbors(l).foreach { case (_, conns) =>
-        val i = conns.indexOf(id)
-        if (i >= 0) conns.remove(i)
-      }
+      // forward edges out of id: its neighbors lose their back-reference
+      neighbors(l).remove(id).foreach(_.foreach(c => dropBackRef(l, c, id)))
+      // reverse edges into id: exactly the referrer set
+      backRefs(l).remove(id).foreach(_.foreach { x =>
+        neighbors(l).get(x).foreach { conns =>
+          val i = conns.indexOf(id)
+          if (i >= 0) conns.remove(i)
+        }
+      })
     }
     if (entryPoint.contains(id)) {
       entryPoint =
@@ -302,6 +340,7 @@ object HnswIndex {
       var l = 0
       while (l <= lvl) {
         idx.neighbors(l)(id) = mutable.ArrayBuffer(nbrs(l).toSeq: _*)
+        nbrs(l).foreach(c => idx.addBackRef(l, c, id))
         l += 1
       }
     }

@@ -1,14 +1,16 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayMin, ArrayPosition, Ascending, Cast, CreateArray, EqualTo, Expression, In, LessThan, Literal, Or, ScalarSubquery, SortOrder}
-import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Cast, EqualTo, Expression, LessThan, Literal, Or, ScalarSubquery, SortOrder}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.ExistenceJoin
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, JoinHint, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{BooleanType, LongType}
 
-import graft.functions.{LshSignature, VectorDistance}
+import graft.functions.VectorDistance
 import graft.operators.{IvfIndex, LshIndex}
 
 /** SURVEY §4's "stretch scope" ANN plan rewrite: an OPT-IN optimizer
@@ -17,68 +19,117 @@ import graft.operators.{IvfIndex, LshIndex}
   *   GlobalLimit(k) → LocalLimit(k) → Sort(dist ASC) →
   *     Project(..., dist = vector_distance(emb, literal query)) → child
   *
-  * and injects an LSH sign-signature candidate filter under the
-  * projection, turning the full-corpus distance scan into a bucket
-  * probe + exact re-rank — the same plan LshIndex.search builds by
-  * hand, chosen by the optimizer instead of the caller.
+  * and substitutes the PERSISTED index artifact's probe plan — the same
+  * plan `LshIndex.searchWithTable` / `IvfIndex.searchWithTable` build by
+  * hand, chosen by the optimizer instead of the caller:
   *
-  * The runtime path's under-k fallback is preserved: the injected
-  * filter is `candidate_count < k OR signature_match`, where
-  * candidate_count is an uncorrelated scalar subquery counting the
-  * probe's bucket members. An under-filled probe degenerates the
-  * predicate to literally-true row-by-row — the exact full scan — so
-  * the rewrite can never return fewer rows than the exact plan. The
-  * honest cost: the count is one extra signature pass over the child
-  * (a rule has no persisted signature table to count instead; the
-  * catalog path, LshIndex.search, counts materialized candidates).
+  *   Filter(under_k_guard OR exists,
+  *     ExistenceJoin(child, candidate_ids_from_pruned_artifact, id))
   *
-  * Semantics are deliberately conf-gated (`spark.graft.ann.probe=true`)
-  * because the rewrite is APPROXIMATE within its k (recall < 1 when the
-  * bucket holds ≥ k members). Exactly like the reference, someone must
-  * opt into approximate search; here it's a session conf instead of a
-  * per-call index choice. Installed via
-  * `spark.experimental.extraOptimizations` or an extensions
-  * `injectOptimizerRule`.
+  * Candidate ids come from the registered artifact table (the
+  * partition-pruned signature table for LSH, the cell-partitioned
+  * assignments table for IVF) — the corpus is scanned ONCE as the probe
+  * side of a hash join against the tiny candidate set, and the under-k
+  * guard is a scalar-subquery count over the ARTIFACT, not a second
+  * corpus pass. An under-filled probe turns the whole predicate
+  * literally true row-by-row — the exact full scan — so the rewrite can
+  * never return fewer rows than the exact plan (lsh.py:199-202's
+  * fallback, as plan algebra).
+  *
+  * Registration is by EXPLICIT token (`spark.graft.ann.probe.artifact`
+  * names the registered artifact to probe): an index is only valid for
+  * the table it was built from, and any implicit match (e.g. by vector
+  * dim alone) would silently probe a foreign same-dim corpus with the
+  * wrong index, degrading recall with no error. A registered artifact
+  * whose dim or id column doesn't match the query's child plan causes NO
+  * rewrite (the exact plan stands — never a wrong probe); a token naming
+  * no registration fails loudly.
+  *
+  * Semantics are conf-gated (`spark.graft.ann.probe=true`) because the
+  * rewrite is APPROXIMATE within its k (recall < 1 when the bucket holds
+  * ≥ k members). Exactly like the reference, someone must opt into
+  * approximate search; here it's a session conf instead of a per-call
+  * index choice. Installed via `spark.experimental.extraOptimizations`
+  * or an extensions `injectOptimizerRule`.
   */
 object AnnProbeRule extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.ann.probe"
 
-  /** Which persisted index family the rewrite probes: "lsh" (default —
-    * inline sign-signature buckets, no artifact needed) or "ivf" (the
-    * registered PERSISTED coarse quantizer). Explicit, not auto: the
-    * two probes have different recall behavior and a caller opting into
-    * approximate search picks the index, exactly like the reference's
-    * per-library indexer choice. */
-  val KindKey = "spark.graft.ann.probe.kind"
+  /** Names the registered [[ArtifactProbe]] this conf window's kNN
+    * queries probe. Empty/unset → no rewrite (an enabled rule with no
+    * artifact has nothing valid to probe — the exact plan stands);
+    * set but unregistered → loud failure, never a silent wrong probe. */
+  val ArtifactKey = "spark.graft.ann.probe.artifact"
 
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "false").toBoolean
 
-  private def kind: String =
-    SQLConf.get.getConfString(KindKey, "lsh").toLowerCase
+  /** A persisted index artifact registered for plan rewriting. The rule
+    * never derives an index itself — it probes what the catalog
+    * persisted, through a caller-supplied candidate builder that must
+    * return a FRESH single-column DataFrame of candidate ids per call
+    * (fresh expr-ids keep the join side and the guard subquery from
+    * colliding) reading the pruned artifact table — never the corpus. */
+  final case class ArtifactProbe(
+      kind: String,
+      idCol: String,
+      dim: Int,
+      candidateIds: Seq[Float] => DataFrame)
 
-  /** A PERSISTED IVF quantizer a caller loaded from catalog/index
-    * artifacts and registered for plan rewriting, keyed by vector dim
-    * (the rule's analog of catalog metadata: it never derives a
-    * quantizer itself — it reuses what was persisted, as literals). */
-  final case class IvfProbe(cents: IndexedSeq[Array[Float]], nProbe: Int)
+  /** LSH probe over a persisted [[LshIndex.signatureTable]] (written
+    * `partitionBy("table_idx")`): one partition-pruned scan per table
+    * with the signature pushed, distinct ids. */
+  def lshArtifact(
+      sigTable: () => DataFrame,
+      p: LshIndex.Params,
+      idCol: String = "vec_id"): ArtifactProbe =
+    ArtifactProbe("lsh", idCol, p.dim, qv => {
+      val sigs = LshIndex.planes(p).map(LshIndex.signatureLocal(qv.toArray, _))
+      LshIndex.prunedCandidateIds(sigTable(), sigs, idCol, p.hashSize, p.maxFlips)
+    })
 
-  @volatile private var ivfProbes: Map[Int, IvfProbe] = Map.empty
+  /** IVF probe over persisted cell-partitioned assignments: the nProbe
+    * query-nearest cells as a partition-pruned read (one row per id —
+    * already distinct). Centroids are the PERSISTED quantizer, loaded
+    * once at registration. */
+  def ivfArtifact(
+      assignments: () => DataFrame,
+      cents: IndexedSeq[Array[Float]],
+      nProbe: Int,
+      idCol: String = "vec_id"): ArtifactProbe = {
+    require(cents.nonEmpty, "ivfArtifact needs at least one centroid")
+    ArtifactProbe("ivf", idCol, cents.head.length, qv => {
+      import org.apache.spark.sql.functions.col
+      val probed = IvfIndex.probeCells(qv, cents, nProbe).map(_.toInt)
+      assignments().where(col("cell").isin(probed: _*)).select(idCol)
+    })
+  }
 
-  /** Register a persisted IVF quantizer (e.g. loaded via
-    * `LibraryCatalog.centroidsTable` / a centroids parquet artifact)
-    * for `kind=ivf` rewrites of queries over same-dim vectors.
+  @volatile private var artifacts: Map[String, ArtifactProbe] = Map.empty
+
+  /** Register a persisted index artifact under an explicit token.
     * Synchronized: `+=` on a @volatile map is a read-modify-write, and
     * two concurrent registrations must not lose one. Last registration
-    * per dim wins (the registry is process-global, like the rule). */
-  def registerIvf(cents: IndexedSeq[Array[Float]], nProbe: Int): Unit =
-    synchronized {
-      require(cents.nonEmpty, "registerIvf needs at least one centroid")
-      ivfProbes += cents.head.length -> IvfProbe(cents, nProbe)
-    }
+    * per token wins (the registry is process-global, like the rule). */
+  def register(token: String, probe: ArtifactProbe): Unit = synchronized {
+    require(token.nonEmpty, "artifact token must be non-empty")
+    artifacts += token -> probe
+  }
 
-  def clearIvfRegistry(): Unit = synchronized { ivfProbes = Map.empty }
+  def clearRegistry(): Unit = synchronized { artifacts = Map.empty }
+
+  private def activeToken: Option[String] =
+    Option(SQLConf.get.getConfString(ArtifactKey, "")).filter(_.nonEmpty)
+
+  private def probeFor(token: String): ArtifactProbe =
+    artifacts.getOrElse(token,
+      // a typo'd or forgotten registration must fail loudly, never
+      // silently return exact results the caller believes are probed
+      throw new IllegalArgumentException(
+        s"$ArtifactKey='$token' names no registered ANN artifact — " +
+          s"call AnnProbeRule.register(\"$token\", …) first " +
+          s"(registered: ${artifacts.keys.toSeq.sorted.mkString(", ")})"))
 
   private def queryVector(lit: Literal): Option[Array[Float]] = lit.value match {
     case a: ArrayData => Some(a.toFloatArray())
@@ -87,69 +138,37 @@ object AnnProbeRule extends Rule[LogicalPlan] {
 
   /** Idempotence guard: the optimizer runs extra rules to FIXPOINT, and
     * the rewritten shape still matches the kNN pattern — without this
-    * check every iteration would stack another probe filter (the fresh
-    * subquery expr-ids keep the predicates from ever comparing equal). */
-  /** Recognize the INJECTED probe shape only — `Or(under-k scalar
-    * subquery, probe predicate)` — never an arbitrary user filter that
-    * happens to mention a distance expression (a radius pre-filter
-    * under the kNN sort must not disable the rewrite). The Or is
-    * searched ANYWHERE in the condition, not just at the top: when the
-    * rule runs inside the operator-optimization batch
+    * check every iteration would stack another probe (the fresh
+    * expr-ids keep the predicates from ever comparing equal).
+    * Recognize the INJECTED shape only — `Or(under-k scalar subquery,
+    * exists-attr of an ExistenceJoin below)` — never an arbitrary user
+    * filter that happens to mention a distance expression (a radius
+    * pre-filter under the kNN sort must not disable the rewrite). The
+    * Or is searched ANYWHERE in the condition, not just at the top:
+    * when the rule runs inside the operator-optimization batch
     * (injectOptimizerRule), CombineFilters can merge a user predicate
-    * over the injected filter into `And(user, Or(guard, probe))`, and a
-    * top-level-only check would re-inject a probe every fixpoint
-    * iteration. */
+    * over the injected filter into `And(user, Or(guard, exists))`. */
   private def alreadyProbed(p: LogicalPlan): Boolean = p match {
-    case Filter(cond, _) =>
+    case Filter(cond, child) =>
+      lazy val existsIds = child.collect {
+        case Join(_, _, ExistenceJoin(a), _, _) => a.exprId
+      }.toSet
       cond.exists {
         case Or(guard, probe) =>
           guard.exists(_.isInstanceOf[ScalarSubquery]) &&
-            probe.exists(e =>
-              e.isInstanceOf[LshSignature] || e.isInstanceOf[VectorDistance])
+            probe.exists {
+              case a: Attribute => existsIds.contains(a.exprId)
+              case _            => false
+            }
         case _ => false
       }
     case _ => false
   }
 
-  /** Probe predicate for the configured index kind; None when the kind
-    * needs a registered artifact that isn't there (no rewrite — the
-    * exact plan stands). */
-  private def probeCond(emb: Expression, qv: Array[Float]): Option[Expression] =
-    kind match {
-      case "ivf" =>
-        ivfProbes.get(qv.length).map { p =>
-          // per-row coarse cell = first-minimum centroid (ArrayPosition
-          // of ArrayMin — the oracle's list_position(list_min) tie-break;
-          // VectorDistance is the bitwise twin of the composed euclid the
-          // persisted assignments were computed with), membership in the
-          // nProbe cells nearest the query
-          val dists = p.cents.map(c =>
-            VectorDistance(
-              emb,
-              Literal.create(c.toSeq, ArrayType(FloatType, containsNull = false)),
-              "euclidean"): Expression)
-          val arr = CreateArray(dists)
-          val probed = IvfIndex.probeCells(qv.toSeq, p.cents, p.nProbe)
-          In(ArrayPosition(arr, ArrayMin(arr)),
-            probed.map(c => Literal(c + 1L): Expression))
-        }
-      case "lsh" =>
-        val params = LshIndex.Params(dim = qv.length)
-        val planes = LshIndex.planes(params)
-        val sigs = planes.map(LshIndex.signatureLocal(qv, _))
-        Some(planes.indices
-          .map(t =>
-            EqualTo(LshSignature(emb, planes(t)), Literal(sigs(t))): Expression)
-          .reduce(Or))
-      case other =>
-        // the two probes have different recall behavior — a typo must
-        // fail loudly, never silently probe the wrong index family
-        throw new IllegalArgumentException(
-          s"$KindKey=$other is not a known probe kind (lsh | ivf)")
-    }
-
-  /** Inject the probe filter + under-k guard below `sort`'s projection;
-    * None when the sort key isn't a literal-query vector distance. */
+  /** Substitute the artifact probe below `sort`'s projection; None when
+    * the sort key isn't a literal-query vector distance, no artifact is
+    * selected, or the artifact doesn't fit the child plan (dim or id
+    * column mismatch — the exact plan stands, never a wrong probe). */
   private def probedSort(
       gl: GlobalLimit,
       sort: Sort,
@@ -162,23 +181,47 @@ object AnnProbeRule extends Rule[LogicalPlan] {
             distAttr.references.contains(a.toAttribute) =>
         (emb, q, metric)
     }
-    distAlias.flatMap { case (emb, qLit, _) =>
-      queryVector(qLit).flatMap { qv =>
-        probeCond(emb, qv).map { cond =>
-          // under-k fallback: count the probe's members in an
-          // uncorrelated scalar subquery; an under-filled probe turns
-          // the whole predicate true and the plan is the exact scan
-          val candCount = Aggregate(
-            Nil,
-            Seq(Alias(
-              AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
-              "cand_n")()),
-            Filter(cond, child))
-          val underK: Expression =
-            LessThan(ScalarSubquery(candCount), Cast(gl.limitExpr, LongType))
-          sort.copy(child = proj.copy(child = Filter(Or(underK, cond), child)))
-        }
-      }
+    for {
+      (_, qLit, _) <- distAlias
+      qv <- queryVector(qLit)
+      token <- activeToken
+      probe = probeFor(token)
+      if qv.length == probe.dim
+      idAttr <- child.output.find(a =>
+        SQLConf.get.resolver(a.name, probe.idCol))
+    } yield {
+      // two FRESH candidate plans (fresh expr-ids): one as the hash-join
+      // build side, one under the guard's scalar subquery — both read
+      // the pruned artifact, the corpus is scanned exactly once (the
+      // join's probe side), and the artifact scans stay VISIBLE in the
+      // final plan (auditable: PlanAuditSpec pins their partition
+      // pruning). Injected OPTIMIZED: user rules run after the main
+      // batches, so an analyzed subtree would carry nodes the planner
+      // can't take (distinct()'s Deduplicate, normally lowered to
+      // Aggregate earlier). The two extra pruned bucket reads per query
+      // are a fixed small cost at any corpus size — eagerly
+      // materializing-and-sharing them at rewrite time was measured
+      // ~0.4 s cheaper at demo scale but hides the probe from the plan
+      // (an ExistingRDD leaf), which is the wrong trade for an
+      // optimizer rule whose whole claim is the plan it produces.
+      val candPlan = probe.candidateIds(qv.toSeq).queryExecution.optimizedPlan
+      val guardPlan = probe.candidateIds(qv.toSeq).queryExecution.optimizedPlan
+      val exists =
+        AttributeReference("graft_ann_cand_exists", BooleanType, nullable = false)()
+      val join = Join(child, candPlan, ExistenceJoin(exists),
+        Some(EqualTo(idAttr, candPlan.output.head)), JoinHint.NONE)
+      // under-k fallback: count the ARTIFACT's candidates (distinct ids)
+      // in an uncorrelated scalar subquery; an under-filled probe turns
+      // the whole predicate true and the plan is the exact scan
+      val candCount = Aggregate(
+        Nil,
+        Seq(Alias(
+          AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
+          "cand_n")()),
+        guardPlan)
+      val underK: Expression =
+        LessThan(ScalarSubquery(candCount), Cast(gl.limitExpr, LongType))
+      sort.copy(child = proj.copy(child = Filter(Or(underK, exists), join)))
     }
   }
 

@@ -3,75 +3,115 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.FlatKnn
+import graft.operators.{FlatKnn, IvfIndex, LshIndex}
 import graft.plans.AnnProbeRule
 
-/** The opt-in ANN plan rewrite: the optimizer turns the exact-kNN shape
-  * into an LSH bucket probe + exact re-rank when (and only when) the
-  * session conf enables it. */
+/** The opt-in ANN plan rewrite: the optimizer substitutes the PERSISTED
+  * index artifact's probe plan (pruned candidate ids + existence join +
+  * artifact-count guard) for the exact-kNN scan when (and only when)
+  * the session conf enables it and names a registered artifact. */
 class AnnProbeRuleSpec extends SparkSpec with BeforeAndAfterAll {
 
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
   private lazy val q0: Seq[Float] =
     emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
 
+  private val idxRoot =
+    java.nio.file.Files.createTempDirectory("ann_probe_spec").toString
+  private def sigDir = s"$idxRoot/sigs"
+  private def asnDir = s"$idxRoot/assignments"
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ AnnProbeRule
+    // the persisted artifacts the registered probes read (the demo-cache
+    // pattern: sig table partitionBy(table_idx), assignments by cell)
+    LshIndex.signatureTable(emb)
+      .write.mode("overwrite").partitionBy("table_idx").parquet(sigDir)
+    val cents = IvfIndex.centroids(emb, IvfIndex.Params())
+    IvfIndex.assignmentsForWrite(emb, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(asnDir)
+    AnnProbeRule.register("spec_lsh",
+      AnnProbeRule.lshArtifact(() => spark.read.parquet(sigDir), LshIndex.Params()))
+    AnnProbeRule.register("spec_ivf",
+      AnnProbeRule.ivfArtifact(
+        () => spark.read.parquet(asnDir), cents, IvfIndex.Params().nProbe))
   }
 
   override def afterAll(): Unit = {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == AnnProbeRule)
     spark.conf.unset(AnnProbeRule.ConfKey)
+    spark.conf.unset(AnnProbeRule.ArtifactKey)
+    AnnProbeRule.clearRegistry()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxRoot))
     super.afterAll()
   }
 
-  test("disabled (default): the kNN plan scans the full corpus, no signature filter") {
-    spark.conf.set(AnnProbeRule.ConfKey, "false")
-    val plan = FlatKnn.search(emb, q0, 5).queryExecution.optimizedPlan.toString
-    assert(!plan.contains("lsh_signature"))
+  private def withProbe[A](token: String)(body: => A): A = {
+    spark.conf.set(AnnProbeRule.ConfKey, "true")
+    spark.conf.set(AnnProbeRule.ArtifactKey, token)
+    try body
+    finally {
+      spark.conf.set(AnnProbeRule.ConfKey, "false")
+      spark.conf.unset(AnnProbeRule.ArtifactKey)
+    }
   }
 
-  test("enabled: the optimizer injects the LSH signature probe filter") {
-    spark.conf.set(AnnProbeRule.ConfKey, "true")
-    try {
+  test("disabled (default): the kNN plan scans the full corpus, no artifact probe") {
+    spark.conf.set(AnnProbeRule.ConfKey, "false")
+    val plan = FlatKnn.search(emb, q0, 5).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ExistenceJoin"))
+  }
+
+  test("enabled: the rewrite probes the persisted sig table via an existence join, not the corpus") {
+    withProbe("spec_lsh") {
       val df = FlatKnn.search(emb, q0, 5)
       val plan = df.queryExecution.optimizedPlan.toString
-      assert(plan.contains("lsh_signature"), s"no probe filter in:\n$plan")
+      assert(plan.contains("ExistenceJoin"), s"no artifact probe join in:\n$plan")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("sigs"),
+        s"probe does not read the persisted sig table:\n$physical")
       // the probe is still ranked and limited: self-vector first at dist 0
       val rows = df.collect()
       assert(rows.nonEmpty && rows.length <= 5)
       assert(rows.head.getAs[Long]("vec_id") === 0L)
       assert(math.abs(rows.head.getAs[Double]("dist")) < 1e-9)
       // every returned id must be an LSH bucket candidate of the query
-      val ps = graft.operators.LshIndex.planes(
-        graft.operators.LshIndex.Params(dim = q0.length))
-      val qSigs = ps.map(graft.operators.LshIndex.signatureLocal(q0.toArray, _))
-      val candidateIds = emb
-        .where(ps.indices
-          .map(t => graft.operators.LshIndex.signatureCol(col("embedding"), ps(t)) === qSigs(t))
-          .reduce(_ || _))
-        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val ps = LshIndex.planes(LshIndex.Params(dim = q0.length))
+      val qSigs = ps.map(LshIndex.signatureLocal(q0.toArray, _))
+      val candidateIds = LshIndex
+        .prunedCandidateIds(spark.read.parquet(sigDir), qSigs)
+        .collect().map(_.getLong(0)).toSet
       assert(rows.map(_.getAs[Long]("vec_id")).forall(candidateIds))
-    } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
+    }
+  }
+
+  test("the rewritten plan's guard counts the ARTIFACT, and the corpus is scanned exactly once") {
+    withProbe("spec_lsh") {
+      val df = FlatKnn.search(emb, q0, 5)
+      val physical = df.queryExecution.executedPlan.toString
+      // exactly one scan of the corpus parquet: the probe side of the
+      // existence join — the guard and the candidates read the artifact
+      val corpusScans = "embeddings\\.parquet".r.findAllIn(physical).length
+      assert(corpusScans === 1,
+        s"corpus scanned $corpusScans times (probe must read the artifact):\n$physical")
+      assert("sigs".r.findAllIn(physical).nonEmpty, "artifact table not read")
+      df.collect()
+    }
   }
 
   test("under-filled probe falls back to the exact scan (never fewer than k rows)") {
-    spark.conf.set(AnnProbeRule.ConfKey, "true")
-    try {
+    withProbe("spec_lsh") {
       // a far-corner query vector: its sign-buckets hold (almost) no
       // corpus members, so the probe alone would under-fill k — the
       // scalar-subquery fallback must widen to the exact scan
       val far = Array.fill(q0.length)(100.0f)
-      val ps = graft.operators.LshIndex.planes(
-        graft.operators.LshIndex.Params(dim = far.length))
-      val qSigs = ps.map(graft.operators.LshIndex.signatureLocal(far, _))
-      val nCand = emb
-        .where(ps.indices
-          .map(t => graft.operators.LshIndex.signatureCol(col("embedding"), ps(t)) === qSigs(t))
-          .reduce(_ || _))
+      val ps = LshIndex.planes(LshIndex.Params(dim = far.length))
+      val qSigs = ps.map(LshIndex.signatureLocal(far, _))
+      val nCand = LshIndex
+        .prunedCandidateIds(spark.read.parquet(sigDir), qSigs)
         .count()
       val k = (nCand + 5).toInt // strictly more than the probe can fill
       val df = FlatKnn.search(emb, far.toSeq, k)
@@ -84,90 +124,89 @@ class AnnProbeRuleSpec extends SparkSpec with BeforeAndAfterAll {
       val exact = FlatKnn.search(emb, far.toSeq, k).collect()
       assert(got.map(_.getAs[Long]("vec_id")).toSeq ===
         exact.map(_.getAs[Long]("vec_id")).toSeq)
-    } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
+    }
   }
 
-  test("kind=ivf: cell-membership probe from the REGISTERED persisted quantizer, and the probe choice is pinned") {
-    import graft.operators.IvfIndex
-    spark.conf.set(AnnProbeRule.ConfKey, "true")
-    spark.conf.set(AnnProbeRule.KindKey, "ivf")
-    try {
-      AnnProbeRule.registerIvf(
-        IvfIndex.centroids(emb, IvfIndex.Params()), IvfIndex.Params().nProbe)
+  test("ivf artifact: cell-membership probe from the PERSISTED assignments, partition-pruned") {
+    withProbe("spec_ivf") {
       val df = FlatKnn.search(emb, q0, 5)
       val plan = df.queryExecution.optimizedPlan.toString
-      // which probe was chosen: the IVF argmin membership, NOT the LSH
-      // signature predicate
-      assert(plan.contains("array_position"), s"no cell probe in:\n$plan")
-      assert(!plan.contains("lsh_signature"), s"wrong probe kind in:\n$plan")
+      assert(plan.contains("ExistenceJoin"), s"no cell probe in:\n$plan")
       assert(plan.contains("scalar-subquery"), "under-k guard missing")
+      // the physical probe reads the assignments artifact (not the sig
+      // table), partition-pruned to the nProbe cells
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("assignments"),
+        s"probe does not read the assignments table:\n$physical")
+      assert(!physical.contains("sigs"), s"wrong artifact probed in:\n$physical")
+      assert(physical.contains("PartitionFilters: [cell"),
+        s"assignments read is not partition-pruned:\n$physical")
       // result equals the hand-built IVF search over the same quantizer
       val expect = IvfIndex.search(emb, q0, 5)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got === expect)
-    } finally {
-      spark.conf.set(AnnProbeRule.ConfKey, "false")
-      spark.conf.set(AnnProbeRule.KindKey, "lsh")
-      AnnProbeRule.clearIvfRegistry()
     }
   }
 
-  test("kind=ivf with no registered quantizer: no rewrite, the exact plan stands") {
+  test("a token naming no registered artifact fails loudly instead of silently staying exact") {
+    withProbe("never_registered") {
+      val e = intercept[Exception] {
+        FlatKnn.search(emb, q0, 5).queryExecution.optimizedPlan
+      }
+      def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs(e).contains("names no registered ANN artifact"), msgs(e))
+    }
+  }
+
+  test("enabled with no artifact token: no rewrite, the exact plan stands") {
     spark.conf.set(AnnProbeRule.ConfKey, "true")
-    spark.conf.set(AnnProbeRule.KindKey, "ivf")
+    spark.conf.unset(AnnProbeRule.ArtifactKey)
     try {
-      AnnProbeRule.clearIvfRegistry()
       val plan = FlatKnn.search(emb, q0, 5).queryExecution.optimizedPlan.toString
-      assert(!plan.contains("array_position") && !plan.contains("lsh_signature"),
+      assert(!plan.contains("ExistenceJoin"),
         s"rewrite fired without an artifact:\n$plan")
-    } finally {
-      spark.conf.set(AnnProbeRule.ConfKey, "false")
-      spark.conf.set(AnnProbeRule.KindKey, "lsh")
+    } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
+  }
+
+  test("a registered artifact of the WRONG dim never probes a foreign corpus (no rewrite)") {
+    // 16-d artifact registered, 64-d query corpus: an implicit match
+    // here is exactly the silent recall degradation the explicit token +
+    // dim check exist to prevent — the exact plan must stand
+    AnnProbeRule.register("spec_wrong_dim",
+      AnnProbeRule.lshArtifact(
+        () => spark.read.parquet(sigDir), LshIndex.Params(dim = 16)))
+    withProbe("spec_wrong_dim") {
+      val plan = FlatKnn.search(emb, q0, 5).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("ExistenceJoin"),
+        s"dim-mismatched artifact was probed:\n$plan")
     }
   }
 
   test("a user's own distance pre-filter does not disable the rewrite (guard matches the injected shape only)") {
-    spark.conf.set(AnnProbeRule.ConfKey, "true")
-    try {
+    withProbe("spec_lsh") {
       import graft.functions.VectorFunctions
       val radius = emb
         .where(VectorFunctions.euclidean(col("embedding"),
           typedLit(q0)) < 100.0)
       val df = FlatKnn.search(radius, q0, 5)
       val plan = df.queryExecution.optimizedPlan.toString
-      assert(plan.contains("lsh_signature"),
+      assert(plan.contains("ExistenceJoin"),
         s"radius pre-filter wrongly suppressed the probe:\n$plan")
-      // and fixpoint idempotence still holds: exactly ONE probe filter
-      assert("scalar-subquery".r.findAllIn(plan).length <= 2, // guard + its ref
+      // and fixpoint idempotence still holds: exactly ONE probe join
+      assert("ExistenceJoin".r.findAllIn(plan).length === 1,
         s"probe stacked more than once:\n$plan")
       df.collect() // sanity: executes
-    } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
-  }
-
-  test("an unknown probe kind fails loudly instead of silently probing LSH") {
-    spark.conf.set(AnnProbeRule.ConfKey, "true")
-    spark.conf.set(AnnProbeRule.KindKey, "hnswish-typo")
-    try {
-      val e = intercept[Exception] {
-        FlatKnn.search(emb, q0, 5).queryExecution.optimizedPlan
-      }
-      def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
-        .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-      assert(msgs(e).contains("not a known probe kind"), msgs(e))
-    } finally {
-      spark.conf.set(AnnProbeRule.ConfKey, "false")
-      spark.conf.set(AnnProbeRule.KindKey, "lsh")
     }
   }
 
   test("the rewrite leaves non-kNN sorts alone") {
-    spark.conf.set(AnnProbeRule.ConfKey, "true")
-    try {
+    withProbe("spec_lsh") {
       val plan = spark.read.parquet(s"$sfDir/orders.parquet")
         .orderBy(col("o_totalprice").desc).limit(5)
         .queryExecution.optimizedPlan.toString
-      assert(!plan.contains("lsh_signature"))
-    } finally spark.conf.set(AnnProbeRule.ConfKey, "false")
+      assert(!plan.contains("ExistenceJoin"))
+    }
   }
 }

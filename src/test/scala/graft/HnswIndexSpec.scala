@@ -111,6 +111,30 @@ class HnswIndexSpec extends SparkSpec {
     assert(live.search(probe, 10) === restored.search(probe, 10))
   }
 
+  test("delete via reverse-references leaves no dangling edges and the back-ref index never drifts") {
+    // the O(in-degree) delete relies on backRefs == the referrer sets
+    // derivable from the adjacency lists; any drift under a randomized
+    // add/delete/update churn would leave a pruned-but-referenced or
+    // deleted-but-listed node behind
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(6)(rnd.nextFloat() * 2f - 1f)
+    val idx = new HnswIndex(m = 4, efConstruction = 20, maxLevel = 3, seed = 5L)
+    (0L until 80L).foreach(i => idx.add(i, vec()))
+    assert(idx.backRefsConsistent, "back-refs drifted during build")
+    val deleted = scala.collection.mutable.Set.empty[Long]
+    rnd.shuffle((0 until 80).map(_.toLong).toVector).take(30).foreach { i =>
+      idx.delete(i); deleted += i
+    }
+    (80L until 95L).foreach(i => idx.add(i, vec()))
+    Seq(2L, 81L, 40L).filterNot(deleted).foreach(i => idx.update(i, vec()))
+    assert(idx.backRefsConsistent, "back-refs drifted under churn")
+    // no surviving adjacency list references a deleted node
+    idx.exportNodes.foreach { case (id, _, _, nbrs) =>
+      nbrs.foreach(_.foreach(c =>
+        assert(!deleted.contains(c), s"node $id still lists deleted $c")))
+    }
+  }
+
   test("searchPartitioned: distributed batch probe returns k rows per query with high recall") {
     val q1 = emb.where(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
     val out = HnswIndex

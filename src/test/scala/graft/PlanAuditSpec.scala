@@ -158,26 +158,43 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!plan.contains("n_chars:bigint"), "documents scan reads unused columns")
   }
 
-  test("q_ann_probe_rule: the optimizer-injected LSH probe filter is in the plan") {
+  test("q_ann_probe_rule: the rewrite probes the PERSISTED sig table — no corpus-sized scan in the probe") {
     val plan = planOf("q_ann_probe_rule")
-    assert(plan.contains("lsh_signature"), "probe filter missing from the rewritten plan")
+    // the probe is an existence join against candidate ids read from the
+    // persisted artifact (partition-pruned per table), not a per-row
+    // signature recomputation over the corpus
+    assert(plan.contains("ExistenceJoin"), "artifact probe join missing")
+    assert(plan.contains("lsh_idx"), "probe does not read the persisted sig table")
+    assert(plan.contains("PartitionFilters: [isnotnull(table_idx"),
+      "sig table read is not partition-pruned")
+    assert(!plan.contains("lsh_signature"),
+      "probe recomputes signatures over the corpus instead of reading the artifact")
     // the under-k guard plans as an uncorrelated scalar subquery
     assert(plan.contains("Subquery") || plan.contains("subquery"),
       "under-k scalar-subquery guard missing")
+    // corpus scanned exactly once per branch (probe side of the join):
+    // the guard + candidates come from the artifact
+    assert("embeddings\\.parquet".r.findAllIn(plan).length === 2,
+      "corpus scanned more than once per branch")
     // the conf is scoped inside the query body: a kNN built AFTERWARDS
     // must NOT be rewritten (other queries' exactness is untouched)
     val after = graft.operators.FlatKnn
       .search(spark.read.parquet(s"$sfDir/embeddings.parquet"),
         Seq.fill(16)(0.1f), 5)
       .queryExecution.optimizedPlan.toString
-    assert(!after.contains("lsh_signature"), "probe conf leaked out of the query body")
+    assert(!after.contains("ExistenceJoin"), "probe conf leaked out of the query body")
   }
 
-  test("q_ann_probe_rule_ivf: the IVF cell probe (not the LSH one) is in the returned plan") {
+  test("q_ann_probe_rule_ivf: the rewrite probes the persisted cell-partitioned assignments") {
     val plan = planOf("q_ann_probe_rule_ivf")
-    assert(plan.contains("array_position"), "IVF cell probe missing from the plan")
-    assert(!plan.contains("lsh_signature"), "wrong probe kind selected")
+    assert(plan.contains("ExistenceJoin"), "artifact probe join missing")
+    assert(plan.contains("ivf_idx"), "probe does not read the persisted assignments")
+    assert(plan.contains("PartitionFilters: [cell"),
+      "assignments read is not partition-pruned to the probed cells")
+    assert(!plan.contains("lsh_idx"), "wrong artifact selected")
     assert(plan.contains("Subquery") || plan.contains("subquery"),
       "under-k scalar-subquery guard missing")
+    assert("embeddings\\.parquet".r.findAllIn(plan).length === 2,
+      "corpus scanned more than once per branch")
   }
 }
