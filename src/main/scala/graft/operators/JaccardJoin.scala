@@ -59,20 +59,7 @@ object JaccardJoin {
       verifyWithStrings: Boolean = false): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
-    // fused one-pass distinct-shingle kernel (the composed
-    // split+transform+array_distinct form measured ~10x slower; its
-    // set-equality is ShingleKernelSpec-pinned), then 64-bit hashes:
-    // every later stage — explode, frequency, prefix shuffle, candidate
-    // join, verify intersect — moves and compares longs instead of
-    // shingle strings (measured ~2x end-to-end). Set SIZES are
-    // preserved short of a 64-bit collision inside one comparison
-    // (~1e-11 at a 10^5-shingle vocabulary, and deterministic: the
-    // oracle hash compare would flag it loudly, not silently).
-    val raw = NearDup
-      .docShingles(df.select(col(idCol).as("doc_id"), col(textCol)),
-        "doc_id", textCol, NearDup.Params(shingleSize = k))
-    val sets = raw.select(col("doc_id"),
-      transform(col("shingles"), g => xxhash64(g)).as("s"))
+    val (raw, sets) = shingleSets(df, idCol, textCol, k)
     val prefixes = prefixesOf(sets, tNum, tDen)
     // candidate equi-join on prefix shingles, plus the standard length
     // filter: J >= t forces t*|A| <= |B| (I <= |B| and I >= t*|A|), so
@@ -99,6 +86,30 @@ object JaccardJoin {
         inter.as("n_common"),
         (size(col("sa")) + size(col("sb")) - inter).as("n_union"))
       .where(lit(tDen) * col("n_common") >= lit(tNum) * col("n_union"))
+  }
+
+  /** The shared shingle stage: the fused one-pass distinct-shingle
+    * kernel (the composed split+transform+array_distinct form measured
+    * ~10x slower; its set-equality is ShingleKernelSpec-pinned), then
+    * 64-bit hashes: every later stage — explode, frequency, prefix
+    * shuffle, candidate join, verify intersect — moves and compares
+    * longs instead of shingle strings (measured ~2x end-to-end). Set
+    * SIZES are preserved short of a 64-bit collision inside one
+    * comparison (~1e-11 at a 10^5-shingle vocabulary, and
+    * deterministic: the oracle hash compare would flag it loudly, not
+    * silently). Returns (raw string sets, hashed sets) — both keyed
+    * `doc_id`, column `shingles` / `s`. */
+  private def shingleSets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): (DataFrame, DataFrame) = {
+    val raw = NearDup
+      .docShingles(df.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id", textCol, NearDup.Params(shingleSize = k))
+    val sets = raw.select(col("doc_id"),
+      transform(col("shingles"), g => xxhash64(g)).as("s"))
+    (raw, sets)
   }
 
   /** The (doc_id, n, g) prefix rows the candidate stage equi-joins on:
@@ -149,15 +160,8 @@ object JaccardJoin {
       textCol: String,
       k: Int,
       tNum: Int,
-      tDen: Int): DataFrame = {
-    val raw = NearDup
-      .docShingles(df.select(col(idCol).as("doc_id"), col(textCol)),
-        "doc_id", textCol, NearDup.Params(shingleSize = k))
-    prefixesOf(
-      raw.select(col("doc_id"),
-        transform(col("shingles"), g => xxhash64(g)).as("s")),
-      tNum, tDen)
-  }
+      tDen: Int): DataFrame =
+    prefixesOf(shingleSets(df, idCol, textCol, k)._2, tNum, tDen)
 
   /** Reference formulation for the equivalence spec: every pair, no
     * filter — O(n^2), test-scale only. */

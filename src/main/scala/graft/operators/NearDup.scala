@@ -160,6 +160,35 @@ object NearDup {
       posexplode(array(keys: _*)).as(Seq("band", "band_key")))
   }
 
+  /** The shared exact-Jaccard verify stage: join each side's distinct
+    * shingle set back onto the candidate pairs (a LINEAR join chain —
+    * pairs stream through once), compute J = |A∩B| / |A∪B|, keep pairs
+    * at-or-above `threshold`. Both the self-join and the incremental
+    * path end in exactly this block; one kernel keeps their Jaccard
+    * definitions from drifting apart. Shingle arrays must already be
+    * distinct at the source ([[docShingles]]), so no array_distinct
+    * pass runs here. */
+  private def verifyJaccardPairs(
+      pairs: DataFrame,
+      leftSh: DataFrame,
+      rightSh: DataFrame,
+      idCol: String,
+      leftOut: String,
+      rightOut: String,
+      threshold: Double): DataFrame = {
+    val verified = pairs
+      .join(leftSh.select(col(idCol).as(leftOut), col("shingles").as("sh_a")), Seq(leftOut))
+      .join(rightSh.select(col(idCol).as(rightOut), col("shingles").as("sh_b")), Seq(rightOut))
+    val da = col("sh_a")
+    val db = col("sh_b")
+    val inter = size(array_intersect(da, db)).cast("double")
+    val jac = inter / (size(da) + size(db) - inter).cast("double")
+    verified
+      .withColumn("jac", jac)
+      .where(col("jac") >= threshold)
+      .select(col(leftOut), col(rightOut), col("jac"))
+  }
+
   /** Near-duplicate pairs (idA < idB) with their exact Jaccard, verified
     * over distinct shingle sets. */
   def nearDuplicatePairs(
@@ -185,18 +214,7 @@ object NearDup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val verified = pairs
-      .join(docsSh.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(docsSh.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-    // shingle arrays are distinct at the source (DistinctShingles), so
-    // the Jaccard needs no array_distinct pass here
-    val da = col("sh_a")
-    val db = col("sh_b")
-    val inter = size(array_intersect(da, db)).cast("double")
-    val jac = inter / (size(da) + size(db) - inter).cast("double")
-    verified
-      .withColumn("jac", jac)
-      .where(col("jac") >= p.threshold)
+    verifyJaccardPairs(pairs, docsSh, docsSh, idCol, "id_a", "id_b", p.threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jac"))
   }
 
@@ -240,17 +258,7 @@ object NearDup {
       .where(col("id_new") =!= col("id_old"))
       .select("id_new", "id_old")
       .distinct()
-    val verified = pairs
-      .join(inSh.select(col(idCol).as("id_new"), col("shingles").as("sh_a")), Seq("id_new"))
-      .join(exSh.select(col(idCol).as("id_old"), col("shingles").as("sh_b")), Seq("id_old"))
-    val da = col("sh_a")
-    val db = col("sh_b")
-    val inter = size(array_intersect(da, db)).cast("double")
-    val jac = inter / (size(da) + size(db) - inter).cast("double")
-    verified
-      .withColumn("jac", jac)
-      .where(col("jac") >= p.threshold)
-      .select(col("id_new"), col("id_old"), col("jac"))
+    verifyJaccardPairs(pairs, inSh, exSh, idCol, "id_new", "id_old", p.threshold)
   }
 
   /** Reference LSH params for the semantic-dedup signature table:

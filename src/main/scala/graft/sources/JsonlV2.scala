@@ -274,6 +274,25 @@ object JsonlV2 {
       throw new java.io.IOException(s"graft-jsonl: rename $tmp -> $dest failed")
   }
 
+  /** Pseudo-column in the zone manifest recording the file LENGTH at
+    * job commit (min == max == length; file sizes are exact in double
+    * far past any real file). Zone stats describe the file AS COMMITTED
+    * — if an external writer appended to it afterwards, pruning on those
+    * stats would skip rows the stats never saw (in a stream, permanently:
+    * the offset still advances past them). [[zoneAppliesAt]] therefore
+    * gates every zone consult on the snapshot length matching the
+    * recorded one; manifests written before this key existed simply
+    * never prune (conservative). Skipped for tables whose SCHEMA has a
+    * real column of this name (no length recorded → no pruning). */
+  val LenKey = "__len"
+
+  /** Zone stats are only valid for the byte range they were committed
+    * over: true iff the manifest recorded the file's commit length and
+    * the snapshot length equals it. */
+  private[sources] def zoneAppliesAt(
+      z: Map[String, (Double, Double)], snapshotLen: Long): Boolean =
+    z.get(LenKey).exists(_._1.toLong == snapshotLen)
+
   /** True when `f` provably matches NO row of a file with the given
     * numeric zone ranges. Missing column stats never prune (all-null or
     * non-numeric columns are conservative); comparison filters are
@@ -478,8 +497,12 @@ case class JsonlScan(
     val active = pushed ++ runtime
     fileList.flatMap { f =>
       val len = f.getLen
+      // stats are only trusted at the exact length they were committed
+      // over — an externally-appended file must not be pruned on stats
+      // that never saw its tail
       val skip = zoneMap.get(f.getPath.getName).exists(z =>
-        active.exists(JsonlV2.zoneExcludes(_, z)))
+        JsonlV2.zoneAppliesAt(z, len) &&
+          active.exists(JsonlV2.zoneExcludes(_, z)))
       if (len == 0 || skip) Nil
       else
         (0L until len by splitBytes).map { start =>
@@ -810,9 +833,21 @@ case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
     }
     // zone manifest: per-file numeric min/max collected by the task
     // writers, published atomically with the data at job commit —
-    // overwrite replaces it, append merges with the surviving entries
-    val fresh = staged.map(m =>
-      new Path(m.dest).getName -> m.stats).toMap
+    // overwrite replaces it, append merges with the surviving entries.
+    // Each entry also records the file's COMMIT length (see LenKey):
+    // the read side only trusts stats whose recorded length matches the
+    // snapshot, so a file an external writer appended to afterwards is
+    // never pruned on stats that predate its tail.
+    val fresh = staged.map { m =>
+      val dst = new Path(m.dest)
+      val stats =
+        if (schema.fieldNames.contains(JsonlV2.LenKey)) m.stats
+        else {
+          val len = fs.getFileStatus(dst).getLen.toDouble
+          m.stats + (JsonlV2.LenKey -> (len, len))
+        }
+      dst.getName -> stats
+    }.toMap
     val zones =
       if (doTruncate) fresh
       else JsonlV2.readZones(path) ++ fresh
@@ -1004,15 +1039,18 @@ class JsonlMicroBatchStream(
     val s0 = start.asInstanceOf[JsonlStreamOffset].files
     val s1 = end.asInstanceOf[JsonlStreamOffset].files
     // zone pruning (batch parity) — ONLY for a file read whole from
-    // byte 0: the committed manifest describes the file as it was at
-    // its job commit, so applying it to a later GROWTH region (done>0)
-    // could permanently skip appended rows the stats never saw while
-    // the offset still advances past them
+    // byte 0 AND whose snapshot length equals the manifest's recorded
+    // commit length: the stats describe the file as it was at its job
+    // commit, so applying them to a later GROWTH region (done > 0, or a
+    // file an external writer appended to before the stream's first
+    // read) could PERMANENTLY skip appended rows the stats never saw
+    // while the offset still advances past them
     val zones = JsonlV2.readZones(path)
     s1.toSeq.sortBy(_._1).flatMap { case (file, len) =>
       val done = s0.getOrElse(file, 0L)
       val skip = done == 0L && zones.get(new Path(file).getName)
-        .exists(z => pushed.exists(JsonlV2.zoneExcludes(_, z)))
+        .exists(z => JsonlV2.zoneAppliesAt(z, len) &&
+          pushed.exists(JsonlV2.zoneExcludes(_, z)))
       if (len <= done || skip) Nil
       else (done until len by splitBytes).map { off =>
         val l = math.min(splitBytes, len - off)

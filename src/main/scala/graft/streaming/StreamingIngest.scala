@@ -115,55 +115,70 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
-  /** Per-text-hash dedup state: id kept for the hash + how many times
-    * the hash has been seen so far (across ALL batches). */
+  /** Per-digest dedup state: id kept for the digest + how many times
+    * the digest has been seen so far (across ALL batches). */
   case class DedupState(keptId: String, seen: Long)
 
-  /** A kept (first-occurrence) document, with the duplicate count the
-    * stream had accumulated when it was admitted (always 0). */
-  case class KeptDoc(textHash: Long, id: String)
+  /** A kept (first-occurrence) document, keyed by its 128-bit text
+    * digest (two longs). */
+  case class KeptDoc(digestHi: Long, digestLo: Long, id: String)
 
   /** Streaming EXACT dedup with CROSS-BATCH state (keep-first): emits a
     * document only the first time its text appears anywhere in the
     * stream's history; later occurrences — same batch or any later
-    * batch — are dropped. Grouping keys on the FULL TEXT, not a hash:
-    * keying on a 64-bit hash alone would silently drop a distinct
-    * document on a birthday collision, which at billions of distinct
-    * texts is an expectation, not a tail risk — the exactness claim
-    * requires the text itself (`dropDuplicates` pays the same shuffle
-    * width). Expressed via `flatMapGroupsWithState` because the state
-    * (kept id + running duplicate count) is richer than a membership
-    * bit — the count is observable offline through Spark's state-store
-    * data source (`spark.read.format("statestore")` over the
-    * checkpoint) for dup-rate monitoring.
+    * batch — are dropped. Grouping keys on the 128-BIT md5 DIGEST of
+    * the text, not the text and not a 64-bit hash — both endpoints of
+    * that spectrum fail at corpus scale: a 64-bit key silently drops a
+    * distinct document on a birthday collision (an expectation at
+    * billions of distinct texts, ~n²/2⁶⁵), while keying on the full
+    * text makes the state store carry the distinct corpus TEXT — at
+    * 100 TB the dedup state would BE the corpus. At 128 bits the
+    * collision odds are ~n²/2¹²⁹ (≈4e-15 even at 10¹² distinct texts —
+    * far below any hardware error rate) and every state row is
+    * CONSTANT WIDTH: 16 bytes of key + the kept id + a count
+    * (spec-pinned via the state-store data source). Expressed via
+    * `flatMapGroupsWithState` because the state (kept id + running
+    * duplicate count) is richer than a membership bit — the count is
+    * observable offline through `spark.read.format("statestore")` over
+    * the checkpoint for dup-rate monitoring.
     *
-    * At scale: state is one (text, id, count) entry per DISTINCT text —
-    * the same O(distinct) footprint a batch dedup's shuffle holds, kept
-    * in the state store. Unbounded by design (dedup history must not
-    * expire); a corpus-versioned restart is the compaction story. */
+    * At scale: state is one (digest, id, count) entry per DISTINCT
+    * text. Unbounded by design (dedup history must not expire); a
+    * corpus-versioned restart is the compaction story. */
   def streamingDedup(
       docs: DataFrame, // streaming: (id STRING, text STRING)
       idCol: String = "id",
       textCol: String = "text"): Dataset[KeptDoc] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState}
+    import org.apache.spark.sql.graft.ColumnBridge
     val spark = docs.sparkSession
     import spark.implicits._
+    // the digest computes ONCE per row in the scan projection (the fused
+    // Md5Chunks kernel: one digest buffer → four 32-bit words), folded
+    // into two longs — the 16-byte grouping key
+    val chunks = ColumnBridge.column(graft.functions.Md5Chunks(
+      ColumnBridge.expression(col(textCol).cast("binary"))))
     docs
-      .select(col(textCol).as("text"), xxhash64(col(textCol)).as("h"),
-        col(idCol).as("id"))
-      .as[(String, Long, String)]
-      .groupByKey(_._1)
+      .select(col(idCol).as("id"), chunks.as("__ch"))
+      .select(
+        col("id"),
+        shiftleft(element_at(col("__ch"), 1), 32)
+          .bitwiseOR(element_at(col("__ch"), 2)).as("hi"),
+        shiftleft(element_at(col("__ch"), 3), 32)
+          .bitwiseOR(element_at(col("__ch"), 4)).as("lo"))
+      .as[(String, Long, Long)]
+      .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[DedupState, KeptDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[DedupState]) =>
+        case ((hi, lo), rows, state: GroupState[DedupState]) =>
           val batch = rows.toSeq
           val prev = state.getOption
           val kept = prev match {
             case Some(_) => Iterator.empty // text already admitted
             case None =>
-              Iterator.single(KeptDoc(batch.head._2, batch.map(_._3).min))
+              Iterator.single(KeptDoc(hi, lo, batch.map(_._1).min))
           }
-          val keptId = prev.map(_.keptId).getOrElse(batch.map(_._3).min)
+          val keptId = prev.map(_.keptId).getOrElse(batch.map(_._1).min)
           val seenBefore = prev.map(_.seen).getOrElse(0L)
           state.update(DedupState(keptId, seenBefore + batch.size))
           kept

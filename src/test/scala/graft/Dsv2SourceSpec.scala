@@ -236,6 +236,43 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(pruned < all, s"streaming zone pruning did not fire: $pruned of $all")
   }
 
+  test("a file appended to AFTER its job commit is never zone-pruned (stats predate its tail)") {
+    import graft.sources.{JsonlMicroBatchStream, JsonlStreamOffset}
+    import org.apache.spark.sql.sources.GreaterThan
+    import spark.implicits._
+    val out = Files.createTempDirectory("dsv2zappend").toString + "/z"
+    // one committed file, doc_id in [0, 10): a > 100 filter provably
+    // excludes it per the committed stats
+    (0L until 10L).toDF("doc_id").coalesce(1)
+      .write.format("graft-jsonl").mode("overwrite").save(out)
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val dataFile = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".jsonl")).head
+    def batchRows() = spark.read.format("graft-jsonl").schema(schema)
+      .load(out).where(col("doc_id") > 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def streamSplits() = {
+      val ms = new JsonlMicroBatchStream(
+        out, schema, schema, Array(GreaterThan("doc_id", 100L)),
+        splitBytes = 1L << 20)
+      ms.planInputPartitions(JsonlStreamOffset(Map.empty), ms.latestOffset()).length
+    }
+    // before the append: both paths prune the file whole
+    assert(batchRows() === Seq.empty)
+    assert(streamSplits() === 0, "committed file should be zone-pruned")
+    // EXTERNAL append (no job commit, manifest untouched): rows the
+    // committed stats never saw, some of which MATCH the filter
+    val w = new java.io.FileWriter(dataFile, true)
+    try w.write("{\"doc_id\":500}\n{\"doc_id\":7}\n") finally w.close()
+    // the recorded commit length no longer matches the snapshot — the
+    // stats must be distrusted: batch sees the appended match, a fresh
+    // stream plans the file instead of silently advancing past it
+    assert(batchRows() === Seq(500L),
+      "appended row lost: batch pruned on stale zone stats")
+    assert(streamSplits() > 0,
+      "appended row lost: stream pruned on stale zone stats")
+  }
+
   test("limit pushdown stops the reader early and surfaces in the scan") {
     val df = v2().limit(7)
     val plan = planOf(df)

@@ -147,10 +147,12 @@ class StreamingIngestSpec extends SparkSpec with BeforeAndAfterAll {
   test("streamingDedup keeps first occurrences only, across batches (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ck").toString
     val mem = MemoryStream[(String, String)]
     val deduped = StreamingIngest.streamingDedup(mem.toDF().toDF("id", "text"))
     val q = deduped.writeStream
-      .format("memory").queryName("dedup_out").outputMode("append").start()
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
     try {
       // batch 1: A, B, and an in-batch duplicate of A
       mem.addData(("a-1", "alpha text"), ("b-1", "beta text"), ("a-2", "alpha text"))
@@ -165,7 +167,28 @@ class StreamingIngestSpec extends SparkSpec with BeforeAndAfterAll {
         .map(r => r.getAs[String]("id")).sorted
       assert(after2 === Array("a-1", "b-1", "c-1"),
         "cross-batch duplicate must be dropped by the persistent state")
-    } finally q.stop()
+      // STATE ROW WIDTH IS CONSTANT: the store keys on the 128-bit
+      // digest (two longs), never the text — at 100 TB a text-keyed
+      // state store would carry the distinct corpus. Read the store
+      // through the state-store data source and pin the schema + that
+      // the digest maps back to exactly one kept id per distinct text.
+      val state = spark.read.format("statestore").load(ckpt)
+      val keyFields = state.schema("key").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(keyFields.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType),
+        s"state key must be digest longs, got $keyFields")
+      assert(!keyFields.fieldNames.exists(_.toLowerCase.contains("text")),
+        s"state key carries text: $keyFields")
+      val rows = state.select("key.*", "value.groupState.*").collect()
+      assert(rows.length === 3, "one state row per distinct text")
+      val seenByKept = rows.map(r => (r.getAs[String]("keptId"), r.getAs[Long]("seen"))).toMap
+      assert(seenByKept === Map("a-1" -> 3L, "b-1" -> 1L, "c-1" -> 1L),
+        "running duplicate counts must accumulate across batches")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
   }
 
   test("streaming kNN answers match the batch path exactly") {
