@@ -44,9 +44,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the timed surface: every oracle-checked query PLUS the bench-only
+    // rows (real-decoder seam — self-checking in-job, no DuckDB oracle)
+    val allQueries = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
+
     def runOnce(name: String): Either[String, Unit] =
       try {
-        SparkEntry.queries(name)(spark, sfDir)
+        allQueries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         Right(())
       } catch {
@@ -57,7 +61,7 @@ object Bench {
     // driver never sets it, so the recorded bench always covers everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = allQueries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // min-of-N samples; validated once (a bad env value falls back to 3,
     // a sub-1 value clamps to 1 so samples.min below can't be empty)

@@ -23,7 +23,7 @@ object SparkEntry {
     * warehouses / index tables): a stale artifact persisted by an OLDER
     * code version must never silently serve a newer round's query — bump
     * on any change to the persisted layouts or the queries over them. */
-  private val CacheVersion = "r9a"
+  private val CacheVersion = "r9b"
 
   /** Fingerprint of the sf dir's DATA (name + size + mtime of EVERY
     * `*.parquet` table entry, and of every nested part file for
@@ -3862,6 +3862,89 @@ object SparkEntry {
     }
     idxDir
   }
+
+  /** Build-once synthesized PNG corpus for the REAL-decoder bench row
+    * (q_media_decode): one genuine PNG per document (dimensions and
+    * pixels a deterministic function of doc_id), encoded DISTRIBUTED
+    * with the JDK's own codec, stored beside the decoder's OWN expected
+    * (width, height, f0) computed pre-encode — PNG is lossless and the
+    * feature math is the same code path, so a correct decode matches
+    * exactly and any drift fails the bench job loudly. */
+  private def mediaPngDir(s: SparkSession, dir: String): String = {
+    val outDir = cachePath("media_png", dir)
+    if (!new java.io.File(s"$outDir/_built").exists()) {
+      import s.implicits._
+      // written as 32 files: decode parallelism at read time comes from
+      // input splits, exactly as it would on a real corpus
+      t(s, dir, "documents").select(col("doc_id")).repartition(32).as[Long]
+        .mapPartitions { ids =>
+          val dec = new Multimodal.ImageIoDecoder
+          ids.map { id =>
+            val w = 32 + (id % 64).toInt
+            val h = 24 + (id % 48).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                // deterministic pseudo-texture: cheap integer mix
+                val v = (x * 31 + y * 17 + id * 131).toInt
+                img.setRGB(x, y,
+                  ((v & 0xff) << 16) | (((v >> 3) & 0xff) << 8) | ((v >> 6) & 0xff))
+                x += 1
+              }
+              y += 1
+            }
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", buf)
+            val media = buf.toByteArray
+            val d = dec.decode(Multimodal.MediaRow(id, media, "image/png"))
+            (id, media, d.width, d.height, d.f0)
+          }
+        }
+        .toDF("id", "media", "exp_w", "exp_h", "exp_f0")
+        .write.mode("overwrite").parquet(s"$outDir/pngs")
+      new java.io.File(s"$outDir/_built").createNewFile()
+    }
+    outDir
+  }
+
+  /** Bench-only rows: timed by [[graft.Bench]] beside [[queries]] but
+    * NOT part of the Verify/oracle contract — DuckDB cannot decode
+    * images, so the REAL `javax.imageio` decode seam is graded on
+    * timing with an in-job exactness check instead of an oracle hash
+    * (the md5-stub q_media_* rows keep the plumbing oracle-checked). */
+  val benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // real pixel decode over the synthesized PNG corpus: per-partition
+    // ImageIoDecoder, every row self-checked against the pre-encode
+    // expected features (drift throws → the bench row fails loudly),
+    // aggregated to one stats row. Media bytes never shuffle — decode
+    // runs in the scan stage, only small features reach the aggregate.
+    "q_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      val png = s.read.parquet(s"${mediaPngDir(s, dir)}/pngs")
+      png.select(col("id"), col("media"), col("exp_w"), col("exp_h"), col("exp_f0"))
+        .as[(Long, Array[Byte], Int, Int, Double)]
+        .mapPartitions { rows =>
+          val dec = new Multimodal.ImageIoDecoder
+          rows.map { case (id, media, ew, eh, ef0) =>
+            val d = dec.decode(Multimodal.MediaRow(id, media, "image/png"))
+            if (d.width != ew || d.height != eh || d.f0 != ef0)
+              throw new IllegalStateException(
+                s"media decode drift id=$id: got (${d.width},${d.height},${d.f0}) " +
+                  s"expected ($ew,$eh,$ef0)")
+            (id, media.length.toLong, d.width.toLong, d.height.toLong, d.f0)
+          }
+        }
+        .toDF("id", "bytes", "w", "h", "f0")
+        .agg(
+          count(lit(1)).as("n_decoded"),
+          sum("bytes").as("total_bytes"),
+          sum("w").as("sum_w"),
+          sum("h").as("sum_h"),
+          rn(avg("f0"), 6).as("avg_f0"))
+    }))
 
   private val IvfPqDemoLib = "ivfpq_demo"
 

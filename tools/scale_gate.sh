@@ -1,0 +1,64 @@
+#!/usr/bin/env bash
+# Scale gate — the ONE command that refreshes every synthetic-scale
+# artifact so a regression cannot hide at sf0.1:
+#
+#   bash tools/scale_gate.sh
+#
+# It (re)builds the synthetic corpora when missing, then runs:
+#   1. x10  (target/sf1-synth, ~6M lineitem / 50k documents):
+#      - the FULL bench            -> BENCH_sf1.json (+ bench_full_sf1.json)
+#      - Verify + the FULL DuckDB oracle gate -> "passed, 0 failed" on
+#        stdout. Six oracles are skipped HERE ONLY: their SQL emulations
+#        are definitionally quadratic (all-pairs Jaccard / MinHash
+#        transitive closure — >45 CPU-min each in DuckDB at x10 while
+#        the Spark implementations they grade run in seconds); they stay
+#        oracle-verified at sf0.001/0.01/0.1.
+#   2. x100 (target/sf10-synth, ~60M lineitem / 500k documents):
+#      - the core-subset bench     -> BENCH_sf10.json
+#
+# Fails fast on any red step. Corpus builds are cached under target/;
+# delete the dirs to force a rebuild (e.g. after a testdata regen).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF01=${SF01:-/root/testdata/sf0.1}
+
+# DuckDB-quadratic oracle emulations, skipped at synthetic scale only
+SKIP_SF1="q_neardup_pairs,q_neardup_incremental,q_ngram_jaccard,q_simhash_pairs,q_embed_neardup,q_dedup_clusters"
+
+# x100 core subset: aggregations, star joins, windows, sessions, CRUD,
+# sketches, text kernels, and every index family's probe
+CORE_SF10="q1_agg,q_asof_join,q_bpe_merges,q_bucketed_join,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_events_hourly,q_filter_revenue,q_funnel,q_grouped_topk,q_hnsw_artifact,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_knn_euclidean,q_lang_id,q_lsh_knn,q_regional_revenue,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_table_checksum,q_token_count,q_topk_orders"
+
+[ -e target/sf1-synth/lineitem.parquet ] || \
+  sbt -batch "runMain graft.tools.SynthScale $SF01 target/sf1-synth 10"
+[ -e target/sf10-synth/lineitem.parquet ] || \
+  sbt -batch "runMain graft.tools.SynthScale $SF01 target/sf10-synth 100"
+
+# keep the committed sf0.1 full map safe: Bench always writes ./bench_full.json
+cp bench_full.json /tmp/bench_full.json.scale_gate_bak
+
+echo "== x10 full bench (target/sf1-synth) =="
+SPARK_GRAFT_SF_DIR=target/sf1-synth sbt -batch "runMain graft.Bench" 2>/dev/null \
+  | grep '"metric"' | sed 's/^\[info\] //' > /tmp/bench_sf1_lines.json
+mv bench_full.json bench_full_sf1.json
+tail -1 /tmp/bench_sf1_lines.json > BENCH_sf1.json
+cp /tmp/bench_full.json.scale_gate_bak bench_full.json
+grep -q '"status":"ok"' BENCH_sf1.json || { echo "x10 bench FAILED"; cat BENCH_sf1.json; exit 1; }
+cat BENCH_sf1.json
+
+echo "== x10 oracle gate (Verify + DuckDB selfcheck) =="
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
+  sbt -batch "runMain graft.Verify target/sf1-synth target/verify-sf1" > /tmp/verify_sf1.log 2>&1 \
+  || { echo "x10 Verify FAILED"; tail -20 /tmp/verify_sf1.log; exit 1; }
+python3 tools/selfcheck.py target/sf1-synth target/verify-sf1 "$SKIP_SF1" | tail -1
+
+echo "== x100 core bench (target/sf10-synth) =="
+SPARK_GRAFT_SF_DIR=target/sf10-synth SPARK_GRAFT_BENCH_ONLY="$CORE_SF10" \
+  sbt -batch "runMain graft.Bench" 2>/dev/null \
+  | grep '"metric"' | sed 's/^\[info\] //' | tail -1 > BENCH_sf10.json
+cp /tmp/bench_full.json.scale_gate_bak bench_full.json
+grep -q '"status":"ok"' BENCH_sf10.json || { echo "x100 bench FAILED"; cat BENCH_sf10.json; exit 1; }
+cat BENCH_sf10.json
+
+echo "scale gate green: BENCH_sf1.json + bench_full_sf1.json + BENCH_sf10.json refreshed"
