@@ -23,7 +23,7 @@ object SparkEntry {
     * warehouses / index tables): a stale artifact persisted by an OLDER
     * code version must never silently serve a newer round's query — bump
     * on any change to the persisted layouts or the queries over them. */
-  private val CacheVersion = "r9b"
+  private val CacheVersion = "r9c"
 
   /** Fingerprint of the sf dir's DATA (name + size + mtime of EVERY
     * `*.parquet` table entry, and of every nested part file for
@@ -130,15 +130,25 @@ object SparkEntry {
     KMeans.assign(emb, "x", centroids)
   }
 
+  /** The build-once demo-cache pattern shared by every persisted demo
+    * artifact: returns the version+data-keyed cache dir, running
+    * `build(dir)` only on the first use of this key (`_built` marker —
+    * a crash mid-build leaves no marker, so the next call rebuilds). */
+  private def buildOnce(kind: String, dir: String)(build: String => Unit): String = {
+    val base = cachePath(kind, dir)
+    if (!new java.io.File(s"$base/_built").exists()) {
+      build(base)
+      new java.io.File(s"$base/_built").createNewFile()
+    }
+    base
+  }
+
   /** Build-once persisted positional inverted index over `documents`
     * (the IVF/LSH artifact pattern: `_built` marker, version-keyed
     * path) — returns the bucket-partitioned postings table. */
   private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
-    val base = cachePath("invidx", dir)
-    if (!new java.io.File(s"$base/_built").exists()) {
-      InvertedIndex.build(t(s, dir, "documents"), s"$base/postings")
-      new java.io.File(s"$base/_built").createNewFile()
-    }
+    val base = buildOnce("invidx", dir)(b =>
+      InvertedIndex.build(t(s, dir, "documents"), s"$b/postings"))
     InvertedIndex.read(s, s"$base/postings")
   }
 
@@ -3829,9 +3839,8 @@ object SparkEntry {
     * (assignments partitionBy(cell) + centroids); returns its dir.
     * Driver-local marker check: this is a /tmp demo cache — at real
     * scale the LibraryCatalog owns index persistence (IvfIndexer). */
-  private def ivfIdxDir(s: SparkSession, dir: String): String = {
-    val idxDir = cachePath("ivf_idx", dir)
-    if (!new java.io.File(s"$idxDir/_built").exists()) {
+  private def ivfIdxDir(s: SparkSession, dir: String): String =
+    buildOnce("ivf_idx", dir) { idxDir =>
       val emb = t(s, dir, "embeddings")
       val cents = IvfIndex.centroids(emb, IvfIndex.Params())
       IvfIndex
@@ -3841,74 +3850,68 @@ object SparkEntry {
       IvfIndex
         .centroidsDfFromVecs(s, cents)
         .write.mode("overwrite").parquet(s"$idxDir/centroids")
-      new java.io.File(s"$idxDir/_built").createNewFile()
     }
-    idxDir
-  }
 
   /** Build-once persisted LSH signature table for the embeddings table
     * (partitionBy(table_idx), so a probe is L pruned single-partition
     * reads with the signature pushed); returns its dir. Same /tmp demo
     * cache pattern as [[ivfIdxDir]] — at real scale the LibraryCatalog
     * owns index persistence (LshIndexer). */
-  private def lshIdxDir(s: SparkSession, dir: String): String = {
-    val idxDir = cachePath("lsh_idx", dir)
-    if (!new java.io.File(s"$idxDir/_built").exists()) {
+  private def lshIdxDir(s: SparkSession, dir: String): String =
+    buildOnce("lsh_idx", dir)(idxDir =>
       LshIndex
         .signatureTable(t(s, dir, "embeddings"))
         .write.mode("overwrite").partitionBy("table_idx")
-        .parquet(s"$idxDir/sigs")
-      new java.io.File(s"$idxDir/_built").createNewFile()
-    }
-    idxDir
-  }
+        .parquet(s"$idxDir/sigs"))
 
   /** Build-once synthesized PNG corpus for the REAL-decoder bench row
     * (q_media_decode): one genuine PNG per document (dimensions and
     * pixels a deterministic function of doc_id), encoded DISTRIBUTED
-    * with the JDK's own codec, stored beside the decoder's OWN expected
-    * (width, height, f0) computed pre-encode — PNG is lossless and the
-    * feature math is the same code path, so a correct decode matches
-    * exactly and any drift fails the bench job loudly. */
-  private def mediaPngDir(s: SparkSession, dir: String): String = {
-    val outDir = cachePath("media_png", dir)
-    if (!new java.io.File(s"$outDir/_built").exists()) {
+    * with the JDK's own codec, stored beside INDEPENDENTLY computed
+    * expected (width, height, f0) — derived from the synthesis values
+    * directly, NEVER by calling the decoder (a decoder-derived
+    * expectation would be circular: a consistently-wrong decoder would
+    * trivially agree with itself). PNG is lossless and the mean
+    * luminance accumulates in the same fixed order over identical
+    * pixels, so a correct decode matches exactly and any drift fails
+    * the bench job loudly. */
+  private def mediaPngDir(s: SparkSession, dir: String): String =
+    buildOnce("media_png", dir) { outDir =>
       import s.implicits._
       // written as 32 files: decode parallelism at read time comes from
       // input splits, exactly as it would on a real corpus
       t(s, dir, "documents").select(col("doc_id")).repartition(32).as[Long]
         .mapPartitions { ids =>
-          val dec = new Multimodal.ImageIoDecoder
           ids.map { id =>
             val w = 32 + (id % 64).toInt
             val h = 24 + (id % 48).toInt
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            // expected mean luminance, accumulated in the decoder's
+            // traversal order (row-major) from the SOURCE channel
+            // values — independent of javax.imageio entirely
+            var lumSum = 0.0
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
                 // deterministic pseudo-texture: cheap integer mix
                 val v = (x * 31 + y * 17 + id * 131).toInt
-                img.setRGB(x, y,
-                  ((v & 0xff) << 16) | (((v >> 3) & 0xff) << 8) | ((v >> 6) & 0xff))
+                val (r, g, b) = (v & 0xff, (v >> 3) & 0xff, (v >> 6) & 0xff)
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                lumSum += (r * 299L + g * 587L + b * 114L) / 1000.0
                 x += 1
               }
               y += 1
             }
             val buf = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(img, "png", buf)
-            val media = buf.toByteArray
-            val d = dec.decode(Multimodal.MediaRow(id, media, "image/png"))
-            (id, media, d.width, d.height, d.f0)
+            (id, buf.toByteArray, w, h, lumSum / (w.toLong * h) / 255.0)
           }
         }
         .toDF("id", "media", "exp_w", "exp_h", "exp_f0")
         .write.mode("overwrite").parquet(s"$outDir/pngs")
-      new java.io.File(s"$outDir/_built").createNewFile()
     }
-    outDir
-  }
 
   /** Bench-only rows: timed by [[graft.Bench]] beside [[queries]] but
     * NOT part of the Verify/oracle contract — DuckDB cannot decode
@@ -3930,7 +3933,12 @@ object SparkEntry {
           val dec = new Multimodal.ImageIoDecoder
           rows.map { case (id, media, ew, eh, ef0) =>
             val d = dec.decode(Multimodal.MediaRow(id, media, "image/png"))
-            if (d.width != ew || d.height != eh || d.f0 != ef0)
+            // dims exact; f0 within summation-order float slack (the
+            // independent expectation accumulates row-major, the
+            // decoder per grid cell — identical pixel values, different
+            // addition order; a real decode bug moves f0 by orders of
+            // magnitude more than 1e-9)
+            if (d.width != ew || d.height != eh || math.abs(d.f0 - ef0) > 1e-9)
               throw new IllegalStateException(
                 s"media decode drift id=$id: got (${d.width},${d.height},${d.f0}) " +
                   s"expected ($ew,$eh,$ef0)")

@@ -1832,9 +1832,20 @@ class LibraryCatalog(
   }
 
   def lastIngestedBatch(name: String, sourceId: String): Option[Long] = {
-    val p = new Path(libDir(name), s"_ingest_${ingestMarkerName(sourceId)}")
-    if (!fs.exists(p)) None
-    else scala.util.Try(readSmallTextFile(p).trim.toLong).toOption
+    def readMarker(fileName: String): Option[Long] = {
+      val p = new Path(libDir(name), fileName)
+      if (!fs.exists(p)) None
+      else scala.util.Try(readSmallTextFile(p).trim.toLong).toOption
+    }
+    readMarker(s"_ingest_${ingestMarkerName(sourceId)}")
+      // migration: warehouses written before the injective naming carry
+      // markers under the bare sanitized id — without this fallback a
+      // post-upgrade stream restart would see None and RE-INGEST the
+      // replayed batch (the exact duplicate the marker prevents). The
+      // next recordIngestedBatch writes the new name, which then shadows
+      // the legacy file here.
+      .orElse(readMarker(
+        s"_ingest_${sourceId.replaceAll("[^A-Za-z0-9._-]", "_")}"))
   }
 
   def recordIngestedBatch(name: String, sourceId: String, batchId: Long): Unit = {

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Cast, EqualTo, Expression, LessThan, Literal, Or, ScalarSubquery, SortOrder}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
-import org.apache.spark.sql.catalyst.plans.ExistenceJoin
+import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, JoinHint, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -70,12 +70,17 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     * persisted, through a caller-supplied candidate builder that must
     * return a FRESH single-column DataFrame of candidate ids per call
     * (fresh expr-ids keep the join side and the guard subquery from
-    * colliding) reading the pruned artifact table — never the corpus. */
+    * colliding) reading the pruned artifact table — never the corpus.
+    * `embCol` names the vector column the artifact was built FROM: a
+    * kNN over a different same-dim vector column of the same table
+    * must not match this artifact (wrong-column probe = silent recall
+    * collapse). */
   final case class ArtifactProbe(
       kind: String,
       idCol: String,
       dim: Int,
-      candidateIds: Seq[Float] => DataFrame)
+      candidateIds: Seq[Float] => DataFrame,
+      embCol: String = "embedding")
 
   /** LSH probe over a persisted [[LshIndex.signatureTable]] (written
     * `partitionBy("table_idx")`): one partition-pruned scan per table
@@ -83,11 +88,12 @@ object AnnProbeRule extends Rule[LogicalPlan] {
   def lshArtifact(
       sigTable: () => DataFrame,
       p: LshIndex.Params,
-      idCol: String = "vec_id"): ArtifactProbe =
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): ArtifactProbe =
     ArtifactProbe("lsh", idCol, p.dim, qv => {
       val sigs = LshIndex.planes(p).map(LshIndex.signatureLocal(qv.toArray, _))
       LshIndex.prunedCandidateIds(sigTable(), sigs, idCol, p.hashSize, p.maxFlips)
-    })
+    }, embCol)
 
   /** IVF probe over persisted cell-partitioned assignments: the nProbe
     * query-nearest cells as a partition-pruned read (one row per id —
@@ -97,13 +103,14 @@ object AnnProbeRule extends Rule[LogicalPlan] {
       assignments: () => DataFrame,
       cents: IndexedSeq[Array[Float]],
       nProbe: Int,
-      idCol: String = "vec_id"): ArtifactProbe = {
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): ArtifactProbe = {
     require(cents.nonEmpty, "ivfArtifact needs at least one centroid")
     ArtifactProbe("ivf", idCol, cents.head.length, qv => {
       import org.apache.spark.sql.functions.col
       val probed = IvfIndex.probeCells(qv, cents, nProbe).map(_.toInt)
       assignments().where(col("cell").isin(probed: _*)).select(idCol)
-    })
+    }, embCol)
   }
 
   @volatile private var artifacts: Map[String, ArtifactProbe] = Map.empty
@@ -181,12 +188,29 @@ object AnnProbeRule extends Rule[LogicalPlan] {
             distAttr.references.contains(a.toAttribute) =>
         (emb, q, metric)
     }
+    // the artifact must fit the query EXACTLY: the distance's vector
+    // operand must be the column the artifact was built from (a
+    // different same-dim vector column of the same table would probe
+    // the wrong index — silent recall collapse), the dims must match,
+    // and the child must expose the artifact's id join key. Any
+    // mismatch → no rewrite, the exact plan stands.
+    // only a BARE attribute of the artifact's column name matches: a
+    // derived vector expression (negation, normalization, a slice) over
+    // that column is different DATA than what was indexed, even though
+    // it references the same column — and a renamed alias of the true
+    // column collapses back to the underlying attribute before this
+    // rule runs, so the attribute name is the right identity here
+    def embColMatches(emb: Expression, wanted: String): Boolean = emb match {
+      case a: Attribute => SQLConf.get.resolver(a.name, wanted)
+      case _            => false
+    }
     for {
-      (_, qLit, _) <- distAlias
+      (emb, qLit, _) <- distAlias
       qv <- queryVector(qLit)
       token <- activeToken
       probe = probeFor(token)
       if qv.length == probe.dim
+      if embColMatches(emb, probe.embCol)
       idAttr <- child.output.find(a =>
         SQLConf.get.resolver(a.name, probe.idCol))
     } yield {
@@ -210,15 +234,31 @@ object AnnProbeRule extends Rule[LogicalPlan] {
         AttributeReference("graft_ann_cand_exists", BooleanType, nullable = false)()
       val join = Join(child, candPlan, ExistenceJoin(exists),
         Some(EqualTo(idAttr, candPlan.output.head)), JoinHint.NONE)
-      // under-k fallback: count the ARTIFACT's candidates (distinct ids)
-      // in an uncorrelated scalar subquery; an under-filled probe turns
-      // the whole predicate true and the plan is the exact scan
+      // under-k fallback: count the probe's SURVIVING candidates in an
+      // uncorrelated scalar subquery; an under-filled probe turns the
+      // whole predicate true and the plan is the exact scan. When the
+      // child is a bare scan the count runs over the ARTIFACT alone
+      // (distinct ids — never a corpus pass, and exactly the oracle's
+      // `count(cand) < k`); a child carrying its own operators (e.g. a
+      // user pre-filter under the kNN sort) must count candidates that
+      // SURVIVE those operators instead — the artifact count alone
+      // could exceed k while the filtered probe under-fills, silently
+      // returning fewer rows than the exact plan would.
+      @annotation.tailrec
+      def isBareScan(p: LogicalPlan): Boolean = p match {
+        case Project(_, c) => isBareScan(c)
+        case _ => p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]
+      }
+      val guardChild =
+        if (isBareScan(child)) guardPlan
+        else Join(child, guardPlan, LeftSemi,
+          Some(EqualTo(idAttr, guardPlan.output.head)), JoinHint.NONE)
       val candCount = Aggregate(
         Nil,
         Seq(Alias(
           AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
           "cand_n")()),
-        guardPlan)
+        guardChild)
       val underK: Expression =
         LessThan(ScalarSubquery(candCount), Cast(gl.limitExpr, LongType))
       sort.copy(child = proj.copy(child = Filter(Or(underK, exists), join)))

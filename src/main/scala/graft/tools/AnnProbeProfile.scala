@@ -39,7 +39,17 @@ object AnnProbeProfile {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val qv = emb.where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      val sigDir = s"/tmp/${new java.io.File("/tmp").list().find(_.contains("lsh_idx")).get}/sigs"
+      // newest matching cache dir (the warm-up above just built/used it);
+      // fail with a clear message rather than NPE if it's absent
+      val tmpBase = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val sigDir = Option(tmpBase.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("graft_lsh_idx_") && f.isDirectory)
+        .sortBy(-_.lastModified())
+        .headOption
+        .map(f => s"${f.getAbsolutePath}/sigs")
+        .getOrElse(sys.error(
+          "no graft_lsh_idx_* cache dir found — run q_ann_probe_rule once first"))
       val p = LshIndex.Params()
       val sigs = LshIndex.planes(p).map(LshIndex.signatureLocal(qv.toArray, _))
       t("one candidate probe + checkpoint") {

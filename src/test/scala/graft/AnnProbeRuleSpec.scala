@@ -184,6 +184,58 @@ class AnnProbeRuleSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("a user pre-filter that starves the probe still falls back (guard counts SURVIVING candidates, not the raw artifact)") {
+    import spark.implicits._
+    // 100-row corpus; the registered probe always nominates ids 0..49
+    // (50 >= k, so a raw-artifact count would see a well-filled probe);
+    // the user's pre-filter keeps ids 48..99, so only {48, 49} survive
+    // the probe — without a filter-aware guard the rewrite would return
+    // 2 rows where the exact plan returns k
+    val corpus = (0 until 100).map(i =>
+      (i.toLong, Seq.tabulate(4)(d => (i * 4 + d).toFloat / 400f)))
+      .toDF("vec_id", "embedding")
+    AnnProbeRule.register("spec_fixed_cands",
+      AnnProbeRule.ArtifactProbe("fixed", "vec_id", 4,
+        _ => (0 until 50).map(_.toLong).toDF("vec_id")))
+    withProbe("spec_fixed_cands") {
+      val filtered = corpus.where(col("vec_id") >= 48L)
+      val df = FlatKnn.search(filtered, Seq(0f, 0f, 0f, 0f), 10)
+      val got = df.collect()
+      assert(got.length === 10,
+        s"starved probe returned ${got.length} of 10 — guard ignored the pre-filter")
+      spark.conf.set(AnnProbeRule.ConfKey, "false")
+      val exact = FlatKnn.search(filtered, Seq(0f, 0f, 0f, 0f), 10).collect()
+      assert(got.map(_.getAs[Long]("vec_id")).toSeq ===
+        exact.map(_.getAs[Long]("vec_id")).toSeq)
+    }
+  }
+
+  test("a DERIVED same-dim vector expression never probes the artifact (embedding identity checked)") {
+    // same table, same dim, same id column — but the ranked vectors are
+    // NOT the data the index was built from (here: negated embeddings;
+    // equally a normalization or slice). Probing the artifact for them
+    // would be a silent recall collapse, so the exact plan must stand.
+    // (A mere RENAME of the true column collapses back to the
+    // underlying attribute before the rule runs and correctly still
+    // probes — same data, same index.)
+    val negated = emb.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    withProbe("spec_lsh") {
+      val plan = FlatKnn
+        .search(negated, q0, 5)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("ExistenceJoin"),
+        s"derived-vector query probed the artifact:\n$plan")
+      // and the rename case keeps probing (same data, same index)
+      val renamed = emb.select(col("vec_id"), col("embedding").as("embedding_v2"))
+      val renamedPlan = FlatKnn
+        .search(renamed, q0, 5, embCol = "embedding_v2")
+        .queryExecution.optimizedPlan.toString
+      assert(renamedPlan.contains("ExistenceJoin"),
+        s"alias of the true column wrongly suppressed the probe:\n$renamedPlan")
+    }
+  }
+
   test("a user's own distance pre-filter does not disable the rewrite (guard matches the injected shape only)") {
     withProbe("spec_lsh") {
       import graft.functions.VectorFunctions

@@ -144,6 +144,34 @@ class StreamingIngestSpec extends SparkSpec with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("ingest markers: distinct sourceIds never collide, and legacy-named markers are still honored") {
+    import graft.catalog.Models
+    import spark.implicits._
+    val catalog = new LibraryCatalog(spark, warehouse)
+    if (!catalog.exists("marker_lib"))
+      catalog.createLibrary("marker_lib", Models.FlatIndexer,
+        Seq(("m-1", "d-1", "marker fixture text")).toDF("id", "document_id", "text"))
+    // the round-8 naming sanitized "a/b" and "a_b" to ONE filename —
+    // two streams would read each other's batch ids and silently skip
+    // real batches as replays; the injective name must separate them
+    catalog.recordIngestedBatch("marker_lib", "a/b", 7L)
+    assert(catalog.lastIngestedBatch("marker_lib", "a/b") === Some(7L))
+    assert(catalog.lastIngestedBatch("marker_lib", "a_b") === None,
+      "distinct sourceIds share a marker file")
+    // migration: a marker written under the LEGACY name (bare sanitized
+    // id) must still be read — otherwise the first post-upgrade restart
+    // re-ingests a replayed batch, the exact duplicate markers prevent
+    val legacy = new java.io.File(
+      s"$warehouse/marker_lib/_ingest_topic.x-1")
+    val w = new java.io.FileWriter(legacy)
+    try w.write("41") finally w.close()
+    assert(catalog.lastIngestedBatch("marker_lib", "topic.x-1") === Some(41L),
+      "legacy marker invisible after upgrade")
+    // a new-format write then shadows the legacy file
+    catalog.recordIngestedBatch("marker_lib", "topic.x-1", 42L)
+    assert(catalog.lastIngestedBatch("marker_lib", "topic.x-1") === Some(42L))
+  }
+
   test("streamingDedup keeps first occurrences only, across batches (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

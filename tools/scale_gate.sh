@@ -35,8 +35,12 @@ CORE_SF10="q1_agg,q_asof_join,q_bpe_merges,q_bucketed_join,q_countmin_heavy,q_cr
 [ -e target/sf10-synth/lineitem.parquet ] || \
   sbt -batch "runMain graft.tools.SynthScale $SF01 target/sf10-synth 100"
 
-# keep the committed sf0.1 full map safe: Bench always writes ./bench_full.json
+# keep the committed sf0.1 full map safe: Bench always writes
+# ./bench_full.json, and the restore must survive ANY failure between
+# the clobber and the end of the script — hence the EXIT trap, not an
+# inline cp (the final bench_full_sf1.json mv is done by then either way)
 cp bench_full.json /tmp/bench_full.json.scale_gate_bak
+trap 'cp /tmp/bench_full.json.scale_gate_bak bench_full.json 2>/dev/null || true' EXIT
 
 echo "== x10 full bench (target/sf1-synth) =="
 SPARK_GRAFT_SF_DIR=target/sf1-synth sbt -batch "runMain graft.Bench" 2>/dev/null \
