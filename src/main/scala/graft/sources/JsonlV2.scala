@@ -75,6 +75,13 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
       schema,
       Option(opts.get("splitSizeBytes"))
         .map(_.toLong)
+        .map { sb =>
+          // a non-positive step makes every `(0L until len by sb)` split
+          // range EMPTY — the scan would "succeed" with zero rows; fail
+          // loudly like the mode option does
+          require(sb > 0, s"graft-jsonl: splitSizeBytes must be positive, got $sb")
+          sb
+        }
         .getOrElse(JsonlV2.DefaultSplitBytes),
       {
         val mode = Option(opts.get("mode")).map(_.toUpperCase)
@@ -89,19 +96,46 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Serializable snapshot of the DRIVER's Hadoop conf, shipped inside
+  * the reader/writer factories so executor-side file access sees every
+  * `spark.hadoop.*` setting (credentials, endpoints, timeouts).
+  * Executors have no SparkSession, so a session lookup there returns
+  * classpath defaults — indistinguishable in local mode (same JVM, the
+  * driver session is visible) and silently wrong on a real cluster.
+  * Hadoop's Configuration is Writable, not Serializable; this wrapper
+  * round-trips it through its own write/readFields (the same shape
+  * Spark's internal SerializableConfiguration uses). */
+class SerializableHConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object JsonlV2 {
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
-  /** Hadoop conf for filesystem access: the active/default session's
-    * `hadoopConfiguration` when one exists (so `spark.hadoop.*`
-    * settings and credentials reach the connector, like every built-in
-    * source), classpath defaults otherwise (executor-side readers
-    * without a session keep their previous behavior). */
+  /** DRIVER-side Hadoop conf for filesystem access: the active/default
+    * session's `hadoopConfiguration` when one exists (so
+    * `spark.hadoop.*` settings and credentials reach the connector,
+    * like every built-in source), classpath defaults otherwise.
+    * Executor-side readers/writers must NOT call this (no session
+    * there on a real cluster) — they receive the driver's conf via
+    * [[SerializableHConf]] in their factory. */
   private[sources] def hconf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
+
+  /** The shippable form of [[hconf]] for factory construction. */
+  private[sources] def shippableConf(): SerializableHConf =
+    new SerializableHConf(hconf())
 
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -190,7 +224,7 @@ object JsonlV2 {
     * from the Spark plan, so a reader-side rounding error would go
     * unchecked. Mixed float comparisons fall back to double; strings use
     * UTF8String order to match Spark's binary collation. */
-  private def cmp(x: Any, v: Any): Int = (x, v) match {
+  private[sources] def cmp(x: Any, v: Any): Int = (x, v) match {
     case (a: UTF8String, b: UTF8String) => a.compareTo(b)
     case (a: UTF8String, b: String)     => a.compareTo(UTF8String.fromString(b))
     case (a: Boolean, b: Boolean)       => java.lang.Boolean.compare(a, b)
@@ -515,9 +549,11 @@ case class JsonlScan(
 
   override def createReaderFactory(): PartitionReaderFactory = pushedAggs match {
     case None =>
-      JsonlReaderFactory(fullSchema, required, pushed ++ runtime, limit, failFast)
+      JsonlReaderFactory(fullSchema, required, pushed ++ runtime, limit, failFast,
+        JsonlV2.shippableConf())
     case Some(as) =>
-      JsonlAggReaderFactory(fullSchema, as, pushed, failFast)
+      JsonlAggReaderFactory(fullSchema, as, pushed, failFast,
+        JsonlV2.shippableConf())
   }
 }
 
@@ -532,11 +568,12 @@ case class JsonlAggReaderFactory(
     fullSchema: StructType,
     aggs: Seq[JsonlAgg],
     pushed: Array[Filter],
-    failFast: Boolean)
+    failFast: Boolean,
+    conf: SerializableHConf = JsonlV2.shippableConf())
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new JsonlAggPartitionReader(
-      p.asInstanceOf[JsonlSplit], fullSchema, aggs, pushed, failFast)
+      p.asInstanceOf[JsonlSplit], fullSchema, aggs, pushed, failFast, conf.value)
 }
 
 /** One PARTIAL aggregate row per split. Pure COUNT(*) with no pushed
@@ -547,7 +584,8 @@ class JsonlAggPartitionReader(
     fullSchema: StructType,
     aggs: Seq[JsonlAgg],
     pushed: Array[Filter],
-    failFast: Boolean)
+    failFast: Boolean,
+    hc: Configuration = JsonlV2.hconf())
     extends PartitionReader[InternalRow] {
 
   private val neededCols: Array[String] =
@@ -563,7 +601,7 @@ class JsonlAggPartitionReader(
   private val inner = new JsonlPartitionReader(
     split, fullSchema,
     StructType(neededCols.map(n => fullSchema(fullSchema.fieldIndex(n)))),
-    pushed, -1, failFast)
+    pushed, -1, failFast, hc)
 
   private var done = false
   private var row: InternalRow = _
@@ -592,11 +630,11 @@ class JsonlAggPartitionReader(
             case JsonlMin(_, dt) =>
               val v = if (r.isNullAt(colIdx(i))) null else r.get(colIdx(i), dt)
               if (v != null && (minmax(i) == null ||
-                  JsonlAggPartitionReader.cmp(v, minmax(i)) < 0)) minmax(i) = v
+                  JsonlV2.cmp(v, minmax(i)) < 0)) minmax(i) = v
             case JsonlMax(_, dt) =>
               val v = if (r.isNullAt(colIdx(i))) null else r.get(colIdx(i), dt)
               if (v != null && (minmax(i) == null ||
-                  JsonlAggPartitionReader.cmp(v, minmax(i)) > 0)) minmax(i) = v
+                  JsonlV2.cmp(v, minmax(i)) > 0)) minmax(i) = v
           }
           i += 1
         }
@@ -618,18 +656,6 @@ class JsonlAggPartitionReader(
   override def close(): Unit = inner.close()
 }
 
-object JsonlAggPartitionReader {
-  private[sources] def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
-    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
-    case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
-    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
-    case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
-    case _ => throw new IllegalStateException(
-      s"incomparable aggregate values: ${a.getClass} vs ${b.getClass}")
-  }
-}
-
 /** One byte range of one file. `alignedStart` marks a range start
   * KNOWN to be a line boundary (file start, or a streaming growth
   * offset) — no discard of a leading partial line; `strictEnd` marks a
@@ -649,11 +675,12 @@ case class JsonlReaderFactory(
     required: StructType,
     pushed: Array[Filter],
     limit: Int,
-    failFast: Boolean = false)
+    failFast: Boolean = false,
+    conf: SerializableHConf = JsonlV2.shippableConf())
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new JsonlPartitionReader(p.asInstanceOf[JsonlSplit], fullSchema, required,
-      pushed, limit, failFast)
+      pushed, limit, failFast, conf.value)
 }
 
 /** Reads `[start, start+length)` of one file with standard line-split
@@ -669,14 +696,15 @@ class JsonlPartitionReader(
     required: StructType,
     pushed: Array[Filter],
     limit: Int = -1,
-    failFast: Boolean = false)
+    failFast: Boolean = false,
+    hc: Configuration = JsonlV2.hconf())
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
 
   private val mapper = new ObjectMapper()
   private val hPath = new Path(split.file)
-  private val in = hPath.getFileSystem(JsonlV2.hconf()).open(hPath)
+  private val in = hPath.getFileSystem(hc).open(hPath)
   private val reader = new LineReader(in)
   private val text = new Text()
   // bytes of the split consumed so far (counting from split.start)
@@ -817,7 +845,8 @@ case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
     // files at job commit (Spark's own file sources embed a job UUID
     // for exactly this reason)
     JsonlWriterFactory(path, schema,
-      java.util.UUID.randomUUID().toString.substring(0, 8))
+      java.util.UUID.randomUUID().toString.substring(0, 8),
+      JsonlV2.shippableConf())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -841,7 +870,11 @@ case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
     val fresh = staged.map { m =>
       val dst = new Path(m.dest)
       val stats =
-        if (schema.fieldNames.contains(JsonlV2.LenKey)) m.stats
+        if (schema.fieldNames.contains(JsonlV2.LenKey))
+          // a REAL column of this name would be misread as the commit
+          // length on the read side — record no stats at all for such
+          // tables (no stats → no pruning; correctness over skipping)
+          Map.empty[String, (Double, Double)]
         else {
           val len = fs.getFileStatus(dst).getLen.toDouble
           m.stats + (JsonlV2.LenKey -> (len, len))
@@ -864,11 +897,12 @@ case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
 }
 
 case class JsonlWriterFactory(
-    path: String, schema: StructType, jobToken: String)
+    path: String, schema: StructType, jobToken: String,
+    conf: SerializableHConf = JsonlV2.shippableConf())
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonlDataWriter(path, schema, partitionId, taskId, jobToken)
+    new JsonlDataWriter(path, schema, partitionId, taskId, jobToken, conf.value)
 }
 
 class JsonlDataWriter(
@@ -876,10 +910,11 @@ class JsonlDataWriter(
     schema: StructType,
     partitionId: Int,
     taskId: Long,
-    jobToken: String)
+    jobToken: String,
+    hc: Configuration = JsonlV2.hconf())
     extends DataWriter[InternalRow] {
 
-  private val fs = new Path(dir).getFileSystem(JsonlV2.hconf())
+  private val fs = new Path(dir).getFileSystem(hc)
   private val tmp = new Path(dir, s".part-$partitionId-$taskId-$jobToken.inprogress")
   private val staged = new Path(dir, s".part-$partitionId-$taskId-$jobToken.staged")
   private val dest = new Path(dir, s"part-$partitionId-$taskId-$jobToken.jsonl")
@@ -983,13 +1018,27 @@ class JsonlMicroBatchStream(
   @transient private val lastAligned =
     new scala.collection.concurrent.TrieMap[String, Long]
 
+  /** Last RAW length seen per unterminated file: a file whose final
+    * byte is not '\n' but whose length has been STABLE across two
+    * consecutive snapshots is complete (its producer just never wrote
+    * a trailing newline) — admit it whole, or it would be invisible to
+    * the stream forever while the batch reader returns its rows. */
+  @transient private val lastRawUnterminated =
+    new scala.collection.concurrent.TrieMap[String, Long]
+
   /** Offset snapshot with LINE-ALIGNMENT: a raw getLen taken while a
     * writer is mid-append would make this batch read through the torn
     * line's eventual newline and the next batch re-parse its tail as a
     * garbage row. One ranged 1-byte read per file checks the final
     * byte; a file not ending in '\n' is clamped back to its last known
-    * aligned length (0 if never seen) and picked up whole next
-    * trigger. */
+    * aligned length (0 if never seen) — UNLESS its raw length is
+    * unchanged since the previous snapshot, i.e. no writer is
+    * appending: then the unterminated final line is real data and the
+    * full length is admitted (the line reader parses a final line
+    * without a trailing newline). NOTE these maps are in-memory only —
+    * a restarted query re-learns them; [[latestOffset]] guards against
+    * the resulting offset REGRESSION by never going below the
+    * committed start. */
   private def snapshot(): JsonlStreamOffset = {
     val fs = new Path(path).getFileSystem(JsonlV2.hconf())
     JsonlStreamOffset(
@@ -1002,8 +1051,18 @@ class JsonlMicroBatchStream(
             val in = fs.open(p)
             try {
               in.seek(len - 1)
-              if (in.read() == '\n'.toInt) { lastAligned.put(p.toString, len); len }
-              else lastAligned.getOrElse(p.toString, 0L)
+              if (in.read() == '\n'.toInt) {
+                lastAligned.put(p.toString, len)
+                lastRawUnterminated.remove(p.toString)
+                len
+              } else if (lastRawUnterminated.get(p.toString).contains(len)) {
+                // unterminated but stable across two snapshots: complete
+                lastAligned.put(p.toString, len)
+                len
+              } else {
+                lastRawUnterminated.put(p.toString, len)
+                lastAligned.getOrElse(p.toString, 0L)
+              }
             } finally in.close()
           }
         p.toString -> aligned
@@ -1027,7 +1086,20 @@ class JsonlMicroBatchStream(
 
   override def latestOffset(
       start: streaming.Offset,
-      limit: streaming.ReadLimit): streaming.Offset = latestOffset()
+      limit: streaming.ReadLimit): streaming.Offset = {
+    // the end offset must NEVER regress below the committed start: the
+    // alignment clamp falls back to an IN-MEMORY map, so right after a
+    // query restart a mid-append file would clamp to 0 — Spark would
+    // persist the regressed offset and the next batch would re-emit
+    // rows the stream already delivered. A committed offset is always
+    // line-aligned (it came from an aligned snapshot), so the
+    // per-file max is safe.
+    val s = start.asInstanceOf[JsonlStreamOffset].files
+    val end = availableNowEnd.getOrElse(snapshot()).files
+    JsonlStreamOffset((end.keySet ++ s.keySet).iterator.map { f =>
+      f -> math.max(end.getOrElse(f, 0L), s.getOrElse(f, 0L))
+    }.toMap)
+  }
 
   override def reportLatestOffset(): streaming.Offset = snapshot()
 
@@ -1062,7 +1134,8 @@ class JsonlMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    JsonlReaderFactory(fullSchema, required, pushed, -1, failFast)
+    JsonlReaderFactory(fullSchema, required, pushed, -1, failFast,
+      JsonlV2.shippableConf())
 
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()

@@ -88,11 +88,17 @@ object StreamingIngest {
     chunks.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty &&
-            catalog.lastIngestedBatch(library, sourceId).forall(_ < batchId)) {
-          catalog.addChunks(library, batch.toDF())
-          catalog.recordIngestedBatch(library, sourceId, batchId)
-        }
+        // the batch plan re-executes per action — persist it so the
+        // emptiness probe and addChunks' ingest don't each re-pay the
+        // upstream source work
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty &&
+              catalog.lastIngestedBatch(library, sourceId).forall(_ < batchId)) {
+            catalog.addChunks(library, cached.toDF())
+            catalog.recordIngestedBatch(library, sourceId, batchId)
+          }
+        } finally cached.unpersist()
         ()
       }
 
@@ -105,9 +111,12 @@ object StreamingIngest {
       checkpoint: String): Unit = {
     // marker keyed by the CHECKPOINT (batch ids are per-checkpoint):
     // resuming this checkpoint skips replays, a different checkpoint
-    // gets its own marker and never mistakes batch 0 for a replay
-    val sourceId = "ck" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(checkpoint).toLong & 0xffffffffL)
+    // gets its own marker and never mistakes batch 0 for a replay.
+    // Full 128-bit digest — a 32-bit hash of the path would collide at
+    // birthday scale across many checkpoints, and a collision makes the
+    // newer stream's early batches look like replays (silently dropped)
+    val sourceId = "ck" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val q = ingestInto(catalog, library, chunks, sourceId)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -171,16 +180,23 @@ object StreamingIngest {
       .flatMapGroupsWithState[DedupState, KeptDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case ((hi, lo), rows, state: GroupState[DedupState]) =>
-          val batch = rows.toSeq
+          // ONE streaming fold — a hot duplicate key (one text repeated
+          // millions of times in a batch) must never buffer every
+          // occurrence's id in memory; only min(id) and the count are
+          // needed
+          var n = 0L
+          var minId: String = null
+          rows.foreach { r =>
+            n += 1
+            if (minId == null || r._1 < minId) minId = r._1
+          }
           val prev = state.getOption
           val kept = prev match {
             case Some(_) => Iterator.empty // text already admitted
-            case None =>
-              Iterator.single(KeptDoc(hi, lo, batch.map(_._1).min))
+            case None    => Iterator.single(KeptDoc(hi, lo, minId))
           }
-          val keptId = prev.map(_.keptId).getOrElse(batch.map(_._1).min)
-          val seenBefore = prev.map(_.seen).getOrElse(0L)
-          state.update(DedupState(keptId, seenBefore + batch.size))
+          val keptId = prev.map(_.keptId).getOrElse(minId)
+          state.update(DedupState(keptId, prev.map(_.seen).getOrElse(0L) + n))
           kept
       }
   }

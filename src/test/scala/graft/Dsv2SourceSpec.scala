@@ -236,6 +236,39 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(pruned < all, s"streaming zone pruning did not fire: $pruned of $all")
   }
 
+  test("streaming: an unterminated final line is admitted once stable, and a restarted stream's offset never regresses") {
+    import graft.sources.{JsonlMicroBatchStream, JsonlStreamOffset}
+    val out = Files.createTempDirectory("dsv2unterm").toString + "/u"
+    new java.io.File(out).mkdirs()
+    val f = new java.io.File(out, "part-0.jsonl")
+    val w = new java.io.FileWriter(f)
+    try w.write("{\"doc_id\":1}\n{\"doc_id\":2}") finally w.close() // no trailing \n
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val ms = new JsonlMicroBatchStream(out, schema, schema, Array.empty, 1L << 20)
+    def files(o: org.apache.spark.sql.connector.read.streaming.Offset) =
+      o.asInstanceOf[JsonlStreamOffset].files
+    // first sight: the unterminated tail is indistinguishable from a
+    // mid-append — clamped out entirely
+    val o1 = ms.latestOffset(JsonlStreamOffset(Map.empty), null)
+    assert(files(o1).values.sum === 0L)
+    // second sight, length unchanged: the file is complete — admitted
+    // whole (previously it stayed invisible to the stream FOREVER while
+    // the batch reader returned its rows)
+    val o2 = ms.latestOffset(o1, null)
+    assert(files(o2).values.sum === f.length(),
+      "stable unterminated file not admitted")
+    val splits = ms.planInputPartitions(o1, o2)
+    assert(splits.length === 1)
+    // restart amnesia: a FRESH stream's in-memory alignment state is
+    // empty, so its snapshot clamps back to 0 — the end offset must
+    // still never regress below the committed start (a regressed offset
+    // would re-emit already-delivered rows next trigger)
+    val fresh = new JsonlMicroBatchStream(out, schema, schema, Array.empty, 1L << 20)
+    val o3 = fresh.latestOffset(o2, null)
+    assert(files(o3) === files(o2),
+      s"restarted stream regressed the offset: ${files(o3)} vs ${files(o2)}")
+  }
+
   test("a file appended to AFTER its job commit is never zone-pruned (stats predate its tail)") {
     import graft.sources.{JsonlMicroBatchStream, JsonlStreamOffset}
     import org.apache.spark.sql.sources.GreaterThan
