@@ -48,7 +48,7 @@ object PlanDump {
     "q_kmv_distinct" ->
       "KMV distinct sketch: the custom KmvSketchAgg TypedImperativeAggregate plans as ObjectHashAggregate partial/final — each partition's bounded distinct k-min tree crosses the exchange as at most k longs (a distinct().orderBy.limit formulation would shuffle every distinct hash); the hash is the fused Md5Prefix48 codegen expression inside the scan projection.",
     "q_ann_probe_rule" ->
-      "Catalyst ANN rewrite (probe branch): AnnProbeRule injected the lsh_signature bucket filter under the kNN projection plus the scalar-subquery candidate-count guard — the exact full scan became a bucket probe chosen by the OPTIMIZER, with the under-k branch degenerating the predicate to the exact plan.",
+      "Catalyst ANN rewrite (probe branch): AnnProbeRule substituted the PERSISTED artifact's probe plan — candidate ids from L partition-pruned one-table scans of the signature table (sig equality pushed to parquet) feed an existence hash join against the ONE corpus scan, and the scalar-subquery under-k guard counts the ARTIFACT's candidates, never a second corpus pass. The under-k branch degenerates the predicate to the exact plan.",
     "q_phrase_search" ->
       "Phrase search over the persisted positional inverted index: the postings scan carries PartitionFilters on the query terms' bucket ids (only those directories are read) plus pushed term filters; the phrase itself is a hash EQUI-join of the per-term postings on (doc_id, pos - i) — corpus text never appears in the plan.",
     "q_kmeans" ->
@@ -72,7 +72,7 @@ object PlanDump {
     "q_dsv2_agg" ->
       "Connector aggregate pushdown: the BatchScan line carries PushedAggregation — each split returns ONE partial COUNT/MIN/MAX row (the COUNT(*) partial is line counting, no JSON parse) and the HashAggregate above merges partials; the corpus is never materialized as rows.",
     "q_ann_probe_rule_ivf" ->
-      "Catalyst ANN rewrite selecting the IVF index kind: the same kNN pattern, but the injected filter is cell membership — ArrayPosition/ArrayMin over per-centroid VectorDistance expressions against the REGISTERED persisted quantizer — with the identical scalar-subquery under-k guard. Which index family probes is an optimizer decision driven by persisted-artifact registration, not caller code.",
+      "Catalyst ANN rewrite selecting the IVF artifact: the same kNN pattern, but the candidate side is a PartitionFilters-pruned read of the persisted cell-partitioned assignments table (the nProbe query-nearest cells), existence-joined against the one corpus scan with the same artifact-count under-k guard. Which index probes is an explicit registration-token decision — a same-dim foreign corpus can never match an index by accident.",
     "q_dsv2_zones" ->
       "Connector zone maps: the range predicate reaches the reader as pushed filters AND prunes whole files at split-planning time via the job-commit _zones.json manifest (range-clustered write → disjoint per-file doc_id ranges) — at 100 TB a selective range predicate reads the few overlapping files, not the directory.")
 
