@@ -1759,6 +1759,82 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_lang"))
         .orderBy("split")
     }),
+    // ---- training-pipeline: GROUP-leakage-free split — when a corpus
+    //      carries multiple DERIVED rows per source document (chunks),
+    //      splitting per-ROW leaks near-identical text across
+    //      train/test; the split must key on the PARENT. Chunks (the
+    //      q_chunk_docs token-window derivation) are assigned by the
+    //      md5 of their parent doc_id, and the hygiene invariant is
+    //      SURFACED AS DATA: n_parents (distinct parents per split)
+    //      equals n_parents_exclusive (parents whose EVERY chunk landed
+    //      in that split) — a per-chunk assignment would break the
+    //      equality and fail the oracle hash. Two tiny aggregations
+    //      joined; chunk token arrays never shuffle. ----
+    "q_group_split" -> ((s, dir) => {
+      val W = 40
+      val S = 20
+      val h = pmod(Embedder.md5Int(col("doc_id").cast("string")), lit(100))
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("__tk"))
+        .select(
+          col("doc_id"),
+          explode(sequence(lit(1), greatest(size(col("__tk")), lit(1)), lit(S)))
+            .as("__start"),
+          col("__tk"))
+        .select(
+          col("doc_id"),
+          size(slice(col("__tk"), col("__start"), lit(W))).as("n_tok"))
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "validation").otherwise("test"))
+      val stats = chunks
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_parents"),
+          sum(col("n_tok").cast("long")).as("sum_tok"))
+      val exclusive = chunks
+        .select("doc_id", "split").distinct()
+        .groupBy("doc_id")
+        .agg(countDistinct(col("split")).as("__nsp"), min(col("split")).as("__sp"))
+        .where(col("__nsp") === 1)
+        .groupBy(col("__sp").as("split"))
+        .agg(count(lit(1)).as("n_parents_exclusive"))
+      stats.join(exclusive, Seq("split"), "left")
+        .select(
+          col("split"), col("n_chunks"), col("n_parents"),
+          coalesce(col("n_parents_exclusive"), lit(0L)).as("n_parents_exclusive"),
+          col("sum_tok"))
+        .orderBy("split")
+    }),
+    // ---- training-pipeline: SPLIT-LEAKAGE audit over the persisted
+    //      near-dup edge artifact — the decontamination metric a real
+    //      train/test split must report: how many verified near-dup
+    //      pairs STRADDLE split boundaries (a test document with a
+    //      training near-duplicate is contamination even though exact
+    //      dedup passed). Edges come from the shared build-once
+    //      artifact (q_neardup_pairs semantics); two keyed joins attach
+    //      each endpoint's split, one tiny groupBy counts per pair
+    //      type with the cross-split flag surfaced. ----
+    "q_split_leakage" -> ((s, dir) => {
+      val edges = s.read.parquet(s"${ndEdgesDir(s, dir)}/edges")
+      val h = pmod(Embedder.md5Int(col("doc_id").cast("string")), lit(100))
+      val splits = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(h < 80, "train").when(h < 90, "validation").otherwise("test")
+          .as("split"))
+      edges
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("__sa")),
+          Seq("doc_a"))
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("__sb")),
+          Seq("doc_b"))
+        .select(
+          concat(least(col("__sa"), col("__sb")), lit("-"),
+            greatest(col("__sa"), col("__sb"))).as("pair_type"),
+          when(col("__sa") =!= col("__sb"), 1L).otherwise(0L).as("__cr"))
+        .groupBy("pair_type")
+        .agg(count(lit(1)).as("n_pairs"), max(col("__cr")).as("is_cross"))
+        .orderBy("pair_type")
+    }),
     // ---- training-pipeline: stratified downsampling — per-stratum
     //      deterministic rates (en is the majority class: keep 5%,
     //      everything else 20%) via the same hash-threshold trick; the
@@ -2926,13 +3002,7 @@ object SparkEntry {
     //      (id, cluster_rep).
     //      Oracle = recursive transitive closure over the same edges. ----
     "q_dedup_clusters" -> ((s, dir) => {
-      val base = cachePath("ndedges", dir)
-      if (!new java.io.File(s"$base/_built").exists()) {
-        NearDup.nearDuplicatePairs(t(s, dir, "documents"))
-          .select(col("doc_a"), col("doc_b"))
-          .write.mode("overwrite").parquet(s"$base/edges")
-        new java.io.File(s"$base/_built").createNewFile()
-      }
+      val base = ndEdgesDir(s, dir)
       val e = s.read.parquet(s"$base/edges")
       val bi = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -3852,6 +3922,17 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$idxDir/centroids")
     }
 
+  /** Build-once persisted near-duplicate EDGE artifact over `documents`
+    * (the verified MinHash pair set, q_neardup_pairs semantics) —
+    * shared by the clustering, triangle, and split-leakage queries: at
+    * 100 TB the edge set is computed once per corpus version and every
+    * dedup-graph consumer reads it. */
+  private def ndEdgesDir(s: SparkSession, dir: String): String =
+    buildOnce("ndedges", dir)(base =>
+      NearDup.nearDuplicatePairs(t(s, dir, "documents"))
+        .select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(s"$base/edges"))
+
   /** Build-once persisted LSH signature table for the embeddings table
     * (partitionBy(table_idx), so a probe is L pruned single-partition
     * reads with the signature pushed); returns its dir. Same /tmp demo
@@ -4446,6 +4527,28 @@ object SparkEntry {
         |          ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 AS h
         |        FROM documents)
         |) GROUP BY split ORDER BY split""".stripMargin,
+    "q_group_split" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |st AS (SELECT doc_id, tk,
+        |         unnest(generate_series(1, greatest(len(tk), 1), 20)) AS start
+        |       FROM d),
+        |ch AS (SELECT doc_id,
+        |         len(list_slice(tk, start, least(start + 39, len(tk)))) AS n_tok,
+        |         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'validation' ELSE 'test' END AS split
+        |       FROM (SELECT doc_id, tk, start,
+        |               ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 AS h
+        |             FROM st)),
+        |stats AS (SELECT split, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_parents,
+        |            CAST(sum(n_tok) AS BIGINT) AS sum_tok
+        |          FROM ch GROUP BY split),
+        |ex AS (SELECT split, count(*) AS n_parents_exclusive FROM (
+        |         SELECT doc_id, min(split) AS split
+        |         FROM (SELECT DISTINCT doc_id, split FROM ch)
+        |         GROUP BY doc_id HAVING count(DISTINCT split) = 1)
+        |       GROUP BY split)
+        |SELECT s.split AS split, s.n_chunks, s.n_parents,
+        |  COALESCE(ex.n_parents_exclusive, 0) AS n_parents_exclusive, s.sum_tok
+        |FROM stats s LEFT JOIN ex ON s.split = ex.split ORDER BY s.split""".stripMargin,
     "q_balanced_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |t AS (SELECT lang, ((SELECT min(n) FROM c) * 10000) // n AS thr FROM c)
@@ -5560,6 +5663,23 @@ object SparkEntry {
       s"""WITH $oNearDupVerifiedCtes
          |SELECT doc_a, doc_b, (round(jac, 6) + 0.0) AS jaccard FROM verified
          |WHERE jac >= ${NearDup.Params().threshold} ORDER BY doc_a, doc_b""".stripMargin,
+    // same verified edge set; each endpoint's split re-derived, cross-
+    // split pairs are the contamination the audit exists to count
+    "q_split_leakage" ->
+      s"""WITH $oNearDupVerifiedCtes,
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'validation' ELSE 'test' END AS split
+         |       FROM (SELECT doc_id,
+         |               ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 AS h
+         |             FROM documents)),
+         |ed AS (SELECT doc_a, doc_b FROM verified
+         |       WHERE jac >= ${NearDup.Params().threshold}),
+         |tp AS (SELECT least(a.split, b.split) || '-' || greatest(a.split, b.split) AS pair_type,
+         |         CASE WHEN a.split <> b.split THEN 1 ELSE 0 END AS cr
+         |       FROM ed JOIN sp a ON ed.doc_a = a.doc_id
+         |                JOIN sp b ON ed.doc_b = b.doc_id)
+         |SELECT pair_type, count(*) AS n_pairs, CAST(max(cr) AS BIGINT) AS is_cross
+         |FROM tp GROUP BY pair_type ORDER BY pair_type""".stripMargin,
     // same edge set as q_neardup_pairs/q_dedup_clusters; ordered-wedge
     // triangle derivation mirrored
     "q_triangle_count" ->

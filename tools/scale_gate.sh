@@ -24,7 +24,7 @@ cd "$(dirname "$0")/.."
 SF01=${SF01:-/root/testdata/sf0.1}
 
 # DuckDB-quadratic oracle emulations, skipped at synthetic scale only
-SKIP_SF1="q_neardup_pairs,q_neardup_incremental,q_ngram_jaccard,q_simhash_pairs,q_embed_neardup,q_dedup_clusters"
+SKIP_SF1="q_neardup_pairs,q_neardup_incremental,q_ngram_jaccard,q_simhash_pairs,q_embed_neardup,q_dedup_clusters,q_split_leakage"
 
 # x100 core subset: aggregations, star joins, windows, sessions, CRUD,
 # sketches, text kernels, and every index family's probe
