@@ -23,7 +23,7 @@ object SparkEntry {
     * warehouses / index tables): a stale artifact persisted by an OLDER
     * code version must never silently serve a newer round's query — bump
     * on any change to the persisted layouts or the queries over them. */
-  private val CacheVersion = "r9c"
+  private val CacheVersion = "r9d"
 
   /** Fingerprint of the sf dir's DATA (name + size + mtime of EVERY
     * `*.parquet` table entry, and of every nested part file for

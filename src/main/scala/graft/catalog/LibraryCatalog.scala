@@ -299,19 +299,7 @@ class LibraryCatalog(
             "restore the file or delete the library directory")
       return Map.empty
     }
-    try readSmallTextFile(p).linesIterator
-      .filter(_.contains("="))
-      .map { line =>
-        val Array(b, dirs) = line.split("=", 2)
-        b.toInt -> dirs.split(",").filter(_.nonEmpty).toSeq
-      }
-      .toMap
-    catch {
-      case e: Exception =>
-        throw new IllegalStateException(
-          s"library '$name': corrupt manifest at $p (${e.getMessage}); " +
-            "restore the file or delete the library directory", e)
-    }
+    parseRefLines(p, "manifest", name)(_.toInt)
   }
 
   /** Leaf directories (one per (bucket, owning version)) of a manifest —
@@ -414,18 +402,46 @@ class LibraryCatalog(
     out.close()
   }
 
+  /** Strict `k=v1,v2` line parser shared by the manifest and the
+    * artifact version lists — BOTH must fail loudly on a torn or
+    * garbled file: a silently-partial parse masquerades as "flat
+    * library" / "empty bucket" and reads wrong data with no error
+    * (detected corruption must never degrade into a quiet full scan). */
+  private def parseRefLines[K](
+      p: Path, what: String, name: String)(key: String => K): Map[K, Seq[String]] =
+    try readSmallTextFile(p).linesIterator
+      .filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('=')
+        require(i > 0, s"malformed line: $line")
+        key(line.substring(0, i)) ->
+          line.substring(i + 1).split(",").filter(_.nonEmpty).toSeq
+      }
+      .toMap
+    catch {
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"library '$name': corrupt $what at $p (${e.getMessage}); " +
+            "restore the file or delete the library directory", e)
+    }
+
   private def readArtifactRefs(
       name: String, v: Long): Map[String, Seq[String]] = {
     if (v < 0) return Map.empty
-    val p = artifactRefsPath(versionDir(name, v))
-    if (!fs.exists(p)) return Map.empty
-    readSmallTextFile(p).linesIterator
-      .filter(_.contains("="))
-      .map { line =>
-        val Array(a, dirs) = line.split("=", 2)
-        a -> dirs.split(",").filter(_.nonEmpty).toSeq
-      }
-      .toMap
+    val vdir = versionDir(name, v)
+    val p = artifactRefsPath(vdir)
+    if (!fs.exists(p)) {
+      // every commit writes artifacts.txt (empty for flat libraries), so
+      // a published version dir without one is a torn commit — same
+      // contract as a missing manifest
+      if (fs.exists(vdir))
+        throw new IllegalStateException(
+          s"library '$name': version ${vdir.getName} is missing its " +
+            s"artifacts.txt ($p) — torn commit or corrupt persistence; " +
+            "restore the file or delete the library directory")
+      return Map.empty
+    }
+    parseRefLines(p, "artifacts.txt", name)(identity)
   }
 
   /** An artifact's parquet schema never changes over a library's
@@ -463,9 +479,17 @@ class LibraryCatalog(
       base.withColumn("__pv", lit(d.stripPrefix("v").toLong))
     }.reduce(_ unionByName _)
 
-  private def artifact(name: String, artifactName: String): Option[DataFrame] = {
-    val m = requireMeta(name)
-    val refs = readArtifactRefs(name, m.version)
+  private def artifact(name: String, artifactName: String): Option[DataFrame] =
+    artifactAt(name, artifactName, requireMeta(name).version)
+
+  /** Version-PINNED artifact read: one query must pair version-v chunks
+    * with version-v artifacts — re-resolving the meta pointer per
+    * artifact would let a concurrent commit hand a single search
+    * v-chunks and v+1-index (wrong candidate sets, and the wrong graph
+    * memoized under v's cache key). */
+  private def artifactAt(
+      name: String, artifactName: String, v: Long): Option[DataFrame] = {
+    val refs = readArtifactRefs(name, v)
     refs.get(artifactName).filter(_.nonEmpty).map { dirs =>
       val parts = artifactParts(name, artifactName, dirs)
       val reconciled =
@@ -894,12 +918,23 @@ class LibraryCatalog(
       // with that job — evaluating it on the sibling thread could block
       // forever if this write failed before the metrics resolved
       patch.foreach { case (_, deleteIds) =>
+        def writeFrame(ids: DataFrame): Unit =
+          ids.select("id").write.mode("overwrite")
+            .parquet(new Path(vdir, "index_deletes").toString)
         deleteIds.foreach {
           case InlineIds(ids) => writeInlineTombstone(vdir, ids)
-          case LazyIds(ids)   => writeInlineTombstone(vdir, ids())
-          case IdsFrame(ids) =>
-            ids.select("id").write.mode("overwrite")
-              .parquet(new Path(vdir, "index_deletes").toString)
+          case LazyIds(ids) =>
+            // a metrics-resolved id set can exceed the inline bound the
+            // read side was sized for (a predicate delete matching most
+            // of a one-split library) — past the cap it goes to a
+            // parquet tombstone part like any big delete
+            val got = ids()
+            if (got.size <= MaxInlineTombstone) writeInlineTombstone(vdir, got)
+            else {
+              import spark.implicits._
+              writeFrame(got.toDF("id").coalesce(1))
+            }
+          case IdsFrame(ids) => writeFrame(ids)
         }
       }
     }
@@ -1106,6 +1141,29 @@ class LibraryCatalog(
           .otherwise(col("metadata")))
   }
 
+  /** Ingest-parity guard for caller-supplied metadata on UPDATE paths:
+    * the same page >= 0 / non-blank-tag validation and tag dedup
+    * [[normalizeShape]] enforces at ingest — an update must never be
+    * able to persist metadata that ingest would reject loudly
+    * (chunk.py:25-42 applies to updates too: the reference re-validates
+    * through the same Pydantic model). Idempotent, so the batched and
+    * sequential mutation paths may both apply it. */
+  private def validatedMetadata(mcol: Column): Column = {
+    val cast = mcol.cast(chunkMetadataType)
+    val deduped = cast.withField("tags", array_distinct(cast.getField("tags")))
+    when(deduped.getField("page") < 0,
+      raise_error(concat(
+        lit("graft ingest validation: page must be non-negative, got "),
+        deduped.getField("page"))).cast(chunkMetadataType))
+      .when(
+        org.apache.spark.sql.functions
+          .exists(deduped.getField("tags"), t => length(trim(t)) === 0),
+        raise_error(
+          lit("graft ingest validation: tags cannot be empty strings"))
+          .cast(chunkMetadataType))
+      .otherwise(deduped)
+  }
+
   /** Embedding-dimension validation at ingest (chunk.py:63-71 — 1-D,
     * non-empty — and hnsw.py:553-563 — dim consistency on load). A
     * caller-supplied embedding of the wrong length would otherwise NULL
@@ -1158,6 +1216,27 @@ class LibraryCatalog(
     embedStage(dim, model, df.columns.contains("embedding"))(
       validateEmbeddingDim(normalizeShape(df), dim))
       .select(chunkSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** [[normalize]] for MULTI-CONSUMER deltas: a delta commit evaluates
+    * its lineage in TWO jobs (chunk write + index rows), and ids this
+    * normalization MINTED (`uuid()` for rows arriving without one) are
+    * non-deterministic per evaluation — unpinned, the index rows would
+    * reference phantom ids that differ from the written chunks and the
+    * rows would be silently unsearchable through every probe. When the
+    * input could mint (no id column, or a nullable one the coalesce
+    * might fill), the normalized delta is materialized ONCE
+    * (localCheckpoint — deltas are ingest-batch-sized by construction;
+    * full loads go through commitFull, which persists or re-reads the
+    * written chunks for the same reason). */
+  private def normalizeStable(
+      df: DataFrame,
+      dim: Int,
+      model: Embedder.Model): DataFrame = {
+    val out = normalize(df, dim, model)
+    val mayMint =
+      !df.columns.contains("id") || df.schema("id").nullable
+    if (mayMint) out.localCheckpoint(true) else out
+  }
 
   /** M1: create a library from a chunk DataFrame (missing columns are
     * filled by [[normalize]]; embeddings are computed when absent). */
@@ -1296,7 +1375,7 @@ class LibraryCatalog(
     * they are written (a new part, never a rewrite). */
   def addChunks(name: String, newChunks: DataFrame): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
-    val added = normalize(newChunks, m.dim, modelOf(m))
+    val added = normalizeStable(newChunks, m.dim, modelOf(m))
     incrementalIndexRows(m, name, added) match {
       case Some(newRows) =>
         commitDelta(m, added, None, PatchIndex(Some(newRows), None))
@@ -1397,19 +1476,26 @@ class LibraryCatalog(
       newText: Option[String] = None,
       newMetadata: Option[Column] = None): LibraryMeta = withWriteLock(name) {
     val m = requireMeta(name)
+    // ingest parity: normalize trims and drops blank text at ingest; an
+    // update setting blank text must fail LOUDLY (dropping would delete
+    // the row), and the trimmed form must be what embeds — the same
+    // text ingested vs updated must get the same embedding
+    newText.foreach(t => require(t.trim.nonEmpty,
+      s"graft ingest validation: text cannot be blank (chunk $id)"))
+    val trimmedText = newText.map(_.trim)
     // only the chunk's bucket is READ or written: the manifest names its
     // leaf dirs, every other bucket is referenced, not copied or scanned
     val b = bucketOfId(id, m.buckets)
     val bucket = chunksInBuckets(name, m, Set(b))
     val updated = bucket
       .where(col("id") === id)
-      .withColumn("text", newText.map(lit).getOrElse(col("text")))
+      .withColumn("text", trimmedText.map(lit).getOrElse(col("text")))
       .withColumn("embedding",
         if (newText.isDefined) modelOf(m).embedCol(col("text"), m.dim)
         else col("embedding"))
       .withColumn("metadata", newMetadata match {
-        case Some(nm) => // replace, preserving created_at
-          nm.cast(chunkMetadataType)
+        case Some(nm) => // replace (validated), preserving created_at
+          validatedMetadata(nm)
             .withField("created_at", col("metadata.created_at"))
         case None => col("metadata")
       })
@@ -1479,7 +1565,8 @@ class LibraryCatalog(
         .withColumn(
           "metadata",
           when(matches,
-            newMetadata.withField("created_at", col("metadata.created_at")))
+            validatedMetadata(newMetadata)
+              .withField("created_at", col("metadata.created_at")))
             .otherwise(col("metadata")))
       commitDelta(m, bucketRows, Some(affected), CarryArtifacts,
         metadataOnly = true)
@@ -1522,18 +1609,30 @@ class LibraryCatalog(
     import LibraryCatalog._
     val m = requireMeta(name)
     // desugar document cascade to its predicate form (M7 == M5-by-pred)
+    // and apply the ingest-parity guards ONCE up front (trimmed
+    // non-blank text, validated metadata) so the one-pass arm enforces
+    // exactly what the sequential methods do
     val norm: Seq[Mutation] = ops.map {
       case DeleteDocumentOp(d) => DeleteChunksWhereOp(col("document_id") === d)
-      case o                   => o
+      case UpdateChunkOp(id, t, md) =>
+        t.foreach(x => require(x.trim.nonEmpty,
+          s"graft ingest validation: text cannot be blank (chunk $id)"))
+        UpdateChunkOp(id, t.map(_.trim), md.map(validatedMetadata))
+      case UpdateMetadataWhereOp(p, nm) =>
+        UpdateMetadataWhereOp(p, validatedMetadata(nm))
+      case o => o
     }
     if (norm.isEmpty) m
     else {
       val nOps = norm.size
       def hitCol(i: Int) = s"__hit_$i"
-      // Adds are normalized ONCE (shape + embed) outside the fold — the
-      // fold may run twice (probe + rewrite) and must stage identical rows.
+      // Adds are normalized AND PINNED once (shape + embed +
+      // normalizeStable's minted-id materialization) outside the fold —
+      // the fold's lineage is evaluated by multiple jobs (probe,
+      // chunk write, index rows) and must stage identical rows, down to
+      // the minted uuids.
       val normalizedAdds: Map[Int, DataFrame] = norm.zipWithIndex.collect {
-        case (AddChunksOp(rows), i) => i -> normalize(rows, m.dim, modelOf(m))
+        case (AddChunksOp(rows), i) => i -> normalizeStable(rows, m.dim, modelOf(m))
       }.toMap
       // Sequential-state fold: materialize each op's match as a column
       // computed AFTER all earlier transforms, then apply the op's own
@@ -1670,9 +1769,16 @@ class LibraryCatalog(
                 .map(i => obs.get(s"n_$i").asInstanceOf[Long]).sum == 0L)
               throw NoopMutation
           },
-            // in THIS arm CarryArtifacts ⇔ no adds/deletes/re-embeds —
-            // a pure metadata batch, embeddings untouched
-            metadataOnly = op == CarryArtifacts)
+            // metadataOnly certifies NO (id, embedding) pair changed.
+            // `op == CarryArtifacts` is NOT that certificate here: on an
+            // HNSW library an add-only batch yields CarryArtifacts
+            // (incrementalIndexRows has no graph rows to append), and
+            // treating it as metadata-only would carry the persisted
+            // graph forward WITHOUT the added rows — silently invisible
+            // to every search until an unrelated rebuild. Track the row
+            // changes themselves.
+            metadataOnly =
+              !hasTombstones && addIdx.isEmpty && textUpdatedIds.isEmpty)
         } catch {
           case NoopMutation => m // nothing matched: no new version
         }
@@ -1791,7 +1897,24 @@ class LibraryCatalog(
   def updateLibrary(
       name: String,
       newName: Option[String] = None,
-      newTags: Option[Seq[String]] = None): LibraryMeta = withWriteLock(name) {
+      newTags: Option[Seq[String]] = None): LibraryMeta = {
+    // a rename involves TWO names: without the target's lock, a
+    // concurrent createLibrary(target) can interleave between the
+    // exists() check and the rename — under Hadoop rename semantics an
+    // existing destination directory swallows the source INSIDE it,
+    // orphaning the library. Locks acquire in sorted order (the global
+    // convention that makes two concurrent renames deadlock-free).
+    val target0 = newName.getOrElse(name)
+    val lockNames = Seq(name, target0).distinct.sorted
+    lockNames.foldRight(() => updateLibraryLocked(name, newName, newTags)) {
+      (n, inner) => () => withWriteLock(n)(inner())
+    }()
+  }
+
+  private def updateLibraryLocked(
+      name: String,
+      newName: Option[String],
+      newTags: Option[Seq[String]]): LibraryMeta = {
     val m = requireMeta(name)
     val target = newName.getOrElse(name)
     if (target != name) {
@@ -2001,9 +2124,13 @@ class LibraryCatalog(
     * re-persist it). */
   private[graft] def loadPersistedHnsw(
       name: String): Option[(HnswIndex, IndexedSeq[String])] =
+    loadPersistedHnswAt(name, requireMeta(name).version)
+
+  private def loadPersistedHnswAt(
+      name: String, v: Long): Option[(HnswIndex, IndexedSeq[String])] =
     for {
-      g <- artifact(name, HnswGraphArtifact)
-      meta <- artifact(name, HnswMetaArtifact)
+      g <- artifactAt(name, HnswGraphArtifact, v)
+      meta <- artifactAt(name, HnswMetaArtifact, v)
     } yield {
       val rows = g.select("ord", "id", "level", "vec", "nbrs")
         .orderBy("ord").limit(hnswMaxRows + 1).collect()
@@ -2036,7 +2163,9 @@ class LibraryCatalog(
     evictStaleHnsw(name, version)
     hnswGraphs.getOrElseUpdate(
       (name, version),
-      loadPersistedHnsw(name).getOrElse {
+      // the graph load is pinned to THIS version — a concurrent commit
+      // must never get its v+1 graph memoized under v's cache key
+      loadPersistedHnswAt(name, version).getOrElse {
         buildHnswGraph(all).getOrElse(throw new IllegalArgumentException(
           s"hnsw library '$name' exceeds the driver-local graph cap of " +
             s"$hnswMaxRows rows; use HnswIndex.searchPartitioned over " +
@@ -2060,7 +2189,11 @@ class LibraryCatalog(
       includeEmbeddings: Boolean = false,
       strictParity: Boolean = true): DataFrame = {
     val m = requireMeta(name)
-    val all = chunks(name)
+    // EVERYTHING this query reads is pinned to m.version: re-resolving
+    // the pointer per table would let a concurrent commit pair
+    // version-v chunks with version-v+1 index artifacts (wrong or
+    // shrunken candidate sets mid-snapshot)
+    val all = chunksAt(name, m.version)
     val qv = modelOf(m).embedLocal(queryText, m.dim).toSeq
     // ranking metric: the reference ALWAYS ranks with the indexer default
     // (euclidean) and only scores with the requested metric
@@ -2068,7 +2201,7 @@ class LibraryCatalog(
     val rankMetric = if (strictParity) Euclidean else metric
     val base = m.indexer match {
       case LshIndexer =>
-        indexTable(name) match {
+        artifactAt(name, "index", m.version) match {
           case Some(sig) =>
             // the persisted sig table is table_idx-partitioned: the
             // pruned probe reads L one-partition scans, not the corpus
@@ -2076,14 +2209,17 @@ class LibraryCatalog(
           case None => all
         }
       case IvfIndexer =>
-        (indexTable(name), centroidsTable(name)) match {
+        (artifactAt(name, "index", m.version),
+          artifactAt(name, "centroids", m.version)) match {
           case (Some(asn), Some(centsDf)) =>
             // cell-partitioned assignments: nProbe partition dirs read
             IvfIndex.candidateBase(all, asn, centsDf, qv, k, ivfParams, "id")
           case _ => all
         }
       case IvfPqIndexer =>
-        (indexTable(name), centroidsTable(name), codebookTable(name)) match {
+        (artifactAt(name, "index", m.version),
+          artifactAt(name, "centroids", m.version),
+          artifactAt(name, "codebook", m.version)) match {
           case (Some(codes), Some(centsDf), Some(cbT)) =>
             // cell-pruned codes read, ADC-ranked to RefineFactor*k
             // candidate ids, exact re-rank below; under-k → full scan
@@ -2178,8 +2314,14 @@ object LibraryCatalog {
   private val writeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
-  private val observedSessions = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // WEAK keys: the registry must never pin a SparkSession (and its
+  // listener) for the JVM's life — a session-per-tenant server or test
+  // harness creating short-lived sessions would otherwise leak every
+  // one of them. The listener itself dies with its session's
+  // listenerManager; this set only dedups registration.
+  private val observedSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Encodes the warning context in the observation name so the listener
     * can reconstruct it: `graft_underk|<lib>|<k>|<tagged>|<seq>`. */

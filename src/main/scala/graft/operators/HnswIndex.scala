@@ -268,9 +268,12 @@ class HnswIndex(
       })
     }
     if (entryPoint.contains(id)) {
+      // max-level (min-id tie-break) survivor in ONE pass — a sort here
+      // would make every entry-point delete (and every update() of the
+      // entry node) O(n log n) plus a full tuple materialization
       entryPoint =
         if (vectors.isEmpty) None
-        else Some(levels.toSeq.sortBy { case (n, l) => (-l, n) }.head._1)
+        else Some(levels.minBy { case (n, l) => (-l, n) }._1)
     }
   }
 
@@ -392,7 +395,8 @@ object HnswIndex {
       embCol: String = "embedding",
       m: Int = 16,
       efConstruction: Int = 200,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L,
+      maxLevel: Int = 4): Unit = {
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -407,20 +411,22 @@ object HnswIndex {
         val rows = it.toArray.sortBy(_._1)
         if (rows.isEmpty) Iterator.empty
         else {
-          val idx = build(rows.iterator, m, efConstruction, seed = seed)
+          val idx = build(rows.iterator, m, efConstruction, maxLevel, seed)
           val entry = idx.entry.get
-          // build parameters ride WITH the artifact: a restore that
-          // assumed defaults would probe a non-default graph with the
-          // wrong ef floor and mutate it with the wrong m/seed
+          // ALL build parameters ride WITH the artifact — maxLevel too:
+          // a restore assuming the default would reject any node above
+          // it (restore's lvl <= maxLevel require) the moment a
+          // non-default build exists
           idx.exportNodes.iterator.zipWithIndex.map {
             case ((id, vec, lvl, nbrs), ord) =>
               (part, ord.toLong, id, vec.toSeq, lvl,
-                nbrs.map(_.toSeq).toSeq, entry, m, efConstruction, seed)
+                nbrs.map(_.toSeq).toSeq, entry, m, efConstruction, seed,
+                maxLevel)
           }
         }
       }
       .toDF("part", "ord", "id", "vec", "level", "nbrs", "entry",
-        "m", "efc", "seed")
+        "m", "efc", "seed", "max_level")
       .write.mode("overwrite").partitionBy("part").parquet(path)
   }
 
@@ -442,20 +448,21 @@ object HnswIndex {
     val art = spark.read.parquet(path)
       .select(col("part").cast("int"), col("ord"), col("id"),
         col("vec"), col("level"), col("nbrs"), col("entry"),
-        col("m"), col("efc"), col("seed"))
-      .as[(Int, Long, Long, Array[Float], Int, Seq[Seq[Long]], Long, Int, Int, Long)]
+        col("m"), col("efc"), col("seed"), col("max_level"))
+      .as[(Int, Long, Long, Array[Float], Int, Seq[Seq[Long]], Long, Int, Int, Long, Int)]
     val perPartition = art
       .groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
         val sorted = rows.toArray.sortBy(_._2)
         val idx = restore(
-          sorted.iterator.map { case (_, _, id, vec, lvl, nbrs, _, _, _, _) =>
+          sorted.iterator.map { case (_, _, id, vec, lvl, nbrs, _, _, _, _, _) =>
             (id, vec, lvl, nbrs.map(_.toArray).toArray)
           },
           entry = Some(sorted.head._7),
           nextOrd = sorted.length.toLong,
           m = sorted.head._8,
           efConstruction = sorted.head._9,
+          maxLevel = sorted.head._11,
           seed = sorted.head._10)
         qBc.value.iterator.flatMap { case (qid, qv) =>
           idx.search(qv, k).map { case (id, d) => (qid, id, d) }

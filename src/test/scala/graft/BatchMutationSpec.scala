@@ -183,6 +183,78 @@ class BatchMutationSpec extends SparkSpec with BeforeAndAfterAll {
       .where(col("id") === "x5").count() > 0L)
   }
 
+  test("an add-only batch on an HNSW library invalidates the persisted graph (adds are never metadata-only)") {
+    import spark.implicits._
+    catalog.createLibrary("b_hnsw_add", HnswIndexer, corpus(), overwrite = true)
+    catalog.rebuildIndex("b_hnsw_add") // persists hnsw_graph/hnsw_meta
+    assert(catalog.loadPersistedHnsw("b_hnsw_add").isDefined)
+    // HNSW has no incremental index rows, so the artifact op is
+    // CarryArtifacts — but the ROWS changed, so the stale graph must be
+    // dropped, or the added chunk would be invisible to every search
+    // until an unrelated rebuild
+    val add = Seq(("bh-new", "d0", "hnsw batch add visibility fixture"))
+      .toDF("id", "document_id", "text")
+    catalog.applyBatch("b_hnsw_add", Seq(AddChunksOp(add)))
+    assert(catalog.loadPersistedHnsw("b_hnsw_add").isEmpty,
+      "add-only batch carried the stale persisted graph forward")
+    val hit = catalog
+      .search("b_hnsw_add", "hnsw batch add visibility fixture", k = 1)
+      .head()
+    assert(hit.getAs[String]("id") === "bh-new",
+      "added chunk invisible to HNSW search after applyBatch")
+  }
+
+  test("minted ids are identical in the chunk table and the index (the delta lineage is pinned)") {
+    // rows arrive WITHOUT ids across many partitions: normalize mints
+    // uuid()s, and the chunk write + index-row write each evaluate the
+    // delta — unpinned, the two jobs can mint DIFFERENT ids (uuid is
+    // partition-layout-dependent) and the index would reference phantom
+    // ids, leaving the rows silently unsearchable through the probe
+    catalog.createLibrary("b_mint", LshIndexer, corpus(), overwrite = true)
+    val noIds = spark.range(64).repartition(8).select(
+      concat(lit("d"), pmod(col("id"), lit(4))).as("document_id"),
+      concat(lit("minted id fixture chunk "), col("id")).as("text"))
+    catalog.addChunks("b_mint", noIds)
+    val chunkIds = catalog.chunks("b_mint")
+      .select("id").collect().map(_.getString(0)).toSet
+    val indexIds = catalog.indexTable("b_mint").get
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(indexIds.subsetOf(chunkIds),
+      s"index references ${(indexIds -- chunkIds).size} phantom ids " +
+        "that exist in no chunk row")
+    // and every ADDED row is indexed (64 new + 60 original)
+    assert(indexIds.size === chunkIds.size,
+      s"index covers ${indexIds.size} of ${chunkIds.size} chunks")
+  }
+
+  test("update paths enforce the ingest invariants (blank text, bad metadata fail loudly)") {
+    catalog.createLibrary("b_valid", FlatIndexer, corpus(), overwrite = true)
+    val blank = intercept[IllegalArgumentException] {
+      catalog.updateChunk("b_valid", "c1", newText = Some("   "))
+    }
+    assert(blank.getMessage.contains("text cannot be blank"))
+    val badPage = intercept[Exception] {
+      catalog.updateChunk("b_valid", "c1", newMetadata = Some(struct(
+        lit("s").as("source"),
+        lit(null).cast("timestamp").as("created_at"),
+        array(lit("t")).as("tags"),
+        lit(null).cast("string").as("author"),
+        lit(null).cast("string").as("title"),
+        lit(null).cast("string").as("description"),
+        lit(-1).as("page"))))
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(badPage).contains("page must be non-negative"), msgs(badPage))
+    // and the trimmed update embeds like ingest would: same text, same
+    // embedding whether it arrived by create or by update
+    catalog.updateChunk("b_valid", "c1", newText = Some("  padded update text  "))
+    val row = catalog.chunks("b_valid").where(col("id") === "c1")
+      .select("text").head()
+    assert(row.getString(0) === "padded update text",
+      "update did not trim like ingest")
+  }
+
   test("a batch matching nothing commits no new version") {
     catalog.createLibrary("b_noop", FlatIndexer, corpus(), overwrite = true)
     val before = catalog.readMeta("b_noop").get.version
