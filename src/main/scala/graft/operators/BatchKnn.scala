@@ -87,6 +87,12 @@ object BatchKnn {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
+    // k <= 0 would reach h.head on an empty heap inside an executor —
+    // an opaque task failure instead of this message
+    require(k > 0, s"k must be positive, got $k")
+    val dims = queries.map(_._2.length).distinct
+    require(dims.size == 1, s"query batch mixes dimensions: $dims")
+    val qDim = dims.head
     val spark = corpus.sparkSession
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] =
@@ -107,13 +113,19 @@ object BatchKnn {
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
         while (it.hasNext) {
           val (id, emb) = it.next()
-          var qi = 0
-          while (qi < qs.length) {
-            val d = distLocal(metric, emb, qs(qi)._2)
-            val h = heaps(qi)
-            if (h.size < k) h.enqueue((d, id))
-            else if (ord.lt((d, id), h.head)) { h.dequeue(); h.enqueue((d, id)) }
-            qi += 1
+          // null / dimension-mismatched corpus rows never enter a heap —
+          // the single-query path ranks them NULL-last (FlatKnn's
+          // asc_nulls_last), i.e. outside any top-k a valid row could
+          // fill; computing on them here would NPE or read out of bounds
+          if (emb != null && emb.length == qDim) {
+            var qi = 0
+            while (qi < qs.length) {
+              val d = distLocal(metric, emb, qs(qi)._2)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((d, id))
+              else if (ord.lt((d, id), h.head)) { h.dequeue(); h.enqueue((d, id)) }
+              qi += 1
+            }
           }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>

@@ -38,41 +38,52 @@ object IvfIndex {
       .map(_.getSeq[Float](1).toArray)
       .toIndexedSeq
 
+  /** The nearest-centroid cell as ONE shared column expression —
+    * euclidean distances in centroid order, FIRST-minimum tie-break
+    * (the oracle's `list_position(ds, list_min(ds))` semantics). Both
+    * IVF assignment and the IVF-PQ codes writer derive their `cell`
+    * from exactly this expression; two copies could drift and assign
+    * the same vector to different cells across the two indexes. */
+  private[operators] def nearestCellCol(
+      cents: IndexedSeq[Array[Float]], embCol: String): Column = {
+    val dists = array(cents.map(c =>
+      VectorFunctions.euclidean(col(embCol), typedLit(c.toSeq))): _*)
+    array_position(dists, array_min(dists)) - 1
+  }
+
   /** Cell of every vector: index of the nearest centroid (euclidean),
-    * ties resolved to the FIRST minimal centroid — the same semantics
-    * as `list_position(ds, list_min(ds))` in the oracle. */
+    * ties resolved to the FIRST minimal centroid. */
   def cellAssignments(
       df: DataFrame,
       cents: IndexedSeq[Array[Float]],
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val dists = array(cents.map(c =>
-      VectorFunctions.euclidean(col(embCol), typedLit(c.toSeq))): _*)
-    df.select(col(idCol), dists.as("__ds"))
-      .select(
-        col(idCol),
-        (array_position(col("__ds"), array_min(col("__ds"))) - 1).as("cell"))
-  }
-
-  /** Driver-local euclidean — same op order as the column builder. */
-  private def distLocal(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0
-    var i = 0
-    while (i < a.length) {
-      val d = a(i).toDouble - b(i)
-      s += d * d
-      i += 1
-    }
-    math.sqrt(s)
-  }
+      embCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), nearestCellCol(cents, embCol).as("cell"))
 
   /** The nProbe cells nearest to the query, by (dist, cell). */
-  def probeCells(query: Seq[Float], cents: IndexedSeq[Array[Float]], nProbe: Int): Seq[Long] =
+  def probeCells(query: Seq[Float], cents: IndexedSeq[Array[Float]], nProbe: Int): Seq[Long] = {
+    // loud on a mis-dimensioned query: the local kernel would read out
+    // of bounds where the SQL-side distance path degrades to NULL
+    require(cents.isEmpty || query.length == cents.head.length,
+      s"query dim ${query.length} != centroid dim ${cents.headOption.map(_.length).getOrElse(0)}")
+    val q = query.toArray
     cents.indices
-      .map(i => (distLocal(query.toArray, cents(i)), i.toLong))
+      .map(i => (BatchKnn.distLocal(VectorFunctions.Euclidean, q, cents(i)), i.toLong))
       .sortBy(identity)
       .take(nProbe)
       .map(_._2)
+  }
+
+  /** The shared under-k fallback: semi-join the candidate ids into the
+    * corpus, return the materialized candidates when they can fill k,
+    * the full corpus otherwise. Counting AFTER the join is load-bearing
+    * — candidate ids from a drifted index could exceed k while < k of
+    * them exist in the corpus. */
+  private[operators] def candidatesOrAll(
+      df: DataFrame, candIds: DataFrame, k: Int, idCol: String): DataFrame = {
+    val cands = df.join(candIds, Seq(idCol), "left_semi").localCheckpoint(true)
+    if (cands.count() >= k) cands else df
+  }
 
   /** Centroids as a persistable DataFrame (cid, embedding) — the small
     * side of the index. cid is the ordinal into [[centroids]]' order. */
@@ -131,8 +142,7 @@ object IvfIndex {
     val candIds = assignments
       .where(col("cell").isin(probed: _*))
       .select(idCol)
-    val cands = df.join(candIds, Seq(idCol), "left_semi").localCheckpoint(true)
-    if (cands.count() >= k) cands else df
+    candidatesOrAll(df, candIds, k, idCol)
   }
 
   /** Probe a prebuilt index, then exact re-rank — the scale path. */
@@ -162,15 +172,12 @@ object IvfIndex {
       embCol: String = "embedding"): DataFrame = {
     val cents = centroids(df, p, idCol, embCol)
     val probed = probeCells(query, cents, p.nProbe)
-    val cand = df
-      .join(
-        cellAssignments(df, cents, idCol, embCol)
-          .where(col("cell").isin(probed: _*))
-          .select(idCol),
-        Seq(idCol),
-        "left_semi")
-      .localCheckpoint(true)
-    val base = if (cand.count() >= k) cand else df
+    val base = candidatesOrAll(
+      df,
+      cellAssignments(df, cents, idCol, embCol)
+        .where(col("cell").isin(probed: _*))
+        .select(idCol),
+      k, idCol)
     FlatKnn.search(base, query, k, metric, idCol, embCol)
   }
 }

@@ -83,12 +83,12 @@ object PqIndex {
       coarseCents: IndexedSeq[Array[Float]],
       p: Params = Params(),
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val cellDs = array(coarseCents.map(c =>
-      VectorFunctions.euclidean(col(embCol), typedLit(c.toSeq))): _*)
+      embCol: String = "embedding"): DataFrame =
+    // the coarse cell MUST be the same first-minimum expression IVF
+    // assignment uses (shared helper) — drift would assign the same
+    // vector to different cells in the IVF and IVF-PQ indexes
     df.select(col(idCol) +: codeColumns(cb, p, embCol) :+
-      (array_position(cellDs, array_min(cellDs)) - 1).cast("int").as("cell"): _*)
-  }
+      IvfIndex.nearestCellCol(coarseCents, embCol).cast("int").as("cell"): _*)
 
   /** Codebook as a persistable DataFrame `(s, j, vals)` — m*k rows. */
   def codebookDf(spark: SparkSession, cb: Array[Array[Array[Double]]]): DataFrame = {
@@ -115,13 +115,19 @@ object PqIndex {
   def adcTable(
       query: Seq[Float],
       cb: Array[Array[Array[Double]]],
-      p: Params = Params()): Array[Array[Double]] =
+      p: Params = Params()): Array[Array[Double]] = {
+    // loud on a mis-dimensioned query: the driver-side kernel would
+    // otherwise throw an opaque IndexOutOfBounds mid-tabulate where the
+    // SQL-side distance path degrades to NULL
+    require(query.length >= p.m * p.dsub,
+      s"PQ query needs dim >= ${p.m * p.dsub}, got ${query.length}")
     Array.tabulate(p.m, p.k) { (s, j) =>
       (0 until p.dsub).foldLeft(0.0) { (acc, d) =>
         val diff = query(s * p.dsub + d).toDouble - cb(s)(j)(d)
         acc + diff * diff
       }
     }
+  }
 
   /** ADC score of a row's code columns: m literal-array lookups summed
     * in fixed subspace order. */
@@ -172,7 +178,12 @@ object PqIndex {
         .orderBy(col("__adc").asc_nulls_last, col(idCol).asc)
         .limit(RefineFactor * k)
         .select(idCol)
-      df.join(topIds, Seq(idCol), "left_semi")
+      // the fallback decision must count CANDIDATES THAT EXIST IN THE
+      // CORPUS, not raw code rows (IvfIndex.candidateBase's discipline):
+      // a codes table drifted from df — stale index, superset corpus —
+      // could pass the codes count yet semi-join to < k rows, silently
+      // under-filling with the documented fallback never firing
+      IvfIndex.candidatesOrAll(df, topIds, k, idCol)
     }
   }
 }

@@ -161,20 +161,41 @@ case class GroupedTopKExec(
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordProj = UnsafeProjection.create(ordExprs, childOutput)
-      // max-heap under the keep-order: head is the WORST retained row,
-      // evicted when a better one arrives
-      val cmp: Ordering[(Long, Long, UnsafeRow)] = new Ordering[(Long, Long, UnsafeRow)] {
-        override def compare(a: (Long, Long, UnsafeRow), b: (Long, Long, UnsafeRow)): Int = {
-          val c = if (desc) java.lang.Long.compare(b._1, a._1)
-                  else java.lang.Long.compare(a._1, b._1)
-          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-        }
+      // NULL discipline matches the window formulation this operator
+      // substitutes for (Spark defaults: asc = NULLS FIRST, desc =
+      // NULLS LAST; the tie column always asc = NULLS FIRST). Each sort
+      // value is a (class, value) pair — reading getLong on a null slot
+      // would silently rank nulls as 0 among real values. Keep-order
+      // entries are (oCls, oVal, tCls, tVal, row); the heap is a
+      // max-heap under keep-order, head = worst retained row.
+      def oCls(isNull: Boolean): Int =
+        if (desc) { if (isNull) 1 else 0 } // nulls LAST among desc values
+        else { if (isNull) 0 else 1 }      // nulls FIRST among asc values
+      def keepCompare(
+          aoc: Int, aov: Long, atc: Int, atv: Long,
+          boc: Int, bov: Long, btc: Int, btv: Long): Int = {
+        // class comparison is asc in both directions by construction
+        // (the class encodes where nulls sort for this direction)
+        var c = Integer.compare(aoc, boc)
+        if (c == 0 && aoc == oCls(isNull = false))
+          c = if (desc) java.lang.Long.compare(bov, aov)
+              else java.lang.Long.compare(aov, bov)
+        if (c == 0) c = Integer.compare(atc, btc)
+        if (c == 0 && atc == 1) c = java.lang.Long.compare(atv, btv)
+        c
       }
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Long, Long, UnsafeRow)]]
+      type Entry = (Int, Long, Int, Long, InternalRow)
+      val cmp: Ordering[Entry] = new Ordering[Entry] {
+        override def compare(a: Entry, b: Entry): Int =
+          keepCompare(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4)
+      }
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
       iter.foreach { row =>
         val o = ordProj(row)
-        val oVal = o.getLong(0)
-        val tVal = o.getLong(1)
+        val oc = oCls(o.isNullAt(0))
+        val oVal = if (o.isNullAt(0)) 0L else o.getLong(0)
+        val tc = if (o.isNullAt(1)) 0 else 1 // tie: asc, nulls first
+        val tVal = if (o.isNullAt(1)) 0L else o.getLong(1)
         // probe with the projection's reused buffer; copy the key only
         // when it is actually inserted
         val key = keyProj(row)
@@ -189,23 +210,22 @@ case class GroupedTopKExec(
                   "by key so each task holds a bounded slice, raise " +
                   "maxRetained deliberately, or use the window formulation " +
                   "for unbounded key domains")
-            val h = mutable.PriorityQueue.empty[(Long, Long, UnsafeRow)](cmp)
+            val h = mutable.PriorityQueue.empty[Entry](cmp)
             heaps.put(key.copy(), h)
             h
         }
         if (heap.size < kk) {
-          heap.enqueue((oVal, tVal, row.asInstanceOf[UnsafeRow].copy()))
+          heap.enqueue((oc, oVal, tc, tVal, row.copy()))
         } else {
           val worst = heap.head
-          val c = if (desc) java.lang.Long.compare(worst._1, oVal)
-                  else java.lang.Long.compare(oVal, worst._1)
-          if (c < 0 || (c == 0 && tVal < worst._2)) {
+          if (keepCompare(oc, oVal, tc, tVal,
+              worst._1, worst._2, worst._3, worst._4) < 0) {
             heap.dequeue()
-            heap.enqueue((oVal, tVal, row.asInstanceOf[UnsafeRow].copy()))
+            heap.enqueue((oc, oVal, tc, tVal, row.copy()))
           }
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+      heaps.valuesIterator.flatMap(_.iterator.map(_._5))
     }, preservesPartitioning = true)
   }
 }

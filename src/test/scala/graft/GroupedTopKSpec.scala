@@ -22,6 +22,29 @@ class GroupedTopKSpec extends SparkSpec {
       .select("lang", "doc_id", "n_chars")
   }
 
+  test("NULL order values rank exactly like the window formulation (asc = nulls first, desc = nulls last)") {
+    // a null order value must never silently compete as 0 — it follows
+    // Spark's own sort-direction null placement, pinned against the
+    // window twin on a fixture where nulls, negatives, and zero coexist
+    val rows = Seq(
+      ("a", 1L, java.lang.Long.valueOf(5L)), ("a", 2L, null),
+      ("a", 3L, java.lang.Long.valueOf(-7L)), ("a", 4L, java.lang.Long.valueOf(0L)),
+      ("b", 5L, null), ("b", 6L, null), ("b", 7L, java.lang.Long.valueOf(2L)))
+      .toDF("g", "id", "v")
+    for (desc <- Seq(false, true); k <- Seq(1, 2)) {
+      val o = if (desc) col("v").desc else col("v").asc
+      val expected = rows
+        .withColumn("__r", row_number().over(
+          Window.partitionBy("g").orderBy(o, col("id"))))
+        .where(col("__r") <= k).drop("__r")
+        .select("g", "id").as[(String, Long)].collect().toSet
+      val fast = GroupedTopK
+        .topKPerGroup(rows, Seq("g"), "v", k, desc, tieCol = "id")
+        .select("g", "id").as[(String, Long)].collect().toSet
+      assert(fast === expected, s"desc=$desc k=$k")
+    }
+  }
+
   test("matches the window row_number formulation, asc and desc") {
     for (desc <- Seq(true, false); k <- Seq(1, 3, 7)) {
       val fast = GroupedTopK
