@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * .assignComposed`): exact int64 distances, strict-< running minimum =
   * lowest centroid id wins ties (the composition's `array_position`
   * first-match) — asserted bitwise in KMeansSpec. A vector of the wrong
-  * dimension yields NULL, mirroring what zip_with's null-padding does
-  * to the composition.
+  * dimension — or one carrying a NULL element — yields NULL, mirroring
+  * the composition (zip_with null-pads the former; a null element nulls
+  * every composed distance, so `array_position` finds nothing). Reading
+  * a null slot via getLong would silently treat it as 0 and assign the
+  * row to a cluster computed from garbage.
   */
 case class KMeansAssign(child: Expression, centroids: Array[Array[Long]])
     extends UnaryExpression {
@@ -42,9 +45,18 @@ case class KMeansAssign(child: Expression, centroids: Array[Array[Long]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
+  private def hasNullElement(v: ArrayData): Boolean = {
+    var i = 0
+    while (i < v.numElements()) {
+      if (v.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (v.numElements() != dim) null
+    if (v.numElements() != dim || hasNullElement(v)) null
     else {
       var best = 0
       var bd = Long.MaxValue
@@ -75,8 +87,15 @@ case class KMeansAssign(child: Expression, centroids: Array[Array[Long]])
       val dist = ctx.freshName("dist")
       val i = ctx.freshName("i")
       val t = ctx.freshName("t")
+      val nn = ctx.freshName("nn")
       s"""
-      |if ($v.numElements() != $dim) { ${ev.isNull} = true; } else {
+      |boolean $nn = ($v.numElements() != $dim);
+      |if (!$nn) {
+      |  for (int $i = 0; $i < $dim; $i++) {
+      |    if ($v.isNullAt($i)) { $nn = true; break; }
+      |  }
+      |}
+      |if ($nn) { ${ev.isNull} = true; } else {
       |  int $best = 0;
       |  long $bd = Long.MAX_VALUE;
       |  for (int $c = 0; $c < $k; $c++) {

@@ -59,7 +59,13 @@ object AsOfJoin {
         col(leftTs).as("__ats"),
         lit(1).as("__side"),
         lit(null).cast(rvType).as("__rv")): _*)
-    val rSide = right.select(
+    // ASOF semantics treat a NULL timestamp comparison as NO MATCH (the
+    // DuckDB oracle's behavior): a null-ts right row can never be "the
+    // most recent at-or-before" anything — unfiltered it sorts first
+    // under NULLS FIRST and leaks its payload into every left row that
+    // has no real match. (Null-ts LEFT rows sort before every right row
+    // and correctly surface with a NULL match.)
+    val rSide = right.where(col(rightTs).isNotNull).select(
       keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c =>
           lit(null).cast(left.schema(left.schema.fieldIndex(c)).dataType).as(c)) ++
@@ -69,7 +75,7 @@ object AsOfJoin {
           struct(rightVals.map(c => col(c).as(c)): _*).as("__rv")): _*)
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ats").asc, col("__side").asc)
+      .orderBy(col("__ats").asc_nulls_first, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
@@ -90,6 +96,7 @@ object AsOfJoin {
       rightTs: String,
       rightVals: Seq[String],
       prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
     val leftCols = left.columns.toSeq
     val rvType = StructType(rightVals.map(c =>
       right.schema(right.schema.fieldIndex(c))))
@@ -98,7 +105,8 @@ object AsOfJoin {
         col(leftTs).as("__ats"),
         lit(1).as("__side"),
         lit(null).cast(rvType).as("__rv")): _*)
-    val rSide = right.select(
+    // null-ts right rows never match (see asOfBackward)
+    val rSide = right.where(col(rightTs).isNotNull).select(
       keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c =>
           lit(null).cast(left.schema(left.schema.fieldIndex(c)).dataType).as(c)) ++
@@ -108,10 +116,13 @@ object AsOfJoin {
           struct(rightVals.map(c => col(c).as(c)): _*).as("__rv")): _*)
     // descending time puts LATER rows first, so the running last() seen
     // at a left row is the earliest right row >= it; right still sorts
-    // before left at equal timestamps (inclusive match)
+    // before left at equal timestamps (inclusive match). NULLS FIRST
+    // keeps a null-ts LEFT row AHEAD of every right row (a plain desc
+    // sorts it last, where it would wrongly pick up the minimum-ts
+    // right row as its "next event" instead of a NULL match).
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ats").desc, col("__side").asc)
+      .orderBy(col("__ats").desc_nulls_first, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))

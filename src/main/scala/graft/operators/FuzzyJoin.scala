@@ -49,11 +49,15 @@ object FuzzyJoin {
     val rv = right.select(
       struct(right.columns.map(col): _*).as("__r"),
       explode(deletionVariants(col(rightKey))).as("__variant"))
+    // verify BEFORE the distinct: ED=2 false candidates (pairs sharing a
+    // variant but not within distance 1) would otherwise ride the
+    // dedup's exchange as full row-struct pairs — the filter commutes
+    // with distinct and thins the one wide shuffle this join has
     lv.join(rv, Seq("__variant"))
       .select(col("__l"), col("__r"))
-      .distinct()
       .where(
         levenshtein(col(s"__l.$leftKey"), col(s"__r.$rightKey")) <= 1)
+      .distinct()
       .select(col("__l.*") +: right.columns.map(c => col(s"__r.$c")): _*)
   }
 }

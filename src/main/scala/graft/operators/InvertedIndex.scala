@@ -36,23 +36,30 @@ import graft.functions.Embedder
   */
 object InvertedIndex {
 
-  /** Term-hash partition count for the persisted postings table. At
-    * 100 TB this scales up (e.g. 4096) so one bucket ≈ one task's
-    * worth of postings; the lookup cost stays |query terms| buckets. */
+  /** DEFAULT term-hash partition count for NEW indexes. At 100 TB this
+    * scales up (e.g. 4096) so one bucket ≈ one task's worth of
+    * postings; the lookup cost stays |query terms| buckets. The count
+    * is a BUILD parameter persisted WITH the index (`_meta.txt`) and
+    * read back by [[read]] — pruning with a different modulus than the
+    * build's would select partitions that don't hold the terms'
+    * postings and silently return false negatives (the same
+    * wrong-parameter-restore class the HNSW artifacts guard against). */
   val NumBuckets = 32
+
+  private val MetaFile = "_meta.txt"
 
   /** Catalyst-side bucket of a term (md5-prefix hash, NOT Spark's
     * seed-dependent `hash()` — the driver must compute the same value
     * without a job, see [[bucketOf]]). */
-  def bucketCol(term: Column): Column =
-    pmod(Embedder.md5Int(term), lit(NumBuckets.toLong)).cast("int")
+  def bucketCol(term: Column, numBuckets: Int = NumBuckets): Column =
+    pmod(Embedder.md5Int(term), lit(numBuckets.toLong)).cast("int")
 
   /** Driver-side twin of [[bucketCol]] (equality over the whole vocab
     * pinned in InvertedIndexSpec) — lets a lookup prune partitions
     * with literal INT bucket ids (matching the discovered partition
     * column type, so pruning sees no cast), no helper job. */
-  def bucketOf(term: String): Int =
-    java.lang.Math.floorMod(Embedder.md5IntLocal(term), NumBuckets.toLong).toInt
+  def bucketOf(term: String, numBuckets: Int = NumBuckets): Int =
+    java.lang.Math.floorMod(Embedder.md5IntLocal(term), numBuckets.toLong).toInt
 
   /** The token stream with 0-based positions: one `(term, doc_id, pos,
     * bucket)` row per token occurrence. Tokenization is the corpus
@@ -71,26 +78,66 @@ object InvertedIndex {
       .withColumn("bucket", bucketCol(col("term")))
 
   /** Build the persisted index: one pass over the corpus, one shuffle
-    * (keyed on bucket so each bucket directory is one task's output). */
+    * (keyed on bucket so each bucket directory is one task's output).
+    * The bucket count is persisted beside the data — it is a build
+    * parameter of the layout, not a constant of the code. */
   def build(
       docs: DataFrame,
       path: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit =
+      textCol: String = "text"): Unit = {
     postings(docs, idCol, textCol)
       .repartition(col("bucket"))
       .write
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"num_buckets=$NumBuckets".getBytes("UTF-8"))
+    finally out.close()
+  }
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  /** The bucket count a persisted index was BUILT with (None for
+    * indexes predating the meta file — those were all built at the
+    * then-and-now default). */
+  def persistedNumBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val body = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        body.linesIterator.collectFirst {
+          case l if l.startsWith("num_buckets=") =>
+            l.stripPrefix("num_buckets=").trim.toInt
+        }
+      } finally in.close()
+    }
+  }
+
+  /** Read + VALIDATE: pruning with a different modulus than the index
+    * was built under selects partitions that don't hold the query
+    * terms' postings — matching documents would vanish with NO error.
+    * A persisted count that differs from this code's [[NumBuckets]]
+    * therefore fails loudly (rebuild the index, or run the matching
+    * code version) instead of silently returning false negatives. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    persistedNumBuckets(spark, path).foreach(nb =>
+      require(nb == NumBuckets,
+        s"inverted index at $path was built with num_buckets=$nb but this " +
+          s"code prunes with $NumBuckets — lookups would silently miss " +
+          "documents; rebuild the index"))
     spark.read.parquet(path)
+  }
 
   /** Pruned postings for a query term set: partition filter on the
     * terms' literal bucket ids + a pushed `term IN (…)` row filter. */
   private def termPostings(idx: DataFrame, terms: Seq[String]): DataFrame = {
-    val buckets = terms.map(bucketOf).distinct
+    val buckets = terms.map(bucketOf(_)).distinct
     idx.where(
       col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
   }

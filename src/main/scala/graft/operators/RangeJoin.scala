@@ -59,10 +59,19 @@ object RangeJoin {
       .withColumn("__b0", expr(s"`$startCol` DIV ${bucketWidth}L"))
       .withColumn("__b1", expr(s"`$endCol` DIV ${bucketWidth}L"))
       // fail fast instead of silently materializing a replica storm —
-      // raise_error is codegen'd and costs nothing on the good path
+      // raise_error is codegen'd and costs nothing on the good path.
+      // INVERTED intervals (end < start) must short-circuit to an empty
+      // bucket array, not reach sequence(): the span check is trivially
+      // true for a negative span, and sequence(b0, b1) with b0 > b1
+      // generates a DESCENDING array — a malformed (1e9, 0) interval
+      // would materialize a gigarow array per row, the exact storm the
+      // guard exists for. BETWEEN is unsatisfiable for them anyway, so
+      // dropping matches the exact predicate.
       .withColumn("__bucket", explode(
-        when(col("__b1") - col("__b0") < lit(maxBucketsPerInterval.toLong),
-          sequence(col("__b0"), col("__b1")))
+        when(col("__b1") < col("__b0"),
+          array().cast("array<bigint>"))
+          .when(col("__b1") - col("__b0") < lit(maxBucketsPerInterval.toLong),
+            sequence(col("__b0"), col("__b1")))
           .otherwise(raise_error(concat(
             lit(s"RangeJoin: interval spans >= $maxBucketsPerInterval buckets of width $bucketWidth; "),
             lit("widen bucketWidth or route it through pointInIntervalBroadcast"))))))

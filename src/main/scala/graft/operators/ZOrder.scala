@@ -79,10 +79,16 @@ object ZOrder {
     if (sh > 0) (v - lo) >> sh else (v - lo) << -sh
   }
 
-  /** Bucket = top `bits` bits of each dimension, interleaved: 2^(2*bits)
-    * buckets forming a 2^bits × 2^bits grid over the key space. */
+  /** Bucket = top `bits` bits of the interleaved z-value: 2^(2*bits)
+    * buckets forming a 2^bits × 2^bits grid over the key space. ONE
+    * definition — [[writeLayout]] derives its partition column through
+    * this same helper, so the bucket formula cannot drift between the
+    * documented grid and the written layout. */
+  def zBucketOf(zvalue: Column, bits: Int): Column =
+    shiftright(zvalue, 32 - 2 * bits)
+
   def zBucket(x: Column, y: Column, bits: Int): Column =
-    shiftright(zValue16(x, y), 32 - 2 * bits)
+    zBucketOf(zValue16(x, y), bits)
 
   /** Inclusive zone rectangle per bucket, derived from the DATA (so the
     * zones are correct by construction, never from the bucket formula):
@@ -106,12 +112,22 @@ object ZOrder {
       yLo: Long, yHi: Long,
       out: String,
       bits: Int = 3): Unit = {
+    // the z-value is a WORKING column: it drives the partition bucket
+    // and the within-bucket sort, then drops before the write — at the
+    // layouts this targets, persisting 8 dead bytes per row is real
+    // storage and scan width. A __-prefixed temp name also means a user
+    // column called zvalue is never silently clobbered (zbucket IS
+    // persisted as the partition dir, so that name stays reserved —
+    // checked loudly).
+    require(!df.columns.contains("zbucket"),
+      "ZOrder.writeLayout: input already has a 'zbucket' column — rename it")
     val xb = scale16(col(xCol), xLo, xHi)
     val yb = scale16(col(yCol), yLo, yHi)
-    df.withColumn("zvalue", zValue16(xb, yb))
-      .withColumn("zbucket", shiftright(col("zvalue"), 32 - 2 * bits))
+    df.withColumn("__zvalue", zValue16(xb, yb))
+      .withColumn("zbucket", zBucketOf(col("__zvalue"), bits))
       .repartition(col("zbucket"))
-      .sortWithinPartitions("zbucket", "zvalue")
+      .sortWithinPartitions("zbucket", "__zvalue")
+      .drop("__zvalue")
       .write
       .partitionBy("zbucket")
       .mode("overwrite")

@@ -50,6 +50,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("b5") === Some(6L))
   }
 
+  test("NULL timestamps never match (ASOF comparison semantics), left null-ts rows surface with NULL") {
+    // a null-ts RIGHT row must never be "the most recent at-or-before"
+    // anything (it previously sorted NULLS FIRST and leaked its payload
+    // into every matchless left row); a null-ts LEFT row stays in the
+    // output — it is a LEFT join — with a NULL match in BOTH directions
+    val l = Seq(("a", Some(20L), "a20"), ("a", None, "aN"), ("c", Some(7L), "c7"))
+      .toDF("k", "t0", "label")
+      .withColumn("t", timestamp_micros(col("t0"))).drop("t0")
+    val r = Seq(("a", Some(10L), 1.0), ("a", None, 99.0), ("c", None, 98.0))
+      .toDF("k", "t0", "v")
+      .withColumn("t", timestamp_micros(col("t0"))).drop("t0")
+    val back = AsOfJoin.asOfBackward(l, r, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(x => x.getAs[String]("label") -> Option(x.get(x.fieldIndex("asof_v")))).toMap
+    assert(back("a20") === Some(1.0)) // the real row, not the null-ts 99.0
+    assert(back("aN") === None, "null-ts left row must get a NULL match")
+    assert(back("c7") === None, "null-ts right row leaked its payload")
+    val fwd = AsOfJoin.asOfForward(l, r, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(x => x.getAs[String]("label") -> Option(x.get(x.fieldIndex("asof_v")))).toMap
+    assert(fwd("aN") === None,
+      "null-ts left row wrongly picked up a 'next event' in forward mode")
+    assert(fwd("c7") === None)
+  }
+
   test("matches the naive quadratic formulation on real events") {
     val ev = SparkEntry.events(spark, sfDir)
     val p = ev.where(col("event_type") === "purchase")

@@ -74,6 +74,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("an INVERTED interval (end < start) drops instead of materializing a descending bucket storm") {
+    // its negative span trivially passes the `< maxBuckets` guard, and
+    // sequence(b0, b1) with b0 > b1 is a DESCENDING array — a malformed
+    // (1e9, 0) interval would materialize a gigarow array per row;
+    // BETWEEN is unsatisfiable for it, so the row must simply drop
+    val inverted = Seq((1L, 1000000000L, 0L), (2L, 10L, 20L))
+      .toDF("ival_id", "lo", "hi")
+    val out = RangeJoin
+      .pointInInterval(points, "pt", inverted, "lo", "hi", bucketWidth = 8L)
+      .select("ival_id").distinct().as[Long].collect().toSet
+    assert(out === Set(2L), s"inverted interval produced matches: $out")
+  }
+
   test("a bucket-storm interval fails fast instead of exploding") {
     val giant = Seq((1L, 0L, Long.MaxValue / 2)).toDF("ival_id", "lo", "hi")
     val e = intercept[Exception] {
