@@ -1966,9 +1966,20 @@ class LibraryCatalog(
       // post-upgrade stream restart would see None and RE-INGEST the
       // replayed batch (the exact duplicate the marker prevents). The
       // next recordIngestedBatch writes the new name, which then shadows
-      // the legacy file here.
-      .orElse(readMarker(
-        s"_ingest_${sourceId.replaceAll("[^A-Za-z0-9._-]", "_")}"))
+      // the legacy file here. ONLY consulted when sanitizing rewrote
+      // nothing: for a rewritten id (e.g. "a/b" → "a_b") the legacy
+      // filename is shared with every id that sanitizes the same way,
+      // so reading it would let one stream consume another's batch id
+      // and silently skip a real batch — the exact collision the
+      // injective naming exists to prevent. Rewritten-id markers from
+      // the legacy era are unrecoverable-ambiguous by construction;
+      // treating them as absent re-ingests at most one replayed batch
+      // (idempotent downstream) instead of dropping a real one.
+      .orElse {
+        val sanitized = sourceId.replaceAll("[^A-Za-z0-9._-]", "_")
+        if (sanitized == sourceId) readMarker(s"_ingest_$sanitized")
+        else None
+      }
   }
 
   def recordIngestedBatch(name: String, sourceId: String, batchId: Long): Unit = {

@@ -92,7 +92,21 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
         require(mode == "PERMISSIVE" || mode == "FAILFAST",
           s"graft-jsonl: unsupported mode '$mode' (PERMISSIVE | FAILFAST)")
         mode == "FAILFAST"
-      })
+      },
+      Option(opts.get("unterminatedStablePolls")).map(_.toInt)
+        .map { n =>
+          require(n >= 2,
+            s"graft-jsonl: unterminatedStablePolls must be >= 2, got $n")
+          n
+        }
+        .getOrElse(JsonlV2.DefaultUnterminatedStablePolls),
+      Option(opts.get("unterminatedStableMs")).map(_.toLong)
+        .map { ms =>
+          require(ms >= 0,
+            s"graft-jsonl: unterminatedStableMs must be >= 0, got $ms")
+          ms
+        }
+        .getOrElse(JsonlV2.DefaultUnterminatedStableMs))
   }
 }
 
@@ -119,6 +133,18 @@ class SerializableHConf(@transient var value: Configuration) extends Serializabl
 
 object JsonlV2 {
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** An unterminated final line is only admitted as real data after its
+    * raw length has been seen unchanged this many consecutive polls AND
+    * for at least this long. Two-poll stability alone is not enough: a
+    * fast trigger makes the window sub-second, so a writer stalled
+    * mid-line for one scheduling hiccup would get its partial line
+    * admitted — and the offset advance makes the tear permanent (the
+    * head parses as garbage, the later tail as a second garbage row).
+    * Both knobs are source options (`unterminatedStablePolls`,
+    * `unterminatedStableMs`) so slow-writer deployments can raise them. */
+  val DefaultUnterminatedStablePolls: Int = 3
+  val DefaultUnterminatedStableMs: Long = 2000L
 
   /** DRIVER-side Hadoop conf for filesystem access: the active/default
     * session's `hadoopConfiguration` when one exists (so
@@ -371,7 +397,9 @@ case class JsonlTable(
     path: String,
     tableSchema: StructType,
     splitBytes: Long,
-    failFast: Boolean = false)
+    failFast: Boolean = false,
+    stablePolls: Int = JsonlV2.DefaultUnterminatedStablePolls,
+    stableMs: Long = JsonlV2.DefaultUnterminatedStableMs)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl:$path"
   override def schema(): StructType = tableSchema
@@ -382,7 +410,7 @@ case class JsonlTable(
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlScanBuilder(path, tableSchema, splitBytes, failFast)
+    new JsonlScanBuilder(path, tableSchema, splitBytes, failFast, stablePolls, stableMs)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new JsonlWriteBuilder(path, info.schema())
 }
@@ -391,7 +419,9 @@ class JsonlScanBuilder(
     path: String,
     fullSchema: StructType,
     splitBytes: Long,
-    failFast: Boolean = false)
+    failFast: Boolean = false,
+    stablePolls: Int = JsonlV2.DefaultUnterminatedStablePolls,
+    stableMs: Long = JsonlV2.DefaultUnterminatedStableMs)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -449,7 +479,8 @@ class JsonlScanBuilder(
   override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   override def build(): Scan =
-    JsonlScan(path, fullSchema, required, pushed, splitBytes, limit, failFast, aggs)
+    JsonlScan(path, fullSchema, required, pushed, splitBytes, limit, failFast, aggs,
+      stablePolls, stableMs)
 }
 
 case class JsonlScan(
@@ -460,7 +491,9 @@ case class JsonlScan(
     splitBytes: Long,
     limit: Int,
     failFast: Boolean = false,
-    pushedAggs: Option[Seq[JsonlAgg]] = None)
+    pushedAggs: Option[Seq[JsonlAgg]] = None,
+    stablePolls: Int = JsonlV2.DefaultUnterminatedStablePolls,
+    stableMs: Long = JsonlV2.DefaultUnterminatedStableMs)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -519,7 +552,8 @@ case class JsonlScan(
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new JsonlMicroBatchStream(path, fullSchema, required, pushed, splitBytes, failFast)
+    new JsonlMicroBatchStream(path, fullSchema, required, pushed, splitBytes, failFast,
+      stablePolls, stableMs)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // zone pruning: a file whose committed numeric min/max provably
@@ -1008,7 +1042,9 @@ class JsonlMicroBatchStream(
     required: StructType,
     pushed: Array[Filter],
     splitBytes: Long,
-    failFast: Boolean = false)
+    failFast: Boolean = false,
+    stablePolls: Int = JsonlV2.DefaultUnterminatedStablePolls,
+    stableMs: Long = JsonlV2.DefaultUnterminatedStableMs)
     extends streaming.MicroBatchStream
     with streaming.SupportsTriggerAvailableNow {
 
@@ -1018,13 +1054,21 @@ class JsonlMicroBatchStream(
   @transient private val lastAligned =
     new scala.collection.concurrent.TrieMap[String, Long]
 
-  /** Last RAW length seen per unterminated file: a file whose final
-    * byte is not '\n' but whose length has been STABLE across two
-    * consecutive snapshots is complete (its producer just never wrote
-    * a trailing newline) — admit it whole, or it would be invisible to
-    * the stream forever while the batch reader returns its rows. */
+  /** Stability tracking per unterminated file: a file whose final byte
+    * is not '\n' but whose raw length has been STABLE long enough is
+    * complete (its producer just never wrote a trailing newline) —
+    * admit it whole, or it would be invisible to the stream forever
+    * while the batch reader returns its rows. "Long enough" =
+    * unchanged across >= [[stablePolls]] consecutive snapshots AND for
+    * >= [[stableMs]] wall-clock ms: two-poll stability alone admits a
+    * torn line when a writer stalls mid-append across two fast-trigger
+    * polls, and the offset advance makes the tear PERMANENT. A stalled
+    * writer that outlasts both thresholds is indistinguishable from a
+    * finished one by construction — the knobs bound the exposure, the
+    * source options let slow-writer deployments widen them. */
+  private case class UntermSeen(len: Long, firstSeenMs: Long, polls: Int)
   @transient private val lastRawUnterminated =
-    new scala.collection.concurrent.TrieMap[String, Long]
+    new scala.collection.concurrent.TrieMap[String, UntermSeen]
 
   /** Offset snapshot with LINE-ALIGNMENT: a raw getLen taken while a
     * writer is mid-append would make this batch read through the torn
@@ -1055,13 +1099,26 @@ class JsonlMicroBatchStream(
                 lastAligned.put(p.toString, len)
                 lastRawUnterminated.remove(p.toString)
                 len
-              } else if (lastRawUnterminated.get(p.toString).contains(len)) {
-                // unterminated but stable across two snapshots: complete
-                lastAligned.put(p.toString, len)
-                len
               } else {
-                lastRawUnterminated.put(p.toString, len)
-                lastAligned.getOrElse(p.toString, 0L)
+                val now = System.currentTimeMillis()
+                lastRawUnterminated.get(p.toString) match {
+                  case Some(seen) if seen.len == len
+                      && seen.polls + 1 >= stablePolls
+                      && now - seen.firstSeenMs >= stableMs =>
+                    // unterminated but stable across enough polls and
+                    // wall-clock: complete — admit the final line whole
+                    lastAligned.put(p.toString, len)
+                    lastRawUnterminated.remove(p.toString)
+                    len
+                  case Some(seen) if seen.len == len =>
+                    lastRawUnterminated.put(
+                      p.toString, seen.copy(polls = seen.polls + 1))
+                    lastAligned.getOrElse(p.toString, 0L)
+                  case _ =>
+                    lastRawUnterminated.put(
+                      p.toString, UntermSeen(len, now, 1))
+                    lastAligned.getOrElse(p.toString, 0L)
+                }
               }
             } finally in.close()
           }

@@ -117,6 +117,19 @@ object StreamingIngest {
     // newer stream's early batches look like replays (silently dropped)
     val sourceId = "ck" + java.security.MessageDigest.getInstance("MD5")
       .digest(checkpoint.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // migration: this id was previously derived from a 32-bit murmur of
+    // the checkpoint path ("ck" + up to 8 hex). A warehouse whose last
+    // marker predates the md5 derivation would look never-ingested under
+    // the new id, and a restart inside foreachBatch's at-least-once
+    // replay window would RE-INGEST the duplicate batch the marker
+    // exists to prevent. Carry the legacy marker forward once; the next
+    // recordIngestedBatch keeps the new name current.
+    if (catalog.lastIngestedBatch(library, sourceId).isEmpty) {
+      val legacyId = "ck" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(checkpoint).toLong & 0xffffffffL)
+      catalog.lastIngestedBatch(library, legacyId)
+        .foreach(b => catalog.recordIngestedBatch(library, sourceId, b))
+    }
     val q = ingestInto(catalog, library, chunks, sourceId)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

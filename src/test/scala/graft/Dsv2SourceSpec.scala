@@ -244,17 +244,26 @@ class Dsv2SourceSpec extends SparkSpec {
     val w = new java.io.FileWriter(f)
     try w.write("{\"doc_id\":1}\n{\"doc_id\":2}") finally w.close() // no trailing \n
     val schema = StructType(Seq(StructField("doc_id", LongType)))
-    val ms = new JsonlMicroBatchStream(out, schema, schema, Array.empty, 1L << 20)
+    // stablePolls=3, stableMs=0: the test drives polls explicitly and
+    // pins the poll-count gate; the wall-clock gate is orthogonal
+    val ms = new JsonlMicroBatchStream(out, schema, schema, Array.empty, 1L << 20,
+      stablePolls = 3, stableMs = 0L)
     def files(o: org.apache.spark.sql.connector.read.streaming.Offset) =
       o.asInstanceOf[JsonlStreamOffset].files
     // first sight: the unterminated tail is indistinguishable from a
     // mid-append — clamped out entirely
     val o1 = ms.latestOffset(JsonlStreamOffset(Map.empty), null)
     assert(files(o1).values.sum === 0L)
-    // second sight, length unchanged: the file is complete — admitted
-    // whole (previously it stayed invisible to the stream FOREVER while
-    // the batch reader returned its rows)
-    val o2 = ms.latestOffset(o1, null)
+    // second sight, length unchanged: still NOT admitted — two-poll
+    // stability would tear a writer stalled mid-line across two fast
+    // triggers, and the offset advance makes the tear permanent
+    val o1b = ms.latestOffset(o1, null)
+    assert(files(o1b).values.sum === 0L,
+      "unterminated file admitted after only two polls")
+    // third sight, length still unchanged: the file is complete —
+    // admitted whole (previously it stayed invisible to the stream
+    // FOREVER while the batch reader returned its rows)
+    val o2 = ms.latestOffset(o1b, null)
     assert(files(o2).values.sum === f.length(),
       "stable unterminated file not admitted")
     val splits = ms.planInputPartitions(o1, o2)
@@ -267,6 +276,15 @@ class Dsv2SourceSpec extends SparkSpec {
     val o3 = fresh.latestOffset(o2, null)
     assert(files(o3) === files(o2),
       s"restarted stream regressed the offset: ${files(o3)} vs ${files(o2)}")
+    // wall-clock gate: even with the poll count satisfied, a stream
+    // configured with a long stability window keeps clamping
+    val slow = new JsonlMicroBatchStream(out, schema, schema, Array.empty, 1L << 20,
+      stablePolls = 3, stableMs = 3600000L)
+    var os: org.apache.spark.sql.connector.read.streaming.Offset =
+      JsonlStreamOffset(Map.empty)
+    (1 to 5).foreach(_ => os = slow.latestOffset(os, null))
+    assert(files(os).values.sum === 0L,
+      "unterminated file admitted before the wall-clock stability window")
   }
 
   test("a file appended to AFTER its job commit is never zone-pruned (stats predate its tail)") {

@@ -113,10 +113,16 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   test("as-of join: event_type pushed to both scans, one keyed exchange, no join") {
     val plan = planOf("q_asof_join")
-    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
-      s"purchase filter not pushed:\n$plan")
-    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)"),
-      s"click filter not pushed:\n$plan")
+    // Assert the pushed predicates individually (order/neighbour-insensitive):
+    // the right side gained IsNotNull(ts) when AsOfJoin started excluding
+    // null-timestamp rows, and a literal multi-filter pin went stale.
+    val pushedLines = plan.linesIterator.filter(_.contains("PushedFilters: [")).toSeq
+    def pushedWith(pred: String): Boolean =
+      pushedLines.exists(l => l.contains(pred) && l.contains("IsNotNull(event_type)"))
+    assert(pushedWith("EqualTo(event_type,purchase)"), s"purchase filter not pushed:\n$plan")
+    assert(pushedWith("EqualTo(event_type,click)"), s"click filter not pushed:\n$plan")
+    assert(pushedLines.exists(l => l.contains("EqualTo(event_type,click)") && l.contains("IsNotNull(ts)")),
+      s"click-side null-ts guard not pushed:\n$plan")
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
     // exactly two exchanges: the click-dedup aggregation + the window key
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length

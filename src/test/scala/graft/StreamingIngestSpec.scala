@@ -170,6 +170,45 @@ class StreamingIngestSpec extends SparkSpec with BeforeAndAfterAll {
     // a new-format write then shadows the legacy file
     catalog.recordIngestedBatch("marker_lib", "topic.x-1", 42L)
     assert(catalog.lastIngestedBatch("marker_lib", "topic.x-1") === Some(42L))
+    // the legacy fallback is restricted to ids sanitizing rewrote
+    // NOTHING of: a legacy `_ingest_x_y` file is shared by every raw id
+    // that sanitizes to "x_y" ("x/y", "x:y", …), so a rewritten id must
+    // NOT read it — one stream would consume another's batch id and
+    // silently skip a real batch (the collision the injective naming
+    // fixed would persist through the fallback window)
+    val shared = new java.io.File(s"$warehouse/marker_lib/_ingest_x_y")
+    val w2 = new java.io.FileWriter(shared)
+    try w2.write("9") finally w2.close()
+    assert(catalog.lastIngestedBatch("marker_lib", "x/y") === None,
+      "rewritten sourceId read a shared legacy marker")
+    assert(catalog.lastIngestedBatch("marker_lib", "x_y") === Some(9L),
+      "identity-sanitized sourceId must still honor its legacy marker")
+  }
+
+  test("runOnce honors a pre-md5 (murmur-derived) checkpoint marker: no duplicate re-ingest after upgrade") {
+    import graft.catalog.Models
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val catalog = new LibraryCatalog(spark, warehouse)
+    catalog.createLibrary("murmur_lib", Models.FlatIndexer,
+      Seq(("m-1", "d-1", "murmur fixture text")).toDF("id", "document_id", "text"),
+      overwrite = true)
+    val ckpt = Files.createTempDirectory("graft-murmur-ck-").toString
+    // a warehouse written before the md5 sourceId derivation carries the
+    // marker under "ck" + 8-hex murmur of the checkpoint path; a restart
+    // inside foreachBatch's at-least-once replay window must still see it
+    val legacyId = "ck" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(ckpt).toLong & 0xffffffffL)
+    catalog.recordIngestedBatch("murmur_lib", legacyId, 0L)
+    val mem = MemoryStream[(String, String, String)]
+    mem.addData(("mm-1", "doc-live", "replayed batch that must be skipped"))
+    StreamingIngest.runOnce(
+      catalog, "murmur_lib",
+      mem.toDF().toDF("id", "document_id", "text"), ckpt)
+    // batch 0 is a replay per the migrated marker — NOT re-ingested
+    assert(catalog.chunks("murmur_lib").count() === 1L,
+      "pre-upgrade replay marker ignored: duplicate batch re-ingested")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
   test("streamingDedup keeps first occurrences only, across batches (flatMapGroupsWithState)") {
