@@ -5375,18 +5375,39 @@ object SparkEntry {
          |FROM m ORDER BY doc_id""".stripMargin
     },
     "q_simhash_pairs" -> {
+      // 64-bit fingerprint assembled overflow-free on the DuckDB side:
+      // bits 0-31 vote on the first 8 md5 hex chars (hv0), bits 32-62 on
+      // the next 8 (hv1), and bit 63 — whose signed value (1<<63) would
+      // trip DuckDB's shift overflow check — contributes the BIGINT min
+      // literal instead. list_sum goes through HUGEINT; the outer CAST
+      // lands the exact two's-complement long Spark computes. The
+      // QUALIFY mirrors NearDup.capBuckets (deterministic id-ordered
+      // bucket cap) so the oracle stays exact at any corpus scale, not
+      // just below the cap threshold.
       val p = SimHash.Params()
+      require(p.bits == 64 && p.chunks == 4,
+        "q_simhash_pairs oracle SQL is written for the 64-bit/4-chunk layout")
       s"""WITH hs AS (
-         |  SELECT doc_id, list_transform(string_split(text,' '), t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hv
+         |  SELECT doc_id,
+         |    list_transform(string_split(text,' '), t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hv0,
+         |    list_transform(string_split(text,' '), t -> ('0x'||substr(md5(t),9,8))::BIGINT) AS hv1
          |  FROM documents),
          |sim AS (
-         |  SELECT doc_id,
-         |    list_sum(list_transform(range(0,${p.bits}), b ->
-         |      CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |           THEN (1::BIGINT << b) ELSE 0 END)) AS sh
+         |  SELECT doc_id, CAST(
+         |    list_sum(list_transform(range(0,32), b ->
+         |      CASE WHEN list_sum(list_transform(hv0, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN (1::BIGINT << b) ELSE 0 END))
+         |    + list_sum(list_transform(range(0,31), b ->
+         |      CASE WHEN list_sum(list_transform(hv1, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN (1::BIGINT << (b+32)) ELSE 0 END))
+         |    + CASE WHEN list_sum(list_transform(hv1, h -> CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN (-9223372036854775807 - 1) ELSE 0 END
+         |    AS BIGINT) AS sh
          |  FROM hs),
-         |chunks AS (SELECT doc_id, sh, c, (sh >> (${p.chunkBits}*c)) & ${(1L << p.chunkBits) - 1} AS chunk
-         |           FROM sim, range(0,${p.chunks}) cc(c)),
+         |chunks AS (
+         |  SELECT doc_id, sh, c, (sh >> (${p.chunkBits}*c)) & ${(1L << p.chunkBits) - 1} AS chunk
+         |  FROM sim, range(0,${p.chunks}) cc(c)
+         |  QUALIFY row_number() OVER (PARTITION BY c, chunk ORDER BY doc_id) <= ${p.maxBucket}),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
          |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)

@@ -98,15 +98,17 @@ object Md5Expressions {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
   }
 
-  /** One-pass SimHash from a token array: md5-prefix hash per token
-    * ([[chunk]] 0 of its digest — identical to `Embedder.md5Int`), then
-    * bit b of the result is set iff the sign-vote over tokens is
-    * positive. Value-identical to the composed transform + `bits`
-    * aggregate passes; one digest buffer, one pass, `bits` counters.
-    * Shared by [[SimhashFromTokens]]'s interpreted and generated
-    * paths. */
+  /** One-pass SimHash from a token array: 64-bit md5 hash per token —
+    * digest [[chunk]] 0 in the LOW 32 bits (so bits 0-31 vote exactly as
+    * `Embedder.md5Int`, keeping bits<=32 fingerprints value-identical to
+    * the historical form) and chunk 1 in the high 32 — then bit b of the
+    * result is set iff the sign-vote over tokens is positive.
+    * Value-identical to the composed transform + `bits` aggregate
+    * passes; one digest buffer, one pass, `bits` counters. Shared by
+    * [[SimhashFromTokens]]'s interpreted and generated paths. */
   def simhashFromTokens(
       tokens: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int): Long = {
+    require(bits >= 1 && bits <= 64, s"simhash bits must be in [1,64], got $bits")
     val votes = new Array[Long](bits)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
@@ -114,7 +116,7 @@ object Md5Expressions {
     while (i < n) {
       md.reset()
       val d = md.digest(tokens.getUTF8String(i).getBytes)
-      val h = chunk(d, 0)
+      val h = chunk(d, 0) | (chunk(d, 4) << 32)
       var b = 0
       while (b < bits) {
         votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)

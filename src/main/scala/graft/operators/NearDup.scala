@@ -45,7 +45,7 @@ object NearDup {
     * oversized bucket, which for boilerplate is the exact-dedup path's
     * job anyway. The window's hot-key task is linear in bucket size
     * (tiny rows), versus the quadratic join it prevents. */
-  private def capBuckets(
+  private[operators] def capBuckets(
       df: DataFrame,
       keys: Seq[String],
       idCol: String,

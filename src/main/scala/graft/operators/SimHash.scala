@@ -9,23 +9,40 @@ import graft.functions.Embedder
   * Hamming distance tracks weighted token-multiset similarity.
   *
   * Candidate generation uses the pigeonhole chunk trick: split the
-  * fingerprint into `chunks` byte-sized pieces; two fingerprints within
-  * Hamming distance (chunks - 1) MUST agree on at least one chunk, so a
+  * fingerprint into `chunks` pieces; two fingerprints within Hamming
+  * distance (chunks - 1) MUST agree on at least one chunk, so a
   * self-join on (chunk_idx, chunk_value) finds every candidate without
   * all-pairs. Verification recomputes the exact Hamming distance on the
   * candidates only.
   *
   * At 100 TB: each document contributes `chunks` rows of (id, 8-byte
-  * fingerprint, chunk) to the join — no text is shuffled; chunk-value
-  * buckets are bounded by 2^8 distinct values per index, so skew is
-  * capped by true fingerprint collisions (mass-duplicated boilerplate),
-  * same caveat as MinHash banding.
+  * fingerprint, chunk) to the join — no text is shuffled. Two guards
+  * keep the candidate set LINEAR in corpus size, because the bucket
+  * space alone does not (any fixed bucket count eventually makes
+  * candidates ~n²/buckets):
+  *   - 64-bit fingerprints with 16-bit chunks give 4 × 65,536 bucket
+  *     keys, so random (non-near-dup) chunk collisions stay rare far
+  *     longer than the 8-bit-chunk layout they replaced (which packed
+  *     the whole corpus into 1,024 buckets — measured quadratic at ×10
+  *     corpus scale);
+  *   - the same deterministic giant-bucket cap every other near-dup
+  *     path uses ([[NearDup.capBuckets]]) bounds the residual skew from
+  *     mass-duplicated boilerplate, which collides on ALL chunks by
+  *     construction and no bucket-space widening can spread out.
   */
 object SimHash {
 
-  /** bits=32 keeps every engine (Spark, DuckDB, JVM longs) exact;
-    * maxHamming=1 on 32 bits means "near-identical token profile". */
-  case class Params(bits: Int = 32, chunks: Int = 4, maxHamming: Int = 1) {
+  /** 64 bits / 16-bit chunks: pigeonhole sound for maxHamming <= 3, and
+    * every engine stays exact — the fingerprint is a plain signed LONG
+    * bit pattern on the JVM and a BIGINT in DuckDB (xor + bit_count are
+    * two's-complement-safe in both). maxBucket mirrors
+    * [[NearDup.Params.maxBucket]]. */
+  case class Params(
+      bits: Int = 64,
+      chunks: Int = 4,
+      maxHamming: Int = 3,
+      maxBucket: Int = 5000) {
+    require(bits >= 1 && bits <= 64, "bits must fit in one long")
     require(bits % chunks == 0, "bits must divide into chunks")
     require(maxHamming < chunks,
       "pigeonhole soundness needs maxHamming < chunks")
@@ -34,7 +51,10 @@ object SimHash {
 
   /** SimHash of a BOUND token-hash array column: bit b is set iff the
     * sum over tokens of (+1 if bit b of the token hash is set, else -1)
-    * is positive. */
+    * is positive. Token hashes carry up to 64 usable bits (see
+    * [[tokenHash64]]); `lit(1L << b)` is the signed bit value, so bit 63
+    * contributes Long.MinValue — the sum of distinct bit values is the
+    * fingerprint's exact two's-complement long. */
   def simhash(tokenHashes: Column, bits: Int): Column =
     (0 until bits)
       .map { b =>
@@ -47,6 +67,18 @@ object SimHash {
         when(vote > 0L, lit(1L << b)).otherwise(lit(0L))
       }
       .reduce(_ + _)
+
+  /** 64-bit per-token hash: md5 digest chunk 0 in the LOW 32 bits
+    * (identical to [[Embedder.md5Int]] there, so bits<=32 fingerprints
+    * match the historical layout) and chunk 1 in the high 32. DuckDB
+    * twin: `hv0 | (hv1 << 32)` assembled overflow-free from the first
+    * two 8-hex-char md5 prefixes (see the q_simhash_pairs oracle). */
+  def tokenHash64(token: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val chunks = ColumnBridge.column(
+      graft.functions.Md5Chunks(ColumnBridge.expression(token.cast("binary"))))
+    element_at(chunks, 1).bitwiseOR(shiftleft(element_at(chunks, 2), 32))
+  }
 
   /** (id, simhash) for every document — the fused one-pass
     * [[graft.functions.SimhashFromTokens]] kernel (the composed
@@ -74,11 +106,14 @@ object SimHash {
       p: Params = Params()): DataFrame =
     df.select(
         col(idCol),
-        transform(split(col(textCol), " ", -1), t => Embedder.md5Int(t)).as("__hv"))
+        transform(split(col(textCol), " ", -1), t => tokenHash64(t)).as("__hv"))
       .select(col(idCol), simhash(col("__hv"), p.bits).as("simhash"))
 
   /** Near-duplicate pairs (idA < idB) with exact Hamming distance <=
-    * maxHamming. */
+    * maxHamming. Buckets are capped ([[NearDup.capBuckets]]) before the
+    * self-join: members beyond the cap lose recall only against other
+    * members of the same oversized bucket — for the boilerplate that
+    * creates such buckets, the exact-dedup path's job anyway. */
   def nearDuplicatePairs(
       df: DataFrame,
       idCol: String = "doc_id",
@@ -89,10 +124,12 @@ object SimHash {
       shiftright(col("simhash"), c * p.chunkBits)
         .bitwiseAND(lit((1L << p.chunkBits) - 1)))
     // tiny (id, fingerprint, chunk) rows; checkpointing keeps the
-    // self-join from computing the 32 sign-vote aggregates twice
-    val chunked = fp.select(
-        col(idCol), col("simhash"),
-        posexplode(array(chunkVals: _*)).as(Seq("chunk_idx", "chunk_val")))
+    // self-join from computing the 64 sign-vote aggregates twice
+    val chunked = NearDup.capBuckets(
+        fp.select(
+          col(idCol), col("simhash"),
+          posexplode(array(chunkVals: _*)).as(Seq("chunk_idx", "chunk_val"))),
+        Seq("chunk_idx", "chunk_val"), idCol, p.maxBucket)
       .localCheckpoint(true)
     val a = chunked.select(
       col(idCol).as("id_a"), col("simhash").as("sh_a"),

@@ -22,9 +22,23 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("simhash: reported pairs respect the maxHamming bound and ordering") {
+    val maxH = SimHash.Params().maxHamming.toLong
     val rows = SimHash.nearDuplicatePairs(docs).collect()
-    assert(rows.forall(_.getAs[Long]("hamming") <= 1L))
+    assert(rows.forall(_.getAs[Long]("hamming") <= maxH))
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("simhash: 64-bit fingerprints use the full bit range and chunks cover 16 bits each") {
+    // a corpus-sized sample must produce fingerprints with high-32 bits
+    // set (the old 32-bit layout left them zero — 1,024 effective
+    // buckets, quadratic candidates at scale)
+    val fps = SimHash.fingerprints(docs, "doc_id", "text").limit(200)
+      .collect().map(_.getAs[Long]("simhash"))
+    assert(fps.exists(f => (f >>> 32) != 0L),
+      "no fingerprint uses the high 32 bits — layout regressed to 32-bit")
+    // and the sign bit is reachable (bit 63 votes on hv1 bit 31)
+    assert(fps.exists(_ < 0L) || fps.length < 50,
+      "no negative fingerprint in 200 docs — bit 63 never set")
   }
 
   test("simhash: fused kernel equals the built-in composition bit-for-bit") {
