@@ -69,8 +69,11 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     * never derives an index itself — it probes what the catalog
     * persisted, through a caller-supplied candidate builder that must
     * return a FRESH single-column DataFrame of candidate ids per call
-    * (fresh expr-ids keep the join side and the guard subquery from
-    * colliding) reading the pruned artifact table — never the corpus.
+    * (the rule calls it once PER REWRITE; fresh expr-ids keep two
+    * rewritten branches of one query tree from colliding — within a
+    * single rewrite the join side and the guard subquery share one
+    * plan, see probedSort) reading the pruned artifact table — never
+    * the corpus.
     * `embCol` names the vector column the artifact was built FROM: a
     * kNN over a different same-dim vector column of the same table
     * must not match this artifact (wrong-column probe = silent recall
@@ -214,22 +217,26 @@ object AnnProbeRule extends Rule[LogicalPlan] {
       idAttr <- child.output.find(a =>
         SQLConf.get.resolver(a.name, probe.idCol))
     } yield {
-      // two FRESH candidate plans (fresh expr-ids): one as the hash-join
-      // build side, one under the guard's scalar subquery — both read
+      // ONE optimized candidate plan, shared STRUCTURALLY by the
+      // hash-join build side and the guard's scalar subquery — both read
       // the pruned artifact, the corpus is scanned exactly once (the
       // join's probe side), and the artifact scans stay VISIBLE in the
       // final plan (auditable: PlanAuditSpec pins their partition
-      // pruning). Injected OPTIMIZED: user rules run after the main
-      // batches, so an analyzed subtree would carry nodes the planner
-      // can't take (distinct()'s Deduplicate, normally lowered to
-      // Aggregate earlier). The two extra pruned bucket reads per query
-      // are a fixed small cost at any corpus size — eagerly
-      // materializing-and-sharing them at rewrite time was measured
-      // ~0.4 s cheaper at demo scale but hides the probe from the plan
-      // (an ExistingRDD leaf), which is the wrong trade for an
-      // optimizer rule whose whole claim is the plan it produces.
+      // pruning). Sharing the same immutable subtree is safe because the
+      // two consumers live in separate plan scopes (main tree vs the
+      // subquery's self-contained tree — `child` below is shared the
+      // same way), and it halves the rewrite's driver cost: each
+      // `candidateIds().queryExecution.optimizedPlan` runs the full
+      // analyzer+optimizer (~0.15 s), the dominant fixed cost of the
+      // probe at demo scale. Injected OPTIMIZED: user rules run after
+      // the main batches, so an analyzed subtree would carry nodes the
+      // planner can't take (distinct()'s Deduplicate, normally lowered
+      // to Aggregate earlier). Eagerly materializing-and-sharing the
+      // candidates at rewrite time would be cheaper still but hides the
+      // probe from the plan (an ExistingRDD leaf) — the wrong trade for
+      // an optimizer rule whose whole claim is the plan it produces.
       val candPlan = probe.candidateIds(qv.toSeq).queryExecution.optimizedPlan
-      val guardPlan = probe.candidateIds(qv.toSeq).queryExecution.optimizedPlan
+      val guardPlan = candPlan
       val exists =
         AttributeReference("graft_ann_cand_exists", BooleanType, nullable = false)()
       val join = Join(child, candPlan, ExistenceJoin(exists),
