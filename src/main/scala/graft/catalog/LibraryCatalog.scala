@@ -188,7 +188,7 @@ class LibraryCatalog(
     * corrupt-pickle handling. */
   def listLibraries(): Seq[LibraryMeta] = {
     if (!fs.exists(new Path(warehouse))) return Seq.empty
-    fs.listStatus(new Path(warehouse))
+    val metas = fs.listStatus(new Path(warehouse))
       .filter(_.isDirectory)
       .flatMap { st =>
         val n = st.getPath.getName
@@ -201,6 +201,13 @@ class LibraryCatalog(
       }
       .sortBy(_.name)
       .toSeq
+    // startup recovery (S4) extends to the ANN probe registry: a fresh
+    // process that recovers its libraries gets their persisted artifacts
+    // probe-rewritable without any per-library register call (closures
+    // only — no job runs here). Last registration per token wins, same
+    // as the commit-time path.
+    metas.foreach(syncAnnProbeRegistration)
+    metas
   }
 
   // ------------------------------------------------------------- loading
@@ -761,7 +768,48 @@ class LibraryCatalog(
     // the driver-side twin of the on-disk GC above: drop superseded
     // versions' graphs from the hnsw cache
     evictStaleHnsw(m.name, v)
+    syncAnnProbeRegistration(updated)
     updated
+  }
+
+  /** Keep [[graft.plans.AnnProbeRule]]'s registry in step with the
+    * catalog lifecycle: every commit (re-)registers the library's
+    * persisted ANN artifact under the library's NAME as token, pinned to
+    * the just-committed version — a catalog-built lsh/ivf library is
+    * probe-rewritable with no explicit register call, and a mutation
+    * atomically moves the token to the new version's artifacts (the old
+    * pin can never serve a stale candidate set). Indexer families the
+    * rule cannot probe (flat, hnsw, ivfpq) DEREGISTER the name, so an
+    * indexer change never leaves a foreign probe behind. Registration
+    * builds closures only — no Spark job runs at commit time; the IVF
+    * centroids (a bounded collect) load lazily on the first probe. */
+  private def syncAnnProbeRegistration(m: LibraryMeta): Unit = {
+    import graft.plans.AnnProbeRule
+    def art(artifactName: String): DataFrame =
+      artifactAt(m.name, artifactName, m.version).getOrElse(
+        throw new IllegalStateException(
+          s"library '${m.name}' v${m.version}: $artifactName artifact missing"))
+    m.indexer match {
+      case LshIndexer =>
+        AnnProbeRule.register(m.name, AnnProbeRule.lshArtifact(
+          () => art("index"), lshParams(m.dim),
+          idCol = "id", embCol = "embedding"))
+      case IvfIndexer =>
+        val centsMemo =
+          new java.util.concurrent.atomic.AtomicReference[IndexedSeq[Array[Float]]]()
+        AnnProbeRule.register(m.name,
+          AnnProbeRule.ArtifactProbe("ivf", "id", m.dim, qv => {
+            var c = centsMemo.get
+            if (c == null) {
+              c = IvfIndex.centroidsOf(art("centroids"))
+              centsMemo.set(c)
+            }
+            val probed = IvfIndex.probeCells(qv, c, ivfParams.nProbe).map(_.toInt)
+            art("index").where(col("cell").isin(probed: _*)).select("id")
+          }, embCol = "embedding"))
+      case _ =>
+        AnnProbeRule.deregister(m.name)
+    }
   }
 
   /** FULL commit (createLibrary / rebuildIndex): write every row, point
@@ -1928,12 +1976,16 @@ class LibraryCatalog(
       // renamed library's index (same eviction deleteLibrary does)
       artifactSchemas.keys.filter(_._1 == name).foreach(artifactSchemas.remove)
       evictStaleHnsw(name, current = -1L)
+      // same reason for the ANN probe registry: the OLD token must not
+      // keep probing the renamed library's artifacts
+      graft.plans.AnnProbeRule.deregister(name)
     }
     val updated = m.copy(
       name = target,
       tags = newTags.getOrElse(m.tags),
       updatedAt = now())
     writeMeta(updated)
+    syncAnnProbeRegistration(updated)
     updated
   }
 
@@ -2008,6 +2060,9 @@ class LibraryCatalog(
     // drop the cached artifact schemas (and any cached hnsw graphs)
     artifactSchemas.keys.filter(_._1 == name).foreach(artifactSchemas.remove)
     evictStaleHnsw(name, current = -1L)
+    // ... and the ANN probe registration: a deleted library's token must
+    // fail loudly (unregistered), never probe GC'd artifacts
+    graft.plans.AnnProbeRule.deregister(name)
     ()
   }
 

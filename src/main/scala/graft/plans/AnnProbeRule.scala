@@ -127,6 +127,15 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     artifacts += token -> probe
   }
 
+  /** Remove a token's registration (catalog lifecycle: deleteLibrary,
+    * rename, or an indexer change to a family the rule can't probe).
+    * Idempotent — deregistering an absent token is a no-op. */
+  def deregister(token: String): Unit = synchronized { artifacts -= token }
+
+  /** Whether `token` currently names a registered artifact (spec
+    * surface for the catalog-lifecycle registration contract). */
+  def isRegistered(token: String): Boolean = artifacts.contains(token)
+
   def clearRegistry(): Unit = synchronized { artifacts = Map.empty }
 
   private def activeToken: Option[String] =

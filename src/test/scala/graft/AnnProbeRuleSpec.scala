@@ -261,4 +261,76 @@ class AnnProbeRuleSpec extends SparkSpec with BeforeAndAfterAll {
       assert(!plan.contains("ExistenceJoin"))
     }
   }
+
+  test("catalog lifecycle: commit auto-registers the artifact, mutation re-pins it, delete deregisters") {
+    import graft.catalog.{LibraryCatalog, Models}
+    import graft.functions.Embedder
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ann_probe_cat").toString
+    val catalog = new LibraryCatalog(spark, wh)
+    val seed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 50)
+      .select(
+        concat(lit("c-"), col("doc_id")).as("id"),
+        lit("d-0").as("document_id"),
+        col("text"))
+    catalog.createLibrary("probe_lib", Models.LshIndexer, seed, overwrite = true)
+    assert(AnnProbeRule.isRegistered("probe_lib"),
+      "createLibrary commit did not register the ANN artifact")
+    val qv = Embedder.embedLocal("probe lifecycle query").toSeq
+    def probed(k: Int) = withProbe("probe_lib") {
+      val df = FlatKnn.search(
+        catalog.chunks("probe_lib").select("id", "embedding"),
+        qv, k, idCol = "id")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("ExistenceJoin"),
+        s"catalog-built library not probe-rewritable without an explicit register call:\n$plan")
+      df.collect()
+    }
+    assert(probed(3).length === 3)
+    // mutation re-pins the token to the NEW version's artifact: a chunk
+    // added after registration must be findable through the probe (a
+    // stale version pin would read the old sig table and miss it)
+    catalog.addChunks("probe_lib",
+      Seq(("new-1", "d-0", "a freshly added chunk about probe repinning"))
+        .toDF("id", "document_id", "text"))
+    val qNew = Embedder
+      .embedLocal("a freshly added chunk about probe repinning").toSeq
+    val hit = withProbe("probe_lib") {
+      val df = FlatKnn.search(
+        catalog.chunks("probe_lib").select("id", "embedding"),
+        qNew, 1, idCol = "id")
+      assert(df.queryExecution.optimizedPlan.toString.contains("ExistenceJoin"))
+      df.collect()
+    }
+    assert(hit.head.getAs[String]("id") === "new-1",
+      "post-mutation probe missed the newly committed chunk (stale version pin)")
+    // an indexer the rule can't probe deregisters on overwrite
+    catalog.createLibrary("probe_lib", Models.FlatIndexer, seed, overwrite = true)
+    assert(!AnnProbeRule.isRegistered("probe_lib"),
+      "flat overwrite left a stale lsh probe registered")
+    // ... and deleteLibrary drops the token entirely
+    catalog.createLibrary("probe_lib", Models.LshIndexer, seed, overwrite = true)
+    assert(AnnProbeRule.isRegistered("probe_lib"))
+    catalog.deleteLibrary("probe_lib")
+    assert(!AnnProbeRule.isRegistered("probe_lib"),
+      "deleteLibrary left the ANN probe token registered")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+  }
+
+  test("catalog lifecycle: startup recovery (listLibraries) re-registers persisted artifacts") {
+    import graft.catalog.{LibraryCatalog, Models}
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ann_probe_rec").toString
+    val c1 = new LibraryCatalog(spark, wh)
+    c1.createLibrary("rec_lib", Models.LshIndexer,
+      Seq(("r-1", "d-0", "recovery fixture text")).toDF("id", "document_id", "text"))
+    AnnProbeRule.deregister("rec_lib") // simulate a fresh process
+    assert(!AnnProbeRule.isRegistered("rec_lib"))
+    new LibraryCatalog(spark, wh).listLibraries()
+    assert(AnnProbeRule.isRegistered("rec_lib"),
+      "startup recovery did not re-register the persisted ANN artifact")
+    AnnProbeRule.deregister("rec_lib")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+  }
 }
