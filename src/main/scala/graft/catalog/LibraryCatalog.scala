@@ -2222,22 +2222,32 @@ class LibraryCatalog(
     hnswFor(name, m.version, chunks(name))
   }
 
+  /** Driver-local graph for (name, version) when the library fits under
+    * [[hnswMaxRows]]; None above the cap — [[search]] then redirects to
+    * the distributed per-partition path. Memoized per version (the graph
+    * load is pinned to THIS version — a concurrent commit must never get
+    * its v+1 graph memoized under v's cache key). */
+  private def hnswForOpt(
+      name: String,
+      version: Long,
+      all: DataFrame): Option[(HnswIndex, IndexedSeq[String])] = {
+    evictStaleHnsw(name, version)
+    hnswGraphs.get((name, version)).orElse {
+      val loaded = loadPersistedHnswAt(name, version).orElse(buildHnswGraph(all))
+      loaded.foreach(hnswGraphs.putIfAbsent((name, version), _))
+      loaded
+    }
+  }
+
   private def hnswFor(
       name: String,
       version: Long,
-      all: DataFrame): (HnswIndex, IndexedSeq[String]) = {
-    evictStaleHnsw(name, version)
-    hnswGraphs.getOrElseUpdate(
-      (name, version),
-      // the graph load is pinned to THIS version — a concurrent commit
-      // must never get its v+1 graph memoized under v's cache key
-      loadPersistedHnswAt(name, version).getOrElse {
-        buildHnswGraph(all).getOrElse(throw new IllegalArgumentException(
-          s"hnsw library '$name' exceeds the driver-local graph cap of " +
-            s"$hnswMaxRows rows; use HnswIndex.searchPartitioned over " +
-            "chunks(name) for corpora this size"))
-      })
-  }
+      all: DataFrame): (HnswIndex, IndexedSeq[String]) =
+    hnswForOpt(name, version, all).getOrElse(
+      throw new IllegalArgumentException(
+        s"hnsw library '$name' exceeds the driver-local graph cap of " +
+          s"$hnswMaxRows rows; searches redirect to the partitioned path " +
+          "automatically — this driver-graph surface has no graph to return"))
 
   /** The flagship read path (SURVEY.md §3.1): embed query text → index
     * search → conjunctive tag post-filter (AFTER top-k, may return < k —
@@ -2293,11 +2303,25 @@ class LibraryCatalog(
           case _ => all
         }
       case HnswIndexer =>
-        // driver-local graph (K3), memoized per library version; graph
-        // candidates are then re-ranked by the shared pipeline below
-        val (idx, idOf) = hnswFor(name, m.version, all)
-        val ids = idx.search(qv.toArray, k).map { case (ord, _) => idOf(ord.toInt) }
-        if (ids.isEmpty) all else all.where(col("id").isin(ids: _*))
+        hnswForOpt(name, m.version, all) match {
+          case Some((idx, idOf)) =>
+            // driver-local graph (K3), memoized per library version; graph
+            // candidates are then re-ranked by the shared pipeline below
+            val ids = idx.search(qv.toArray, k)
+              .map { case (ord, _) => idOf(ord.toInt) }
+            if (ids.isEmpty) all else all.where(col("id").isin(ids: _*))
+          case None =>
+            // OVER-CAP REDIRECT (the 100 TB contract): a library grown
+            // past hnswMaxRows transparently takes the distributed
+            // per-partition graph path — no driver-side corpus collect,
+            // no caller-visible API change. Candidates (≤ k ids after
+            // the global merge, deterministic for this pinned version)
+            // semi-join back into the shared re-rank pipeline below.
+            val cand = HnswIndex.searchPartitionedKeyed(
+              all, Seq((0L, qv.toArray)), k,
+              idCol = "id", embCol = "embedding").select("id")
+            all.join(broadcast(cand), Seq("id"), "left_semi")
+        }
       case _ => all // flat: exact scan
     }
     val ranked = FlatKnn.searchWithColumns(

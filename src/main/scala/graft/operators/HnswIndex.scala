@@ -514,4 +514,50 @@ object HnswIndex {
       .where(col("rk") <= k)
       .drop("rk")
   }
+
+  /** [[searchPartitioned]] for STRING-keyed corpora (the catalog's chunk
+    * ids): each partition builds its graph over local ordinals and maps
+    * results back to the original keys — the redirect target for an
+    * hnsw library grown past the driver-graph cap (see
+    * LibraryCatalog.search), where collecting the corpus to one driver
+    * graph stops being a 100 TB design. Deterministic for a fixed
+    * committed version: partition contents and row order come from the
+    * version's parquet files, and the global merge breaks distance ties
+    * by id. */
+  def searchPartitionedKeyed(
+      df: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      idCol: String = "id",
+      embCol: String = "embedding",
+      m: Int = 16,
+      efConstruction: Int = 200,
+      seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qBc = spark.sparkContext.broadcast(queries)
+    val perPartition = df
+      .select(idCol, embCol)
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        // local ordinals for the graph; the buffer maps them back (the
+        // side-effecting map is safe: build() drains the iterator fully
+        // before any search touches the buffer)
+        val keys = new scala.collection.mutable.ArrayBuffer[String]
+        val idx = build(
+          it.map { case (key, v) => keys += key; (keys.length - 1L, v) },
+          m, efConstruction, seed = seed)
+        qBc.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k).map { case (ord, d) => (qid, keys(ord.toInt), d) }
+        }
+      }
+      .toDF("qid", "id", "dist")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
+    perPartition
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
 }

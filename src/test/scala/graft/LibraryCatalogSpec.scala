@@ -359,13 +359,36 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
-  test("hnsw read path refuses a library over the driver-local cap with a redirect") {
+  test("hnsw over-cap redirect: search transparently takes the partitioned path, deterministic, no driver graph") {
+    // the 100 TB contract: a library grown past the driver-graph cap
+    // keeps the SAME search() surface — candidates come from the
+    // distributed per-partition graph path instead of a driver collect
     val capped = new LibraryCatalog(spark, warehouse, hnswMaxRows = 5)
     capped.createLibrary("lib_hnsw_cap", HnswIndexer, corpus(), overwrite = true)
+    val someText = capped.chunks("lib_hnsw_cap")
+      .where(col("id") === "chunk-7").select("text").head().getString(0)
+    def run() = capped.search("lib_hnsw_cap", someText, k = 3).collect()
+    val r1 = run()
+    assert(r1.length === 3, s"redirected search returned ${r1.length} of 3")
+    // embedding is a pure function of text, so the exact-text query's
+    // own chunk must rank first at distance ~0 through the redirect
+    assert(r1.head.getAs[String]("id") === "chunk-7",
+      s"redirect missed the exact-text chunk: ${r1.map(_.getAs[String]("id")).toSeq}")
+    assert(math.abs(r1.head.getAs[Double]("dist")) < 1e-9)
+    // deterministic for the pinned version: a second call is identical
+    val r2 = run()
+    assert(r1.map(r => (r.getAs[String]("id"), r.getAs[Double]("dist"))).toSeq ===
+      r2.map(r => (r.getAs[String]("id"), r.getAs[Double]("dist"))).toSeq,
+      "redirected search is not deterministic across calls")
+    // and the redirect never memoized a driver-local graph
+    assert(capped.hnswGraphVersionsCached("lib_hnsw_cap") === 0,
+      "over-cap search built a driver-local graph anyway")
+    // the internal driver-graph surface still refuses loudly (it has no
+    // graph to return), naming the automatic redirect
     val ex = intercept[IllegalArgumentException] {
-      capped.search("lib_hnsw_cap", "anything", k = 3).collect()
+      capped.hnswGraph("lib_hnsw_cap")
     }
-    assert(ex.getMessage.contains("searchPartitioned"))
+    assert(ex.getMessage.contains("redirect"))
     capped.deleteLibrary("lib_hnsw_cap")
   }
 
