@@ -63,8 +63,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = allQueries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // min-of-N samples; validated once (a bad env value falls back to 3,
-    // a sub-1 value clamps to 1 so samples.min below can't be empty)
+    // median-of-N samples; validated once (a bad env value falls back to
+    // 3, a sub-1 value clamps to 1 so the sample vector can't be empty)
     val nSamples = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_SAMPLES")
         .flatMap(_.toIntOption).getOrElse(3))
@@ -72,13 +72,15 @@ object Bench {
     names.headOption.foreach(runOnce)
 
     var failed = List.empty[String]
-    val results = names.map { name =>
-      // Per query: min of three timed full materializations — the
-      // ambient host (shared VM, disk) adds multi-second noise that a
-      // single sample conflates with engine cost (observed: identical
-      // builds measuring 32 s and 50 s totals); min-of-N is the
-      // standard noise-robust estimator and every sample does the
-      // complete work. The System.gc() releases orphaned
+    val sampled = names.map { name =>
+      // Per query: MEDIAN of N timed full materializations, with the
+      // per-query SPREAD (max - min) recorded alongside — the ambient
+      // host (shared VM, disk) adds multi-second noise that a single
+      // sample conflates with engine cost (observed: identical builds
+      // measuring 32 s and 50 s totals). The median is noise-robust and
+      // every sample does the complete work; the recorded spread turns
+      // "is this drift or a regression?" from a paragraph of forensics
+      // into reading one number. The System.gc() releases orphaned
       // localCheckpoint/cache blocks left by the previous query
       // (ContextCleaner frees them only after a driver GC) so
       // block-manager pressure doesn't bleed across queries.
@@ -92,17 +94,32 @@ object Bench {
             -1.0
         }
       }
-      name -> (if (samples.contains(-1.0)) -1.0 else samples.min)
+      name -> samples
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = sampled.map { case (name, samples) =>
+      name -> (if (samples.contains(-1.0)) -1.0 else median(samples))
+    }
+    val spreads = sampled.map { case (name, samples) =>
+      name -> (if (samples.contains(-1.0)) -1.0 else samples.max - samples.min)
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val totalSpread = spreads.collect { case (_, v) if v >= 0 => v }.sum
     val status = if (failed.isEmpty) "ok" else "failed"
 
     // Full-precision, full-map record: stderr (for humans) and
     // bench_full.json (for tools/the judge). This is NOT the driver line.
+    // "queries" carries the per-query medians, "spread" the per-query
+    // (max - min) over the same samples.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullSp = spreads.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","status":"$status","n_failed":${failed.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$nSamples","queries":$fullQs,"spread":$fullSp,"spread_total":$totalSpread,"sf":"$sfDir","status":"$status","n_failed":${failed.size}}"""
     System.err.println(fullJson)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -120,7 +137,7 @@ object Bench {
     val slowestFirst = results.sortBy { case (_, v) => -v }
     val entries = slowestFirst.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
     val suffix =
-      s""""sf":"$sfDir","status":"$status","n_failed":${failed.size},"n_queries":${results.size},"queries_omitted":"""
+      s""""stat":"median_of_$nSamples","spread_total":${f"$totalSpread%.3f"},"sf":"$sfDir","status":"$status","n_failed":${failed.size},"n_queries":${results.size},"queries_omitted":"""
     val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},""".length +
       suffix.length + 4
     val kept = new scala.collection.mutable.ArrayBuffer[String]
