@@ -5716,8 +5716,15 @@ object SparkEntry {
          |    THEN (round(CAST((SELECT count(*) FROM tr) AS DOUBLE) /
          |                (SELECT count(*) FROM w), 6) + 0.0)
          |  END AS closure_rate""".stripMargin,
-    // the PURE all-pairs Jaccard definition — the prefix-filtered join
-    // must reproduce it exactly (completeness is the whole claim)
+    // EXACT all-pairs Jaccard via the inverted shingle index: one row
+    // per co-occurring (doc_a, doc_b, shingle), grouped to i = |A∩B|,
+    // u = |A|+|B|-i. Equivalent to the naive `d a JOIN d b ON a.doc_id
+    // < b.doc_id` form (verified row-identical at sf0.001/0.01): every
+    // pair at jaccard >= 0.8 > 0 shares a shingle, so enumerating only
+    // co-occurrences loses nothing — and unlike the Spark side's PPJoin
+    // it uses NO prefix filter, so completeness is still independently
+    // checked. Sub-quadratic (output-bound) where the naive form is
+    // n²: 182 s vs >45 CPU-min at the x10 gate.
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk, text FROM documents),
         |sh AS (
@@ -5726,14 +5733,16 @@ object SparkEntry {
         |         ELSE list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS shingles
         |  FROM toks),
         |d AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
-        |pairs AS (
+        |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM d),
+        |co AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         len(list_intersect(a.s, b.s)) AS i,
-        |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_common, CAST(u AS BIGINT) AS n_union,
-        |       (round(i::DOUBLE / u::DOUBLE, 6) + 0.0) AS jaccard
-        |FROM pairs WHERE 5*i >= 4*u ORDER BY doc_a, doc_b""".stripMargin,
+        |         count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_common,
+        |       CAST(na + nb - i AS BIGINT) AS n_union,
+        |       (round(i::DOUBLE / (na + nb - i)::DOUBLE, 6) + 0.0) AS jaccard
+        |FROM co WHERE 5*i >= 4*(na + nb - i) ORDER BY doc_a, doc_b""".stripMargin,
     // cross-side restriction of the SAME verified-pair derivation: the
     // incremental operator must find exactly the batch pipeline's pairs
     "q_neardup_incremental" ->

@@ -8,11 +8,8 @@
 #   1. x10  (target/sf1-synth, ~6M lineitem / 50k documents):
 #      - the FULL bench            -> BENCH_sf1.json (+ bench_full_sf1.json)
 #      - Verify + the FULL DuckDB oracle gate -> "passed, 0 failed" on
-#        stdout. Six oracles are skipped HERE ONLY: their SQL emulations
-#        are definitionally quadratic (all-pairs Jaccard / MinHash
-#        transitive closure — >45 CPU-min each in DuckDB at x10 while
-#        the Spark implementations they grade run in seconds); they stay
-#        oracle-verified at sf0.001/0.01/0.1.
+#        stdout. ONE oracle is skipped HERE ONLY (see SKIP_SF1 below);
+#        it stays oracle-verified at sf0.001/0.01/0.1.
 #   2. x100 (target/sf10-synth, ~60M lineitem / 500k documents):
 #      - the core-subset bench     -> BENCH_sf10.json
 #
@@ -23,12 +20,23 @@ cd "$(dirname "$0")/.."
 
 SF01=${SF01:-/root/testdata/sf0.1}
 
-# DuckDB-quadratic oracle emulations, skipped at synthetic scale only
-SKIP_SF1="q_neardup_pairs,q_neardup_incremental,q_ngram_jaccard,q_simhash_pairs,q_embed_neardup,q_dedup_clusters,q_split_leakage"
+# Oracle emulations skipped at synthetic scale only. Round 10 shrank
+# this list 7 -> 1 by making the SQL emulations output-bound instead of
+# quadratic (inverted-shingle Jaccard join; the band/bucket CTEs were
+# re-measured tractable: 16-110 s each at x10). The one survivor:
+#   q_dedup_clusters — connected components via a RECURSIVE reach CTE;
+#   SQL recursion materializes O(component^2) (node, root) rows and the
+#   x10 corpus's replica families blow that up (>240 s, interrupted).
+#   DuckDB 1.0 has no keyed recursion (USING KEY arrived later), so a
+#   linear-state label-propagation emulation is not expressible.
+SKIP_SF1="q_dedup_clusters"
 
 # x100 core subset: aggregations, star joins, windows, sessions, CRUD,
-# sketches, text kernels, and every index family's probe
-CORE_SF10="q1_agg,q_asof_join,q_bpe_merges,q_bucketed_join,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_events_hourly,q_filter_revenue,q_funnel,q_grouped_topk,q_hnsw_artifact,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_knn_euclidean,q_lang_id,q_lsh_knn,q_regional_revenue,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_table_checksum,q_token_count,q_topk_orders"
+# sketches, text kernels, every index family's probe — and the near-dup
+# pair generators, whose x100 growth is output-bound by the replica
+# corpus construction (see SCALING.md) and whose scale behavior is
+# exactly what this gate exists to watch.
+CORE_SF10="q1_agg,q_asof_join,q_bpe_merges,q_bucketed_join,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_embed_neardup,q_events_hourly,q_filter_revenue,q_funnel,q_grouped_topk,q_hnsw_artifact,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_knn_euclidean,q_lang_id,q_lsh_knn,q_neardup_pairs,q_ngram_jaccard,q_regional_revenue,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_table_checksum,q_token_count,q_topk_orders"
 
 [ -e target/sf1-synth/lineitem.parquet ] || \
   sbt -batch "runMain graft.tools.SynthScale $SF01 target/sf1-synth 10"
