@@ -44,15 +44,29 @@ object NearDup {
     * lose near-dup recall ONLY against other members of the same
     * oversized bucket, which for boilerplate is the exact-dedup path's
     * job anyway. The window's hot-key task is linear in bucket size
-    * (tiny rows), versus the quadratic join it prevents. */
+    * (tiny rows), versus the quadratic join it prevents.
+    *
+    * The explicit fixed-N repartition (not a bare window) is
+    * load-bearing: every capBuckets consumer self-joins the result on
+    * the bucket key, and that join's OUTPUT is quadratic in bucket size
+    * while its INPUT is a few bytes per row. AQE sizes post-shuffle
+    * coalescing from the input bytes alone, so it would fold the
+    * window's exchange down to 1-2 partitions (~64 MB advisory) and the
+    * explosive join would inherit them — measured at x100: the
+    * embedding-near-dup candidate join ran on 2 of 32 cores for 700+ s.
+    * A user repartition with an explicit partition count is exempt from
+    * AQE coalescing and satisfies the window's clustering requirement,
+    * so the join keeps full parallelism at zero extra shuffles. */
   private[operators] def capBuckets(
       df: DataFrame,
       keys: Seq[String],
       idCol: String,
       maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
-    df.withColumn("__rk", row_number().over(w))
+    df.repartition(n, keys.map(col): _*)
+      .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= maxBucket)
       .drop("__rk")
   }
@@ -297,7 +311,17 @@ object NearDup {
     * persisted) [[embeddingSignatures]] table. The self-join shuffles
     * (id, table, 8-byte sig) only — embedding vectors are joined back
     * for the bounded candidate set alone — and buckets are capped like
-    * the MinHash path (same mass-duplication skew risk). */
+    * the MinHash path (same mass-duplication skew risk).
+    *
+    * FIRST-COLLISION enumeration, not join-then-DISTINCT: a clone
+    * family colliding in all L tables emits each pair L times, so the
+    * DISTINCT's input is L x the true candidate set — at x100 (500k
+    * docs, ~1000-member replica families) that was ~2 billion rows
+    * into one hash aggregation, the stage that OOM'd the gate. Instead
+    * each probe row carries its doc's per-table signature map, and the
+    * join emits (a, b) only from the FIRST table where both survived
+    * the cap and collided — every pair exactly once, same pair set as
+    * the DISTINCT by construction, no dedup exchange at all. */
   def embeddingNearDupPairsFromSig(
       df: DataFrame,
       sig: DataFrame,
@@ -306,18 +330,32 @@ object NearDup {
       minCosine: Double = 0.999999,
       maxBucket: Int = 5000): DataFrame = {
     val capped = capBuckets(sig, Seq("table_idx", "sig"), idCol, maxBucket)
-    // the verify below is a LINEAR join chain — pairs stream through it
-    // once, so nothing is materialized (a localCheckpoint here measured
-    // ~25% slower at sf0.1 AND pinned the pair set in executor memory,
-    // the one thing a 100 TB run can't afford)
-    val pairs = capped
-      .select(col(idCol).as("id_a"), col("table_idx"), col("sig"))
+    // per-doc map of table -> sig, restricted to tables where the doc
+    // SURVIVED the bucket cap (absence = capped out there): equality of
+    // m[t'] on both sides iff the pair collides in a bucket both occupy
+    val docSigs = capped
+      .groupBy(col(idCol))
+      .agg(map_from_entries(
+        collect_list(struct(col("table_idx"), col("sig")))).as("__m"))
+    val probe = capped
+      .select(col(idCol), col("table_idx"), col("sig"))
+      .join(docSigs, Seq(idCol))
+    // earlier-collision test: lambda guard `t < table_idx` (not a
+    // sequence bound of table_idx - 1 — Spark's sequence(0, -1) counts
+    // DOWN, which would probe a phantom table at table_idx = 0)
+    val firstCollision = !exists(
+      sequence(lit(0), col("a.table_idx")),
+      t => t < col("a.table_idx") &&
+        element_at(col("a.__m"), t).isNotNull &&
+        element_at(col("a.__m"), t) === element_at(col("b.__m"), t))
+    val pairs = probe.as("a")
       .join(
-        capped.select(col(idCol).as("id_b"), col("table_idx"), col("sig")),
-        Seq("table_idx", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+        probe.as("b"),
+        col("a.table_idx") === col("b.table_idx") &&
+          col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          firstCollision)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
     val withVecs = pairs
       .join(df.select(col(idCol).as("id_a"), col(embCol).as("__va")), Seq("id_a"))
       .join(df.select(col(idCol).as("id_b"), col(embCol).as("__vb")), Seq("id_b"))

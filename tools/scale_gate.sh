@@ -20,6 +20,13 @@ cd "$(dirname "$0")/.."
 
 SF01=${SF01:-/root/testdata/sf0.1}
 
+# Synthetic-scale runs get a heap sized like a real 32-core executor
+# (~1.5 GB/core; the driver's default 8g models a laptop, not the
+# local[32] box): the x100 near-dup joins stream billions of candidate
+# rows through sort/aggregate pages, and 32 concurrent tasks sharing
+# 8g of execution memory OOM'd where the same plan spills fine here.
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g}
+
 # Oracle emulations skipped at synthetic scale only. Round 10 shrank
 # this list 7 -> 1 by making the SQL emulations output-bound instead of
 # quadratic (inverted-shingle Jaccard join; the band/bucket CTEs were
