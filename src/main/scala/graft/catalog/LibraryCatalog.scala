@@ -795,15 +795,12 @@ class LibraryCatalog(
           () => art("index"), lshParams(m.dim),
           idCol = "id", embCol = "embedding"))
       case IvfIndexer =>
-        val centsMemo =
-          new java.util.concurrent.atomic.AtomicReference[IndexedSeq[Array[Float]]]()
         AnnProbeRule.register(m.name,
           AnnProbeRule.ArtifactProbe("ivf", "id", m.dim, qv => {
-            var c = centsMemo.get
-            if (c == null) {
-              c = IvfIndex.centroidsOf(art("centroids"))
-              centsMemo.set(c)
-            }
+            // shared per-(name, version) quantizer cache — the rule's
+            // probe and the catalog search path collect centroids once
+            // between them, and version eviction is one mechanism
+            val (c, _) = quantizersFor(m.name, m.version, art("centroids"), None)
             val probed = IvfIndex.probeCells(qv, c, ivfParams.nProbe).map(_.toInt)
             art("index").where(col("cell").isin(probed: _*)).select("id")
           }, embCol = "embedding"))
@@ -2145,6 +2142,36 @@ class LibraryCatalog(
   private val hnswGraphs =
     new scala.collection.concurrent.TrieMap[(String, Long), (HnswIndex, IndexedSeq[String])]
 
+  /** Driver-local quantizer cache: the collected IVF coarse centroids
+    * and (ivfpq only) PQ codebook per (library, version). Both are
+    * bounded build-time constants (nList vectors / m*k sub-centroids),
+    * but collecting them launched one or two Spark jobs PER SEARCH —
+    * pure fixed overhead on the probe path. Same discipline as
+    * [[hnswGraphs]]: version-keyed (a concurrent commit can never get
+    * v+1 quantizers served under v), stale versions evicted on access,
+    * in-flight readers keep plain GC semantics. */
+  private val quantizers = new scala.collection.concurrent.TrieMap[
+    (String, Long),
+    (IndexedSeq[Array[Float]], Option[Array[Array[Array[Double]]]])]
+
+  /** Versions of `name` currently in the quantizer cache (eviction
+    * spec hook, mirroring [[hnswGraphVersionsCached]]). */
+  private[graft] def quantizerVersionsCached(name: String): Int =
+    quantizers.keys.count(_._1 == name)
+
+  private def quantizersFor(
+      name: String,
+      version: Long,
+      centsDf: => DataFrame,
+      cbDf: => Option[DataFrame])
+      : (IndexedSeq[Array[Float]], Option[Array[Array[Array[Double]]]]) = {
+    quantizers.keys
+      .filter { case (n, ver) => n == name && ver != version }
+      .foreach(quantizers.remove)
+    quantizers.getOrElseUpdate((name, version),
+      (IvfIndex.centroidsOf(centsDf), cbDf.map(PqIndex.codebookOf(_, pqParams))))
+  }
+
   /** Versions of `name` currently held in the driver-local graph cache
     * (exposed for the eviction spec). */
   private[graft] def hnswGraphVersionsCached(name: String): Int =
@@ -2288,8 +2315,11 @@ class LibraryCatalog(
         (artifactAt(name, "index", m.version),
           artifactAt(name, "centroids", m.version)) match {
           case (Some(asn), Some(centsDf)) =>
-            // cell-partitioned assignments: nProbe partition dirs read
-            IvfIndex.candidateBase(all, asn, centsDf, qv, k, ivfParams, "id")
+            // cell-partitioned assignments: nProbe partition dirs read;
+            // centroids come from the per-version driver cache — the
+            // probe launches no quantizer collect job after the first
+            val (cents, _) = quantizersFor(name, m.version, centsDf, None)
+            IvfIndex.candidateBaseWithCents(all, asn, cents, qv, k, ivfParams, "id")
           case _ => all
         }
       case IvfPqIndexer =>
@@ -2298,8 +2328,13 @@ class LibraryCatalog(
           artifactAt(name, "codebook", m.version)) match {
           case (Some(codes), Some(centsDf), Some(cbT)) =>
             // cell-pruned codes read, ADC-ranked to RefineFactor*k
-            // candidate ids, exact re-rank below; under-k → full scan
-            PqIndex.candidateBase(all, codes, centsDf, cbT, qv, k, pqParams, "id")
+            // candidate ids, exact re-rank below; under-k → full scan.
+            // Both quantizers (coarse centroids + codebook) served from
+            // the per-version driver cache — zero collect jobs warm.
+            val (cents, cbOpt) =
+              quantizersFor(name, m.version, centsDf, Some(cbT))
+            PqIndex.candidateBaseWithQuantizers(
+              all, codes, cents, cbOpt.get, qv, k, pqParams, "id")
           case _ => all
         }
       case HnswIndexer =>

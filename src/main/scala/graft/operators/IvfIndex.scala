@@ -136,8 +136,22 @@ object IvfIndex {
       query: Seq[Float],
       k: Int,
       p: Params = Params(),
+      idCol: String = "vec_id"): DataFrame =
+    candidateBaseWithCents(
+      df, assignments, centroidsOf(centsDf), query, k, p, idCol)
+
+  /** [[candidateBase]] with the centroids ALREADY collected — the shape
+    * a caller that serves many queries per index version wants (the
+    * catalog memoizes the collect per (library, version); re-collecting
+    * nList driver rows per search is a wasted job). */
+  def candidateBaseWithCents(
+      df: DataFrame,
+      assignments: DataFrame,
+      cents: IndexedSeq[Array[Float]],
+      query: Seq[Float],
+      k: Int,
+      p: Params = Params(),
       idCol: String = "vec_id"): DataFrame = {
-    val cents = centroidsOf(centsDf)
     val probed = probeCells(query, cents, p.nProbe).map(_.toInt)
     val candIds = assignments
       .where(col("cell").isin(probed: _*))

@@ -166,9 +166,23 @@ object PqIndex {
       query: Seq[Float],
       k: Int,
       p: Params = Params(),
+      idCol: String = "vec_id"): DataFrame =
+    candidateBaseWithQuantizers(
+      df, codes, IvfIndex.centroidsOf(centsDf), codebookOf(codebookTbl, p),
+      query, k, p, idCol)
+
+  /** [[candidateBase]] with the coarse centroids and codebook ALREADY
+    * collected — the catalog memoizes both per (library, version), so a
+    * search never re-runs the two quantizer collect jobs. */
+  def candidateBaseWithQuantizers(
+      df: DataFrame,
+      codes: DataFrame,
+      cents: IndexedSeq[Array[Float]],
+      cb: Array[Array[Array[Double]]],
+      query: Seq[Float],
+      k: Int,
+      p: Params = Params(),
       idCol: String = "vec_id"): DataFrame = {
-    val cents = IvfIndex.centroidsOf(centsDf)
-    val cb = codebookOf(codebookTbl, p)
     val probed = IvfIndex.probeCells(query, cents, p.nProbe).map(_.toInt)
     val cand = codes.where(col("cell").isin(probed: _*)).localCheckpoint(true)
     if (cand.count() < k) df

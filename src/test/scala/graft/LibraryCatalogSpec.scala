@@ -62,6 +62,25 @@ class LibraryCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     catalog.deleteLibrary("lib_hcache")
   }
 
+  test("quantizer cache memoizes per version and evicts superseded versions") {
+    catalog.createLibrary("lib_qcache", IvfPqIndexer, corpus(), overwrite = true)
+    assert(catalog.quantizerVersionsCached("lib_qcache") === 0,
+      "registration must build closures only — no quantizer collect at commit")
+    val r1 = catalog.search("lib_qcache", "cache probe", 3).collect()
+    assert(r1.nonEmpty)
+    assert(catalog.quantizerVersionsCached("lib_qcache") === 1)
+    (1 to 3).foreach { i =>
+      catalog.addChunks("lib_qcache",
+        corpus().limit(1)
+          .withColumn("id", lit(s"qc-extra-$i"))
+          .withColumn("document_id", lit("qc-doc")))
+      assert(catalog.search("lib_qcache", "cache probe", 3).collect().nonEmpty)
+    }
+    // 4 versions searched; stale quantizers evicted on access
+    assert(catalog.quantizerVersionsCached("lib_qcache") === 1)
+    catalog.deleteLibrary("lib_qcache")
+  }
+
   test("AutoBuckets falls back to a fixed count for stats-less (LogicalRDD) inputs") {
     // createDataFrame(rdd, schema) yields a LogicalRDD whose size stat is
     // the defaultSizeInBytes sentinel (Long.MaxValue); taken literally it
