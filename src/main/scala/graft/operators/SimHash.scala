@@ -113,7 +113,17 @@ object SimHash {
     * maxHamming. Buckets are capped ([[NearDup.capBuckets]]) before the
     * self-join: members beyond the cap lose recall only against other
     * members of the same oversized bucket — for the boilerplate that
-    * creates such buckets, the exact-dedup path's job anyway. */
+    * creates such buckets, the exact-dedup path's job anyway.
+    *
+    * FIRST-COLLISION enumeration, not join-then-DISTINCT (the same
+    * rewrite as [[NearDup.embeddingNearDupPairsFromSig]]): clone
+    * families share whole fingerprints, so they collide on ALL chunks
+    * and the old DISTINCT ingested every candidate `chunks` times. A
+    * pair is emitted only from its lowest agreeing chunk where both
+    * docs survived the cap — since every row carries the full 64-bit
+    * fingerprint, "agrees at an earlier chunk" is three bit ops on the
+    * already-joined columns, and the only extra state is a per-doc
+    * `chunks`-bit cap-survival mask. No dedup exchange remains. */
   def nearDuplicatePairs(
       df: DataFrame,
       idCol: String = "doc_id",
@@ -131,17 +141,34 @@ object SimHash {
           posexplode(array(chunkVals: _*)).as(Seq("chunk_idx", "chunk_val"))),
         Seq("chunk_idx", "chunk_val"), idCol, p.maxBucket)
       .localCheckpoint(true)
-    val a = chunked.select(
+    // cap-survival mask: bit c set iff this doc's row survived the cap
+    // in its chunk-c bucket (a doc can be capped out of one chunk's
+    // giant bucket yet survive another's)
+    val masks = chunked.groupBy(col(idCol))
+      .agg(sum(expr("shiftleft(1L, chunk_idx)")).as("__mask"))
+    val probe = chunked.join(masks, Seq(idCol))
+    val a = probe.select(
       col(idCol).as("id_a"), col("simhash").as("sh_a"),
-      col("chunk_idx"), col("chunk_val"))
-    val b = chunked.select(
+      col("__mask").as("__mask_a"), col("chunk_idx"), col("chunk_val"))
+    val b = probe.select(
       col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      col("chunk_idx"), col("chunk_val"))
-    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+      col("__mask").as("__mask_b"), col("chunk_idx"), col("chunk_val"))
+    val x = col("sh_a").bitwiseXOR(col("sh_b"))
+    // emitted before: some chunk c < chunk_idx where both survived the
+    // cap and the fingerprints agree on chunk c (statically unrolled —
+    // p.chunks literal shifts, no per-row allocation)
+    val earlierCollision = (0 until p.chunks)
+      .map { c =>
+        (col("chunk_idx") > c) &&
+          (shiftright(col("__mask_a"), c).bitwiseAND(lit(1L)) === 1L) &&
+          (shiftright(col("__mask_b"), c).bitwiseAND(lit(1L)) === 1L) &&
+          (shiftright(x, c * p.chunkBits)
+            .bitwiseAND(lit((1L << p.chunkBits) - 1)) === 0L)
+      }
+      .reduce(_ || _)
+    val hamming = bit_count(x)
     a.join(b, Seq("chunk_idx", "chunk_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct()
+      .where(col("id_a") < col("id_b") && !earlierCollision)
       .where(hamming <= p.maxHamming)
       .select(
         col("id_a").as("doc_a"),
