@@ -60,7 +60,16 @@ object JaccardJoin {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
     val (raw, sets) = shingleSets(df, idCol, textCol, k)
-    val prefixes = prefixesOf(sets, tNum, tDen)
+    // explicit fixed-N repartition on the join key: the prefix rows are
+    // a few bytes each, so AQE's input-byte coalescing would fold the
+    // candidate join down to 1-2 partitions while the join's OUTPUT is
+    // quadratic per hot shingle (the capBuckets lesson in NearDup.scala
+    // — measured there as a 2-of-32-core stage at x100). A user
+    // repartition with an explicit count is exempt from coalescing and
+    // satisfies the equi-join's required distribution, so this costs no
+    // extra exchange.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val prefixes = prefixesOf(sets, tNum, tDen).repartition(n, col("g"))
     // candidate equi-join on prefix shingles, plus the standard length
     // filter: J >= t forces t*|A| <= |B| (I <= |B| and I >= t*|A|), so
     // size-incompatible pairs drop inside the join instead of reaching
