@@ -328,7 +328,8 @@ object NearDup {
       idCol: String = "doc_id",
       embCol: String = "embedding",
       minCosine: Double = 0.999999,
-      maxBucket: Int = 5000): DataFrame = {
+      maxBucket: Int = 5000,
+      numTables: Int = EmbedLshParams.numTables): DataFrame = {
     val capped = capBuckets(sig, Seq("table_idx", "sig"), idCol, maxBucket)
     // per-doc map of table -> sig, restricted to tables where the doc
     // SURVIVED the bucket cap (absence = capped out there): equality of
@@ -340,14 +341,20 @@ object NearDup {
     val probe = capped
       .select(col(idCol), col("table_idx"), col("sig"))
       .join(docSigs, Seq(idCol))
-    // earlier-collision test: lambda guard `t < table_idx` (not a
-    // sequence bound of table_idx - 1 — Spark's sequence(0, -1) counts
-    // DOWN, which would probe a phantom table at table_idx = 0)
-    val firstCollision = !exists(
-      sequence(lit(0), col("a.table_idx")),
-      t => t < col("a.table_idx") &&
-        element_at(col("a.__m"), t).isNotNull &&
-        element_at(col("a.__m"), t) === element_at(col("b.__m"), t))
+    // earlier-collision test, STATICALLY UNROLLED over the (known,
+    // small) table count: higher-order functions (exists/sequence
+    // lambdas) are CodegenFallback — an earlier form evaluated an
+    // interpreted sequence+exists per candidate row, measured as the
+    // whole-join hot path at x100 (billions of rows). Unrolled
+    // element_at-by-literal comparisons stay inside whole-stage codegen.
+    val earlierCollision = (0 until numTables)
+      .map { t =>
+        (col("a.table_idx") > t) &&
+          element_at(col("a.__m"), lit(t)).isNotNull &&
+          (element_at(col("a.__m"), lit(t)) === element_at(col("b.__m"), lit(t)))
+      }
+      .reduce(_ || _)
+    val firstCollision = !earlierCollision
     val pairs = probe.as("a")
       .join(
         probe.as("b"),
@@ -378,5 +385,5 @@ object NearDup {
     embeddingNearDupPairsFromSig(
       df,
       embeddingSignatures(df, idCol, embCol, lshParams).localCheckpoint(true),
-      idCol, embCol, minCosine)
+      idCol, embCol, minCosine, numTables = lshParams.numTables)
 }

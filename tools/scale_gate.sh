@@ -57,6 +57,12 @@ CORE_SF10="q1_agg,q_asof_join,q_bpe_merges,q_bucketed_join,q_countmin_heavy,q_cr
 cp bench_full.json /tmp/bench_full.json.scale_gate_bak
 trap 'cp /tmp/bench_full.json.scale_gate_bak bench_full.json 2>/dev/null || true' EXIT
 
+# Synthetic gates time ONE sample per query: they exist to catch
+# scale-shape regressions (a 10x blowup), not to resolve sub-second
+# drift — the median-of-3 + spread record belongs to the sf0.1 bench
+# the driver runs. Three samples would triple an already-long gate.
+export SPARK_GRAFT_BENCH_SAMPLES=1
+
 echo "== x10 full bench (target/sf1-synth) =="
 SPARK_GRAFT_SF_DIR=target/sf1-synth sbt -batch "runMain graft.Bench" 2>/dev/null \
   | grep '"metric"' | sed 's/^\[info\] //' > /tmp/bench_sf1_lines.json
