@@ -73,14 +73,27 @@ object JaccardJoin {
     // candidate equi-join on prefix shingles, plus the standard length
     // filter: J >= t forces t*|A| <= |B| (I <= |B| and I >= t*|A|), so
     // size-incompatible pairs drop inside the join instead of reaching
-    // the verify stage
+    // the verify stage.
+    //
+    // FIRST-SHARED-PREFIX enumeration, not join-then-DISTINCT: a clone
+    // family shares its whole (rarest-first) prefix, so every family
+    // pair used to reach the DISTINCT once per shared prefix shingle —
+    // ~40x duplication that spilled the x100 gate's disk dry. A pair
+    // now emits only at the earliest shared prefix shingle under the
+    // global (frequency, shingle) order: both prefix arrays are sorted
+    // by that order, so common elements appear in the same relative
+    // order in both, and "nothing before g in x's prefix occurs in y's
+    // prefix" picks exactly one join key per pair. slice + overlap are
+    // codegen'd array ops on the already-carried columns (the
+    // CodegenFallback lesson from NearDup's first-collision filter). */
     val candidates = prefixes.as("x")
       .join(prefixes.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           col("y.n") * tDen >= col("x.n") * tNum &&
-          col("x.n") * tDen >= col("y.n") * tNum)
+          col("x.n") * tDen >= col("y.n") * tNum &&
+          !arrays_overlap(
+            slice(col("x.p"), lit(1), col("x.rn") - 1), col("y.p")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     // verify sets: hashed longs by default; the raw shingle strings when
     // the caller opted into unconditional exactness (see scaladoc)
     val verifySets =
@@ -121,11 +134,15 @@ object JaccardJoin {
     (raw, sets)
   }
 
-  /** The (doc_id, n, g) prefix rows the candidate stage equi-joins on:
-    * explode the hashed shingle sets, attach global frequencies, keep
-    * each doc's `|d| - ceil(t*|d|) + 1` RAREST shingles. Factored so the
-    * skew spec can assert structurally that hot shingles stay out of
-    * prefixes (rarest-first ranks them last). */
+  /** The (doc_id, n, g, rn, p) prefix rows the candidate stage
+    * equi-joins on: explode the hashed shingle sets, attach global
+    * frequencies, keep each doc's `|d| - ceil(t*|d|) + 1` RAREST
+    * shingles. `rn` is the shingle's 1-based rank in the global
+    * (frequency, shingle) order and `p` the doc's whole prefix as an
+    * array in that order — the two columns the first-shared-prefix
+    * test in [[selfJoin]] reads. Factored so the skew spec can assert
+    * structurally that hot shingles stay out of prefixes (rarest-first
+    * ranks them last). */
   private def prefixesOf(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     // explode_outer, NOT explode: a plain explode lets the optimizer
     // infer `size(s) > 0 AND isnotnull(s)` below the Generate, and
@@ -152,13 +169,20 @@ object JaccardJoin {
     // ceil(a*n/b) = (a*n + b - 1) DIV b
     val prefixLen =
       col("n") - expr(s"(n * $tNum + ${tDen - 1}) DIV $tDen") + lit(1)
-    exploded
+    val ranked = exploded
       .join(freq, "g")
       .withColumn("rn",
         row_number().over(
           Window.partitionBy("doc_id").orderBy(col("f"), col("g"))))
       .where(col("rn") <= prefixLen)
-      .select("doc_id", "n", "g")
+    // each doc's prefix as a (frequency, shingle)-ordered array, joined
+    // back onto its rows: sort_array on (f, g) structs realizes the
+    // same total order the window ranked by
+    val prefixArrays = ranked.groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("f"), col("g")))),
+        s => s.getField("g")).as("p"))
+    ranked.join(prefixArrays, "doc_id").select("doc_id", "n", "g", "rn", "p")
   }
 
   /** Spec window into the candidate stage: the prefix rows [[selfJoin]]
