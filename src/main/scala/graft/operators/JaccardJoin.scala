@@ -99,10 +99,22 @@ object JaccardJoin {
     val verifySets =
       if (verifyWithStrings) raw.select(col("doc_id"), col("shingles").as("s"))
       else sets
+    // SHUFFLE_HASH on the sets side: after the first attach every pair
+    // row carries a whole shingle array, and a sort-merge plan SORTS
+    // that fat stream for the second attach — at x100 the sorter's
+    // spill (fat rows written once into the exchange and again by the
+    // sort) exhausted the gate's disk. Building a per-partition hash
+    // map of the O(corpus) sets side instead lets the fat stream flow
+    // through unsorted; at scale the build stays bounded because it is
+    // sets-bytes / shuffle-partitions.
     val inter = size(array_intersect(col("sa"), col("sb")))
     candidates
-      .join(verifySets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(verifySets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .join(
+        verifySets.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+          .hint("SHUFFLE_HASH"), "doc_a")
+      .join(
+        verifySets.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+          .hint("SHUFFLE_HASH"), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         inter.as("n_common"),

@@ -190,9 +190,18 @@ object NearDup {
       leftOut: String,
       rightOut: String,
       threshold: Double): DataFrame = {
+    // SHUFFLE_HASH on the shingle-set side: the second attach's input
+    // carries sh_a on every pair row, and a sort-merge join would sort
+    // that fat stream (measured at x100 as the disk-exhausting spill in
+    // the Jaccard family — see JaccardJoin.selfJoin). The hash build is
+    // sets-bytes / shuffle-partitions, bounded at any corpus size.
     val verified = pairs
-      .join(leftSh.select(col(idCol).as(leftOut), col("shingles").as("sh_a")), Seq(leftOut))
-      .join(rightSh.select(col(idCol).as(rightOut), col("shingles").as("sh_b")), Seq(rightOut))
+      .join(
+        leftSh.select(col(idCol).as(leftOut), col("shingles").as("sh_a"))
+          .hint("SHUFFLE_HASH"), Seq(leftOut))
+      .join(
+        rightSh.select(col(idCol).as(rightOut), col("shingles").as("sh_b"))
+          .hint("SHUFFLE_HASH"), Seq(rightOut))
     val da = col("sh_a")
     val db = col("sh_b")
     val inter = size(array_intersect(da, db)).cast("double")
@@ -363,9 +372,13 @@ object NearDup {
           col(s"a.$idCol") < col(s"b.$idCol") &&
           firstCollision)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // same SHUFFLE_HASH discipline as verifyJaccardPairs: the pair
+    // stream carries __va into the second attach — never sort it
     val withVecs = pairs
-      .join(df.select(col(idCol).as("id_a"), col(embCol).as("__va")), Seq("id_a"))
-      .join(df.select(col(idCol).as("id_b"), col(embCol).as("__vb")), Seq("id_b"))
+      .join(df.select(col(idCol).as("id_a"), col(embCol).as("__va"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(embCol).as("__vb"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
     withVecs
       .withColumn("cos", VectorFunctions.cosineSimilarity(col("__va"), col("__vb")))
       .where(col("cos") >= minCosine)
