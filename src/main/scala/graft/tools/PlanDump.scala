@@ -58,7 +58,7 @@ object PlanDump {
     "q_ivfpq_knn" ->
       "IVF-PQ: the probed read of the cell-partitioned CODES table (4 bytes/vector, PartitionFilters on cell) executes eagerly before this plan; what remains is pure per-row ADC — 4 literal-table lookups + a fixed-order sum inside codegen — feeding the shuffle-free top-k. The float vectors never appear at query time.",
     "q_ngram_jaccard" ->
-      "EXACT Jaccard self-join with prefix filtering (AllPairs/PPJoin): the fused shingle kernel feeds 64-bit hashed sets; candidates come from an equi-join of rarest-first PREFIXES only (plus the integer length filter), so no cartesian stage exists at any scale, and the verify joins touch candidates only. Completeness for J >= t is a pigeonhole theorem, not a probabilistic bet — the oracle is the pure all-pairs definition.",
+      "EXACT Jaccard self-join with prefix filtering (AllPairs/PPJoin): the fused shingle kernel feeds 64-bit hashed sets; candidates come from an equi-join of rarest-first PREFIXES only (plus the integer length filter), emitted exactly once per pair at the first shared prefix shingle — no DISTINCT stage — and the SHUFFLE_HASH verify attaches stream the pair rows unsorted. Completeness for J >= t is a pigeonhole theorem, not a probabilistic bet; the oracle re-derives the same pairs through an inverted shingle index, prefix-filter-free.",
     "q_countmin_heavy" ->
       "Count-min heavy hitters: the fused AllShingles kernel explodes zero-copy slices, ONE groupBy exchange produces the per-shingle counts, and BOTH consumers (the 768-cell sketch aggregation and the exact top-20 TakeOrdered) reuse that exchange — the sketch's md5 cell hashes run per DISTINCT shingle, and only 768 integer cells ever describe the corpus.",
     "q_bloom_decontam" ->
