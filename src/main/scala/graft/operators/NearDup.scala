@@ -356,10 +356,16 @@ object NearDup {
     // interpreted sequence+exists per candidate row, measured as the
     // whole-join hot path at x100 (billions of rows). Unrolled
     // element_at-by-literal comparisons stay inside whole-stage codegen.
+    // BOTH isNotNull guards are load-bearing: with only a's, a doc
+    // capped out of table t on the b side makes the equality NULL, the
+    // NULL survives the OR, and the negated filter silently DROPS the
+    // pair — only when caps bind, which no small-scale gate exercises
+    // (the cap-stressed NearDupSpec fixture pins this).
     val earlierCollision = (0 until numTables)
       .map { t =>
         (col("a.table_idx") > t) &&
           element_at(col("a.__m"), lit(t)).isNotNull &&
+          element_at(col("b.__m"), lit(t)).isNotNull &&
           (element_at(col("a.__m"), lit(t)) === element_at(col("b.__m"), lit(t)))
       }
       .reduce(_ || _)

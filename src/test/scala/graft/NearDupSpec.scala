@@ -86,6 +86,54 @@ class NearDupSpec extends SparkSpec {
     assert(pairsCapped.count() === 10L * 9 / 2)
   }
 
+  test("first-collision enumeration equals join-then-DISTINCT under mixed cap survival") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // three 20-member clusters of NEAR-identical vectors: per-doc tiny
+    // perturbations flip sign-LSH bits only where a plane dot is near
+    // zero, so cluster members collide in SOME tables and not others,
+    // and a small cap binds differently per (table, sig) bucket — the
+    // exact mask interplay the first-collision filter must get right
+    val base = graft.functions.Embedder.embedLocal("cluster base text").toSeq
+    val vecsB = spark.range(60).select(col("id").as("doc_id"))
+      .withColumn("__base", typedLit(base))
+      .withColumn("embedding",
+        expr("transform(sequence(0, 31), d -> " +
+          "CAST(element_at(__base, d + 1) + (doc_id % 3) * 0.31 + " +
+          "(doc_id % 20) * 0.0021 * CAST(d % 5 = CAST(doc_id % 5 AS INT) AS INT) AS FLOAT))"))
+      .drop("__base")
+    val sig = NearDup.embeddingSignatures(vecsB).cache()
+    val mb = 7
+    // reference: the SAME deterministic cap, then the naive per-table
+    // join + DISTINCT the first-collision form replaced
+    val w = Window.partitionBy("table_idx", "sig").orderBy("doc_id")
+    val capped = sig.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= mb).drop("__rk")
+    val ref = capped.select(col("doc_id").as("id_a"), col("table_idx"), col("sig"))
+      .join(capped.select(col("doc_id").as("id_b"), col("table_idx"), col("sig")),
+        Seq("table_idx", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidate surface of the production path: minCosine = -1 keeps
+    // every candidate, so the verify stage is a pass-through
+    val got = NearDup.embeddingNearDupPairsFromSig(
+        vecsB, sig, minCosine = -1.0, maxBucket = mb)
+      .select("doc_a", "doc_b")
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotRows.length === gotRows.distinct.length,
+      "first-collision must emit each pair exactly once")
+    assert(gotRows.toSet === ref,
+      "first-collision pair set must equal the capped join+DISTINCT set")
+    assert(ref.nonEmpty, "fixture must actually produce candidates")
+    // the fixture genuinely stresses mixed survival: at least one doc
+    // must be capped out of SOME table while surviving another
+    val survival = capped.groupBy("doc_id").count().collect()
+    assert(survival.exists(_.getLong(1) < 8) && survival.exists(_.getLong(1) > 0),
+      "fixture must produce partial cap survival to stress the mask")
+    sig.unpersist()
+  }
+
   test("shingling: k-shingle count is tokens-k+1; short docs shingle to whole text") {
     import spark.implicits._
     val df = Seq("a b c d e", "a b").toDF("text")

@@ -41,6 +41,56 @@ class PipelineOpsSpec extends SparkSpec {
       "no negative fingerprint in 200 docs — bit 63 never set")
   }
 
+  test("simhash: first-collision enumeration equals join-then-DISTINCT under mixed cap survival") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // near-duplicate texts whose fingerprints differ in a few bits:
+    // chunks collide variably across docs, and a small cap binds
+    // per-bucket — stressing the cap-survival mask the first-collision
+    // filter consults
+    val words = (0 until 18).map(i => s"w$i").mkString(" ")
+    val fixture = spark.range(80).select(
+      col("id").as("doc_id"),
+      concat(lit(words), lit(" tail"), (col("id") % 7).cast("string")).as("text"))
+    val p = SimHash.Params(maxBucket = 5)
+    // reference: same fingerprints, same deterministic cap, then the
+    // per-chunk join + DISTINCT the first-collision form replaced
+    val fp = SimHash.fingerprints(fixture, "doc_id", "text", p)
+    val chunkVals = (0 until p.chunks).map(c =>
+      shiftright(col("simhash"), c * p.chunkBits)
+        .bitwiseAND(lit((1L << p.chunkBits) - 1)))
+    val w = Window.partitionBy("chunk_idx", "chunk_val").orderBy("doc_id")
+    val chunked = fp.select(
+        col("doc_id"), col("simhash"),
+        posexplode(array(chunkVals: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= p.maxBucket).drop("__rk")
+    val ham = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    val ref = chunked
+      .select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+        col("chunk_idx"), col("chunk_val"))
+      .join(chunked.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
+        col("chunk_idx"), col("chunk_val")), Seq("chunk_idx", "chunk_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .where(ham <= p.maxHamming)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotRows = SimHash.nearDuplicatePairs(fixture, p = p)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotRows.length === gotRows.distinct.length,
+      "first-collision must emit each pair exactly once")
+    assert(gotRows.toSet === ref,
+      "first-collision pair set must equal the capped join+DISTINCT set")
+    assert(ref.nonEmpty, "fixture must actually produce pairs")
+    // partial survival must actually occur, or the mask isn't stressed
+    val survival = chunked.groupBy("doc_id").count().collect()
+    assert(survival.exists(_.getLong(1) < p.chunks),
+      "fixture must cap some doc out of at least one chunk bucket")
+  }
+
   test("simhash: fused kernel equals the built-in composition bit-for-bit") {
     val fused = SimHash.fingerprints(docs, "doc_id", "text")
     val composed = SimHash.fingerprintsComposed(docs, "doc_id", "text")
