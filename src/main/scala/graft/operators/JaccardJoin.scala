@@ -91,8 +91,7 @@ object JaccardJoin {
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           col("y.n") * tDen >= col("x.n") * tNum &&
           col("x.n") * tDen >= col("y.n") * tNum &&
-          !arrays_overlap(
-            slice(col("x.p"), lit(1), col("x.rn") - 1), col("y.p")))
+          !arrays_overlap(col("x.pe"), col("y.p")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     // verify sets: hashed longs by default; the raw shingle strings when
     // the caller opted into unconditional exactness (see scaladoc)
@@ -146,15 +145,15 @@ object JaccardJoin {
     (raw, sets)
   }
 
-  /** The (doc_id, n, g, rn, p) prefix rows the candidate stage
+  /** The (doc_id, n, g, p, pe) prefix rows the candidate stage
     * equi-joins on: explode the hashed shingle sets, attach global
     * frequencies, keep each doc's `|d| - ceil(t*|d|) + 1` RAREST
-    * shingles. `rn` is the shingle's 1-based rank in the global
-    * (frequency, shingle) order and `p` the doc's whole prefix as an
-    * array in that order — the two columns the first-shared-prefix
-    * test in [[selfJoin]] reads. Factored so the skew spec can assert
-    * structurally that hot shingles stay out of prefixes (rarest-first
-    * ranks them last). */
+    * shingles. `p` is the doc's whole prefix as an array in the global
+    * (frequency, shingle) order and `pe` the shingles strictly before
+    * this row's `g` in that order — the two columns the
+    * first-shared-prefix test in [[selfJoin]] reads. Factored so the
+    * skew spec can assert structurally that hot shingles stay out of
+    * prefixes (rarest-first ranks them last). */
   private def prefixesOf(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     // explode_outer, NOT explode: a plain explode lets the optimizer
     // infer `size(s) > 0 AND isnotnull(s)` below the Generate, and
@@ -194,7 +193,14 @@ object JaccardJoin {
       .agg(transform(
         sort_array(collect_list(struct(col("f"), col("g")))),
         s => s.getField("g")).as("p"))
-    ranked.join(prefixArrays, "doc_id").select("doc_id", "n", "g", "rn", "p")
+    // pe = the shingles strictly before this row's g in the prefix
+    // order, materialized ONCE per prefix row — the candidate join
+    // evaluates only arrays_overlap(x.pe, y.p) per joined row, never a
+    // per-candidate slice allocation (candidate rows outnumber prefix
+    // rows by the clone-family duplication factor)
+    ranked.join(prefixArrays, "doc_id")
+      .select(col("doc_id"), col("n"), col("g"), col("p"),
+        slice(col("p"), lit(1), col("rn") - 1).as("pe"))
   }
 
   /** Spec window into the candidate stage: the prefix rows [[selfJoin]]
