@@ -205,8 +205,13 @@ class LibraryCatalog(
     // process that recovers its libraries gets their persisted artifacts
     // probe-rewritable without any per-library register call (closures
     // only — no job runs here). Last registration per token wins, same
-    // as the commit-time path.
-    metas.foreach(syncAnnProbeRegistration)
+    // as the commit-time path — but a READ path must never DEREGISTER:
+    // listing a warehouse that holds a flat/hnsw library named like a
+    // manually registered probe (or like another catalog's library)
+    // would silently wipe that token. Deregistration stays exclusive to
+    // the mutation paths (commit / delete / rename), which own their
+    // library's name.
+    metas.foreach(m => syncAnnProbeRegistration(m, allowDeregister = false))
     metas
   }
 
@@ -782,8 +787,14 @@ class LibraryCatalog(
     * rule cannot probe (flat, hnsw, ivfpq) DEREGISTER the name, so an
     * indexer change never leaves a foreign probe behind. Registration
     * builds closures only — no Spark job runs at commit time; the IVF
-    * centroids (a bounded collect) load lazily on the first probe. */
-  private def syncAnnProbeRegistration(m: LibraryMeta): Unit = {
+    * centroids (a bounded collect) load lazily on the first probe.
+    *
+    * `allowDeregister = false` is the READ-path mode (startup recovery
+    * via listLibraries): register what is probeable, but never remove a
+    * token — only mutations of a library may retire its name. */
+  private def syncAnnProbeRegistration(
+      m: LibraryMeta,
+      allowDeregister: Boolean = true): Unit = {
     import graft.plans.AnnProbeRule
     def art(artifactName: String): DataFrame =
       artifactAt(m.name, artifactName, m.version).getOrElse(
@@ -805,7 +816,7 @@ class LibraryCatalog(
             art("index").where(col("cell").isin(probed: _*)).select("id")
           }, embCol = "embedding"))
       case _ =>
-        AnnProbeRule.deregister(m.name)
+        if (allowDeregister) AnnProbeRule.deregister(m.name)
     }
   }
 

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The shared exactly-once candidate-enumeration kernel for every
+  * bucketed near-dup path (MinHash bands, sign-LSH embedding tables,
+  * SimHash chunks).
+  *
+  * Problem shape: a doc contributes one row per bucket index
+  * (band / table / chunk) and candidates are pairs colliding in AT
+  * LEAST one bucket. The naive join-then-DISTINCT emits a clone-family
+  * pair once per agreeing bucket — an L-fold multiple of the true
+  * candidate set flowing into a pair-keyed dedup exchange, measured at
+  * x100 as the stage that OOM'd / disk-killed the gate (billions of
+  * duplicate rows). Instead each pair is emitted ONLY at the first
+  * bucket index (under the fixed 0..n-1 order) where BOTH docs survived
+  * the giant-bucket cap and their keys agree: exactly one emission per
+  * pair by construction, no dedup exchange at all.
+  *
+  * Two hard-won rules are baked in (see NearDupSpec's cap-stressed
+  * fixtures and the round-10 dormant-bug writeup):
+  *   - the earlier-collision predicate is STATICALLY UNROLLED over the
+  *     (known, small) bucket count — higher-order functions
+  *     (exists/sequence lambdas) are CodegenFallback and an interpreted
+  *     per-candidate-row eval was the measured hot path at x100;
+  *   - survival must be checked on BOTH sides before the key equality:
+  *     with a map encoding, `m_a[t] === m_b[t]` is NULL when one side
+  *     was capped out of bucket t, the NULL survives the OR, and the
+  *     negated filter silently DROPS the pair — only when caps bind,
+  *     which no small-scale gate exercises.
+  */
+object FirstCollision {
+
+  /** The generic first-collision shape: did an earlier bucket t <
+    * `idx` already emit this pair? Parameterized by the per-side
+    * survival test and the key-agreement test so the map-carrying
+    * paths (MinHash bands, embedding tables) and the bitmask path
+    * (SimHash, whose rows already carry the full fingerprint) share
+    * one predicate structure. All three callbacks must return
+    * codegen-able, null-safe (never-NULL) columns. */
+  def earlierCollision(
+      idx: Column,
+      numBuckets: Int,
+      survivesA: Int => Column,
+      survivesB: Int => Column,
+      agreesAt: Int => Column): Column = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    (0 until numBuckets)
+      .map(t => (idx > t) && survivesA(t) && survivesB(t) && agreesAt(t))
+      .reduce(_ || _)
+  }
+
+  /** Map-encoding wrapper: `m` is a per-doc bucketIdx -> key map
+    * restricted to buckets where the doc survived the cap (absence =
+    * capped out there). Both isNotNull guards are load-bearing — see
+    * the class doc. */
+  def earlierCollisionMap(
+      idx: Column,
+      mapA: Column,
+      mapB: Column,
+      numBuckets: Int): Column =
+    earlierCollision(
+      idx,
+      numBuckets,
+      t => element_at(mapA, lit(t)).isNotNull,
+      t => element_at(mapB, lit(t)).isNotNull,
+      t => element_at(mapA, lit(t)) === element_at(mapB, lit(t)))
+
+  /** Attach the per-doc survival map `__m` (bucketIdx -> key over the
+    * rows that survived the cap) to every capped bucket row. The
+    * groupBy and the join back are both keyed on the doc id — two
+    * bounded exchanges of tiny rows, in place of the pair-keyed dedup
+    * exchange this kernel deletes.
+    *
+    * `numBuckets` is VALIDATED against the data, not trusted: the
+    * unrolled predicate is blind to buckets >= numBuckets, so a first
+    * collision landing there would escape the earlier-collision test
+    * and re-emit the pair once per such bucket — silent duplicates.
+    * A row whose index is out of range fails the query loudly instead
+    * (assert_true; one int comparison per probe row, linear not
+    * per-candidate). */
+  def withSurvivalMap(
+      capped: DataFrame,
+      idCol: String,
+      idxCol: String,
+      keyCol: String,
+      numBuckets: Int): DataFrame = {
+    val guarded = capped.where(isnull(assert_true(
+      col(idxCol) < lit(numBuckets),
+      concat(
+        lit(s"FirstCollision: bucket index column '$idxCol' = "),
+        col(idxCol).cast("string"),
+        lit(s" >= numBuckets = $numBuckets — pass the bucket count the rows were actually built with")))))
+    val docMaps = guarded
+      .groupBy(col(idCol))
+      .agg(map_from_entries(
+        collect_list(struct(col(idxCol), col(keyCol)))).as("__m"))
+    guarded
+      .select(col(idCol), col(idxCol), col(keyCol))
+      .join(docMaps, Seq(idCol))
+  }
+
+  /** The full exactly-once candidate join between two probe frames
+    * produced by [[withSurvivalMap]] (pass the same frame twice for a
+    * self-join). Emits (outA, outB) pairs colliding in >= 1 bucket,
+    * each exactly once, filtered by `keep` (e.g. `_ < _` for ordered
+    * self-join pairs, `_ =!= _` for incremental batch-vs-corpus). */
+  def pairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      idxCol: String,
+      keyCol: String,
+      numBuckets: Int,
+      outA: String,
+      outB: String,
+      keep: (Column, Column) => Column): DataFrame = {
+    val a = left.select(
+      col(idCol).as(outA), col(idxCol), col(keyCol), col("__m").as("__ma"))
+    val b = right.select(
+      col(idCol).as(outB), col(idxCol), col(keyCol), col("__m").as("__mb"))
+    a.join(b, Seq(idxCol, keyCol))
+      .where(
+        keep(col(outA), col(outB)) &&
+          !earlierCollisionMap(col(idxCol), col("__ma"), col("__mb"), numBuckets))
+      .select(outA, outB)
+  }
+}

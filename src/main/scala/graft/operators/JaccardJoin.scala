@@ -80,18 +80,36 @@ object JaccardJoin {
     // pair used to reach the DISTINCT once per shared prefix shingle —
     // ~40x duplication that spilled the x100 gate's disk dry. A pair
     // now emits only at the earliest shared prefix shingle under the
-    // global (frequency, shingle) order: both prefix arrays are sorted
-    // by that order, so common elements appear in the same relative
-    // order in both, and "nothing before g in x's prefix occurs in y's
-    // prefix" picks exactly one join key per pair. slice + overlap are
-    // codegen'd array ops on the already-carried columns (the
-    // CodegenFallback lesson from NearDup's first-collision filter). */
+    // global (frequency, shingle) order: any common shingle u ordered
+    // before this row's g sits at a lower rank than g on BOTH sides
+    // (same global order), and both ranks are inside the prefixes, so
+    // u is in both pe arrays — "pe_x and pe_y share nothing" picks
+    // exactly one join key per pair. pe-vs-pe, never the full prefix
+    // array, which therefore is not carried at all (it doubled the
+    // per-doc shuffle payload — the quadratic-payload finding).
+    //
+    // POSITIONAL filter (PPJoin, Xiao et al. WWW'08): at the first
+    // shared shingle every common shingle is at rank >= rn on each
+    // side, so overlap <= 1 + min(n_x - rn_x, n_y - rn_y), while
+    // J >= tNum/tDen forces (tNum+tDen)*I >= tNum*(n_x+n_y) —
+    // candidates whose positional bound cannot reach that die on
+    // three integer ops BEFORE the arrays_overlap scan and the fat
+    // set-intersection verify. Pure pruning: the bound is an upper
+    // bound on the true overlap, so every dropped candidate would
+    // have failed the verify — the emitted pair set (and oracle hash)
+    // is unchanged by theorem, and the naive-equivalence specs
+    // re-check it empirically.
+    val positional =
+      lit(tNum + tDen) *
+        (lit(1) + least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn"))) >=
+        lit(tNum) * (col("x.n") + col("y.n"))
     val candidates = prefixes.as("x")
       .join(prefixes.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           col("y.n") * tDen >= col("x.n") * tNum &&
           col("x.n") * tDen >= col("y.n") * tNum &&
-          !arrays_overlap(col("x.pe"), col("y.p")))
+          positional &&
+          !arrays_overlap(col("x.pe"), col("y.pe")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     // verify sets: hashed longs by default; the raw shingle strings when
     // the caller opted into unconditional exactness (see scaladoc)
@@ -145,15 +163,20 @@ object JaccardJoin {
     (raw, sets)
   }
 
-  /** The (doc_id, n, g, p, pe) prefix rows the candidate stage
+  /** The (doc_id, n, g, rn, pe) prefix rows the candidate stage
     * equi-joins on: explode the hashed shingle sets, attach global
     * frequencies, keep each doc's `|d| - ceil(t*|d|) + 1` RAREST
-    * shingles. `p` is the doc's whole prefix as an array in the global
-    * (frequency, shingle) order and `pe` the shingles strictly before
-    * this row's `g` in that order — the two columns the
-    * first-shared-prefix test in [[selfJoin]] reads. Factored so the
-    * skew spec can assert structurally that hot shingles stay out of
-    * prefixes (rarest-first ranks them last). */
+    * shingles. `rn` is this shingle's rank within the doc under the
+    * global (frequency, shingle) order (the positional filter's
+    * input) and `pe` the doc's prefix shingles strictly before this
+    * row's `g` in that order (the first-shared-prefix test's input) —
+    * the full prefix array is NOT carried (pe-vs-pe suffices, see
+    * [[selfJoin]]), halving a per-doc payload that is inherently
+    * O(prefixLen^2) in Sum(rn-1); corpora with 10^5-shingle documents
+    * should segment them upstream (the chunking operator) before
+    * near-dup joining. Factored so the skew spec can assert
+    * structurally that hot shingles stay out of prefixes
+    * (rarest-first ranks them last). */
   private def prefixesOf(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     // explode_outer, NOT explode: a plain explode lets the optimizer
     // infer `size(s) > 0 AND isnotnull(s)` below the Generate, and
@@ -195,11 +218,11 @@ object JaccardJoin {
         s => s.getField("g")).as("p"))
     // pe = the shingles strictly before this row's g in the prefix
     // order, materialized ONCE per prefix row — the candidate join
-    // evaluates only arrays_overlap(x.pe, y.p) per joined row, never a
-    // per-candidate slice allocation (candidate rows outnumber prefix
-    // rows by the clone-family duplication factor)
+    // evaluates only arrays_overlap(x.pe, y.pe) per joined row, never
+    // a per-candidate slice allocation (candidate rows outnumber
+    // prefix rows by the clone-family duplication factor)
     ranked.join(prefixArrays, "doc_id")
-      .select(col("doc_id"), col("n"), col("g"), col("p"),
+      .select(col("doc_id"), col("n"), col("g"), col("rn"),
         slice(col("p"), lit(1), col("rn") - 1).as("pe"))
   }
 

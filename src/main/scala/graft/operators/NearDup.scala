@@ -213,7 +213,17 @@ object NearDup {
   }
 
   /** Near-duplicate pairs (idA < idB) with their exact Jaccard, verified
-    * over distinct shingle sets. */
+    * over distinct shingle sets.
+    *
+    * FIRST-COLLISION enumeration via [[FirstCollision]], not
+    * join-then-DISTINCT: a clone family collides in all `bands` bands,
+    * so each family pair used to reach a pair-keyed HashAggregate once
+    * per band — a pure bands-fold (4x) tax on the most expensive
+    * exchange the operator has (measured as the #2 x100 gate query).
+    * Each pair now emits only at its first agreeing band where both
+    * docs survived the bucket cap; the dedup exchange is gone and the
+    * pair set is identical by construction (cap-stress-spec'd in
+    * NearDupSpec against the capped join+DISTINCT reference). */
   def nearDuplicatePairs(
       df: DataFrame,
       idCol: String = "doc_id",
@@ -229,14 +239,10 @@ object NearDup {
     val bands = capBuckets(
       bandRows(docsSh, idCol, p), Seq("band", "band_key"), idCol, p.maxBucket)
       .localCheckpoint(true)
-    val pairs = bands
-      .select(col(idCol).as("id_a"), col("band"), col("band_key"))
-      .join(
-        bands.select(col(idCol).as("id_b"), col("band"), col("band_key")),
-        Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val probe = FirstCollision.withSurvivalMap(
+      bands, idCol, "band", "band_key", p.bands)
+    val pairs = FirstCollision.pairs(
+      probe, probe, idCol, "band", "band_key", p.bands, "id_a", "id_b", _ < _)
     verifyJaccardPairs(pairs, docsSh, docsSh, idCol, "id_a", "id_b", p.threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jac"))
   }
@@ -270,17 +276,16 @@ object NearDup {
     // one join key — the exact skew the cap exists to stop
     val inBands = capBuckets(
       bandRows(inSh, idCol, p), Seq("band", "band_key"), idCol, p.maxBucket)
-    val pairs = inBands
-      .select(col(idCol).as("id_new"), col("band"), col("band_key"))
-      .join(
-        exBands.select(col(idCol).as("id_old"), col("band"), col("band_key")),
-        Seq("band", "band_key"))
-      // re-ingesting an unchanged doc puts the same id on both sides;
-      // the degenerate (id, id, 1.0) self-pair must never be emitted
-      // (a pair-driven dedup dropping id_new would delete its only copy)
-      .where(col("id_new") =!= col("id_old"))
-      .select("id_new", "id_old")
-      .distinct()
+    // same first-collision enumeration as the self-join path (each
+    // side's survival map reflects ITS OWN cap); the `keep` filter is
+    // =!= — re-ingesting an unchanged doc puts the same id on both
+    // sides, and the degenerate (id, id, 1.0) self-pair must never be
+    // emitted (a pair-driven dedup dropping id_new would delete its
+    // only copy)
+    val pairs = FirstCollision.pairs(
+      FirstCollision.withSurvivalMap(inBands, idCol, "band", "band_key", p.bands),
+      FirstCollision.withSurvivalMap(exBands, idCol, "band", "band_key", p.bands),
+      idCol, "band", "band_key", p.bands, "id_new", "id_old", _ =!= _)
     verifyJaccardPairs(pairs, inSh, exSh, idCol, "id_new", "id_old", p.threshold)
   }
 
@@ -340,44 +345,17 @@ object NearDup {
       maxBucket: Int = 5000,
       numTables: Int = EmbedLshParams.numTables): DataFrame = {
     val capped = capBuckets(sig, Seq("table_idx", "sig"), idCol, maxBucket)
-    // per-doc map of table -> sig, restricted to tables where the doc
-    // SURVIVED the bucket cap (absence = capped out there): equality of
-    // m[t'] on both sides iff the pair collides in a bucket both occupy
-    val docSigs = capped
-      .groupBy(col(idCol))
-      .agg(map_from_entries(
-        collect_list(struct(col("table_idx"), col("sig")))).as("__m"))
-    val probe = capped
-      .select(col(idCol), col("table_idx"), col("sig"))
-      .join(docSigs, Seq(idCol))
-    // earlier-collision test, STATICALLY UNROLLED over the (known,
-    // small) table count: higher-order functions (exists/sequence
-    // lambdas) are CodegenFallback — an earlier form evaluated an
-    // interpreted sequence+exists per candidate row, measured as the
-    // whole-join hot path at x100 (billions of rows). Unrolled
-    // element_at-by-literal comparisons stay inside whole-stage codegen.
-    // BOTH isNotNull guards are load-bearing: with only a's, a doc
-    // capped out of table t on the b side makes the equality NULL, the
-    // NULL survives the OR, and the negated filter silently DROPS the
-    // pair — only when caps bind, which no small-scale gate exercises
-    // (the cap-stressed NearDupSpec fixture pins this).
-    val earlierCollision = (0 until numTables)
-      .map { t =>
-        (col("a.table_idx") > t) &&
-          element_at(col("a.__m"), lit(t)).isNotNull &&
-          element_at(col("b.__m"), lit(t)).isNotNull &&
-          (element_at(col("a.__m"), lit(t)) === element_at(col("b.__m"), lit(t)))
-      }
-      .reduce(_ || _)
-    val firstCollision = !earlierCollision
-    val pairs = probe.as("a")
-      .join(
-        probe.as("b"),
-        col("a.table_idx") === col("b.table_idx") &&
-          col("a.sig") === col("b.sig") &&
-          col(s"a.$idCol") < col(s"b.$idCol") &&
-          firstCollision)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // the shared exactly-once enumeration kernel: per-doc table -> sig
+    // survival maps, statically-unrolled both-sides-null-guarded
+    // earlier-collision predicate (the CodegenFallback and NULL-drop
+    // lessons live in FirstCollision's doc). numTables is validated
+    // against the data inside the kernel — a sig built with more
+    // tables than claimed used to escape the unroll and silently
+    // re-emit duplicates; now it fails loudly.
+    val probe = FirstCollision.withSurvivalMap(
+      capped, idCol, "table_idx", "sig", numTables)
+    val pairs = FirstCollision.pairs(
+      probe, probe, idCol, "table_idx", "sig", numTables, "id_a", "id_b", _ < _)
     // same SHUFFLE_HASH discipline as verifyJaccardPairs: the pair
     // stream carries __va into the second attach — never sort it
     val withVecs = pairs

@@ -155,17 +155,18 @@ object SimHash {
       col("__mask").as("__mask_b"), col("chunk_idx"), col("chunk_val"))
     val x = col("sh_a").bitwiseXOR(col("sh_b"))
     // emitted before: some chunk c < chunk_idx where both survived the
-    // cap and the fingerprints agree on chunk c (statically unrolled —
-    // p.chunks literal shifts, no per-row allocation)
-    val earlierCollision = (0 until p.chunks)
-      .map { c =>
-        (col("chunk_idx") > c) &&
-          (shiftright(col("__mask_a"), c).bitwiseAND(lit(1L)) === 1L) &&
-          (shiftright(col("__mask_b"), c).bitwiseAND(lit(1L)) === 1L) &&
-          (shiftright(x, c * p.chunkBits)
-            .bitwiseAND(lit((1L << p.chunkBits) - 1)) === 0L)
-      }
-      .reduce(_ || _)
+    // cap and the fingerprints agree on chunk c — the shared
+    // [[FirstCollision]] predicate shape, with the bitmask/xor state
+    // encoding instead of the survival map (every row already carries
+    // the full 64-bit fingerprint, so agreement is three bit ops and
+    // the only extra state is a `chunks`-bit mask)
+    val earlierCollision = FirstCollision.earlierCollision(
+      col("chunk_idx"),
+      p.chunks,
+      c => shiftright(col("__mask_a"), c).bitwiseAND(lit(1L)) === 1L,
+      c => shiftright(col("__mask_b"), c).bitwiseAND(lit(1L)) === 1L,
+      c => shiftright(x, c * p.chunkBits)
+        .bitwiseAND(lit((1L << p.chunkBits) - 1)) === 0L)
     val hamming = bit_count(x)
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .where(col("id_a") < col("id_b") && !earlierCollision)

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Cast, EqualTo, Expression, LessThan, Literal, Or, ScalarSubquery, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Cast, EqualTo, ExprId, Expression, LessThan, Literal, NamedExpression, Or, ScalarSubquery, SortOrder}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
 import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, JoinHint, LocalLimit, LogicalPlan, Project, Sort}
@@ -155,6 +155,28 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     case _            => None
   }
 
+  /** A structurally identical copy of `plan` with every ExprId re-minted
+    * (consistently: each old id maps to one new id across the tree,
+    * leaf-relation outputs included). The guard scalar subquery embeds
+    * the same candidate plan as the ExistenceJoin build side, and Spark
+    * broadly assumes unique exprIds per plan OCCURRENCE — sharing the
+    * instance across the two scopes worked under current rules but is
+    * fragile against attribute-rewrite changes. This keeps the single
+    * optimize call (the rewrite's dominant fixed cost) and pays only a
+    * cheap tree copy for the second occurrence. */
+  private def freshExprIds(plan: LogicalPlan): LogicalPlan = {
+    val idMap = scala.collection.mutable.HashMap.empty[ExprId, ExprId]
+    def fresh(id: ExprId): ExprId =
+      idMap.getOrElseUpdate(id, NamedExpression.newExprId)
+    plan.transformAllExpressions {
+      case a: AttributeReference => a.withExprId(fresh(a.exprId))
+      case a: Alias =>
+        Alias(a.child, a.name)(
+          fresh(a.exprId), a.qualifier, a.explicitMetadata,
+          a.nonInheritableMetadataKeys)
+    }
+  }
+
   /** Idempotence guard: the optimizer runs extra rules to FIXPOINT, and
     * the rewritten shape still matches the kNN pattern — without this
     * check every iteration would stack another probe (the fresh
@@ -226,26 +248,24 @@ object AnnProbeRule extends Rule[LogicalPlan] {
       idAttr <- child.output.find(a =>
         SQLConf.get.resolver(a.name, probe.idCol))
     } yield {
-      // ONE optimized candidate plan, shared STRUCTURALLY by the
-      // hash-join build side and the guard's scalar subquery — both read
-      // the pruned artifact, the corpus is scanned exactly once (the
-      // join's probe side), and the artifact scans stay VISIBLE in the
-      // final plan (auditable: PlanAuditSpec pins their partition
-      // pruning). Sharing the same immutable subtree is safe because the
-      // two consumers live in separate plan scopes (main tree vs the
-      // subquery's self-contained tree — `child` below is shared the
-      // same way), and it halves the rewrite's driver cost: each
-      // `candidateIds().queryExecution.optimizedPlan` runs the full
-      // analyzer+optimizer (~0.15 s), the dominant fixed cost of the
-      // probe at demo scale. Injected OPTIMIZED: user rules run after
-      // the main batches, so an analyzed subtree would carry nodes the
-      // planner can't take (distinct()'s Deduplicate, normally lowered
-      // to Aggregate earlier). Eagerly materializing-and-sharing the
-      // candidates at rewrite time would be cheaper still but hides the
-      // probe from the plan (an ExistingRDD leaf) — the wrong trade for
-      // an optimizer rule whose whole claim is the plan it produces.
+      // ONE optimized candidate plan, built with a single
+      // analyzer+optimizer pass (~0.15 s — the rewrite's dominant fixed
+      // cost at demo scale) and consumed twice: as the hash-join build
+      // side here, and inside the guard's scalar subquery below via a
+      // fresh-exprId copy ([[freshExprIds]] — Spark assumes unique
+      // exprIds per plan occurrence, so the subquery scope must not
+      // share ids with the main tree). Both read the pruned artifact,
+      // the corpus is scanned exactly once (the join's probe side), and
+      // the artifact scans stay VISIBLE in the final plan (auditable:
+      // PlanAuditSpec pins their partition pruning). Injected
+      // OPTIMIZED: user rules run after the main batches, so an
+      // analyzed subtree would carry nodes the planner can't take
+      // (distinct()'s Deduplicate, normally lowered to Aggregate
+      // earlier). Eagerly materializing-and-sharing the candidates at
+      // rewrite time would be cheaper still but hides the probe from
+      // the plan (an ExistingRDD leaf) — the wrong trade for an
+      // optimizer rule whose whole claim is the plan it produces.
       val candPlan = probe.candidateIds(qv.toSeq).queryExecution.optimizedPlan
-      val guardPlan = candPlan
       val exists =
         AttributeReference("graft_ann_cand_exists", BooleanType, nullable = false)()
       val join = Join(child, candPlan, ExistenceJoin(exists),
@@ -266,15 +286,19 @@ object AnnProbeRule extends Rule[LogicalPlan] {
         case _ => p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]
       }
       val guardChild =
-        if (isBareScan(child)) guardPlan
-        else Join(child, guardPlan, LeftSemi,
-          Some(EqualTo(idAttr, guardPlan.output.head)), JoinHint.NONE)
-      val candCount = Aggregate(
+        if (isBareScan(child)) candPlan
+        else Join(child, candPlan, LeftSemi,
+          Some(EqualTo(idAttr, candPlan.output.head)), JoinHint.NONE)
+      // the whole guard tree (which embeds the SAME candidate plan
+      // instance as the join side, and for non-bare children the same
+      // `child` instance too) gets one consistent fresh-exprId remap —
+      // the subquery scope never shares an id with the main tree
+      val candCount = freshExprIds(Aggregate(
         Nil,
         Seq(Alias(
           AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
           "cand_n")()),
-        guardChild)
+        guardChild))
       val underK: Expression =
         LessThan(ScalarSubquery(candCount), Cast(gl.limitExpr, LongType))
       sort.copy(child = proj.copy(child = Filter(Or(underK, exists), join)))

@@ -333,4 +333,27 @@ class AnnProbeRuleSpec extends SparkSpec with BeforeAndAfterAll {
     AnnProbeRule.deregister("rec_lib")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
   }
+
+  test("listing is register-only: a read path never deregisters a foreign token") {
+    import graft.catalog.{LibraryCatalog, Models}
+    import spark.implicits._
+    // a FLAT library named like a manually registered probe: commit
+    // paths deregister unprobeable indexers, but a mere listLibraries()
+    // (read path) must not wipe the token — two catalogs over different
+    // warehouses, or a user's manual registration, share the global
+    // name-keyed registry
+    val wh = java.nio.file.Files.createTempDirectory("ann_probe_ro").toString
+    val c = new LibraryCatalog(spark, wh)
+    AnnProbeRule.deregister("ro_lib")
+    c.createLibrary("ro_lib", Models.FlatIndexer,
+      Seq(("r-1", "d-0", "read only fixture text")).toDF("id", "document_id", "text"))
+    AnnProbeRule.register("ro_lib",
+      AnnProbeRule.ArtifactProbe("manual", "id", 32,
+        _ => spark.range(0).selectExpr("cast(id as string) id")))
+    new LibraryCatalog(spark, wh).listLibraries()
+    assert(AnnProbeRule.isRegistered("ro_lib"),
+      "listLibraries() deregistered a manually registered probe token")
+    AnnProbeRule.deregister("ro_lib")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+  }
 }

@@ -60,6 +60,23 @@ class NearDupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("no pair-keyed dedup aggregate remains in either band-path plan") {
+    // the first-collision rewrite's whole point: the join-then-DISTINCT
+    // HashAggregate over (id_a, id_b) — a bands-fold duplicate stream
+    // into the operator's biggest exchange — must not reappear. The
+    // only aggregates left are doc-keyed (survival maps). Attribute
+    // names print as name#id, so `keys=[id_a#` matches exactly a
+    // pair-keyed aggregate and nothing else.
+    val selfPlan = NearDup.nearDuplicatePairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!selfPlan.contains("keys=[id_a#"), selfPlan.take(4000))
+    val half = docs.where(col("doc_id") % 2 === 0)
+    val incPlan = NearDup
+      .incrementalNearDupPairs(half, docs.where(col("doc_id") % 2 === 1))
+      .queryExecution.executedPlan.toString
+    assert(!incPlan.contains("keys=[id_new#"), incPlan.take(4000))
+  }
+
   test("giant-bucket cap bounds candidates on a mass-duplicated corpus") {
     import spark.implicits._
     // 200 identical boilerplate docs land in ONE bucket per band; the
@@ -126,12 +143,118 @@ class NearDupSpec extends SparkSpec {
     assert(gotRows.toSet === ref,
       "first-collision pair set must equal the capped join+DISTINCT set")
     assert(ref.nonEmpty, "fixture must actually produce candidates")
-    // the fixture genuinely stresses mixed survival: at least one doc
-    // must be capped out of SOME table while surviving another
+    // the fixture genuinely stresses mixed survival: at least ONE doc
+    // must itself be capped out of SOME table while surviving another
+    // (a per-doc 0 < count < numTables — the earlier exists(<max) &&
+    // exists(>0) form was satisfiable by full survivors alone)
     val survival = capped.groupBy("doc_id").count().collect()
-    assert(survival.exists(_.getLong(1) < 8) && survival.exists(_.getLong(1) > 0),
-      "fixture must produce partial cap survival to stress the mask")
+    assert(
+      survival.exists(r =>
+        r.getLong(1) > 0 && r.getLong(1) < NearDup.EmbedLshParams.numTables),
+      "fixture must produce a partially-surviving doc to stress the mask")
     sig.unpersist()
+  }
+
+  test("kernel rejects a numTables smaller than the sig's actual table count") {
+    import spark.implicits._
+    val emb = graft.functions.Embedder.embedLocal("guard text").toSeq
+    val vecs = spark.range(30).select(col("id").as("doc_id"))
+      .withColumn("embedding", typedLit(emb))
+    val sig = NearDup.embeddingSignatures(vecs) // built with 8 tables
+    // claiming 4 tables would let a first collision in table >= 4
+    // escape the unrolled earlier-collision test and re-emit pairs —
+    // the kernel must fail LOUDLY instead of silently duplicating
+    val ex = intercept[Exception] {
+      NearDup.embeddingNearDupPairsFromSig(vecs, sig, numTables = 4).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("numBuckets")), ex.toString)
+  }
+
+  test("band-path first-collision equals join-then-DISTINCT under mixed cap survival") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // three 20-member families of near-identical TEXTS: per-doc token
+    // tweaks change SOME minhash band keys and not others, so family
+    // members share some band buckets only, and a small cap binds
+    // differently per (band, band_key) bucket — the survival-map
+    // interplay the band path's first-collision filter must get right
+    val docs = spark.range(60).select(
+      col("id").as("doc_id"),
+      concat(
+        lit("shared boilerplate tokens one two three four five six seven eight nine ten "),
+        lit("family "), (col("id") % 3).cast("string"),
+        lit(" variant token "), (col("id") % 20).cast("string")).as("text"))
+    val p = NearDup.Params(maxBucket = 7, threshold = 0.0)
+    // reference: the SAME deterministic cap, then join + DISTINCT
+    val bands = NearDup.bandRows(
+      NearDup.docShingles(docs, "doc_id", "text", p), "doc_id", p)
+    val w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    val capped = bands.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= p.maxBucket).drop("__rk").cache()
+    val ref = capped.select(col("doc_id").as("id_a"), col("band"), col("band_key"))
+      .join(capped.select(col("doc_id").as("id_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // production path with threshold 0.0: the Jaccard verify is a
+    // pass-through, so the output IS the candidate pair set
+    val gotRows = NearDup.nearDuplicatePairs(docs, p = p)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotRows.length === gotRows.distinct.length,
+      "band first-collision must emit each pair exactly once")
+    assert(gotRows.toSet === ref,
+      "band first-collision pair set must equal the capped join+DISTINCT set")
+    assert(ref.nonEmpty, "fixture must actually produce candidates")
+    // the fixture genuinely stresses mixed survival per doc
+    val survival = capped.groupBy("doc_id").count().collect()
+    assert(
+      survival.exists(r => r.getLong(1) > 0 && r.getLong(1) < p.bands),
+      "fixture must produce a partially-surviving doc to stress the map")
+    capped.unpersist()
+  }
+
+  test("incremental first-collision equals join-then-DISTINCT under mixed cap survival") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // same family construction, split batch-vs-corpus with an id
+    // overlap (re-ingested unchanged docs) so the =!= self-pair guard
+    // is exercised alongside the two independent survival maps
+    def corpus(ids: org.apache.spark.sql.DataFrame) = ids.select(
+      col("id").as("doc_id"),
+      concat(
+        lit("shared boilerplate tokens one two three four five six seven eight nine ten "),
+        lit("family "), (col("id") % 3).cast("string"),
+        lit(" variant token "), (col("id") % 20).cast("string")).as("text"))
+    val existing = corpus(spark.range(40).toDF("id"))
+    val incoming = corpus(spark.range(30, 70).toDF("id")) // ids 30..39 overlap
+    val p = NearDup.Params(maxBucket = 7, threshold = 0.0)
+    def cappedBands(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+      NearDup.bandRows(NearDup.docShingles(df, "doc_id", "text", p), "doc_id", p)
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= p.maxBucket).drop("__rk")
+    }
+    val ref = cappedBands(incoming)
+      .select(col("doc_id").as("id_new"), col("band"), col("band_key"))
+      .join(cappedBands(existing)
+        .select(col("doc_id").as("id_old"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .where(col("id_new") =!= col("id_old"))
+      .select("id_new", "id_old").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotRows = NearDup.incrementalNearDupPairs(existing, incoming, p = p)
+      .select("id_new", "id_old")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotRows.length === gotRows.distinct.length,
+      "incremental first-collision must emit each pair exactly once")
+    assert(gotRows.toSet === ref,
+      "incremental first-collision pair set must equal the join+DISTINCT set")
+    assert(ref.nonEmpty, "fixture must actually produce candidates")
+    assert(!gotRows.exists(r => r._1 == r._2), "no degenerate self-pairs")
   }
 
   test("shingling: k-shingle count is tokens-k+1; short docs shingle to whole text") {
