@@ -315,10 +315,18 @@ object HnswIndex {
     idx
   }
 
-  /** Driver-local graph size cap: beyond this, collect-and-build is an
-    * OOM waiting to happen — callers must switch to [[searchPartitioned]].
-    * Shared by [[fromDataFrame]] and the catalog's hnsw read path. */
-  val DefaultMaxRows: Int = 2000000
+  /** Driver-local graph size knee: beyond this, auto paths redirect to
+    * [[searchPartitioned]] ([[fromDataFrameOpt]] returns None; the
+    * catalog's hnsw read path does the same). The value is a
+    * MEASUREMENT, not a guess — tools/HnswBuildCurve on real corpus
+    * vectors (dim 32, m=16, efC=200) shows the single-threaded insert
+    * loop near-linear at ~2 ms/insert (2k→3.6s, 5k→9.9s, 10k→20.3s,
+    * 20k→38.0s; SCALING.md records the curve), so 5,000 bounds any one
+    * driver build at ~10 s. Memory was the OLD rationale for a 2M cap;
+    * build TIME binds three orders of magnitude earlier. Callers that
+    * deliberately want the reference's whole-corpus in-memory envelope
+    * (its own operating scope) pass maxRows explicitly. */
+  val DefaultMaxRows: Int = 5000
 
   /** Reconstruct a graph from an [[HnswIndex.exportNodes]] dump (vectors
     * ALREADY normalized). Nodes must arrive in their original insertion
@@ -361,18 +369,35 @@ object HnswIndex {
       maxRows: Int = DefaultMaxRows,
       m: Int = 16,
       efConstruction: Int = 200,
-      seed: Long = 42L): HnswIndex = {
+      seed: Long = 42L): HnswIndex =
+    fromDataFrameOpt(df, idCol, embCol, maxRows, m, efConstruction, seed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"HNSW driver-local build capped at $maxRows rows; " +
+          "use searchPartitioned for larger corpora"))
+
+  /** [[fromDataFrame]] that REDIRECTS instead of refusing: None when
+    * the corpus exceeds `maxRows` — the caller takes the distributed
+    * per-partition path ([[searchPartitioned]]) there, exactly the
+    * catalog's over-cap behavior. The bounded `limit(maxRows + 1)`
+    * collect is both the size check and the build input: never a
+    * separate count job, never an unbounded collect. */
+  def fromDataFrameOpt(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxRows: Int = DefaultMaxRows,
+      m: Int = 16,
+      efConstruction: Int = 200,
+      seed: Long = 42L): Option[HnswIndex] = {
     val rows = df
       .select(idCol, embCol)
       .limit(maxRows + 1)
       .collect()
-    require(rows.length <= maxRows,
-      s"HNSW driver-local build capped at $maxRows rows; " +
-        "use searchPartitioned for larger corpora")
-    build(
+    if (rows.length > maxRows) None
+    else Some(build(
       rows.iterator.map(r =>
         (r.getLong(0), r.getSeq[Float](1).toArray)),
-      m, efConstruction, seed = seed)
+      m, efConstruction, seed = seed))
   }
 
   /** Build the distributed index ONCE: hash-partition the corpus by id,

@@ -45,6 +45,20 @@ class HnswIndexSpec extends SparkSpec {
     assert(index.search(q0, 10) === again.search(q0, 10))
   }
 
+  test("over-knee corpora redirect: fromDataFrameOpt None above maxRows, Some at it") {
+    // the driver-build window is bounded by BUILD TIME (the measured
+    // ~2 ms/insert curve behind DefaultMaxRows), so the Option form is
+    // the auto-path contract: None hands the caller to searchPartitioned
+    assert(HnswIndex.fromDataFrameOpt(emb, maxRows = 10).isEmpty)
+    val small = HnswIndex.fromDataFrameOpt(emb.limit(10), maxRows = 10)
+    assert(small.exists(_.size === 10))
+    // the hard form still refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      HnswIndex.fromDataFrame(emb, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("searchPartitioned"))
+  }
+
   test("small-n: returns all vectors ranked when n <= k") {
     val tiny = HnswIndex.build(
       Iterator((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f))))
