@@ -68,17 +68,20 @@ object Bench {
     val nSamples = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_SAMPLES")
         .flatMap(_.toIntOption).getOrElse(3))
-    // Warm-up: run one representative query untimed (codegen + classloading).
-    names.headOption.foreach(runOnce)
-
-    // Ambient-load stamps: the 1-minute system loadavg before and after
-    // the timed passes. On this shared host the wall-clock is weather —
-    // a drifted run now SELF-LABELS (high load_after explains a fat
-    // spread without re-running anything).
+    // Ambient-load stamps. load_before is the DISCRIMINATING one: it is
+    // sampled before this process has run any query, so a high value is
+    // ambient contention by definition. load_after necessarily includes
+    // this bench's own 32-core work (on a quiet host it still reads near
+    // the core count) — it is recorded for the delta/decay picture, not
+    // as a cleanliness signal; "cores" rides along so readers can
+    // normalize either stamp.
     def loadAvg: Double =
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
     val loadBefore = loadAvg
+
+    // Warm-up: run one representative query untimed (codegen + classloading).
+    names.headOption.foreach(runOnce)
 
     var failed = List.empty[String]
     // Per query: MEDIAN of N timed full materializations, with the
@@ -133,7 +136,7 @@ object Bench {
     val status = if (failed.isEmpty) "ok" else "failed"
     val loadAfter = loadAvg
     val loadStamp =
-      f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f"""
+      f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"cores":$cpus"""
 
     // Full-precision, full-map record: stderr (for humans) and
     // bench_full.json (for tools/the judge). This is NOT the driver line.

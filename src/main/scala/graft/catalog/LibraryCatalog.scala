@@ -790,8 +790,10 @@ class LibraryCatalog(
     * centroids (a bounded collect) load lazily on the first probe.
     *
     * `allowDeregister = false` is the READ-path mode (startup recovery
-    * via listLibraries): register what is probeable, but never remove a
-    * token — only mutations of a library may retire its name. */
+    * via listLibraries): register what is probeable ONLY into an unbound
+    * token (never replace a live registration — a manual probe or
+    * another catalog's same-named library owns it), and never remove a
+    * token — only mutations of a library may retire or re-pin its name. */
   private def syncAnnProbeRegistration(
       m: LibraryMeta,
       allowDeregister: Boolean = true): Unit = {
@@ -800,21 +802,23 @@ class LibraryCatalog(
       artifactAt(m.name, artifactName, m.version).getOrElse(
         throw new IllegalStateException(
           s"library '${m.name}' v${m.version}: $artifactName artifact missing"))
+    def bind(probe: => AnnProbeRule.ArtifactProbe): Unit =
+      if (allowDeregister) AnnProbeRule.register(m.name, probe)
+      else AnnProbeRule.registerIfAbsent(m.name, probe)
     m.indexer match {
       case LshIndexer =>
-        AnnProbeRule.register(m.name, AnnProbeRule.lshArtifact(
+        bind(AnnProbeRule.lshArtifact(
           () => art("index"), lshParams(m.dim),
           idCol = "id", embCol = "embedding"))
       case IvfIndexer =>
-        AnnProbeRule.register(m.name,
-          AnnProbeRule.ArtifactProbe("ivf", "id", m.dim, qv => {
-            // shared per-(name, version) quantizer cache — the rule's
-            // probe and the catalog search path collect centroids once
-            // between them, and version eviction is one mechanism
-            val (c, _) = quantizersFor(m.name, m.version, art("centroids"), None)
-            val probed = IvfIndex.probeCells(qv, c, ivfParams.nProbe).map(_.toInt)
-            art("index").where(col("cell").isin(probed: _*)).select("id")
-          }, embCol = "embedding"))
+        bind(AnnProbeRule.ArtifactProbe("ivf", "id", m.dim, qv => {
+          // shared per-(name, version) quantizer cache — the rule's
+          // probe and the catalog search path collect centroids once
+          // between them, and version eviction is one mechanism
+          val (c, _) = quantizersFor(m.name, m.version, art("centroids"), None)
+          val probed = IvfIndex.probeCells(qv, c, ivfParams.nProbe).map(_.toInt)
+          art("index").where(col("cell").isin(probed: _*)).select("id")
+        }, embCol = "embedding"))
       case _ =>
         if (allowDeregister) AnnProbeRule.deregister(m.name)
     }

@@ -127,6 +127,17 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     artifacts += token -> probe
   }
 
+  /** [[register]] only when `token` is currently unbound — the READ-path
+    * form (startup recovery): a listing must neither remove nor REPLACE
+    * a live registration (a manual probe, or another catalog's library
+    * of the same name); only mutations own a token. Returns whether it
+    * registered. */
+  def registerIfAbsent(token: String, probe: => ArtifactProbe): Boolean =
+    synchronized {
+      if (artifacts.contains(token)) false
+      else { register(token, probe); true }
+    }
+
   /** Remove a token's registration (catalog lifecycle: deleteLibrary,
     * rename, or an indexer change to a family the rule can't probe).
     * Idempotent — deregistering an absent token is a no-op. */
@@ -168,13 +179,24 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     val idMap = scala.collection.mutable.HashMap.empty[ExprId, ExprId]
     def fresh(id: ExprId): ExprId =
       idMap.getOrElseUpdate(id, NamedExpression.newExprId)
-    plan.transformAllExpressions {
-      case a: AttributeReference => a.withExprId(fresh(a.exprId))
-      case a: Alias =>
-        Alias(a.child, a.name)(
-          fresh(a.exprId), a.qualifier, a.explicitMetadata,
-          a.nonInheritableMetadataKeys)
-    }
+    def remap(p: LogicalPlan): LogicalPlan =
+      p.transformAllExpressions {
+        // transformAllExpressions does NOT descend into a nested
+        // subquery's LogicalPlan (e.g. a user radius pre-filter under
+        // the kNN sort carrying its own scalar subquery) — recurse with
+        // the SHARED id map so outer references stay consistent
+        // (transformDown continues into the returned node's expression
+        // children, so the subquery's OUTER references still hit the
+        // AttributeReference case below with the same shared map)
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          s.withNewPlan(remap(s.plan))
+        case a: AttributeReference => a.withExprId(fresh(a.exprId))
+        case a: Alias =>
+          Alias(a.child, a.name)(
+            fresh(a.exprId), a.qualifier, a.explicitMetadata,
+            a.nonInheritableMetadataKeys)
+      }
+    remap(plan)
   }
 
   /** Idempotence guard: the optimizer runs extra rules to FIXPOINT, and

@@ -18,14 +18,18 @@ import org.apache.spark.sql.functions._
   *      propagation round changes zero labels — the fixpoint check the
   *      query also enforces internally via its observed `changed`);
   *   4. coverage: the labeled id set equals the edge-endpoint id set
-  *      exactly (each endpoint in exactly one cluster).
+  *      exactly (each endpoint in exactly one cluster);
+  *   5. connectivity: every cluster is CONNECTED over its own intra-
+  *      cluster edges — an exact per-label union-find, one cluster per
+  *      task (the largest clone-family clique is ~10^5-10^6 edges,
+  *      trivially task-local). Without this, an over-merging regression
+  *      (two disjoint components under one label) would pass 1-4.
   *
-  * Soundness: (3) makes every component lie within one cluster; a
-  * cluster's label is a member id (1), which belongs to exactly one
-  * component, so no cluster can span two components — each cluster IS
-  * one complete component, labeled by its minimum id (2). This checks
-  * ALL components, not a sample. Any violation exits nonzero (the
-  * scale gate fails loudly).
+  * Soundness: (3) makes every component lie within one cluster, (5)
+  * makes every cluster lie within one component, (4) matches the node
+  * sets — so clusters = components exactly, labeled by their minimum
+  * id (1,2). This checks ALL components, not a sample. Any violation
+  * exits nonzero (the scale gate fails loudly).
   *
   * Usage: runMain graft.tools.ClusterGate <sfDir>
   */
@@ -83,6 +87,45 @@ object ClusterGate {
     val nDistinctLabeled = labels.select("id").distinct().count()
     val uncovered = endpoints.join(labels, Seq("id"), "left_anti").count()
 
+    // connectivity: per-label union-find over intra-cluster edges —
+    // each cluster must form ONE component over its own edges and its
+    // edge-node set must be the full member set (every member has at
+    // least one same-label edge). This is the check that catches
+    // OVER-merging, which invariants 1-4 are blind to.
+    import spark.implicits._
+    val labeledEdges = edges
+      .join(labels.select(col("id").as("doc_a"), col("lbl")), "doc_a")
+      .select(col("lbl"), col("doc_a"), col("doc_b"))
+      .as[(Long, Long, Long)]
+    val connectivity = labeledEdges
+      .groupByKey(_._1)
+      .mapGroups { (lbl, it) =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = parent.keys.toSeq
+        (lbl, nodes.size.toLong, nodes.map(find).distinct.size.toLong)
+      }
+      .toDF("lbl", "edge_nodes", "components")
+    val connStats = connectivity
+      .join(withIds.select(col("cluster_rep").as("lbl"), col("n_docs")), "lbl")
+      .agg(
+        sum(when(col("components") === 1L, 0L).otherwise(1L))
+          .as("disconnected_clusters"),
+        sum(when(col("edge_nodes") === col("n_docs"), 0L).otherwise(1L))
+          .as("edge_node_mismatch"),
+        count(lit(1)).as("n_conn_checked")).head()
+
     val checks = Seq(
       ("rep_not_member", perCluster.getAs[Long]("rep_not_member"), 0L),
       ("rep_not_min", perCluster.getAs[Long]("rep_not_min"), 0L),
@@ -90,14 +133,20 @@ object ClusterGate {
       ("edge_label_disagreements", disagree, 0L),
       ("uncovered_endpoints", uncovered, 0L),
       ("duplicate_labelings", nLabels - nDistinctLabeled, 0L),
-      ("labeled_minus_endpoints", nLabels - nEndpoints, 0L))
+      ("labeled_minus_endpoints", nLabels - nEndpoints, 0L),
+      ("disconnected_clusters", connStats.getAs[Long]("disconnected_clusters"), 0L),
+      ("conn_edge_node_mismatch", connStats.getAs[Long]("edge_node_mismatch"), 0L),
+      ("conn_clusters_unchecked",
+        perCluster.getAs[Long]("n_clusters") - connStats.getAs[Long]("n_conn_checked"), 0L))
     val bad = checks.filter { case (_, v, want) => v != want }
     println(s"[cluster-gate] $dir clusters=${perCluster.getAs[Long]("n_clusters")} " +
       s"labeled=${perCluster.getAs[Long]("n_labeled")} endpoints=$nEndpoints")
     checks.foreach { case (n, v, _) => println(f"[cluster-gate]   $n%-28s $v") }
     spark.stop()
     if (bad.nonEmpty) {
-      System.err.println(
+      // stdout, not stderr: the scale gate greps stdout and discards
+      // stderr — a swallowed failure summary is not "failing loudly"
+      println(
         s"[cluster-gate] FAILED: ${bad.map(b => s"${b._1}=${b._2}").mkString(", ")}")
       sys.exit(1)
     }

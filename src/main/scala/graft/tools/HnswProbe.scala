@@ -38,7 +38,10 @@ object HnswProbe {
       .sortBy(t => (t._2, t._1)).take(10)
     println("exact:       " + exact.map(t => s"${t._1}:${"%.6f".format(t._2)}").mkString(" "))
 
-    val idx = HnswIndex.fromDataFrame(emb)
+    // explicit whole-corpus envelope: this tool MEASURES the driver-local
+    // path (recall + bit-parity vs exact), so it deliberately builds past
+    // the auto-redirect knee that fromDataFrame's default would refuse
+    val idx = HnswIndex.fromDataFrame(emb, maxRows = 2000000)
     val local = idx.search(qv, 10)
     println("hnsw-local:  " + local.map(t => s"${t._1}:${"%.6f".format(t._2)}").mkString(" "))
     println("local recall = " + local.map(_._1).toSet.intersect(exact.map(_._1).toSet).size / 10.0)
