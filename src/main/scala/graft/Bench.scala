@@ -128,15 +128,30 @@ object Bench {
     val results = sampled.map { case (name, samples) =>
       name -> (if (samples.contains(-1.0)) -1.0 else median(samples))
     }
+    // spread over the WARM passes only (with >= 3 samples): pass 1
+    // carries each query's one-time costs by design — cache builds,
+    // demo libraries, codegen — so including it made "spread" mostly
+    // measure warmup, not weather. The cold surcharge is real
+    // information but different information: it is reported separately
+    // as cold_extra_total = Σ max(0, pass1 - median).
     val spreads = sampled.map { case (name, samples) =>
-      name -> (if (samples.contains(-1.0)) -1.0 else samples.max - samples.min)
+      val warm = if (samples.size >= 3) samples.drop(1) else samples
+      name -> (if (samples.contains(-1.0)) -1.0 else warm.max - warm.min)
     }
+    val coldExtra = sampled.collect {
+      case (_, ss) if !ss.contains(-1.0) =>
+        math.max(0.0, ss.head - median(ss))
+    }.sum
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalSpread = spreads.collect { case (_, v) if v >= 0 => v }.sum
     val status = if (failed.isEmpty) "ok" else "failed"
     val loadAfter = loadAvg
+    // cores is VALIDATED before interpolation: a padded or non-numeric
+    // SPARK_GRAFT_CPUS would otherwise corrupt the one JSON line the
+    // driver parses (and bench_full.json with it)
+    val coresInt = cpus.trim.toIntOption.getOrElse(-1)
     val loadStamp =
-      f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"cores":$cpus"""
+      f""""cold_extra_total":$coldExtra%.3f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"cores":$coresInt"""
 
     // Full-precision, full-map record: stderr (for humans) and
     // bench_full.json (for tools/the judge). This is NOT the driver line.

@@ -790,10 +790,11 @@ class LibraryCatalog(
     * centroids (a bounded collect) load lazily on the first probe.
     *
     * `allowDeregister = false` is the READ-path mode (startup recovery
-    * via listLibraries): register what is probeable ONLY into an unbound
-    * token (never replace a live registration — a manual probe or
-    * another catalog's same-named library owns it), and never remove a
-    * token — only mutations of a library may retire or re-pin its name. */
+    * via listLibraries): register what is probeable into an unbound or
+    * RECOVERY-owned token (a re-listing must track version bumps made
+    * by another process, or its pin would rot to a GC'd artifact), but
+    * never replace a mutation-time or manual registration and never
+    * remove a token — only mutations of a library may retire its name. */
   private def syncAnnProbeRegistration(
       m: LibraryMeta,
       allowDeregister: Boolean = true): Unit = {
@@ -804,7 +805,11 @@ class LibraryCatalog(
           s"library '${m.name}' v${m.version}: $artifactName artifact missing"))
     def bind(probe: => AnnProbeRule.ArtifactProbe): Unit =
       if (allowDeregister) AnnProbeRule.register(m.name, probe)
-      else AnnProbeRule.registerIfAbsent(m.name, probe)
+      // recovery-origin binding: refreshes an earlier recovery's pin
+      // (so a re-listing after a cross-process version bump re-pins to
+      // the CURRENT version instead of a GC-doomed one) but never
+      // replaces a mutation-time or manual registration
+      else AnnProbeRule.registerRecovered(m.name, probe)
     m.indexer match {
       case LshIndexer =>
         bind(AnnProbeRule.lshArtifact(

@@ -116,7 +116,15 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     }, embCol)
   }
 
-  @volatile private var artifacts: Map[String, ArtifactProbe] = Map.empty
+  /** A registration plus its ORIGIN: recovery-owned bindings (made by a
+    * read-path listing) may be refreshed by a later recovery — a
+    * re-listing after a cross-process version bump must re-pin to the
+    * latest on-disk version, or the token would serve (or fail on) a
+    * GC-doomed artifact forever. Mutation/manual bindings are owned by
+    * their writer and a read path never touches them. */
+  private final case class Binding(probe: ArtifactProbe, recovered: Boolean)
+
+  @volatile private var artifacts: Map[String, Binding] = Map.empty
 
   /** Register a persisted index artifact under an explicit token.
     * Synchronized: `+=` on a @volatile map is a read-modify-write, and
@@ -124,18 +132,19 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     * per token wins (the registry is process-global, like the rule). */
   def register(token: String, probe: ArtifactProbe): Unit = synchronized {
     require(token.nonEmpty, "artifact token must be non-empty")
-    artifacts += token -> probe
+    artifacts += token -> Binding(probe, recovered = false)
   }
 
-  /** [[register]] only when `token` is currently unbound — the READ-path
-    * form (startup recovery): a listing must neither remove nor REPLACE
-    * a live registration (a manual probe, or another catalog's library
-    * of the same name); only mutations own a token. Returns whether it
-    * registered. */
-  def registerIfAbsent(token: String, probe: => ArtifactProbe): Boolean =
+  /** The READ-path form (startup recovery via a listing): binds when the
+    * token is unbound OR bound by an earlier recovery (refreshing the
+    * catalog's own pin to the latest on-disk version), and NEVER
+    * replaces a mutation-time or manual registration — those writers
+    * own their token. Returns whether it (re)bound. */
+  def registerRecovered(token: String, probe: => ArtifactProbe): Boolean =
     synchronized {
-      if (artifacts.contains(token)) false
-      else { register(token, probe); true }
+      require(token.nonEmpty, "artifact token must be non-empty")
+      if (artifacts.get(token).exists(!_.recovered)) false
+      else { artifacts += token -> Binding(probe, recovered = true); true }
     }
 
   /** Remove a token's registration (catalog lifecycle: deleteLibrary,
@@ -153,7 +162,7 @@ object AnnProbeRule extends Rule[LogicalPlan] {
     Option(SQLConf.get.getConfString(ArtifactKey, "")).filter(_.nonEmpty)
 
   private def probeFor(token: String): ArtifactProbe =
-    artifacts.getOrElse(token,
+    artifacts.get(token).map(_.probe).getOrElse(
       // a typo'd or forgotten registration must fail loudly, never
       // silently return exact results the caller believes are probed
       throw new IllegalArgumentException(
@@ -187,7 +196,18 @@ object AnnProbeRule extends Rule[LogicalPlan] {
         // the SHARED id map so outer references stay consistent
         // (transformDown continues into the returned node's expression
         // children, so the subquery's OUTER references still hit the
-        // AttributeReference case below with the same shared map)
+        // AttributeReference case below with the same shared map.)
+        // The SubqueryExpression's OWN exprId is re-minted too: AQE
+        // plans subqueries keyed by exprId.id, so two occurrences
+        // sharing one id would silently alias each other's planned
+        // subquery — the exact per-occurrence invariant this helper
+        // upholds.
+        case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+          s.copy(plan = remap(s.plan), exprId = fresh(s.exprId))
+        case s: org.apache.spark.sql.catalyst.expressions.Exists =>
+          s.copy(plan = remap(s.plan), exprId = fresh(s.exprId))
+        case s: org.apache.spark.sql.catalyst.expressions.ListQuery =>
+          s.copy(plan = remap(s.plan), exprId = fresh(s.exprId))
         case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
           s.withNewPlan(remap(s.plan))
         case a: AttributeReference => a.withExprId(fresh(a.exprId))

@@ -334,6 +334,23 @@ class AnnProbeRuleSpec extends SparkSpec with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
   }
 
+  test("recovery bindings refresh recovery bindings, never mutation/manual ones") {
+    def probe(kind: String) = AnnProbeRule.ArtifactProbe(kind, "id", 8,
+      _ => spark.range(0).selectExpr("cast(id as string) id"))
+    AnnProbeRule.deregister("rr_tok")
+    // unbound -> recovery binds
+    assert(AnnProbeRule.registerRecovered("rr_tok", probe("r1")))
+    // recovery REFRESHES an earlier recovery (a re-listing after a
+    // cross-process version bump must re-pin, not rot on a GC'd version)
+    assert(AnnProbeRule.registerRecovered("rr_tok", probe("r2")))
+    // a mutation-time registration takes ownership...
+    AnnProbeRule.register("rr_tok", probe("m"))
+    // ...and recovery can no longer touch it
+    assert(!AnnProbeRule.registerRecovered("rr_tok", probe("r3")))
+    assert(AnnProbeRule.isRegistered("rr_tok"))
+    AnnProbeRule.deregister("rr_tok")
+  }
+
   test("listing is register-only: a read path never deregisters a foreign token") {
     import graft.catalog.{LibraryCatalog, Models}
     import spark.implicits._
