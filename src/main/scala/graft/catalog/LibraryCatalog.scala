@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.slf4j.LoggerFactory
 
 import graft.catalog.Models._
-import graft.functions.{Embedder, VectorFunctions}
+import graft.functions.{Embedder, Md5Expressions, VectorFunctions}
 import graft.functions.VectorFunctions.{Euclidean, Metric}
 import graft.operators.{FlatKnn, HnswIndex, IvfIndex, LshIndex, PqIndex}
 
@@ -2017,9 +2017,9 @@ class LibraryCatalog(
     * batches as replays), so an md5 of the RAW id is appended. */
   private def ingestMarkerName(sourceId: String): String = {
     val readable = sourceId.replaceAll("[^A-Za-z0-9._-]", "_").take(64)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sourceId.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(16)
+    // shared derivation (Md5Expressions.hexDigestUtf8): marker names are
+    // durable identities — divergent copies would re-key them
+    val digest = Md5Expressions.hexDigestUtf8(sourceId).take(16)
     s"${readable}-$digest"
   }
 

@@ -36,6 +36,15 @@ object Md5Expressions {
   def digestOf(bytes: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
 
+  /** Lowercase-hex md5 of a UTF-8 string — THE shared derivation for
+    * persistence-critical identities (catalog ingest-marker names,
+    * streaming checkpoint source ids). One implementation on purpose:
+    * these hex strings name durable files, and a copy that silently
+    * diverged (charset, hex case) would re-key every marker — exactly
+    * the re-ingest/skip failure the marker machinery exists to stop. */
+  def hexDigestUtf8(s: String): String =
+    digestOf(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   /** The whole md5 embedding from one digest: dim d is
     * `((h*(d+1)+d) % 10000) / 10000` with h = [[chunk]](digest, 0) —
     * exactly `Embedder.embedLocal` / the oracle's SQL fragment. Shared

@@ -84,7 +84,11 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
         }
         .getOrElse(JsonlV2.DefaultSplitBytes),
       {
-        val mode = Option(opts.get("mode")).map(_.toUpperCase)
+        // Locale.ROOT: the default-locale toUpperCase turns "failfast"
+        // into FAİLFAST under tr-TR and rejects a valid option — the
+        // exact bug Spark's own option parsing pins the root locale for
+        val mode = Option(opts.get("mode"))
+          .map(_.toUpperCase(java.util.Locale.ROOT))
           .getOrElse("PERMISSIVE")
         // unsupported modes must fail loudly — silently coercing e.g.
         // DROPMALFORMED to PERMISSIVE would change row counts vs the
@@ -752,6 +756,23 @@ class JsonlPartitionReader(
     (required.fields.map(_.name) ++ filterCols).distinct.map { n =>
       fullSchema(fullSchema.fieldIndex(n))
     }
+  // fixed name→slot mapping + ONE reusable value buffer: the previous
+  // shape allocated a fresh string-keyed HashMap per LINE (plus a
+  // rehash per put) in the innermost scan loop — pure GC/CPU overhead
+  // at corpus scale. The slot map is built once; per line the buffer is
+  // null-filled and indexed.
+  private val slotOf = {
+    val m = new java.util.HashMap[String, Integer](parseCols.length * 2)
+    parseCols.zipWithIndex.foreach { case (f, i) => m.put(f.name, i) }
+    m
+  }
+  private val valBuf = new Array[Any](parseCols.length)
+  private val getVal: String => Any = { n =>
+    val i = slotOf.get(n)
+    if (i == null) null else valBuf(i)
+  }
+  private val requiredSlots: Array[Int] =
+    required.fields.map(f => slotOf.get(f.name).intValue())
   private var row: InternalRow = _
 
   locally {
@@ -794,15 +815,21 @@ class JsonlPartitionReader(
                   s"near byte ${split.start + consumed}: ${e.getMessage}")
             case _: com.fasterxml.jackson.core.JacksonException => null
           }
-        val vals = new java.util.HashMap[String, Any]()
-        if (node != null) parseCols.foreach { f =>
-          vals.put(f.name, JsonlPartitionReader.convert(node.get(f.name), f.dataType))
+        var i = 0
+        while (i < valBuf.length) { valBuf(i) = null; i += 1 }
+        if (node != null) {
+          i = 0
+          while (i < parseCols.length) {
+            val f = parseCols(i)
+            valBuf(i) = JsonlPartitionReader.convert(node.get(f.name), f.dataType)
+            i += 1
+          }
         }
-        if (pushed.forall(JsonlV2.eval(_, vals.get))) {
+        if (pushed.forall(JsonlV2.eval(_, getVal))) {
           val out = new GenericInternalRow(required.length)
-          var i = 0
+          i = 0
           while (i < required.length) {
-            out.update(i, vals.get(required.fields(i).name))
+            out.update(i, valBuf(requiredSlots(i)))
             i += 1
           }
           row = out
@@ -821,14 +848,24 @@ class JsonlPartitionReader(
 object JsonlPartitionReader {
   private[sources] val EmptyRow = new GenericInternalRow(0)
 
-  /** JSON node → Catalyst internal value of the declared type. */
+  /** JSON node → Catalyst internal value of the declared type.
+    * Type-STRICT: a field whose JSON type mismatches the declared type
+    * becomes NULL, never a Jackson-coerced 0 / 0.0 / false — a
+    * fabricated zero would satisfy pushed equality filters, poison
+    * MIN/COUNT pushdowns, and look indistinguishable from real data.
+    * (spark.read.json's PERMISSIVE nulls the whole record on a field
+    * mismatch; this connector nulls the FIELD — strictly documented
+    * divergence, and never a fabricated value either way. Numeric
+    * widening int→double matches Spark.) */
   private[sources] def convert(node: JsonNode, dt: DataType): Any =
     if (node == null || node.isNull) null
     else dt match {
-      case LongType    => node.asLong()
-      case IntegerType => node.asInt()
-      case DoubleType  => node.asDouble()
-      case BooleanType => node.asBoolean()
+      case LongType =>
+        if (node.isIntegralNumber && node.canConvertToLong) node.asLong() else null
+      case IntegerType =>
+        if (node.isIntegralNumber && node.canConvertToInt) node.asInt() else null
+      case DoubleType  => if (node.isNumber) node.asDouble() else null
+      case BooleanType => if (node.isBoolean) node.asBoolean() else null
       case StringType  =>
         UTF8String.fromString(if (node.isTextual) node.asText() else node.toString)
       case other =>
@@ -910,7 +947,11 @@ case class JsonlWrite(path: String, schema: StructType, doTruncate: Boolean)
           // tables (no stats → no pruning; correctness over skipping)
           Map.empty[String, (Double, Double)]
         else {
-          val len = fs.getFileStatus(dst).getLen.toDouble
+          // length shipped by the task writer (one executor-side call
+          // each), with a defensive driver-side fallback for a message
+          // that predates the field — never a fabricated length
+          val len =
+            (if (m.length >= 0) m.length else fs.getFileStatus(dst).getLen).toDouble
           m.stats + (JsonlV2.LenKey -> (len, len))
         }
       dst.getName -> stats
@@ -1012,7 +1053,13 @@ class JsonlDataWriter(
       case i if zSeen(i) && !zNaN(i) =>
         schema.fields(i).name -> (zMin(i), zMax(i))
     }.toMap
-    JsonlStaged(staged.toString, dest.toString, stats)
+    // the file length rides in the commit message: the zone manifest
+    // needs it (LenKey), and measuring it HERE is one executor-side
+    // call per task — measured at the driver it was one SEQUENTIAL
+    // getFileStatus round-trip per file inside job commit, lengthening
+    // the only window where a driver crash can leave a torn table
+    JsonlStaged(staged.toString, dest.toString, stats,
+      fs.getFileStatus(staged).getLen)
   }
 
   override def abort(): Unit = {
@@ -1026,7 +1073,8 @@ class JsonlDataWriter(
 case class JsonlStaged(
     staged: String,
     dest: String,
-    stats: Map[String, (Double, Double)] = Map.empty)
+    stats: Map[String, (Double, Double)] = Map.empty,
+    length: Long = -1L)
     extends WriterCommitMessage
 
 /** Streaming (micro-batch) read of a JSONL directory: the offset is the

@@ -114,16 +114,26 @@ object StreamingIngest {
     // gets its own marker and never mistakes batch 0 for a replay.
     // Full 128-bit digest — a 32-bit hash of the path would collide at
     // birthday scale across many checkpoints, and a collision makes the
-    // newer stream's early batches look like replays (silently dropped)
-    val sourceId = "ck" + java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // newer stream's early batches look like replays (silently dropped).
+    // The derivation is the SHARED Md5Expressions.hexDigestUtf8 — this
+    // id is persistence-critical, and a second hand-rolled copy that
+    // silently diverged (charset, hex case) would re-key every
+    // checkpoint's marker.
+    val sourceId = "ck" + graft.functions.Md5Expressions.hexDigestUtf8(checkpoint)
     // migration: this id was previously derived from a 32-bit murmur of
     // the checkpoint path ("ck" + up to 8 hex). A warehouse whose last
     // marker predates the md5 derivation would look never-ingested under
     // the new id, and a restart inside foreachBatch's at-least-once
     // replay window would RE-INGEST the duplicate batch the marker
     // exists to prevent. Carry the legacy marker forward once; the next
-    // recordIngestedBatch keeps the new name current.
+    // recordIngestedBatch keeps the new name current. Residual risk,
+    // accepted and bounded: a BRAND-NEW checkpoint whose murmur32
+    // collides with some legacy-era marker (p = 2^-32 per legacy
+    // marker, only until this library's first recordIngestedBatch
+    // writes the md5 name) would inherit that marker's batch id and
+    // skip its own early batches — the legacy namespace is frozen (no
+    // new murmur markers are ever written), so the surface only
+    // shrinks as libraries touch their md5 markers.
     if (catalog.lastIngestedBatch(library, sourceId).isEmpty) {
       val legacyId = "ck" + java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(checkpoint).toLong & 0xffffffffL)
@@ -181,6 +191,13 @@ object StreamingIngest {
     val chunks = ColumnBridge.column(graft.functions.Md5Chunks(
       ColumnBridge.expression(col(textCol).cast("binary"))))
     docs
+      // NULL text is dropped BEFORE the digest (ingest-validation
+      // parity: the batch path drops blank/null text, chunk.py:55-61).
+      // Without the filter Md5Chunks propagates the null into the
+      // non-nullable (String, Long, Long) encoder, which throws inside
+      // the stream — and a failed batch replays identically on restart,
+      // wedging the query permanently on one bad row.
+      .where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), chunks.as("__ch"))
       .select(
         col("id"),
@@ -201,7 +218,10 @@ object StreamingIngest {
           var minId: String = null
           rows.foreach { r =>
             n += 1
-            if (minId == null || r._1 < minId) minId = r._1
+            // null-safe: a NULL id must neither win the fold nor NPE
+            // the `<` (a wedged-forever stream); all-null groups keep
+            // null, matching the nullable KeptDoc.id
+            if (r._1 != null && (minId == null || r._1 < minId)) minId = r._1
           }
           val prev = state.getOption
           val kept = prev match {
@@ -223,7 +243,14 @@ object StreamingIngest {
     *
     * At scale: per-batch query count is expected small (it's a serving
     * path); for bulk offline scoring use the batch
-    * [[graft.operators.HnswIndex.searchPartitioned]] instead. */
+    * [[graft.operators.HnswIndex.searchPartitioned]] instead.
+    *
+    * Delivery contract: foreachBatch is AT-LEAST-ONCE — after a crash
+    * between the sink call and the checkpoint commit the batch replays
+    * and the sink sees the same results again. Every sinked row carries
+    * `batch_id` so an appending sink can deduplicate replays on
+    * (batch_id, qid); the ingest path in this file gets the same
+    * property from its catalog markers. */
   def streamingKnn(
       queries: DataFrame, // streaming: (qid LONG, query ARRAY<FLOAT>)
       corpus: DataFrame, // static: (idCol, embCol)
@@ -233,16 +260,22 @@ object StreamingIngest {
       sink: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val qs = batch
           .select(col("qid"), col("query"))
+          // a NULL qid NPEs the primitive getLong and a NULL vector
+          // reaches the distance kernel unchecked — either way the
+          // batch fails, replays, and fails again forever; malformed
+          // serving requests are dropped, never stream-killers
+          .where(col("qid").isNotNull && col("query").isNotNull)
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1)))
         qs.foreach { case (qid, qv) =>
           sink(
             graft.operators.FlatKnn
               .search(corpus, qv, k, idCol = idCol, embCol = embCol)
-              .withColumn("qid", lit(qid)))
+              .withColumn("qid", lit(qid))
+              .withColumn("batch_id", lit(bid)))
         }
         ()
       }

@@ -32,6 +32,39 @@ class Dsv2SourceSpec extends SparkSpec {
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("type-mismatched fields read as NULL, never Jackson-coerced zeros") {
+    // {"n":"abc"} under schema n LONG used to surface as n=0 via
+    // Jackson's asLong coercion — a fabricated value that satisfied
+    // pushed n=0 filters and poisoned MIN/COUNT. It must be NULL.
+    val dir = Files.createTempDirectory("dsv2coerce").toString + "/t"
+    val f = new java.io.File(dir); f.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.jsonl"),
+      """{"n":"abc","d":"x","b":7,"s":5}
+        |{"n":3,"d":1.5,"b":true,"s":"ok"}
+        |{"n":2.9,"d":4,"b":false,"s":"y"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("n", LongType), StructField("d", DoubleType),
+      StructField("b", BooleanType), StructField("s", StringType)))
+    val rows = spark.read.format("graft-jsonl").schema(schema).load(dir)
+      .orderBy("s").collect()
+    assert(rows.length === 3)
+    // row s="5": every typed field mismatched -> null (s itself is the
+    // documented convenience: non-textual nodes read as their JSON text)
+    val bad = rows.find(_.getAs[String]("s") == "5").get
+    assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
+    // n declared LONG with JSON 2.9 -> null (no silent truncation to 2)
+    val frac = rows.find(_.getAs[String]("s") == "y").get
+    assert(frac.isNullAt(0))
+    assert(frac.getAs[Double]("d") === 4.0, "int->double widening allowed")
+    val good = rows.find(_.getAs[String]("s") == "ok").get
+    assert(good.getAs[Long]("n") === 3L && good.getAs[Boolean]("b"))
+    // and a pushed n = 0 filter matches NOTHING (no fabricated zeros)
+    assert(spark.read.format("graft-jsonl").schema(schema).load(dir)
+      .where(col("n") === 0L).count() === 0L)
+  }
+
   test("reads exactly what the built-in json reader reads") {
     val builtin = spark.read.schema(docsSchema).json(jsonlDir)
       .orderBy("doc_id").collect().toSeq

@@ -211,6 +211,33 @@ class StreamingIngestSpec extends SparkSpec with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("streamingDedup survives NULL text and NULL ids (no wedged-forever batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_null_ck").toString
+    val mem = MemoryStream[(String, String)]
+    val deduped = StreamingIngest.streamingDedup(mem.toDF().toDF("id", "text"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_null_out").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // a NULL text row (dropped: ingest-validation parity) and a NULL
+      // id duplicate (must lose the min-id fold, not NPE it) — before
+      // the guards either row failed the batch, and a failed batch
+      // replays identically on restart: a permanently wedged stream
+      mem.addData((null, "kept text"), ("x-1", null), ("x-2", "kept text"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_null_out").collect()
+      assert(rows.length === 1, "null text dropped; one distinct text kept")
+      assert(rows.head.getAs[String]("id") === "x-2",
+        "a NULL id must never win the min-id fold over a non-null one")
+      mem.addData(("y-1", "fresh text"))
+      q.processAllAvailable() // the stream is still alive and ingesting
+      assert(spark.table("dedup_null_out").count() === 2)
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("streamingDedup keeps first occurrences only, across batches (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
