@@ -28,8 +28,15 @@ import graft.functions.VectorFunctions.{Cosine, DotProduct, Euclidean, Manhattan
   * At 100 TB / 1000 executors: phase 1 is embarrassingly parallel and
   * reads each corpus byte once for the whole batch; phase 2 shuffles
   * kilobytes. Distances use the same double-accumulation kernels as
-  * [[graft.functions.VectorDistance]], so results are bit-identical to
-  * the single-query operators (and the SQL oracle).
+  * [[graft.functions.VectorDistance]] — including the cosine
+  * guard-before-length quirk, so a zero-norm row's distance is defined
+  * even across mismatched dims exactly like the kernel — and results
+  * are bit-identical to the single-query operators (and the SQL
+  * oracle) on every row whose distance is DEFINED. The one deliberate
+  * divergence: rows with UNDEFINED (NULL) distance never appear here,
+  * while FlatKnn's nulls-last ordering pads an under-filled result
+  * with them — "nearest neighbors at unknown distance" is noise, and
+  * a batch operator emitting P×Q×k candidate rows should not carry it.
   */
 object BatchKnn {
 
@@ -90,9 +97,24 @@ object BatchKnn {
     // k <= 0 would reach h.head on an empty heap inside an executor —
     // an opaque task failure instead of this message
     require(k > 0, s"k must be positive, got $k")
+    // duplicate query ids would build separate heaps whose candidates
+    // MERGE under one id in the phase-2 window — a top-k of the mixed
+    // pool, correct for neither vector, with no error
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query batch contains duplicate query ids")
     val dims = queries.map(_._2.length).distinct
     require(dims.size == 1, s"query batch mixes dimensions: $dims")
     val qDim = dims.head
+    // the internal encoder is (Long, Array[Float]); a non-integral id
+    // column would cast to NULL and die as an opaque executor-side
+    // encoder error — fail loudly at the driver instead
+    val idType = corpus.schema(idCol).dataType
+    require(
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType ||
+        idType == org.apache.spark.sql.types.ShortType,
+      s"BatchKnn needs an integral id column; '$idCol' is $idType — " +
+        "string-keyed corpora use FlatKnn / HnswIndex.searchPartitionedKeyed")
     val spark = corpus.sparkSession
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] =
@@ -113,17 +135,36 @@ object BatchKnn {
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
         while (it.hasNext) {
           val (id, emb) = it.next()
-          // null / dimension-mismatched corpus rows never enter a heap —
+          // rows with UNDEFINED (NULL) distance never enter a heap —
           // the single-query path ranks them NULL-last (FlatKnn's
-          // asc_nulls_last), i.e. outside any top-k a valid row could
-          // fill; computing on them here would NPE or read out of bounds
-          if (emb != null && emb.length == qDim) {
+          // asc_nulls_last): see the deliberate-divergence note in the
+          // class doc. Definedness mirrors the VectorDistance kernel
+          // EXACTLY, including its cosine guard-before-length order: a
+          // zero-norm side defines the guard value even when the dims
+          // mismatch, so such a row ranks identically here and in
+          // FlatKnn (it can legitimately beat anti-correlated rows).
+          if (emb != null) {
+            val sameDim = emb.length == qDim
             var qi = 0
             while (qi < qs.length) {
-              val d = distLocal(metric, emb, qs(qi)._2)
-              val h = heaps(qi)
-              if (h.size < k) h.enqueue((d, id))
-              else if (ord.lt((d, id), h.head)) { h.dequeue(); h.enqueue((d, id)) }
+              val q = qs(qi)._2
+              var defined = sameDim
+              var d = 0.0
+              if (sameDim) d = distLocal(metric, emb, q)
+              else if (metric == Cosine) {
+                var na = 0.0
+                var i = 0
+                while (i < emb.length) { val v = emb(i).toDouble; na += v * v; i += 1 }
+                var nb = 0.0
+                i = 0
+                while (i < q.length) { val v = q(i).toDouble; nb += v * v; i += 1 }
+                if (na == 0.0 || nb == 0.0) { defined = true; d = 1.0 }
+              }
+              if (defined) {
+                val h = heaps(qi)
+                if (h.size < k) h.enqueue((d, id))
+                else if (ord.lt((d, id), h.head)) { h.dequeue(); h.enqueue((d, id)) }
+              }
               qi += 1
             }
           }

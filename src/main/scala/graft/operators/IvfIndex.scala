@@ -32,6 +32,12 @@ object IvfIndex {
       idCol: String = "vec_id",
       embCol: String = "embedding"): IndexedSeq[Array[Float]] =
     df.select(col(idCol), col(embCol))
+      // a NULL embedding in the lowest-id prefix would NPE the driver
+      // mid-build with an opaque stack; the sample is a learned
+      // parameter, so skipping invalid rows (deterministically — the
+      // filter commutes with the id order) is strictly better than
+      // crashing the whole createLibrary
+      .where(col(embCol).isNotNull)
       .orderBy(col(idCol))
       .limit(p.nCells)
       .collect()
@@ -103,12 +109,18 @@ object IvfIndex {
     cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toDF("cid", "embedding")
   }
 
-  /** Centroid vectors back out of a persisted [[centroidsDf]] table. */
+  /** Centroid vectors back out of a persisted [[centroidsDf]] table. A
+    * null vector here is CORRUPTION of a learned artifact, not data to
+    * tolerate — name the problem instead of NPE'ing on `.toArray`. */
   def centroidsOf(centsDf: DataFrame): IndexedSeq[Array[Float]] =
     centsDf
       .orderBy("cid")
       .collect()
-      .map(_.getSeq[Float](1).toArray)
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        require(v != null, s"corrupt centroids table: null vector at cid=${r.get(0)}")
+        v.toArray
+      }
       .toIndexedSeq
 
   /** Cell assignments shaped for persistence: `cell` cast to int so the

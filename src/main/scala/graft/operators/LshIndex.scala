@@ -83,14 +83,21 @@ object LshIndex {
   }
 
   /** v0 composition form (zip_with/aggregate per plane) — kept as the
-    * independently-written mirror for the equivalence test. */
+    * independently-written mirror for the equivalence test. NULL (not
+    * 0L) for null/dim-mismatched vectors, matching the fused kernel:
+    * the old `.otherwise(lit(0L))` swallowed the null-padded dot's NULL
+    * into signature 0 — a LEGAL signature (all-negative dots), so an
+    * invalid row written through this mirror would land in a real
+    * bucket of every table and surface as a candidate. */
   def signatureColBuiltin(vec: Column, tablePlanes: Array[Array[Double]]): Column =
     tablePlanes.zipWithIndex.map { case (pl, b) =>
       val dot = aggregate(
         zip_with(vec, typedLit(pl.toSeq), (x, y) => x.cast("double") * y),
         lit(0.0),
         (acc, x) => acc + x)
-      when(dot >= 0.0, lit(1L << b)).otherwise(lit(0L))
+      // two-sided when: a NULL dot stays NULL instead of taking the
+      // otherwise-branch, and NULL propagates through the bit sum
+      when(dot >= 0.0, lit(1L << b)).when(dot < 0.0, lit(0L))
     }.reduce(_ + _)
 
   /** The persistable index: one row per (id, table_idx, sig). Write this
@@ -169,8 +176,9 @@ object LshIndex {
       }
       .reduce(_ || _)
     val candIds = sigTable.where(probeCond).select(idCol).distinct()
-    val cands = df.join(candIds, Seq(idCol), "left_semi").localCheckpoint(true)
-    if (cands.count() >= k) cands else df
+    // shared under-k fallback (IvfIndex.candidatesOrAll): ONE copy of
+    // the count-after-semi-join discipline across the lsh/ivf/pq paths
+    IvfIndex.candidatesOrAll(df, candIds, k, idCol)
   }
 
   /** Partition-pruned probe of a PERSISTED signature table: one filtered
@@ -213,12 +221,17 @@ object LshIndex {
     val querySigs = planes(p).map(signatureLocal(query.toArray, _))
     val candIds =
       prunedCandidateIds(sigTable, querySigs, idCol, p.hashSize, p.maxFlips)
-    val cands = df.join(candIds, Seq(idCol), "left_semi").localCheckpoint(true)
-    if (cands.count() >= k) cands else df
+    IvfIndex.candidatesOrAll(df, candIds, k, idCol)
   }
 
   /** Probe against a prebuilt [[signatureTable]], then exact re-rank —
-    * the scale path. */
+    * the scale path. Routes through [[candidateBasePruned]]: the
+    * catalog persists sig tables partitionBy("table_idx"), and the
+    * single OR-of-conjuncts scan of [[candidateBase]] cannot
+    * partition-prune (every disjunct names a different partition) — it
+    * read all numTables × corpus sig rows per query where the pruned
+    * form reads L tiny partition dirs. Identical candidate set either
+    * way (same disjuncts, unioned instead of OR'd). */
   def searchWithTable(
       df: DataFrame,
       sigTable: DataFrame,
@@ -229,7 +242,8 @@ object LshIndex {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame =
     FlatKnn.search(
-      candidateBase(df, sigTable, query, k, p, idCol), query, k, metric, idCol, embCol)
+      candidateBasePruned(df, sigTable, query, k, p, idCol),
+      query, k, metric, idCol, embCol)
 
   /** Multi-probe signature expansion (reference K7, `lsh.py:355-376` —
     * defined and unit-tested there but never called by search): the

@@ -61,6 +61,50 @@ class BatchKnnSpec extends SparkSpec {
     }
   }
 
+  test("duplicate query ids are rejected loudly (heaps would merge)") {
+    val q = queries.head._2
+    val ex = intercept[IllegalArgumentException] {
+      BatchKnn.search(emb, Seq((1L, q), (1L, q.map(-_))), 3)
+    }
+    assert(ex.getMessage.contains("duplicate"))
+  }
+
+  test("non-integral id columns are rejected loudly (encoder would NPE in a task)") {
+    import spark.implicits._
+    val strCorpus = emb.select(
+      concat(lit("v"), col("vec_id")).as("vec_id"), col("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      BatchKnn.search(strCorpus, queries.take(1), 3)
+    }
+    assert(ex.getMessage.contains("integral id column"))
+  }
+
+  test("cosine guard parity: zero-norm rows match FlatKnn even across mismatched dims") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.Cosine
+    // the kernel evaluates the zero-norm guard BEFORE the length check,
+    // so a zero-norm row of the WRONG dim still has a defined distance
+    // (1.0) and can beat anti-correlated rows (cos dist up to 2.0). The
+    // batch heaps must mirror that order, not drop the row.
+    val q = Seq.fill(4)(1.0f)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),   // dist 0
+      (2L, Seq(-1.0f, -1.0f, -1.0f, -1.0f)), // anti-correlated: dist 2
+      (3L, Seq(0.0f, 0.0f)),                // zero-norm, WRONG dim: guard 1.0
+      (4L, Seq(1.0f, 2.0f)),                // wrong dim, non-zero: undefined
+      (5L, null.asInstanceOf[Seq[Float]]))  // null vector: undefined
+      .toDF("vec_id", "embedding")
+    val flat = graft.operators.FlatKnn.search(corpus, q, 3, Cosine)
+      .where(col("dist").isNotNull) // batch never carries undefined rows
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = BatchKnn.search(corpus, Seq((0L, q)), 3, Cosine)
+      .orderBy("dist", "vec_id")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch === flat)
+    assert(batch.map(_._1) === Seq(1L, 3L, 2L),
+      "the zero-norm mismatched-dim row must rank between correlated and anti-correlated")
+  }
+
   test("phase-1 output is bounded by partitions × Q × k (no N×Q shuffle)") {
     // count the candidate rows that reach phase 2 by rebuilding phase 1
     // the way search does, on a forced 11-partition layout
