@@ -80,6 +80,33 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
     val loadBefore = loadAvg
 
+    // Fixed-work CPU calibration: a single-threaded arithmetic spin
+    // timed before the warm-up and again before every pass. loadavg
+    // stamps cannot see hypervisor STEAL (a ~2x window was recorded at
+    // loadavg 1.6 — SCALING.md); the same fixed work drifting to 2x the
+    // quiet-host time labels stolen/contended CPU quantitatively, per
+    // pass, inside the record itself.
+    def calibrate(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val steps = 400000000L // ~0.25 s on an idle core of this host
+      val t0 = System.nanoTime()
+      while (i < steps) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // consume x so the JIT cannot eliminate the loop
+      if (x == 42L) System.err.println("calib")
+      dt
+    }
+    val calibBefore = calibrate()
+    val calibPasses = new scala.collection.mutable.ArrayBuffer[Double]
+
+    // JSON numeric formatting is pinned to the ROOT locale: Scala's f
+    // interpolator uses the JVM default, and under a comma-decimal
+    // locale (tr-TR, de-DE) every interpolated double would corrupt
+    // bench_full.json and the driver line.
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
     // Warm-up: run one representative query untimed (codegen + classloading).
     names.headOption.foreach(runOnce)
 
@@ -109,6 +136,7 @@ object Bench {
     // a driver GC) so block-manager pressure doesn't bleed across
     // queries.
     val passTimes: Seq[Map[String, Double]] = (1 to nSamples).map { _ =>
+      calibPasses += calibrate()
       names.map { name =>
         System.gc()
         val t0 = System.nanoTime()
@@ -150,8 +178,13 @@ object Bench {
     // SPARK_GRAFT_CPUS would otherwise corrupt the one JSON line the
     // driver parses (and bench_full.json with it)
     val coresInt = cpus.trim.toIntOption.getOrElse(-1)
+    // calib_before is the pre-anything quiet-point; calib_passes one
+    // entry per sample pass — a pass whose calibration drifted from
+    // calib_before by 2x ran under stolen/contended CPU and its samples
+    // should be read accordingly (the median usually discards them).
+    val calibJson = calibPasses.map(num(_, 3)).mkString("[", ",", "]")
     val loadStamp =
-      f""""cold_extra_total":$coldExtra%.3f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"cores":$coresInt"""
+      s""""cold_extra_total":${num(coldExtra, 3)},"load_before":${num(loadBefore, 2)},"load_after":${num(loadAfter, 2)},"calib_before":${num(calibBefore, 3)},"calib_passes":$calibJson,"cores":$coresInt"""
 
     // Full-precision, full-map record: stderr (for humans) and
     // bench_full.json (for tools/the judge). This is NOT the driver line.
@@ -178,10 +211,10 @@ object Bench {
     // dropped and bench_full.json carries it.
     val lineBudget = 1750
     val slowestFirst = results.sortBy { case (_, v) => -v }
-    val entries = slowestFirst.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val entries = slowestFirst.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
     val suffix =
-      s""""stat":"median_of_$nSamples","spread_total":${f"$totalSpread%.3f"},$loadStamp,"sf":"$sfDir","status":"$status","n_failed":${failed.size},"n_queries":${results.size},"queries_omitted":"""
-    val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},""".length +
+      s""""stat":"median_of_$nSamples","spread_total":${num(totalSpread, 3)},$loadStamp,"sf":"$sfDir","status":"$status","n_failed":${failed.size},"n_queries":${results.size},"queries_omitted":"""
+    val fixed = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":{},""".length +
       suffix.length + 4
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = fixed
@@ -190,7 +223,7 @@ object Bench {
     }
     val omitted = results.size - kept.size
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${kept.mkString("{", ",", "}")},$suffix$omitted}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},$suffix$omitted}""")
     failed.reverse.foreach(f => System.err.println(s"[bench] FAILED $f"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -165,6 +165,28 @@ object SparkEntry {
     * collect that must not re-run per call. */
   private val hnswCache =
     new scala.collection.concurrent.TrieMap[String, Option[graft.operators.HnswIndex]]
+  /** Distributed-path parallelism: the session's core count (the same
+    * SPARK_GRAFT_CPUS the session builders read), not a hardcoded 32 —
+    * Verify runs at 8 cores and a partition count tied to the actual
+    * parallelism keeps per-partition graph sizes proportionate. */
+  private def envParallelism: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32)
+  /** Build-once persisted partitioned HNSW artifact for the embeddings
+    * table (hash-partitioned by id, sorted-by-id insertion — see
+    * HnswIndex.buildPartitionedArtifact), shared by q_hnsw_artifact and
+    * q_hnsw_knn's over-knee redirect: both probe RESTORED graphs, so a
+    * cold over-knee search pays pruned artifact reads, never the
+    * per-partition insert sequence (measured at x100 as ~21 s of
+    * rebuild per search before this was shared). */
+  private def hnswArtifactGraphs(s: SparkSession, dir: String): String = {
+    val base = cachePath("hnswart", dir)
+    if (!new java.io.File(s"$base/_built").exists()) {
+      HnswIndex.buildPartitionedArtifact(
+        t(s, dir, "embeddings"), s"$base/graphs", numParts = envParallelism)
+      new java.io.File(s"$base/_built").createNewFile()
+    }
+    s"$base/graphs"
+  }
   /** (min, max) event timestamp in epoch micros — one bounded 2-scalar
     * aggregate, cached per dir (q_range_join derives its campaign
     * windows and bucket width from it; Bench's two samples must not pay
@@ -3116,9 +3138,13 @@ object SparkEntry {
             .toDF("vec_id", "dist")
             .select(col("vec_id"), rn(col("dist"), 6).as("dist"))
         case None =>
+          // over-knee: probe the build-once persisted partitioned
+          // artifact (restored graphs — q_hnsw_artifact's machinery and
+          // cache), never a per-invocation per-partition rebuild. The
+          // exact oracle is path-invariant on these corpora
+          // (q_hnsw_artifact pins this very path at every gate SF).
           HnswIndex
-            .searchPartitioned(
-              t(s, dir, "embeddings").repartition(32),
+            .searchArtifact(s, hnswArtifactGraphs(s, dir),
               Seq((0L, queryVec(s, dir).toArray)), 10)
             .select(col("id").as("vec_id"), rn(col("dist"), 6).as("dist"))
       }
@@ -3161,14 +3187,8 @@ object SparkEntry {
     //      (per-partition exact at ef >= slice size → global top-k is
     //      the true top-k). ----
     "q_hnsw_artifact" -> ((s, dir) => {
-      val base = cachePath("hnswart", dir)
-      if (!new java.io.File(s"$base/_built").exists()) {
-        HnswIndex.buildPartitionedArtifact(
-          t(s, dir, "embeddings"), s"$base/graphs", numParts = 32)
-        new java.io.File(s"$base/_built").createNewFile()
-      }
       HnswIndex
-        .searchArtifact(s, s"$base/graphs",
+        .searchArtifact(s, hnswArtifactGraphs(s, dir),
           Seq((0L, queryVec(s, dir).toArray)), 10)
         .select(col("id").as("vec_id"), rn(col("dist"), 6).as("dist"))
     }),

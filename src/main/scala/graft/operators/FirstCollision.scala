@@ -86,12 +86,18 @@ object FirstCollision {
       idxCol: String,
       keyCol: String,
       numBuckets: Int): DataFrame = {
+    // both bounds are guarded: an index >= numBuckets escapes the
+    // unrolled earlier-collision test forward, and a NEGATIVE index
+    // escapes it backward (idx > t is false for every t >= 0, so a
+    // collision at a negative bucket re-emits once per such bucket) —
+    // either way the silent-duplicate failure this guard exists to
+    // make loud
     val guarded = capped.where(isnull(assert_true(
-      col(idxCol) < lit(numBuckets),
+      col(idxCol) >= lit(0) && col(idxCol) < lit(numBuckets),
       concat(
         lit(s"FirstCollision: bucket index column '$idxCol' = "),
         col(idxCol).cast("string"),
-        lit(s" >= numBuckets = $numBuckets — pass the bucket count the rows were actually built with")))))
+        lit(s" outside [0, $numBuckets) — pass the bucket count the rows were actually built with")))))
     val docMaps = guarded
       .groupBy(col(idCol))
       .agg(map_from_entries(

@@ -540,6 +540,109 @@ object HnswIndex {
       .drop("rk")
   }
 
+  /** [[buildPartitionedArtifact]] for STRING-keyed corpora (the
+    * catalog's chunk ids), returned as ROWS instead of written to a
+    * path so the catalog can persist them through its own versioned
+    * artifact machinery. Each partition's graph is built over LOCAL
+    * ordinals (0..n-1 in sorted-key insertion order — deterministic:
+    * the id-hash repartition fixes WHICH keys land where, the sort
+    * fixes the level-draw sequence) and every row carries its original
+    * string key, so [[probeGraphRowsKeyed]] can map candidates back.
+    * All build parameters ride with the rows, exactly like the
+    * Long-keyed artifact. */
+  def partitionedGraphRowsKeyed(
+      df: org.apache.spark.sql.DataFrame,
+      numParts: Int,
+      idCol: String = "id",
+      embCol: String = "embedding",
+      m: Int = 16,
+      efConstruction: Int = 200,
+      seed: Long = 42L,
+      maxLevel: Int = 4): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the part id comes from the DATA (pmod of a 64-bit id hash), never
+    // from TaskContext.getPartitionId(): a downstream writer is free to
+    // coalesce or re-plan this frame (the catalog's small-artifact path
+    // coalesces to one task), and a physical partition id would then
+    // label every slice 0 — four graphs colliding on one part key, a
+    // garbled restore. groupByKey makes the grouping logical too, so
+    // graph membership is a pure function of the ids at ANY physical
+    // layout.
+    df.select(
+        col(idCol).cast("string").as("__id"),
+        col(embCol).as("__emb"),
+        pmod(xxhash64(col(idCol).cast("string")), lit(numParts))
+          .cast("int").as("__part"))
+      .as[(String, Array[Float], Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (part, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val idx = build(
+          rows.iterator.zipWithIndex.map { case ((r, i)) => (i.toLong, r._2) },
+          m, efConstruction, maxLevel, seed)
+        val entry = idx.entry.get
+        idx.exportNodes.iterator.map { case (ord, vec, lvl, nbrs) =>
+          (part, ord, rows(ord.toInt)._1, vec.toSeq, lvl,
+            nbrs.map(_.toSeq).toSeq, entry, m, efConstruction, seed,
+            maxLevel)
+        }
+      }
+      .toDF("part", "ord", "id", "vec", "level", "nbrs", "entry",
+        "m", "efc", "seed", "max_level")
+  }
+
+  /** Probe [[partitionedGraphRowsKeyed]] rows: RESTORE each partition's
+    * graph (no inserts, no distance computations) and answer the whole
+    * broadcast query batch against it, then a global per-query top-k —
+    * [[searchArtifact]] for the string-keyed catalog shape. Probing a
+    * just-built rows frame is bit-identical to probing the same frame
+    * read back off parquet (restore is a pure function of the rows), so
+    * the catalog's artifact-present and build-fallback redirect paths
+    * return the same candidates by construction. */
+  def probeGraphRowsKeyed(
+      art: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Long, Array[Float])],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = art.sparkSession
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val qBc = spark.sparkContext.broadcast(queries)
+    val typed = art
+      .select(col("part").cast("int"), col("ord"), col("id"),
+        col("vec"), col("level"), col("nbrs"), col("entry"),
+        col("m"), col("efc"), col("seed"), col("max_level"))
+      .as[(Int, Long, String, Array[Float], Int, Seq[Seq[Long]], Long, Int, Int, Long, Int)]
+    val perPartition = typed
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        // node ids ARE the per-partition insertion ordinals, so the
+        // sorted array doubles as the ord -> key map
+        val sorted = rows.toArray.sortBy(_._2)
+        val idx = restore(
+          sorted.iterator.map { case (_, ord, _, vec, lvl, nbrs, _, _, _, _, _) =>
+            (ord, vec, lvl, nbrs.map(_.toArray).toArray)
+          },
+          entry = Some(sorted.head._7),
+          nextOrd = sorted.length.toLong,
+          m = sorted.head._8,
+          efConstruction = sorted.head._9,
+          maxLevel = sorted.head._11,
+          seed = sorted.head._10)
+        qBc.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k).map { case (ord, d) => (qid, sorted(ord.toInt)._3, d) }
+        }
+      }
+      .toDF("qid", "id", "dist")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
+    perPartition
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** [[searchPartitioned]] for STRING-keyed corpora (the catalog's chunk
     * ids): each partition builds its graph over local ordinals and maps
     * results back to the original keys — the redirect target for an

@@ -287,6 +287,78 @@ class IndexPersistenceSpec extends SparkSpec with BeforeAndAfterAll {
     assertGraphsIdentical(reloaded.get._1, expected._1)
   }
 
+  test("over-cap hnsw create persists hnsw_parts; redirect probes RESTORED graphs, bit-par with the in-flight build") {
+    val capped = new LibraryCatalog(spark, warehouse, hnswMaxRows = 5)
+    capped.createLibrary("lib_hparts", HnswIndexer, corpus(), overwrite = true)
+    val m = capped.readMeta("lib_hparts").get
+    val vdir = new java.io.File(f"$warehouse/lib_hparts/v${m.version}%06d")
+    assert(new java.io.File(vdir, "hnsw_parts").isDirectory,
+      "over-cap create did not persist the partitioned graph artifact")
+    assert(!new java.io.File(vdir, "hnsw_graph").exists(),
+      "over-cap create wrote a driver graph anyway")
+
+    // the redirect read path through a COLD catalog: self-text search
+    // must surface the chunk itself at distance 0, off the RESTORED
+    // persisted graphs (the driver cache stays empty — nothing to cache)
+    val cold = new LibraryCatalog(spark, warehouse, hnswMaxRows = 5)
+    val text = cold.chunks("lib_hparts")
+      .where(col("id") === "chunk-7").head().getAs[String]("text")
+    val res = cold.search("lib_hparts", text, k = 3).collect()
+    assert(res.head.getAs[String]("id") === "chunk-7")
+    assert(math.abs(res.head.getAs[Double]("dist")) < 1e-9)
+    assert(cold.hnswGraphVersionsCached("lib_hparts") === 0)
+
+    // artifact-vs-rebuild bit-parity on the redirect path: probing the
+    // PERSISTED rows returns exactly what probing freshly-built rows
+    // over the same chunks returns (the build-fallback branch)
+    val qv = cold.chunks("lib_hparts").where(col("id") === "chunk-7")
+      .select("embedding").head().getSeq[Float](0).toArray
+    val persisted = spark.read.parquet(new java.io.File(vdir, "hnsw_parts").toString)
+    val built = graft.operators.HnswIndex.partitionedGraphRowsKeyed(
+      cold.chunks("lib_hparts"),
+      spark.sessionState.conf.numShufflePartitions, "id", "embedding")
+    def probe(rows: org.apache.spark.sql.DataFrame) =
+      graft.operators.HnswIndex.probeGraphRowsKeyed(rows, Seq((0L, qv)), 3)
+        .orderBy("dist", "id")
+        .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(probe(persisted) === probe(built),
+      "persisted-artifact probe diverges from the in-flight build probe")
+
+    // a delta invalidates hnsw_parts like the driver graph; search
+    // falls back to the in-flight build and still sees the new row
+    import spark.implicits._
+    cold.addChunks("lib_hparts",
+      Seq(("hparts-extra", "doc-x", "an unmistakably unique partitioned probe sentence"))
+        .toDF("id", "document_id", "text"))
+    val m2 = cold.readMeta("lib_hparts").get
+    val vdir2 = new java.io.File(f"$warehouse/lib_hparts/v${m2.version}%06d")
+    assert(!new java.io.File(vdir2, "hnsw_parts").exists(),
+      "delta commit re-wrote hnsw_parts (whole-corpus artifact must drop)")
+    val r2 = cold.search("lib_hparts",
+      "an unmistakably unique partitioned probe sentence", k = 1).head()
+    assert(r2.getAs[String]("id") === "hparts-extra")
+    cold.deleteLibrary("lib_hparts")
+  }
+
+  test("a persisted graph larger than the session cap loads as None and search redirects (no crash)") {
+    // a durable warehouse written under a LARGER driver cap must stay
+    // searchable from a smaller-capped session: the load falls through
+    // to the over-cap redirect instead of require-crashing
+    val big = new LibraryCatalog(spark, warehouse, hnswMaxRows = 5000)
+    big.createLibrary("lib_legacy", HnswIndexer, corpus(), overwrite = true)
+    assert(big.loadPersistedHnsw("lib_legacy").isDefined)
+
+    val small = new LibraryCatalog(spark, warehouse, hnswMaxRows = 5)
+    assert(small.loadPersistedHnsw("lib_legacy").isEmpty,
+      "over-cap persisted graph should load as None under the smaller cap")
+    val text = small.chunks("lib_legacy")
+      .where(col("id") === "chunk-7").head().getAs[String]("text")
+    val res = small.search("lib_legacy", text, k = 3).collect()
+    assert(res.length === 3)
+    assert(res.head.getAs[String]("id") === "chunk-7")
+    small.deleteLibrary("lib_legacy")
+  }
+
   test("bucketBy(sig) variant: probe selects 1 bucket file set of 8") {
     val sig = catalog.indexTable("lib_plsh").get
     sig
