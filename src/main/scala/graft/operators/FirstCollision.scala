@@ -97,7 +97,7 @@ object FirstCollision {
       concat(
         lit(s"FirstCollision: bucket index column '$idxCol' = "),
         col(idxCol).cast("string"),
-        lit(s" outside [0, $numBuckets) — pass the bucket count the rows were actually built with")))))
+        lit(s" outside [0, numBuckets = $numBuckets) — pass the bucket count the rows were actually built with")))))
     val docMaps = guarded
       .groupBy(col(idCol))
       .agg(map_from_entries(
@@ -111,7 +111,25 @@ object FirstCollision {
     * produced by [[withSurvivalMap]] (pass the same frame twice for a
     * self-join). Emits (outA, outB) pairs colliding in >= 1 bucket,
     * each exactly once, filtered by `keep` (e.g. `_ < _` for ordered
-    * self-join pairs, `_ =!= _` for incremental batch-vs-corpus). */
+    * self-join pairs, `_ =!= _` for incremental batch-vs-corpus).
+    *
+    * `carryA`/`carryB` ((source column -> output name) renames) ride
+    * per-DOC payload through the join onto the emitted pairs — the
+    * verify-inline shape: when a payload small enough to ride the
+    * probe rows (a fixed-width embedding, a norm scalar) is all the
+    * verify stage needs, carrying it beats attaching it to the PAIR
+    * stream afterwards the moment candidates outnumber the corpus
+    * (measured at x100 on the embedding path: 62 M pairs x 2
+    * SHUFFLE_HASH attaches of 128-byte vectors ≈ 18 GB of exchange,
+    * vs ~1 GB to carry the vectors on the 8-rows/doc probe side).
+    *
+    * When payload is carried, both sides are explicitly repartitioned
+    * on the join key with a FIXED partition count: the join's input is
+    * a few hundred MB while its output is quadratic per bucket, and
+    * AQE sizes post-shuffle coalescing from input bytes alone — the
+    * capBuckets lesson, re-applied to the now-fatter candidate
+    * exchange. A SHUFFLE_HASH hint keeps the fat probe rows unsorted
+    * (build is rows-bytes / partitions per task, bounded). */
   def pairs(
       left: DataFrame,
       right: DataFrame,
@@ -121,15 +139,31 @@ object FirstCollision {
       numBuckets: Int,
       outA: String,
       outB: String,
-      keep: (Column, Column) => Column): DataFrame = {
+      keep: (Column, Column) => Column,
+      carryA: Seq[(String, String)] = Nil,
+      carryB: Seq[(String, String)] = Nil): DataFrame = {
     val a = left.select(
-      col(idCol).as(outA), col(idxCol), col(keyCol), col("__m").as("__ma"))
+      col(idCol).as(outA) +: col(idxCol) +: col(keyCol) +:
+        col("__m").as("__ma") +:
+        carryA.map { case (src, dst) => col(src).as(dst) }: _*)
     val b = right.select(
-      col(idCol).as(outB), col(idxCol), col(keyCol), col("__m").as("__mb"))
-    a.join(b, Seq(idxCol, keyCol))
+      col(idCol).as(outB) +: col(idxCol) +: col(keyCol) +:
+        col("__m").as("__mb") +:
+        carryB.map { case (src, dst) => col(src).as(dst) }: _*)
+    val carrying = carryA.nonEmpty || carryB.nonEmpty
+    val n = left.sparkSession.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame =
+      if (carrying) df.repartition(n, col(idxCol), col(keyCol)) else df
+    val joined =
+      pin(a).join(
+        if (carrying) pin(b).hint("SHUFFLE_HASH") else pin(b),
+        Seq(idxCol, keyCol))
+    joined
       .where(
         keep(col(outA), col(outB)) &&
           !earlierCollisionMap(col(idxCol), col("__ma"), col("__mb"), numBuckets))
-      .select(outA, outB)
+      .select(
+        col(outA) +: col(outB) +:
+          (carryA.map(_._2) ++ carryB.map(_._2)).map(col): _*)
   }
 }

@@ -359,18 +359,25 @@ object NearDup {
     // against the data inside the kernel — a sig built with more
     // tables than claimed used to escape the unroll and silently
     // re-emit duplicates; now it fails loudly.
-    val probe = FirstCollision.withSurvivalMap(
+    val probe0 = FirstCollision.withSurvivalMap(
       capped, idCol, "table_idx", "sig", numTables)
+    // VERIFY-INLINE: each doc's embedding rides its (numTables) probe
+    // rows into the candidate join, so pairs emerge WITH both vectors
+    // and the cosine verifies in the join's own projection. The old
+    // shape attached vectors to the PAIR stream afterwards — two
+    // SHUFFLE_HASH exchanges of candidate x 128-byte rows, which at
+    // x100 is 62 M pairs ≈ 18 GB of exchange against a 500 k-doc
+    // corpus. Carrying costs O(corpus x numTables) once (~1 GB) and
+    // deletes both pair-stream joins; the pair set and every cosine
+    // are bit-identical (same candidates, same float verify). The
+    // attach is SHUFFLE_HASH (vector side is one row per doc).
+    val probe = probe0.join(
+      df.select(col(idCol), col(embCol).as("__v")).hint("SHUFFLE_HASH"),
+      Seq(idCol))
     val pairs = FirstCollision.pairs(
-      probe, probe, idCol, "table_idx", "sig", numTables, "id_a", "id_b", _ < _)
-    // same SHUFFLE_HASH discipline as verifyJaccardPairs: the pair
-    // stream carries __va into the second attach — never sort it
-    val withVecs = pairs
-      .join(df.select(col(idCol).as("id_a"), col(embCol).as("__va"))
-        .hint("SHUFFLE_HASH"), Seq("id_a"))
-      .join(df.select(col(idCol).as("id_b"), col(embCol).as("__vb"))
-        .hint("SHUFFLE_HASH"), Seq("id_b"))
-    withVecs
+      probe, probe, idCol, "table_idx", "sig", numTables, "id_a", "id_b", _ < _,
+      carryA = Seq("__v" -> "__va"), carryB = Seq("__v" -> "__vb"))
+    pairs
       .withColumn("cos", VectorFunctions.cosineSimilarity(col("__va"), col("__vb")))
       .where(col("cos") >= minCosine)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("cos"))
