@@ -68,43 +68,40 @@ object FirstCollision {
       t => element_at(mapA, lit(t)) === element_at(mapB, lit(t)))
 
   /** Attach the per-doc survival map `__m` (bucketIdx -> key over the
-    * rows that survived the cap) to every capped bucket row. The
-    * groupBy and the join back are both keyed on the doc id — two
-    * bounded exchanges of tiny rows, in place of the pair-keyed dedup
-    * exchange this kernel deletes.
+    * rows that survived the cap) to every capped bucket row — as ONE
+    * id-keyed aggregation whose map entries are re-exploded into the
+    * probe rows. The map IS the survivor row set, so the explode
+    * reproduces every (id, idx, key) row exactly; `capped` is consumed
+    * once (the earlier groupBy + join-back shape consumed it twice,
+    * which forced every caller to eagerly checkpoint its band lineage
+    * — measured at sf0.1 as a 2x tax on the incremental path — and
+    * paid a second id exchange for the join).
     *
     * `numBuckets` is VALIDATED against the data, not trusted: the
-    * unrolled predicate is blind to buckets >= numBuckets, so a first
-    * collision landing there would escape the earlier-collision test
-    * and re-emit the pair once per such bucket — silent duplicates.
-    * A row whose index is out of range fails the query loudly instead
-    * (assert_true; one int comparison per probe row, linear not
-    * per-candidate). */
+    * unrolled predicate is blind to buckets outside [0, numBuckets) —
+    * an index above escapes the earlier-collision test forward, a
+    * NEGATIVE one backward (idx > t is false for every t >= 0) — so a
+    * first collision there would re-emit the pair once per such
+    * bucket, silent duplicates. A row whose index is out of range
+    * fails the query loudly instead (assert_true; one int comparison
+    * per input row, linear not per-candidate). */
   def withSurvivalMap(
       capped: DataFrame,
       idCol: String,
       idxCol: String,
       keyCol: String,
       numBuckets: Int): DataFrame = {
-    // both bounds are guarded: an index >= numBuckets escapes the
-    // unrolled earlier-collision test forward, and a NEGATIVE index
-    // escapes it backward (idx > t is false for every t >= 0, so a
-    // collision at a negative bucket re-emits once per such bucket) —
-    // either way the silent-duplicate failure this guard exists to
-    // make loud
     val guarded = capped.where(isnull(assert_true(
       col(idxCol) >= lit(0) && col(idxCol) < lit(numBuckets),
       concat(
         lit(s"FirstCollision: bucket index column '$idxCol' = "),
         col(idxCol).cast("string"),
         lit(s" outside [0, numBuckets = $numBuckets) — pass the bucket count the rows were actually built with")))))
-    val docMaps = guarded
+    guarded
       .groupBy(col(idCol))
       .agg(map_from_entries(
         collect_list(struct(col(idxCol), col(keyCol)))).as("__m"))
-    guarded
-      .select(col(idCol), col(idxCol), col(keyCol))
-      .join(docMaps, Seq(idCol))
+      .select(col(idCol), explode(col("__m")).as(Seq(idxCol, keyCol)), col("__m"))
   }
 
   /** The full exactly-once candidate join between two probe frames

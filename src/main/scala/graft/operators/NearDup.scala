@@ -269,20 +269,20 @@ object NearDup {
       p: Params = Params()): DataFrame = {
     val exSh = docShingles(existing, idCol, textCol, p)
     val inSh = docShingles(incoming, idCol, textCol, p)
-    // checkpointed like the self-join path: withSurvivalMap consumes
-    // each side TWICE (survival-map agg + probe rows), and without a
-    // checkpoint the whole shingle→minhash→cap lineage would re-execute
-    // per consumer wherever exchange reuse doesn't kick in — the band
-    // rows are tiny (bands short rows per doc), the minhash work is not
+    // NO checkpoints here (unlike the self-join path, which feeds ONE
+    // probe frame into both join sides): each band table below is
+    // consumed exactly once — withSurvivalMap is a single aggregation
+    // whose exploded map entries ARE the probe rows — so the
+    // shingle→minhash→cap lineage executes once per side as-is. The
+    // eager double localCheckpoint this replaced doubled the query at
+    // demo scale (sf0.1 1.09 → 2.00 s, the round-11 regression).
     val exBands = capBuckets(
       bandRows(exSh, idCol, p), Seq("band", "band_key"), idCol, p.maxBucket)
-      .localCheckpoint(true)
     // the INCOMING side is capped too: a boilerplate-heavy batch (a
     // re-crawl of one template) would otherwise put its whole bucket on
     // one join key — the exact skew the cap exists to stop
     val inBands = capBuckets(
       bandRows(inSh, idCol, p), Seq("band", "band_key"), idCol, p.maxBucket)
-      .localCheckpoint(true)
     // same first-collision enumeration as the self-join path (each
     // side's survival map reflects ITS OWN cap); the `keep` filter is
     // =!= — re-ingesting an unchanged doc puts the same id on both
