@@ -32,6 +32,22 @@ import org.apache.spark.sql.functions._
   */
 object JaccardJoin {
 
+  /** Per-document prefix-length bound, ENFORCED (not advised): each of a
+    * doc's P prefix rows carries its `pe` array of rn-1 hashes, so the
+    * per-doc candidate-exchange payload is Sum(rn-1) ≈ 8·P²/2 bytes —
+    * quadratic in the prefix, hence in document length. At the default
+    * cap (4096) one doc tops out at ~67 MB of pe payload (one task's
+    * worth); an UNSEGMENTED 100k-shingle crawl document (P ≈ 40k at
+    * t = 0.6) would ship ~6.4 GB through the exchange and take the
+    * stage down — a latent hazard a comment cannot guard. Above-knee
+    * docs fail the query LOUDLY (assert_true per prefix row, one int
+    * comparison — the RangeJoin bucket-storm discipline): exactness is
+    * this operator's contract, and silently auto-segmenting a document
+    * would redefine its pair set. Segment long documents upstream
+    * (the chunking operator, q_chunk_docs) or raise the cap
+    * deliberately. tools/JaccardPayloadCurve measures the growth. */
+  val DefaultMaxPrefixLen: Int = 4096
+
   /** All pairs (doc_a < doc_b) with n-gram Jaccard >= tNum/tDen.
     * Output: doc_a, doc_b, n_common, n_union (exact integer set sizes).
     * `k` is the word-shingle width; shorter docs contribute their whole
@@ -56,7 +72,8 @@ object JaccardJoin {
       k: Int = 3,
       tNum: Int = 3,
       tDen: Int = 5,
-      verifyWithStrings: Boolean = false): DataFrame = {
+      verifyWithStrings: Boolean = false,
+      maxPrefixLen: Int = DefaultMaxPrefixLen): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
     val (raw, sets) = shingleSets(df, idCol, textCol, k)
@@ -69,7 +86,8 @@ object JaccardJoin {
     // satisfies the equi-join's required distribution, so this costs no
     // extra exchange.
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val prefixes = prefixesOf(sets, tNum, tDen).repartition(n, col("g"))
+    val prefixes =
+      prefixesOf(sets, tNum, tDen, maxPrefixLen).repartition(n, col("g"))
     // candidate equi-join on prefix shingles, plus the standard length
     // filter: J >= t forces t*|A| <= |B| (I <= |B| and I >= t*|A|), so
     // size-incompatible pairs drop inside the join instead of reaching
@@ -177,7 +195,11 @@ object JaccardJoin {
     * near-dup joining. Factored so the skew spec can assert
     * structurally that hot shingles stay out of prefixes
     * (rarest-first ranks them last). */
-  private def prefixesOf(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  private def prefixesOf(
+      sets: DataFrame,
+      tNum: Int,
+      tDen: Int,
+      maxPrefixLen: Int): DataFrame = {
     // explode_outer, NOT explode: a plain explode lets the optimizer
     // infer `size(s) > 0 AND isnotnull(s)` below the Generate, and
     // pushing that predicate through the projection re-materializes the
@@ -209,6 +231,17 @@ object JaccardJoin {
         row_number().over(
           Window.partitionBy("doc_id").orderBy(col("f"), col("g"))))
       .where(col("rn") <= prefixLen)
+      // the enforced payload bound (see DefaultMaxPrefixLen): a doc
+      // whose prefix exceeds the cap fails the query loudly BEFORE its
+      // O(prefix^2) pe payload reaches the candidate exchange — one int
+      // comparison per prefix row, linear not per-candidate
+      .where(isnull(assert_true(
+        col("rn") <= lit(maxPrefixLen),
+        concat(
+          lit("JaccardJoin: document "), col("doc_id").cast("string"),
+          lit(s" has a prefix longer than maxPrefixLen = $maxPrefixLen; "),
+          lit("its pe payload grows with prefix^2 — segment long documents "),
+          lit("upstream (the chunking operator) or raise maxPrefixLen deliberately")))))
     // each doc's prefix as a (frequency, shingle)-ordered array, joined
     // back onto its rows: sort_array on (f, g) structs realizes the
     // same total order the window ranked by
@@ -234,8 +267,9 @@ object JaccardJoin {
       textCol: String,
       k: Int,
       tNum: Int,
-      tDen: Int): DataFrame =
-    prefixesOf(shingleSets(df, idCol, textCol, k)._2, tNum, tDen)
+      tDen: Int,
+      maxPrefixLen: Int = DefaultMaxPrefixLen): DataFrame =
+    prefixesOf(shingleSets(df, idCol, textCol, k)._2, tNum, tDen, maxPrefixLen)
 
   /** Reference formulation for the equivalence spec: every pair, no
     * filter — O(n^2), test-scale only. */

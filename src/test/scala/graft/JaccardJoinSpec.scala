@@ -126,4 +126,49 @@ class JaccardJoinSpec extends SparkSpec {
     assert(prefixes.where(col("g") === hot).count() === 0L,
       "hot shingle leaked into a rarest-first prefix — per-key fan-out unbounded")
   }
+
+  test("long-document payload bound: an unsegmented 100k-shingle doc fails LOUDLY at the default cap") {
+    import spark.implicits._
+    // one pathological crawl-sized document (100k distinct shingles →
+    // ~40k prefix rows at t=3/5, an O(prefix²) ≈ 6.4 GB pe payload)
+    // among normal docs: the enforced DefaultMaxPrefixLen must kill the
+    // query with a named error BEFORE the payload reaches the candidate
+    // exchange — a comment-only bound let one such doc take the stage
+    // down at 100 TB
+    val long = (0 until 100002).map(i => s"tok$i").mkString(" ")
+    val docs = (Seq((0L, long)) ++
+      (1 to 5).map(i => (i.toLong, s"a b c d$i e f"))).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      JaccardJoin.selfJoin(docs, "doc_id", "text").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++
+          Option(e.getCause).toSeq.flatMap(messages) ++
+          e.getSuppressed.flatMap(messages))
+    assert(messages(ex).exists(_.contains("maxPrefixLen")),
+      s"expected the named payload-bound failure, got: ${ex.getMessage}")
+  }
+
+  test("long-document payload bound: docs AT the cap pass, a raised cap admits longer docs") {
+    import spark.implicits._
+    // 100 shingles at t=3/5 → prefix 41; cap 41 passes, cap 40 fails,
+    // and an explicit higher cap re-admits the same corpus — the bound
+    // binds on the PREFIX length (the payload driver), not doc length
+    val text = (0 until 102).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, text), (1L, text + " tail")).toDF("doc_id", "text")
+    val atCap = JaccardJoin
+      .selfJoin(docs, "doc_id", "text", maxPrefixLen = 42)
+    assert(atCap.count() === 1L, "at-cap corpus must still join")
+    val ex = intercept[Exception] {
+      JaccardJoin.selfJoin(docs, "doc_id", "text", maxPrefixLen = 40).count()
+    }
+    assert(Option(ex.getMessage).exists(_.contains("maxPrefixLen")) ||
+      Option(ex.getCause).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("maxPrefixLen")),
+      s"below-cap guard did not fire: ${ex.getMessage}")
+    assert(JaccardJoin
+      .selfJoin(docs, "doc_id", "text", maxPrefixLen = 10000)
+      .count() === 1L)
+  }
 }

@@ -46,7 +46,12 @@ SKIP_SF1="q_dedup_clusters"
 # q_dedup_clusters (label propagation over the x100 edge set — its
 # invariant gate runs below), q_hnsw_knn (the over-knee auto-redirect
 # path, cold), q_stream_watermark (the largest x10 streaming entry).
-CORE_SF10="q1_agg,q_asof_join,q_bpe_merges,q_bucketed_join,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_dedup_clusters,q_embed_neardup,q_events_hourly,q_filter_revenue,q_funnel,q_grouped_topk,q_hnsw_artifact,q_hnsw_knn,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_knn_euclidean,q_lang_id,q_lsh_knn,q_neardup_pairs,q_ngram_jaccard,q_regional_revenue,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_stream_watermark,q_table_checksum,q_token_count,q_topk_orders"
+# Round 12 additions (the join/graph family): q_neardup_incremental
+# (the only near-dup generator previously never measured at x100),
+# q_triangle_count (two equi-joins over the 27 M-edge x100 artifact),
+# q_split_leakage, q_fuzzy_join, q_batch_knn, q_federated_search,
+# q_pack_sequences.
+CORE_SF10="q1_agg,q_asof_join,q_batch_knn,q_bpe_merges,q_bucketed_join,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_dedup_clusters,q_embed_neardup,q_events_hourly,q_federated_search,q_filter_revenue,q_funnel,q_fuzzy_join,q_grouped_topk,q_hnsw_artifact,q_hnsw_knn,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_knn_euclidean,q_lang_id,q_lsh_knn,q_neardup_incremental,q_neardup_pairs,q_ngram_jaccard,q_pack_sequences,q_regional_revenue,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_split_leakage,q_stream_watermark,q_table_checksum,q_token_count,q_topk_orders,q_triangle_count"
 
 [ -e target/sf1-synth/lineitem.parquet ] || \
   sbt -batch "runMain graft.tools.SynthScale $SF01 target/sf1-synth 10"
