@@ -51,10 +51,16 @@ object FirstCollision {
       .reduce(_ || _)
   }
 
-  /** Map-encoding wrapper: `m` is a per-doc bucketIdx -> key map
-    * restricted to buckets where the doc survived the cap (absence =
-    * capped out there). Both isNotNull guards are load-bearing — see
-    * the class doc. */
+  /** Slot-encoding wrapper: `m` is a per-doc FIXED-WIDTH array of
+    * numBuckets key slots, slot t null when the doc was capped out of
+    * bucket t. An array beats the earlier map encoding twice over in
+    * the one place this predicate runs — the candidate join's output
+    * stream, per CANDIDATE row: element_at on an UnsafeArrayData slot
+    * is O(1) where a map lookup scans its key array (numBuckets
+    * compares per probe, x ~2·numBuckets probes per candidate), and
+    * the fixed array is ~50 B narrower per probe-row side in the
+    * pinned exchange. Both isNotNull guards are load-bearing — see
+    * the class doc. (element_at on arrays is 1-BASED.) */
   def earlierCollisionMap(
       idx: Column,
       mapA: Column,
@@ -63,9 +69,9 @@ object FirstCollision {
     earlierCollision(
       idx,
       numBuckets,
-      t => element_at(mapA, lit(t)).isNotNull,
-      t => element_at(mapB, lit(t)).isNotNull,
-      t => element_at(mapA, lit(t)) === element_at(mapB, lit(t)))
+      t => element_at(mapA, lit(t + 1)).isNotNull,
+      t => element_at(mapB, lit(t + 1)).isNotNull,
+      t => element_at(mapA, lit(t + 1)) === element_at(mapB, lit(t + 1)))
 
   /** Attach the per-doc survival map `__m` (bucketIdx -> key over the
     * rows that survived the cap) to every capped bucket row — as ONE
@@ -100,8 +106,16 @@ object FirstCollision {
     guarded
       .groupBy(col(idCol))
       .agg(map_from_entries(
-        collect_list(struct(col(idxCol), col(keyCol)))).as("__m"))
-      .select(col(idCol), explode(col("__m")).as(Seq(idxCol, keyCol)), col("__m"))
+        collect_list(struct(col(idxCol), col(keyCol)))).as("__mm"))
+      .select(
+        col(idCol),
+        explode(col("__mm")).as(Seq(idxCol, keyCol)),
+        // fixed-width slot array (see earlierCollisionMap): built once
+        // per DOC here, read ~2·numBuckets times per CANDIDATE in the
+        // join — the O(1)/narrow encoding pays where the rows multiply
+        transform(
+          sequence(lit(0), lit(numBuckets - 1)),
+          t => element_at(col("__mm"), t)).as("__m"))
   }
 
   /** The full exactly-once candidate join between two probe frames

@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Embedder, VectorFunctions}
+import graft.operators.{FirstCollision, NearDup}
+
+/** Scratch A/B probe for the q_embed_neardup verify shape at synthetic
+  * scale: (A) verify-inline carrying (vectors ride the probe rows into
+  * the candidate join), (B) pair-stream attach (the round-11 shape —
+  * join candidates slim, then two SHUFFLE_HASH vector attaches on the
+  * pair stream). Both run off the same persisted embedded+sig tables.
+  * Usage: runMain graft.tools.EmbShapeAB [sfDir] [iters]
+  */
+object EmbShapeAB {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "target/sf10-synth"
+    val iters = if (args.length > 1) args(1).toInt else 2
+    val variants = if (args.length > 2) args(2) else "ABC"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .appName("emb-shape-ab").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_embshapeab_$slug"
+    if (!new java.io.File(s"$base/_built").exists()) {
+      Embedder.withEmbedding(spark.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "embedding")
+        .write.mode("overwrite").parquet(s"$base/embedded")
+      NearDup.embeddingSignatures(spark.read.parquet(s"$base/embedded"))
+        .write.mode("overwrite").parquet(s"$base/sig")
+      new java.io.File(s"$base/_built").createNewFile()
+    }
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    val nT = NearDup.EmbedLshParams.numTables
+    for (i <- 1 to iters) {
+      println(s"ITER $i")
+      val df = spark.read.parquet(s"$base/embedded")
+      val sig = spark.read.parquet(s"$base/sig")
+
+      // A: current shape through the public API
+      if (variants.contains("A")) time("A carry-inline ") {
+        NearDup.embeddingNearDupPairsFromSig(df, sig).count()
+      }
+
+      // B: round-11 shape — slim candidate join, pair-stream attaches
+      if (variants.contains("B")) time("B pair-attach  ") {
+        import org.apache.spark.sql.expressions.Window
+        val n = spark.sessionState.conf.numShufflePartitions
+        val w = Window.partitionBy(col("table_idx"), col("sig"))
+          .orderBy(col("doc_id"))
+        val capped = sig
+          .repartition(n, col("table_idx"), col("sig"))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= 5000).drop("__rk")
+        val probe = FirstCollision.withSurvivalMap(
+          capped, "doc_id", "table_idx", "sig", nT)
+        val pairs = FirstCollision.pairs(
+          probe, probe, "doc_id", "table_idx", "sig", nT, "id_a", "id_b", _ < _)
+        val withVecs = pairs
+          .join(df.select(col("doc_id").as("id_a"), col("embedding").as("__va"))
+            .hint("SHUFFLE_HASH"), Seq("id_a"))
+          .join(df.select(col("doc_id").as("id_b"), col("embedding").as("__vb"))
+            .hint("SHUFFLE_HASH"), Seq("id_b"))
+        withVecs
+          .withColumn("cos",
+            VectorFunctions.cosineSimilarity(col("__va"), col("__vb")))
+          .where(col("cos") >= 0.999999)
+          .count()
+      }
+
+      // C: the faithful round-11 shape — join-back survival map, slim
+      // unpinned candidate join, pair-stream attaches
+      if (variants.contains("C")) time("C r11 joinback ") {
+        import org.apache.spark.sql.expressions.Window
+        val n = spark.sessionState.conf.numShufflePartitions
+        val w = Window.partitionBy(col("table_idx"), col("sig"))
+          .orderBy(col("doc_id"))
+        val capped = sig
+          .repartition(n, col("table_idx"), col("sig"))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= 5000).drop("__rk")
+        val docMaps = capped.groupBy(col("doc_id"))
+          .agg(map_from_entries(
+            collect_list(struct(col("table_idx"), col("sig")))).as("__m"))
+        val probe = capped
+          .select(col("doc_id"), col("table_idx"), col("sig"))
+          .join(docMaps, Seq("doc_id"))
+        val a = probe.select(col("doc_id").as("id_a"),
+          col("table_idx"), col("sig"), col("__m").as("__ma"))
+        val b = probe.select(col("doc_id").as("id_b"),
+          col("table_idx"), col("sig"), col("__m").as("__mb"))
+        // inline MAP-keyed earlier-collision predicate (the round-11
+        // encoding; the shared kernel's wrapper is array-slot-keyed now)
+        val earlier = (0 until nT).map(t =>
+          (col("table_idx") > t) &&
+            element_at(col("__ma"), lit(t)).isNotNull &&
+            element_at(col("__mb"), lit(t)).isNotNull &&
+            (element_at(col("__ma"), lit(t)) === element_at(col("__mb"), lit(t))))
+          .reduce(_ || _)
+        val pairs = a.join(b, Seq("table_idx", "sig"))
+          .where(col("id_a") < col("id_b") && !earlier)
+          .select("id_a", "id_b")
+        pairs
+          .join(df.select(col("doc_id").as("id_a"), col("embedding").as("__va"))
+            .hint("SHUFFLE_HASH"), Seq("id_a"))
+          .join(df.select(col("doc_id").as("id_b"), col("embedding").as("__vb"))
+            .hint("SHUFFLE_HASH"), Seq("id_b"))
+          .withColumn("cos",
+            VectorFunctions.cosineSimilarity(col("__va"), col("__vb")))
+          .where(col("cos") >= 0.999999)
+          .count()
+      }
+    }
+    spark.stop()
+  }
+}
