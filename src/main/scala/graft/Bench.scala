@@ -89,7 +89,7 @@ object Bench {
     def calibrate(): Double = {
       var x = 0x9E3779B97F4A7C15L
       var i = 0L
-      val steps = 400000000L // ~0.25 s on an idle core of this host
+      val steps = 400000000L // ~0.75 s on an idle core of this host (measured)
       val t0 = System.nanoTime()
       while (i < steps) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
       val dt = (System.nanoTime() - t0) / 1e9

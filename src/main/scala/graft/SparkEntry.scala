@@ -165,24 +165,25 @@ object SparkEntry {
     * collect that must not re-run per call. */
   private val hnswCache =
     new scala.collection.concurrent.TrieMap[String, Option[graft.operators.HnswIndex]]
-  /** Distributed-path parallelism: the session's core count (the same
-    * SPARK_GRAFT_CPUS the session builders read), not a hardcoded 32 —
-    * Verify runs at 8 cores and a partition count tied to the actual
-    * parallelism keeps per-partition graph sizes proportionate. */
-  private def envParallelism: Int =
-    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32)
   /** Build-once persisted partitioned HNSW artifact for the embeddings
     * table (hash-partitioned by id, sorted-by-id insertion — see
     * HnswIndex.buildPartitionedArtifact), shared by q_hnsw_artifact and
     * q_hnsw_knn's over-knee redirect: both probe RESTORED graphs, so a
     * cold over-knee search pays pruned artifact reads, never the
     * per-partition insert sequence (measured at x100 as ~21 s of
-    * rebuild per search before this was shared). */
+    * rebuild per search before this was shared). numParts is a FIXED
+    * constant, deliberately NOT derived from SPARK_GRAFT_CPUS: the
+    * per-partition graphs are approximate structures whose candidates
+    * depend on which ids share a partition, both queries sit under an
+    * exact-hash oracle whose recall-1.0 premise is measured per
+    * layout, and whoever first populates this cache would otherwise
+    * pin an env-dependent layout for every later session (probe
+    * parallelism at read time is independent of the stored count). */
   private def hnswArtifactGraphs(s: SparkSession, dir: String): String = {
     val base = cachePath("hnswart", dir)
     if (!new java.io.File(s"$base/_built").exists()) {
       HnswIndex.buildPartitionedArtifact(
-        t(s, dir, "embeddings"), s"$base/graphs", numParts = envParallelism)
+        t(s, dir, "embeddings"), s"$base/graphs", numParts = 32)
       new java.io.File(s"$base/_built").createNewFile()
     }
     s"$base/graphs"

@@ -455,6 +455,25 @@ object HnswIndex {
       .write.mode("overwrite").partitionBy("part").parquet(path)
   }
 
+  /** The shared per-query global top-k merge over per-partition
+    * candidate rows (qid, id, dist): window-ranked by (dist, id) —
+    * deterministic tie-break — and truncated to k. One definition for
+    * every partitioned probe path ([[searchArtifact]],
+    * [[searchPartitioned]], [[searchPartitionedKeyed]],
+    * [[probeGraphRowsKeyed]]); the ordering IS the result contract, so
+    * it must never fork. */
+  private def globalTopK(
+      perPartition: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
+    perPartition
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Probe a [[buildPartitionedArtifact]] index: one keyed pass groups
     * each partition's graph rows, RESTORES the graph (no distance
     * computations, no inserts), answers the whole broadcast query batch
@@ -494,12 +513,7 @@ object HnswIndex {
         }
       }
       .toDF("qid", "id", "dist")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
-    perPartition
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .drop("rk")
+    globalTopK(perPartition, k)
   }
 
   /** The distributed batch path: per-partition graphs, each answering
@@ -529,15 +543,7 @@ object HnswIndex {
         }
       }
       .toDF("qid", "id", "dist")
-    // per-query global top-k over the per-partition candidates: a window
-    // over (qid) ordered by (dist, id), kept small by partial top-k
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
-    perPartition
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .drop("rk")
+    globalTopK(perPartition, k)
   }
 
   /** [[buildPartitionedArtifact]] for STRING-keyed corpora (the
@@ -600,7 +606,16 @@ object HnswIndex {
     * just-built rows frame is bit-identical to probing the same frame
     * read back off parquet (restore is a pure function of the rows), so
     * the catalog's artifact-present and build-fallback redirect paths
-    * return the same candidates by construction. */
+    * return the same candidates by construction.
+    *
+    * DELIBERATELY a sibling of [[searchArtifact]], not a unification:
+    * the Long-keyed artifact persists graphs noded on REAL ids with
+    * numeric-sorted insertion order, while these rows node on local
+    * ordinals with STRING-sorted keys — merging them would either
+    * change a persisted layout or change an insertion order, and both
+    * orders sit under measured-recall exact-hash oracles. Any change
+    * to the restore parameters or the tie-break must be applied to
+    * BOTH (the merge itself is shared — globalTopK). */
   def probeGraphRowsKeyed(
       art: org.apache.spark.sql.DataFrame,
       queries: Seq[(Long, Array[Float])],
@@ -635,12 +650,7 @@ object HnswIndex {
         }
       }
       .toDF("qid", "id", "dist")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
-    perPartition
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .drop("rk")
+    globalTopK(perPartition, k)
   }
 
   /** [[searchPartitioned]] for STRING-keyed corpora (the catalog's chunk

@@ -315,8 +315,7 @@ class IndexPersistenceSpec extends SparkSpec with BeforeAndAfterAll {
       .select("embedding").head().getSeq[Float](0).toArray
     val persisted = spark.read.parquet(new java.io.File(vdir, "hnsw_parts").toString)
     val built = graft.operators.HnswIndex.partitionedGraphRowsKeyed(
-      cold.chunks("lib_hparts"),
-      spark.sessionState.conf.numShufflePartitions, "id", "embedding")
+      cold.chunks("lib_hparts"), cold.HnswPartsCount, "id", "embedding")
     def probe(rows: org.apache.spark.sql.DataFrame) =
       graft.operators.HnswIndex.probeGraphRowsKeyed(rows, Seq((0L, qv)), 3)
         .orderBy("dist", "id")

@@ -152,13 +152,14 @@ class JaccardJoinSpec extends SparkSpec {
 
   test("long-document payload bound: docs AT the cap pass, a raised cap admits longer docs") {
     import spark.implicits._
-    // 100 shingles at t=3/5 → prefix 41; cap 41 passes, cap 40 fails,
+    // 100 shingles at t=3/5 → prefix 41; cap EXACTLY 41 passes (the
+    // rn <= maxPrefixLen boundary itself), cap 40 fails,
     // and an explicit higher cap re-admits the same corpus — the bound
     // binds on the PREFIX length (the payload driver), not doc length
     val text = (0 until 102).map(i => s"w$i").mkString(" ")
     val docs = Seq((0L, text), (1L, text + " tail")).toDF("doc_id", "text")
     val atCap = JaccardJoin
-      .selfJoin(docs, "doc_id", "text", maxPrefixLen = 42)
+      .selfJoin(docs, "doc_id", "text", maxPrefixLen = 41)
     assert(atCap.count() === 1L, "at-cap corpus must still join")
     val ex = intercept[Exception] {
       JaccardJoin.selfJoin(docs, "doc_id", "text", maxPrefixLen = 40).count()
