@@ -2998,36 +2998,16 @@ object SparkEntry {
           .write.mode("overwrite").parquet(s"$base/edges")
         new java.io.File(s"$base/_built").createNewFile()
       }
-      val n = s.sessionState.conf.numShufflePartitions
-      val e = s.read.parquet(s"$base/edges")
-        .select(least(col("doc_a"), col("doc_b")).as("a"),
-          greatest(col("doc_a"), col("doc_b")).as("b"))
-        .distinct()
-      val nE = e.count()
-      // a wedge a<b<c picks one lower and one upper neighbor of its
-      // middle vertex: n_wedges = sum over b of lo(b) * up(b)
-      val nW = e.select(explode(array(
-          struct(col("a").as("v"), lit(0L).as("lo"), lit(1L).as("up")),
-          struct(col("b").as("v"), lit(1L).as("lo"), lit(0L).as("up")))).as("d"))
-        .groupBy(col("d.v"))
-        .agg(sum("d.lo").as("lo"), sum("d.up").as("up"))
-        .agg(coalesce(sum(col("lo") * col("up")), lit(0L)).as("w"))
-        .head().getLong(0)
-      // upper-adjacency arrays, sorted for a deterministic layout; an
-      // edge whose endpoints have no upper neighbors contributes 0, so
-      // the inner joins drop nothing the sum would count
-      val adj = e.groupBy(col("a").as("v"))
-        .agg(sort_array(collect_list(col("b"))).as("nb"))
-      val nT = e.repartition(n, col("a"))
-        .join(adj.select(col("v").as("a"), col("nb").as("__na"))
-          .hint("SHUFFLE_HASH"), Seq("a"))
-        .repartition(n, col("b"))
-        .join(adj.select(col("v").as("b"), col("nb").as("__nb"))
-          .hint("SHUFFLE_HASH"), Seq("b"))
-        .select(size(array_intersect(col("__na"), col("__nb")))
-          .cast("long").as("t"))
-        .agg(coalesce(sum("t"), lit(0L)).as("t"))
-        .head().getLong(0)
+      // the degree bound the adjacency arrays rely on is a PROPERTY OF
+      // THIS edge artifact: each doc occupies ≤ bands buckets of
+      // ≤ maxBucket retained members, so its pair-degree is at most
+      // bands × maxBucket; TriangleCount enforces it fail-fast (a
+      // foreign edge set with a hub vertex must fail loudly, not blow
+      // a task buffer)
+      val ndp = NearDup.Params()
+      val (nE, nW, nT) = graft.operators.TriangleCount.counts(
+        s.read.parquet(s"$base/edges"), "doc_a", "doc_b",
+        maxDegree = ndp.bands * ndp.maxBucket)
       import s.implicits._
       Seq((nE, nW, nT)).toDF("n_edges", "n_wedges", "n_triangles")
         .withColumn("closure_rate",

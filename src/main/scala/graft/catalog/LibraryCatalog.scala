@@ -2241,9 +2241,15 @@ class LibraryCatalog(
 
   private def hnswPartsFallback(
       name: String, version: Long, all: DataFrame): DataFrame = {
+    // eviction must UNPERSIST, not just drop the map entry: the evicted
+    // frames are eager localCheckpoints whose materialized blocks stay
+    // in the block manager until a driver GC lets ContextCleaner find
+    // them — a long-lived catalog taking repeated delta commits to an
+    // over-cap library would accumulate checkpoint storage between GCs
     hnswPartsRows.keys
       .filter { case (n, ver) => n == name && ver != version }
-      .foreach(hnswPartsRows.remove)
+      .foreach(k => hnswPartsRows.remove(k).foreach(
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint))
     hnswPartsRows.getOrElseUpdate((name, version),
       HnswIndex.partitionedGraphRowsKeyed(
         all, HnswPartsCount, "id", "embedding").localCheckpoint(true))

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle / wedge counting over an undirected edge set — the graph
+  * health probe behind q_triangle_count (clusters of near-duplicates
+  * are cliques, so the closure rate closed/wedges tells whether the
+  * pair generator catches groups or only chains).
+  *
+  * Scale shape (the x100 lesson, round 12): count wedges from per-vertex
+  * DEGREE PRODUCTS (one aggregation) and triangles by the EDGE-ITERATOR
+  * form — per normalized edge (a,b), |up(a) ∩ up(b)| counts each
+  * triangle exactly once at its lexicographically lowest edge. The
+  * exchanges move |E| edge rows carrying bounded adjacency arrays, never
+  * the wedge stream (~1e9 rows at x100 vs 27 M edges; the join-based
+  * wedge count materialized that stream TWICE: 292 s → 40 s measured).
+  * Both adjacency attaches are SHUFFLE_HASH (never sort the
+  * array-carrying stream) with pinned parallelism (AQE sizes coalescing
+  * from the few-hundred-MB input, not the intersect work above it).
+  *
+  * `maxDegree` is an ENFORCED fail-fast bound, not advice (the
+  * capBuckets / JaccardJoin discipline): the adjacency arrays are
+  * bounded here only if the edge set's degrees are — the near-dup edge
+  * artifact bounds them by construction (bands × maxBucket), but a
+  * foreign edge set with a hub vertex would otherwise blow a task
+  * buffer silently and skew the intersect stage. One linear
+  * `assert_true` per vertex makes the assumption loud.
+  */
+object TriangleCount {
+
+  /** (n_edges, n_wedges, n_triangles) of the undirected graph given by
+    * `edges` (any orientation, duplicates tolerated — normalized to
+    * distinct a<b internally). Fails loudly when any vertex's
+    * upper-neighbor count exceeds `maxDegree`. */
+  def counts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDegree: Int): (Long, Long, Long) = {
+    require(maxDegree > 0, s"maxDegree must be positive: $maxDegree")
+    val s = edges.sparkSession
+    val n = s.sessionState.conf.numShufflePartitions
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val nE = e.count()
+    // a wedge a<b<c picks one lower and one upper neighbor of its
+    // middle vertex: n_wedges = sum over b of lo(b) * up(b)
+    val nW = e.select(explode(array(
+        struct(col("a").as("v"), lit(0L).as("lo"), lit(1L).as("up")),
+        struct(col("b").as("v"), lit(1L).as("lo"), lit(0L).as("up")))).as("d"))
+      .groupBy(col("d.v"))
+      .agg(sum("d.lo").as("lo"), sum("d.up").as("up"))
+      .agg(coalesce(sum(col("lo") * col("up")), lit(0L)).as("w"))
+      .head().getLong(0)
+    // upper-adjacency arrays, sorted for a deterministic layout; an
+    // edge whose endpoints have no upper neighbors contributes 0, so
+    // the inner joins drop nothing the sum would count. The degree cap
+    // is checked HERE, once per vertex (linear), before the arrays fan
+    // out onto |E| edge rows.
+    val adj = e.groupBy(col("a").as("v"))
+      .agg(sort_array(collect_list(col("b"))).as("nb"))
+      .where(isnull(assert_true(
+        size(col("nb")) <= lit(maxDegree),
+        concat(
+          lit("TriangleCount: vertex "), col("v").cast("string"),
+          lit(" has upper-degree "), size(col("nb")).cast("string"),
+          lit(s" > maxDegree = $maxDegree — the adjacency-array shape " +
+            "assumes bounded degrees (pass the bound the edge set was " +
+            "actually built under, e.g. bands * maxBucket for the " +
+            "near-dup artifact)")))))
+    val nT = e.repartition(n, col("a"))
+      .join(adj.select(col("v").as("a"), col("nb").as("__na"))
+        .hint("SHUFFLE_HASH"), Seq("a"))
+      .repartition(n, col("b"))
+      .join(adj.select(col("v").as("b"), col("nb").as("__nb"))
+        .hint("SHUFFLE_HASH"), Seq("b"))
+      .select(size(array_intersect(col("__na"), col("__nb")))
+        .cast("long").as("t"))
+      .agg(coalesce(sum("t"), lit(0L)).as("t"))
+      .head().getLong(0)
+    (nE, nW, nT)
+  }
+}

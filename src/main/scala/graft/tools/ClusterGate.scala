@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Synthetic-scale invariant gate for q_dedup_clusters — the one query
@@ -31,24 +31,23 @@ import org.apache.spark.sql.functions._
   * id (1,2). This checks ALL components, not a sample. Any violation
   * exits nonzero (the scale gate fails loudly).
   *
+  * The invariant computation lives in [[invariants]] so ClusterGateSpec
+  * runs the SAME proof in `sbt test` (sf0.001 corpus + seeded
+  * tampered-clustering negatives) — a propagation regression is caught
+  * at commit time, not first at gate time.
+  *
   * Usage: runMain graft.tools.ClusterGate <sfDir>
   */
 object ClusterGate {
-  def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "target/sf1-synth"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .appName("cluster-gate")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val clusters = graft.SparkEntry.queries("q_dedup_clusters")(spark, dir)
-      .localCheckpoint(true)
+  /** Summary counts + the invariant rows (name, value, expected) for a
+    * clustering `clusters` (cluster_rep, n_docs, members csv) claimed
+    * over undirected edge set `edges` (doc_a, doc_b). Every expected
+    * value is 0 — any nonzero row is a disproof. */
+  def invariants(
+      clusters: DataFrame,
+      edges: DataFrame): (Long, Long, Long, Seq[(String, Long, Long)]) = {
+    val spark = clusters.sparkSession
 
     // one pass over the (bounded: one row per cluster) output for the
     // per-cluster invariants; members re-splits to ids
@@ -71,8 +70,6 @@ object ClusterGate {
       .localCheckpoint(true)
 
     // every persisted edge agrees on labels across its endpoints
-    val edges = spark.read.parquet(
-      graft.SparkEntry.nearDupEdgesPath(spark, dir))
     val disagree = edges
       .join(labels.select(col("id").as("doc_a"), col("lbl").as("la")), "doc_a")
       .join(labels.select(col("id").as("doc_b"), col("lbl").as("lb")), "doc_b")
@@ -138,9 +135,31 @@ object ClusterGate {
       ("conn_edge_node_mismatch", connStats.getAs[Long]("edge_node_mismatch"), 0L),
       ("conn_clusters_unchecked",
         perCluster.getAs[Long]("n_clusters") - connStats.getAs[Long]("n_conn_checked"), 0L))
+    (perCluster.getAs[Long]("n_clusters"), perCluster.getAs[Long]("n_labeled"),
+      nEndpoints, checks)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "target/sf1-synth"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("cluster-gate")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val clusters = graft.SparkEntry.queries("q_dedup_clusters")(spark, dir)
+      .localCheckpoint(true)
+    val edges = spark.read.parquet(
+      graft.SparkEntry.nearDupEdgesPath(spark, dir))
+    val (nClusters, nLabeled, nEndpoints, checks) = invariants(clusters, edges)
     val bad = checks.filter { case (_, v, want) => v != want }
-    println(s"[cluster-gate] $dir clusters=${perCluster.getAs[Long]("n_clusters")} " +
-      s"labeled=${perCluster.getAs[Long]("n_labeled")} endpoints=$nEndpoints")
+    println(s"[cluster-gate] $dir clusters=$nClusters " +
+      s"labeled=$nLabeled endpoints=$nEndpoints")
     checks.foreach { case (n, v, _) => println(f"[cluster-gate]   $n%-28s $v") }
     spark.stop()
     if (bad.nonEmpty) {

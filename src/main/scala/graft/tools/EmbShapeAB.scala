@@ -38,7 +38,10 @@ object EmbShapeAB {
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+      // ROOT locale, like Bench's num(): a tr-TR/de-DE JVM would print
+      // comma decimals and any grep/parse of these logs would mis-read
+      println("  %s: %7.2f s  (%d rows)".formatLocal(
+        java.util.Locale.ROOT, label, (System.nanoTime() - t0) / 1e9, n))
     }
     val nT = NearDup.EmbedLshParams.numTables
     for (i <- 1 to iters) {

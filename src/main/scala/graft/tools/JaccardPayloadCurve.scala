@@ -40,7 +40,9 @@ object JaccardPayloadCurve {
       val dt = (System.nanoTime() - t0) / 1e9
       val p = row.getLong(0)
       val mb = row.getLong(1) * 8.0 / 1e6
-      println(f"shingles=$s%6d prefix=$p%6d pe_payload=$mb%10.2f MB  wall=$dt%6.2f s")
+      // ROOT locale, like Bench's num() (comma-decimal JVM locales)
+      println("shingles=%6d prefix=%6d pe_payload=%10.2f MB  wall=%6.2f s"
+        .formatLocal(java.util.Locale.ROOT, s, p, mb, dt))
     }
     spark.stop()
   }

@@ -22,4 +22,17 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Release the materialized blocks behind an (eagerly)
+    * `localCheckpoint`ed DataFrame. A checkpointed Dataset's plan is a
+    * `LogicalRDD` over the checkpointed internal RDD; dropping the
+    * DataFrame reference alone leaves those blocks in the block manager
+    * until a driver GC lets ContextCleaner find them — a cache that
+    * evicts stale checkpoint entries (e.g. per-version memoizations)
+    * must unpersist explicitly or it leaks storage between GCs. No-op
+    * on non-checkpointed frames. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 }
