@@ -535,6 +535,11 @@ class LibraryCatalog(
     * forward by reference across delta commits. */
   def codebookTable(name: String): Option[DataFrame] = artifact(name, "codebook")
 
+  /** The reconciled over-cap partitioned-graph artifact, when present
+    * (IndexPersistenceSpec's patch-equals-rebuild pinning hook). */
+  private[graft] def hnswPartsTable(name: String): Option[DataFrame] =
+    artifact(name, "hnsw_parts")
+
   // ------------------------------------------------------------- writing
 
   private def now(): String = java.time.Instant.now().toString
@@ -1038,19 +1043,24 @@ class LibraryCatalog(
             "index_deletes", r.getOrElse("index_deletes", Seq.empty) :+ vname)
         r
     }
-    // a delta invalidates the persisted hnsw graph (a whole-corpus
-    // structure, not an O(delta)-patchable table): drop its refs so the
-    // next cold read rebuilds lazily; rebuildIndex/compactLibrary write a
-    // fresh one. Chunk data and every other artifact stay O(delta).
+    // a delta invalidates the persisted DRIVER hnsw graph (a
+    // whole-corpus structure, not an O(delta)-patchable table): drop its
+    // refs so the next cold read rebuilds lazily (bounded by
+    // hnswMaxRows); rebuildIndex/compactLibrary write a fresh one.
     // EXCEPTION: a caller-certified metadata-only commit changes no
-    // (id, embedding) pair — the graph is a pure function of those, so
+    // (id, embedding) pair — every graph is a pure function of those, so
     // it carries forward and the next search pays neither an artifact
     // re-read nor the O(n log n) rebuild. (op == CarryArtifacts alone
     // is NOT that certificate: the HNSW add/update fallbacks also use
-    // it while rows genuinely change.)
+    // it while rows genuinely change.) The PARTITIONED over-cap graphs
+    // (hnsw_parts) are different: partition membership is data-derived
+    // and each partition's graph is a pure function of ITS OWN id set,
+    // so a delta is an O(touched-partitions) PATCH, not a drop — see
+    // [[patchHnswPartsRefs]].
     val refs =
       if (m.indexer == HnswIndexer && !metadataOnly)
-        carried - HnswGraphArtifact - HnswMetaArtifact - HnswPartsArtifact
+        patchHnswPartsRefs(
+          m, vdir, vname, mf, carried - HnswGraphArtifact - HnswMetaArtifact)
       else carried
     writeArtifactRefs(vdir, refs)
     val committed = finishCommit(m, v, mf)
@@ -1150,8 +1160,18 @@ class LibraryCatalog(
           case None =>
             Seq(IndexArtifact(
               HnswPartsArtifact,
+              // the explicit part-keyed repartition between the build
+              // and the write is load-bearing: writeClustered's
+              // small-artifact path coalesce(1)s, and a NARROW coalesce
+              // fuses into the flatMapGroups stage — all partition
+              // graphs then build SERIALLY in one task (measured at
+              // x100: 571 s create, ~32 x the single-graph build). The
+              // shuffle boundary keeps the builds at full parallelism
+              // and leaves the cheap write to whatever task count the
+              // writer picks.
               HnswIndex.partitionedGraphRowsKeyed(
-                chunksDf, HnswPartsCount, "id", "embedding"),
+                chunksDf, HnswPartsCount, "id", "embedding")
+                .repartition(HnswPartsCount, col("part")),
               Seq("part")))
           case Some((idx, ids)) =>
             import spark.implicits._
@@ -2229,15 +2249,22 @@ class LibraryCatalog(
 
   /** Build-fallback rows for the over-cap redirect, memoized per
     * (library, version) with the [[hnswGraphs]] eviction discipline
-    * and EAGERLY checkpointed: a delta commit drops hnsw_parts (a
-    * whole-corpus artifact), and without memoization every subsequent
-    * search of that version would re-pay the full per-partition insert
-    * sequence (~21 s at x100) — the exact cost the persisted artifact
-    * exists to amortize. The checkpoint materializes the graphs once
-    * per (catalog instance, version); rebuildIndex/compactLibrary
+    * and EAGERLY checkpointed. Since delta commits PATCH hnsw_parts
+    * ([[patchHnswPartsRefs]]) this is a compatibility path only —
+    * legacy warehouses whose artifact was dropped by a pre-patch
+    * delta commit — but on that path every subsequent search would
+    * re-pay the full per-partition insert sequence (~21 s at x100)
+    * without the memoization. The checkpoint materializes the graphs
+    * once per (catalog instance, version); rebuildIndex/compactLibrary
     * re-persist the durable artifact. */
   private val hnswPartsRows =
     new scala.collection.concurrent.TrieMap[(String, Long), DataFrame]
+
+  /** Versions of `name` currently memoized in the build-fallback cache
+    * (spec hook: a search served by the PATCHED artifact must leave
+    * this at 0 — taking the fallback means the patch refs were lost). */
+  private[graft] def hnswPartsFallbacksCached(name: String): Int =
+    hnswPartsRows.keys.count(_._1 == name)
 
   private def hnswPartsFallback(
       name: String, version: Long, all: DataFrame): DataFrame = {
@@ -2253,6 +2280,87 @@ class LibraryCatalog(
     hnswPartsRows.getOrElseUpdate((name, version),
       HnswIndex.partitionedGraphRowsKeyed(
         all, HnswPartsCount, "id", "embedding").localCheckpoint(true))
+  }
+
+  /** PATCH the persisted over-cap partitioned-graph artifact at a delta
+    * commit — the O(touched-partitions) alternative to dropping it
+    * (which made the next cold search pay a full per-partition rebuild,
+    * ~21 s at ×100). Soundness: partition membership is a pure function
+    * of the id (`pmod(xxhash64(id), HnswPartsCount)`) and each
+    * partition's graph is a pure function of its own (id, embedding)
+    * set (string-sorted insertion, fixed seed), so rebuilding ONLY the
+    * partitions whose membership or vectors changed and carrying every
+    * other partition's rows yields rows bit-identical to a from-scratch
+    * build over the new corpus (IndexPersistenceSpec pins this).
+    *
+    * Mechanics reuse the generic artifact version-list machinery: the
+    * rebuilt partitions' rows are written into THIS version dir, every
+    * id the old graph holds in those partitions is tombstoned
+    * (`hnsw_parts_deletes` — the [[artifactAt]] reconciliation then
+    * drops all their older rows while this version's fresh rows
+    * survive), and both ref lists gain this version. Read amplification
+    * is bounded by [[maybeAutoCompact]] exactly like chunk buckets.
+    *
+    * Partitions to rebuild: any partition receiving a delta row (a new
+    * id, or an update re-embedding under the same id) and any partition
+    * the old graph holds an id for that the new corpus no longer has
+    * (bucket-replacement deletes). The delta is read back from the
+    * just-written version dir (data at rest — never re-executes the
+    * delta's lineage). Returns the refs map to publish:
+    *   - no persisted artifact (under-cap or legacy drop): refs without
+    *     the artifact keys — the memoized [[hnswPartsFallback]] remains
+    *     the compatibility path;
+    *   - no partition actually changed: refs unchanged (pure carry);
+    *   - otherwise: both lists extended with this version. */
+  private def patchHnswPartsRefs(
+      m: LibraryMeta,
+      vdir: Path,
+      vname: String,
+      mf: Map[Int, Seq[String]],
+      refs: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    val deletesArtifact = HnswPartsArtifact + "_deletes"
+    val old = artifactAt(m.name, HnswPartsArtifact, m.version).getOrElse(
+      return refs - HnswPartsArtifact - deletesArtifact)
+    def partOf(c: Column): Column =
+      pmod(xxhash64(c.cast("string")), lit(HnswPartsCount)).cast("int")
+    val newCorpus = readChunksAt(m.name, mf)
+    val deltaChunksDir = new Path(vdir, "chunks")
+    val deltaIds =
+      if (fs.exists(deltaChunksDir))
+        spark.read.schema(chunkSchema)
+          .parquet(deltaChunksDir.toString)
+          .select("id")
+      else idsDf(Seq.empty)
+    val oldIdParts = old.select(col("part").cast("int").as("part"), col("id"))
+    val changed = oldIdParts
+      .join(newCorpus.select("id"), Seq("id"), "left_anti")
+      .select("part")
+      .unionByName(deltaIds.select(partOf(col("id")).as("part")))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (changed.isEmpty) return refs
+    val changedSeq = changed.toSeq.sorted
+    // repartition before write for the same reason as buildIndex's
+    // over-cap branch: writeClustered's coalesce(1) must not fuse into
+    // (and serialize) the graph-build stage
+    val rebuilt = HnswIndex.partitionedGraphRowsKeyed(
+      newCorpus.where(partOf(col("id")).isin(changedSeq: _*)),
+      HnswPartsCount, "id", "embedding")
+      .repartition(HnswPartsCount, col("part"))
+    writeArtifacts(vdir,
+      Seq(IndexArtifact(HnswPartsArtifact, rebuilt, Seq("part"))))
+    // a partition emptied by the delta writes no part dir; publish the
+    // parts ref only when rows actually landed
+    val wroteParts = fs.listStatus(new Path(vdir, HnswPartsArtifact))
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+    val tomb = oldIdParts.where(col("part").isin(changedSeq: _*)).select("id")
+    val nTomb = tomb.count()
+    if (nTomb > 0)
+      tomb.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(vdir, deletesArtifact).toString)
+    def extended(r: Map[String, Seq[String]], k: String) =
+      r.updated(k, r.getOrElse(k, Seq.empty) :+ vname)
+    val withParts = if (wroteParts) extended(refs, HnswPartsArtifact) else refs
+    if (nTomb > 0) extended(withParts, deletesArtifact) else withParts
   }
 
   /** Deterministic driver-local hnsw build: rows SORTED BY ID before
@@ -2425,13 +2533,14 @@ class LibraryCatalog(
             // past hnswMaxRows transparently takes the distributed
             // per-partition graph path — no driver-side corpus collect,
             // no caller-visible API change. The PERSISTED per-partition
-            // graphs (hnsw_parts, written by buildIndex at this
-            // version) are RESTORED, never rebuilt, so a cold search
+            // graphs (hnsw_parts, written by buildIndex and PATCHED
+            // per-partition by delta commits) are RESTORED, never
+            // rebuilt, so a cold search — even right after a mutation —
             // pays pruned artifact reads instead of the full insert
             // sequence; the in-flight build runs only when the artifact
-            // is absent (legacy warehouse, delta-invalidated graphs)
-            // and produces bit-identical rows — probe results agree by
-            // construction. Candidates (≤ k ids after the global
+            // is absent (legacy warehouse whose artifact a pre-patch
+            // delta dropped) and produces bit-identical rows — probe
+            // results agree by construction. Candidates (≤ k ids after the global
             // merge, deterministic for this pinned version) semi-join
             // back into the shared re-rank pipeline below.
             val rows = artifactAt(name, HnswPartsArtifact, m.version)

@@ -489,15 +489,20 @@ object HnswIndex {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val qBc = spark.sparkContext.broadcast(queries)
+    // explicit fixed-N repartition + in-task grouping on the DATA part
+    // key (see [[partitionedGraphRowsKeyed]]'s parallelism note): AQE
+    // would coalesce a groupByKey exchange over these ~100 MB-at-x100
+    // rows to 1-2 partitions and serialize the per-partition restores.
+    val n = spark.sessionState.conf.numShufflePartitions
     val art = spark.read.parquet(path)
       .select(col("part").cast("int"), col("ord"), col("id"),
         col("vec"), col("level"), col("nbrs"), col("entry"),
         col("m"), col("efc"), col("seed"), col("max_level"))
+      .repartition(n, col("part"))
       .as[(Int, Long, Long, Array[Float], Int, Seq[Seq[Long]], Long, Int, Int, Long, Int)]
     val perPartition = art
-      .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
-        val sorted = rows.toArray.sortBy(_._2)
+      .mapPartitions(_.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(_._2)
         val idx = restore(
           sorted.iterator.map { case (_, _, id, vec, lvl, nbrs, _, _, _, _, _) =>
             (id, vec, lvl, nbrs.map(_.toArray).toArray)
@@ -511,7 +516,7 @@ object HnswIndex {
         qBc.value.iterator.flatMap { case (qid, qv) =>
           idx.search(qv, k).map { case (id, d) => (qid, id, d) }
         }
-      }
+      })
       .toDF("qid", "id", "dist")
     globalTopK(perPartition, k)
   }
@@ -573,26 +578,41 @@ object HnswIndex {
     // coalesce or re-plan this frame (the catalog's small-artifact path
     // coalesces to one task), and a physical partition id would then
     // label every slice 0 — four graphs colliding on one part key, a
-    // garbled restore. groupByKey makes the grouping logical too, so
-    // graph membership is a pure function of the ids at ANY physical
-    // layout.
+    // garbled restore. Grouping is in-task by that data key after an
+    // EXPLICIT fixed-N repartition, so graph membership is a pure
+    // function of the ids at ANY physical layout.
+    //
+    // The explicit repartition (not groupByKey) is load-bearing for
+    // PARALLELISM, the capBuckets lesson applied to compute-heavy
+    // mapGroups: the input is ~100 MB at 500 k rows, so AQE sized the
+    // groupByKey exchange from bytes alone and coalesced it to ONE
+    // partition — every per-partition graph then built SERIALLY in one
+    // task (measured at x100: 571 s for an over-cap createLibrary,
+    // ~32x the single-graph build; jstack showed one executor thread in
+    // HnswIndex.add). A user repartition with an explicit count is
+    // AQE-exempt; hash collisions of numParts keys into numParts
+    // partitions leave some tasks 2-4 groups — still ~16x, and the
+    // in-task grouping keys on the DATA so any residual merging or
+    // downstream re-plan changes scheduling, never membership.
     df.select(
         col(idCol).cast("string").as("__id"),
         col(embCol).as("__emb"),
         pmod(xxhash64(col(idCol).cast("string")), lit(numParts))
           .cast("int").as("__part"))
+      .repartition(numParts, col("__part"))
       .as[(String, Array[Float], Int)]
-      .groupByKey(_._3)
-      .flatMapGroups { (part, it) =>
-        val rows = it.toArray.sortBy(_._1)
-        val idx = build(
-          rows.iterator.zipWithIndex.map { case ((r, i)) => (i.toLong, r._2) },
-          m, efConstruction, maxLevel, seed)
-        val entry = idx.entry.get
-        idx.exportNodes.iterator.map { case (ord, vec, lvl, nbrs) =>
-          (part, ord, rows(ord.toInt)._1, vec.toSeq, lvl,
-            nbrs.map(_.toSeq).toSeq, entry, m, efConstruction, seed,
-            maxLevel)
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._3).iterator.flatMap { case (part, group) =>
+          val rows = group.sortBy(_._1)
+          val idx = build(
+            rows.iterator.zipWithIndex.map { case ((r, i)) => (i.toLong, r._2) },
+            m, efConstruction, maxLevel, seed)
+          val entry = idx.entry.get
+          idx.exportNodes.iterator.map { case (ord, vec, lvl, nbrs) =>
+            (part, ord, rows(ord.toInt)._1, vec.toSeq, lvl,
+              nbrs.map(_.toSeq).toSeq, entry, m, efConstruction, seed,
+              maxLevel)
+          }
         }
       }
       .toDF("part", "ord", "id", "vec", "level", "nbrs", "entry",
@@ -624,17 +644,24 @@ object HnswIndex {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val qBc = spark.sparkContext.broadcast(queries)
+    // explicit fixed-N repartition + in-task grouping on the DATA part
+    // key, for the same reason as [[partitionedGraphRowsKeyed]]: the
+    // graph rows are ~100 MB at x100, so AQE coalesces a groupByKey
+    // exchange to 1-2 partitions and every per-partition restore runs
+    // serially in one task. Grouping keys on the data, so scheduling
+    // can never change which rows form a graph.
+    val n = spark.sessionState.conf.numShufflePartitions
     val typed = art
       .select(col("part").cast("int"), col("ord"), col("id"),
         col("vec"), col("level"), col("nbrs"), col("entry"),
         col("m"), col("efc"), col("seed"), col("max_level"))
+      .repartition(n, col("part"))
       .as[(Int, Long, String, Array[Float], Int, Seq[Seq[Long]], Long, Int, Int, Long, Int)]
     val perPartition = typed
-      .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
+      .mapPartitions(_.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
         // node ids ARE the per-partition insertion ordinals, so the
         // sorted array doubles as the ord -> key map
-        val sorted = rows.toArray.sortBy(_._2)
+        val sorted = rows.sortBy(_._2)
         val idx = restore(
           sorted.iterator.map { case (_, ord, _, vec, lvl, nbrs, _, _, _, _, _) =>
             (ord, vec, lvl, nbrs.map(_.toArray).toArray)
@@ -648,7 +675,7 @@ object HnswIndex {
         qBc.value.iterator.flatMap { case (qid, qv) =>
           idx.search(qv, k).map { case (ord, d) => (qid, sorted(ord.toInt)._3, d) }
         }
-      }
+      })
       .toDF("qid", "id", "dist")
     globalTopK(perPartition, k)
   }

@@ -80,6 +80,44 @@ object EmbShapeAB {
           .count()
       }
 
+      // D/E: decomposition of the carry-inline verify cost (round-12
+      // verdict #3 — "is the 62M float-cosine pass the dominant term?").
+      // Both keep A's exact join shape and replace only what they
+      // measure: D swaps the cosine verify for a trivial (never-false,
+      // not-foldable, both-sides-touching) predicate — A minus D is the
+      // pure verify-FLOP cost; E additionally carries int8-quantized
+      // vectors (array<tinyint>, 32 B vs 128 B) under the same trivial
+      // predicate — D minus E is the payload-width cost. E's remainder
+      // is the join/exchange/output floor no verify change can touch.
+      def cappedSig(): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val n = spark.sessionState.conf.numShufflePartitions
+        val w = Window.partitionBy(col("table_idx"), col("sig"))
+          .orderBy(col("doc_id"))
+        sig.repartition(n, col("table_idx"), col("sig"))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= 5000).drop("__rk")
+      }
+      def carryShape(vec: DataFrame): Long = {
+        val probe = FirstCollision.withSurvivalMap(
+          cappedSig(), "doc_id", "table_idx", "sig", nT)
+          .join(vec.hint("SHUFFLE_HASH"), Seq("doc_id"))
+        FirstCollision.pairs(
+          probe, probe, "doc_id", "table_idx", "sig", nT, "id_a", "id_b", _ < _,
+          carryA = Seq("__v" -> "__va"), carryB = Seq("__v" -> "__vb"))
+          .where(element_at(col("__va"), 1).cast("double") +
+            element_at(col("__vb"), 1).cast("double") > lit(-1e18))
+          .count()
+      }
+      if (variants.contains("D")) time("D carry-noverify") {
+        carryShape(df.select(col("doc_id"), col("embedding").as("__v")))
+      }
+      if (variants.contains("E")) time("E carry-int8    ") {
+        carryShape(df.select(col("doc_id"),
+          transform(col("embedding"),
+            x => round(x * 127).cast("byte")).as("__v")))
+      }
+
       // C: the faithful round-11 shape — join-back survival map, slim
       // unpinned candidate join, pair-stream attaches
       if (variants.contains("C")) time("C r11 joinback ") {

@@ -323,20 +323,52 @@ class IndexPersistenceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(probe(persisted) === probe(built),
       "persisted-artifact probe diverges from the in-flight build probe")
 
-    // a delta invalidates hnsw_parts like the driver graph; search
-    // falls back to the in-flight build and still sees the new row
+    // a delta PATCHES hnsw_parts per-partition (never drops it): the
+    // new version's dir holds the rebuilt partitions, the reconciled
+    // artifact equals a from-scratch build of the new corpus
+    // bit-for-bit, and a cold search uses the artifact — the in-flight
+    // fallback must stay untouched
     import spark.implicits._
     cold.addChunks("lib_hparts",
       Seq(("hparts-extra", "doc-x", "an unmistakably unique partitioned probe sentence"))
         .toDF("id", "document_id", "text"))
     val m2 = cold.readMeta("lib_hparts").get
     val vdir2 = new java.io.File(f"$warehouse/lib_hparts/v${m2.version}%06d")
-    assert(!new java.io.File(vdir2, "hnsw_parts").exists(),
-      "delta commit re-wrote hnsw_parts (whole-corpus artifact must drop)")
-    val r2 = cold.search("lib_hparts",
+    assert(new java.io.File(vdir2, "hnsw_parts").isDirectory,
+      "delta commit did not write the patched hnsw_parts partitions")
+    def normalized(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      def norm(v: Any): String = v match {
+        case s: scala.collection.Seq[_] => s.map(norm).mkString("[", ",", "]")
+        case x => String.valueOf(x)
+      }
+      df.select("part", "ord", "id", "vec", "level", "nbrs", "entry",
+          "m", "efc", "seed", "max_level")
+        .collect().map(r => norm(r.toSeq)).sorted.toSeq
+    }
+    val cold2 = new LibraryCatalog(spark, warehouse, hnswMaxRows = 5)
+    val r2 = cold2.search("lib_hparts",
       "an unmistakably unique partitioned probe sentence", k = 1).head()
     assert(r2.getAs[String]("id") === "hparts-extra")
-    cold.deleteLibrary("lib_hparts")
+    assert(cold2.hnswPartsFallbacksCached("lib_hparts") === 0,
+      "patched artifact present but the cold search took the rebuild fallback")
+    assert(
+      normalized(cold2.hnswPartsTable("lib_hparts").get) ===
+        normalized(graft.operators.HnswIndex.partitionedGraphRowsKeyed(
+          cold2.chunks("lib_hparts"), cold2.HnswPartsCount, "id", "embedding")),
+      "patched hnsw_parts diverges from a from-scratch build of the new corpus")
+
+    // delete path: tombstones reconcile the removed partitions' old
+    // rows away and the patched artifact still equals a fresh build
+    cold2.deleteChunks("lib_hparts", Seq("chunk-7"))
+    val cold3 = new LibraryCatalog(spark, warehouse, hnswMaxRows = 5)
+    val patched3 = normalized(cold3.hnswPartsTable("lib_hparts").get)
+    assert(patched3 ===
+      normalized(graft.operators.HnswIndex.partitionedGraphRowsKeyed(
+        cold3.chunks("lib_hparts"), cold3.HnswPartsCount, "id", "embedding")),
+      "post-delete patched hnsw_parts diverges from a from-scratch build")
+    assert(!patched3.exists(_.contains("chunk-7")),
+      "deleted id still present in the reconciled artifact")
+    cold3.deleteLibrary("lib_hparts")
   }
 
   test("a persisted graph larger than the session cap loads as None and search redirects (no crash)") {

@@ -50,13 +50,56 @@ SKIP_SF1="q_dedup_clusters"
 # (the only near-dup generator previously never measured at x100),
 # q_triangle_count (two equi-joins over the 27 M-edge x100 artifact),
 # q_split_leakage, q_fuzzy_join, q_batch_knn, q_federated_search,
-# q_pack_sequences.
-CORE_SF10="q1_agg,q_asof_join,q_batch_knn,q_bpe_merges,q_bucketed_join,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_dedup_clusters,q_embed_neardup,q_events_hourly,q_federated_search,q_filter_revenue,q_funnel,q_fuzzy_join,q_grouped_topk,q_hnsw_artifact,q_hnsw_knn,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_knn_euclidean,q_lang_id,q_lsh_knn,q_neardup_incremental,q_neardup_pairs,q_ngram_jaccard,q_pack_sequences,q_regional_revenue,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_split_leakage,q_stream_watermark,q_table_checksum,q_token_count,q_topk_orders,q_triangle_count"
+# q_pack_sequences. Round 13 additions (the next tranche by sf0.1
+# cost, toward full coverage): q_collocations, q_bloom_decontam,
+# q_decontaminate, q_kmv_grouped, q_range_join, q_phrase_search,
+# q_inverted_lookup, q_dedup_exact_groups, and the bench-only
+# q_media_decode (real PNG decode over the synthesized corpus).
+CORE_SF10="q1_agg,q_asof_join,q_batch_knn,q_bloom_decontam,q_bpe_merges,q_bucketed_join,q_collocations,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_decontaminate,q_dedup_clusters,q_dedup_exact_groups,q_embed_neardup,q_events_hourly,q_federated_search,q_filter_revenue,q_funnel,q_fuzzy_join,q_grouped_topk,q_hnsw_artifact,q_hnsw_knn,q_inverted_lookup,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_kmv_grouped,q_knn_euclidean,q_lang_id,q_lsh_knn,q_media_decode,q_neardup_incremental,q_neardup_pairs,q_ngram_jaccard,q_pack_sequences,q_phrase_search,q_range_join,q_regional_revenue,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_split_leakage,q_stream_watermark,q_table_checksum,q_token_count,q_topk_orders,q_triangle_count"
 
 [ -e target/sf1-synth/lineitem.parquet ] || \
   sbt -batch "runMain graft.tools.SynthScale $SF01 target/sf1-synth 10"
 [ -e target/sf10-synth/lineitem.parquet ] || \
   sbt -batch "runMain graft.tools.SynthScale $SF01 target/sf10-synth 100"
+
+# ---- cooldown + calibration gate (round-12 verdict #1) ----
+# Every committed bench record must be a QUIET-host one: the round-12
+# BENCH_sf10.json was recorded at loadavg 7.4 (self-inflicted — the x10
+# oracle + two ClusterGate JVMs run right before it) and untouched
+# queries read 2-2.5x their solo numbers, so every cross-round diff
+# needed a weather paragraph. Before each recorded bench phase, wait
+# until (a) 1-min loadavg < 2 and (b) a single-core CPU-spin runs
+# within 15% of its quiet-host reference. Bounded wait (15 min), then
+# record anyway — the in-record calib/load stamps still label the run.
+CALIB_REF=${CALIB_REF:-0.62}   # quiet-host seconds for the spin below
+calib_spin() {
+  python3 -c '
+import time
+t0 = time.perf_counter()
+x = 0
+for i in range(10_000_000):
+    x += i * i
+print("%.3f" % (time.perf_counter() - t0))'
+}
+cooldown() {
+  local phase="$1" tries=0 load calib
+  while :; do
+    load=$(cut -d" " -f1 /proc/loadavg)
+    calib=$(calib_spin)
+    if awk -v l="$load" -v c="$calib" -v r="$CALIB_REF" \
+         'BEGIN{exit !(l < 2.0 && c < r * 1.15)}'; then
+      echo "== cooldown ok before $phase: load=$load calib=${calib}s (ref ${CALIB_REF}s) =="
+      return 0
+    fi
+    tries=$((tries + 1))
+    if [ "$tries" -ge 30 ]; then
+      echo "== cooldown TIMED OUT before $phase: load=$load calib=${calib}s — recording anyway (stamps label the heat) =="
+      return 0
+    fi
+    echo "== cooling down before $phase: load=$load calib=${calib}s (ref ${CALIB_REF}s, try $tries/30) =="
+    sleep 30
+  done
+}
 
 # keep the committed sf0.1 full map safe: Bench always writes
 # ./bench_full.json, and the restore must survive ANY failure between
@@ -71,6 +114,7 @@ trap 'cp /tmp/bench_full.json.scale_gate_bak bench_full.json 2>/dev/null || true
 # the driver runs. Three samples would triple an already-long gate.
 export SPARK_GRAFT_BENCH_SAMPLES=1
 
+cooldown "x10 full bench"
 echo "== x10 full bench (target/sf1-synth) =="
 SPARK_GRAFT_SF_DIR=target/sf1-synth sbt -batch "runMain graft.Bench" 2>/dev/null \
   | grep '"metric"' | sed 's/^\[info\] //' > /tmp/bench_sf1_lines.json
@@ -98,6 +142,7 @@ sbt -batch "runMain graft.tools.ClusterGate target/sf1-synth" 2>/dev/null \
 sbt -batch "runMain graft.tools.ClusterGate target/sf10-synth" 2>/dev/null \
   | grep cluster-gate
 
+cooldown "x100 core bench"
 echo "== x100 core bench (target/sf10-synth) =="
 SPARK_GRAFT_SF_DIR=target/sf10-synth SPARK_GRAFT_BENCH_ONLY="$CORE_SF10" \
   sbt -batch "runMain graft.Bench" 2>/dev/null \
