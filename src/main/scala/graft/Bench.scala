@@ -57,9 +57,13 @@ object Bench {
         case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName))
       }
 
-    // Optional comma-separated query filter for local iteration; the
-    // driver never sets it, so the recorded bench always covers everything.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    // Optional comma-separated query filter — program arg first (lets one
+    // sbt session fork a FRESH JVM per query: `runMain graft.Bench q_x`,
+    // the scale gate's isolation mode), else the env var (local
+    // iteration). The driver sets neither, so the recorded sf0.1 bench
+    // always covers everything.
+    val only = args.headOption.filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = allQueries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
