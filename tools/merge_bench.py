@@ -27,12 +27,19 @@ def main() -> None:
         print(json.dumps({"status": "failed", "error": "no bench lines"}))
         sys.exit(1)
     queries = {}
+    spreads = {}
     calibs = []
     loads = []
     failed = 0
     ok = True
     for r in runs:
         queries.update(r.get("queries", {}))
+        # driver lines carry no per-query spread map, but a one-query
+        # run's spread_total IS that query's spread
+        if "spread" in r:
+            spreads.update(r["spread"])
+        elif len(r.get("queries", {})) == 1 and r.get("spread_total") is not None:
+            spreads[next(iter(r["queries"]))] = r["spread_total"]
         if r.get("calib_before") is not None:
             calibs.append(r["calib_before"])
         calibs.extend(r.get("calib_passes", []))
@@ -47,6 +54,8 @@ def main() -> None:
         "unit": "sec",
         "queries": ordered,
         "stat": runs[0].get("stat", "median_of_1"),
+        "spread": {k: spreads[k] for k in ordered if k in spreads},
+        "spread_total": round(sum(spreads.values()), 3) if spreads else None,
         "isolation": "jvm_per_query",
         "warmup": "same_query_untimed",
         "calib_range": [min(calibs), max(calibs)] if calibs else None,
@@ -58,7 +67,10 @@ def main() -> None:
         "n_queries": len(queries),
         "queries_omitted": 0,
     }
-    print(json.dumps(out))
+    # compact separators: the gate (and the driver) grep for
+    # '"status":"ok"' — json.dumps' default ", " / ": " spacing broke
+    # that exact-string check on the first merged record
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
