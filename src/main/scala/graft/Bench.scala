@@ -67,6 +67,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = allQueries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // a requested name that matches nothing is a FAILURE, not an empty
+    // ok run: a renamed/typo'd entry in the scale gate's core list would
+    // otherwise silently drop from the x100 record while the merged
+    // line still greps as "ok" (advisor finding, round 13)
+    val unknown = only.toSeq.flatMap(_ -- allQueries.keySet).sorted
     // median-of-N samples; validated once (a bad env value falls back to
     // 3, a sub-1 value clamps to 1 so the sample vector can't be empty)
     val nSamples = math.max(1,
@@ -114,7 +119,7 @@ object Bench {
     // Warm-up: run one representative query untimed (codegen + classloading).
     names.headOption.foreach(runOnce)
 
-    var failed = List.empty[String]
+    var failed = unknown.map(n => s"$n: unknown query").toList
     // Per query: MEDIAN of N timed full materializations, with the
     // per-query SPREAD (max - min) recorded alongside — the ambient
     // host (shared VM, disk) adds multi-second noise that a single

@@ -3517,6 +3517,38 @@ object SparkEntry {
           s.read.parquet(s"$base/sig"))
         .select(col("doc_a"), col("doc_b"), rn(col("cos"), 6).as("cos_sim"))
     }),
+    // ---- training-pipeline: the same embedding-cosine near-dup kernel
+    //      over the REAL 64-dim embeddings table (vec_id, continuous
+    //      unit-norm vectors) — the companion measurement surface to
+    //      q_embed_neardup, whose md5-embedder corpus tops out at 10^4
+    //      distinct vectors BY CONSTRUCTION ((h*(d+1)+d) mod 10^4
+    //      depends only on h mod 10^4), so at 500k docs its near-dup
+    //      structure is mostly identical-vector pigeonhole. Here the
+    //      space is continuous (SynthScale perturbs replica vectors
+    //      with seeded noise spanning cosine 0.966..0.99999+), the
+    //      signatures skip the 0.5-centering (the space is already
+    //      ~zero-centered), and the 0.99 verify threshold does real
+    //      borderline work. Same persisted-signature scale path. ----
+    "q_embed_neardup_vec" -> ((s, dir) => {
+      val base = cachePath("embvnd", dir)
+      if (!new java.io.File(s"$base/_built").exists()) {
+        NearDup
+          .embeddingSignatures(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            NearDup.VecLshParams, center = 0f)
+          .write.mode("overwrite").parquet(s"$base/sig")
+        new java.io.File(s"$base/_built").createNewFile()
+      }
+      NearDup
+        .embeddingNearDupPairsFromSig(
+          t(s, dir, "embeddings"),
+          s.read.parquet(s"$base/sig"),
+          "vec_id", "embedding",
+          minCosine = 0.99,
+          numTables = NearDup.VecLshParams.numTables)
+        .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+          rn(col("cos"), 6).as("cos_sim"))
+    }),
     // ---- multimodal: opaque binary media + per-partition stub decode
     //      (mapPartitions with one decoder per partition), aggregated
     //      per mime. The binary payloads are synthesized from document
@@ -4064,6 +4096,13 @@ object SparkEntry {
     // runs in the scan stage, only small features reach the aggregate.
     "q_media_decode" -> ((s, dir) => {
       import s.implicits._
+      // corpus-level coverage pin (round-13 verdict #7): the per-row
+      // drift check below proves every DECODED row right, but a scan
+      // that silently dropped rows would pass it with shrunken
+      // coverage — so the one output row also asserts n_decoded equals
+      // the documents count the corpus was synthesized from (metadata-
+      // level count, no extra data pass)
+      val expN = t(s, dir, "documents").count()
       val png = s.read.parquet(s"${mediaPngDir(s, dir)}/pngs")
       png.select(col("id"), col("media"), col("exp_w"), col("exp_h"), col("exp_f0"))
         .as[(Long, Array[Byte], Int, Int, Double)]
@@ -4090,6 +4129,10 @@ object SparkEntry {
           sum("w").as("sum_w"),
           sum("h").as("sum_h"),
           rn(avg("f0"), 6).as("avg_f0"))
+        .where(isnull(assert_true(
+          col("n_decoded") === lit(expN),
+          concat(lit("media decode coverage drift: decoded "),
+            col("n_decoded").cast("string"), lit(s" of $expN documents")))))
     }))
 
   private val IvfPqDemoLib = "ivfpq_demo"
@@ -4216,6 +4259,7 @@ object SparkEntry {
     "q_fingerprint" -> Seq("doc_id"),
     "q_simhash_pairs" -> Seq("doc_a", "doc_b"),
     "q_embed_neardup" -> Seq("doc_a", "doc_b"),
+    "q_embed_neardup_vec" -> Seq("vec_a", "vec_b"),
     "q_sessions" -> Seq("user_id"),
     "q_asof_join" -> Seq("event_id"),
     "q_range_join" -> Seq("win_id"),
@@ -5622,6 +5666,31 @@ object SparkEntry {
          |  FROM cand JOIN docs ea ON doc_a = ea.doc_id JOIN docs eb ON doc_b = eb.doc_id)
          |SELECT doc_a, doc_b, (round(cos, 6) + 0.0) AS cos_sim FROM sims
          |WHERE cos >= 0.999999 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // same pipeline over the real 64-dim embeddings table: no centering
+    // (the space is ~zero-centered already), its own plane family
+    // (tag lshv, dim 64), 0.99 verify threshold
+    "q_embed_neardup_vec" -> {
+      val p = NearDup.VecLshParams
+      def cosPart(c: String) = s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*x))"
+      s"""WITH docs AS (SELECT vec_id, embedding FROM embeddings),
+         |planes AS (
+         |  SELECT t, b, list((((('0x'||substr(md5('${p.tag}|'||t||'|'||b||'|'||d),1,8))::BIGINT % 2001)-1000)/1000.0) ORDER BY d) AS pl
+         |  FROM range(0,${p.numTables}) tt(t), range(0,${p.hashSize}) bb(b), range(0,${p.dim}) dd(d) GROUP BY t, b),
+         |sigs AS (
+         |  SELECT e.vec_id AS vec_id, p.t AS t,
+         |    sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, p.pl), z -> CAST(z[1] AS DOUBLE)*z[2])) >= 0 THEN (1<<p.b)::BIGINT ELSE 0 END) AS sig
+         |  FROM docs e, planes p GROUP BY e.vec_id, p.t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |sims AS (
+         |  SELECT vec_a, vec_b,
+         |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding), z -> CAST(z[1] AS DOUBLE)*z[2])) /
+         |    (sqrt(${cosPart("ea.embedding")}) * sqrt(${cosPart("eb.embedding")})) AS cos
+         |  FROM cand JOIN docs ea ON vec_a = ea.vec_id JOIN docs eb ON vec_b = eb.vec_id)
+         |SELECT vec_a, vec_b, (round(cos, 6) + 0.0) AS cos_sim FROM sims
+         |WHERE cos >= 0.99 ORDER BY vec_a, vec_b""".stripMargin
     },
     "q_fingerprint" ->
       s"""WITH $oFingerprintCtes

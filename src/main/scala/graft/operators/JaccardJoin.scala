@@ -77,6 +77,45 @@ object JaccardJoin {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
     val (raw, sets) = shingleSets(df, idCol, textCol, k)
+    val candidates = candidatePairsOf(sets, tNum, tDen, maxPrefixLen)
+    // verify sets: hashed longs by default; the raw shingle strings when
+    // the caller opted into unconditional exactness (see scaladoc)
+    val verifySets =
+      if (verifyWithStrings) raw.select(col("doc_id"), col("shingles").as("s"))
+      else sets
+    // SHUFFLE_HASH on the sets side: after the first attach every pair
+    // row carries a whole shingle array, and a sort-merge plan SORTS
+    // that fat stream for the second attach — at x100 the sorter's
+    // spill (fat rows written once into the exchange and again by the
+    // sort) exhausted the gate's disk. Building a per-partition hash
+    // map of the O(corpus) sets side instead lets the fat stream flow
+    // through unsorted; at scale the build stays bounded because it is
+    // sets-bytes / shuffle-partitions.
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    candidates
+      .join(
+        verifySets.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+          .hint("SHUFFLE_HASH"), "doc_a")
+      .join(
+        verifySets.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+          .hint("SHUFFLE_HASH"), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        inter.as("n_common"),
+        (size(col("sa")) + size(col("sb")) - inter).as("n_union"))
+      .where(lit(tDen) * col("n_common") >= lit(tNum) * col("n_union"))
+  }
+
+  /** The candidate stage of [[selfJoin]], factored so the scale probes
+    * (tools/JaccardShapeAB) can time enumeration / verify-attach /
+    * intersection in isolation on the EXACT shipped plan shapes.
+    * Input: the hashed shingle-set table from [[shingleSets]]; output:
+    * the (doc_a, doc_b) candidate pairs, each emitted exactly once. */
+  private[graft] def candidatePairsOf(
+      sets: DataFrame,
+      tNum: Int,
+      tDen: Int,
+      maxPrefixLen: Int): DataFrame = {
     // explicit fixed-N repartition on the join key: the prefix rows are
     // a few bytes each, so AQE's input-byte coalescing would fold the
     // candidate join down to 1-2 partitions while the join's OUTPUT is
@@ -85,7 +124,7 @@ object JaccardJoin {
     // repartition with an explicit count is exempt from coalescing and
     // satisfies the equi-join's required distribution, so this costs no
     // extra exchange.
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val n = sets.sparkSession.sessionState.conf.numShufflePartitions
     val prefixes =
       prefixesOf(sets, tNum, tDen, maxPrefixLen).repartition(n, col("g"))
     // candidate equi-join on prefix shingles, plus the standard length
@@ -121,7 +160,7 @@ object JaccardJoin {
       lit(tNum + tDen) *
         (lit(1) + least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn"))) >=
         lit(tNum) * (col("x.n") + col("y.n"))
-    val candidates = prefixes.as("x")
+    prefixes.as("x")
       .join(prefixes.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           col("y.n") * tDen >= col("x.n") * tNum &&
@@ -129,32 +168,6 @@ object JaccardJoin {
           positional &&
           !arrays_overlap(col("x.pe"), col("y.pe")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    // verify sets: hashed longs by default; the raw shingle strings when
-    // the caller opted into unconditional exactness (see scaladoc)
-    val verifySets =
-      if (verifyWithStrings) raw.select(col("doc_id"), col("shingles").as("s"))
-      else sets
-    // SHUFFLE_HASH on the sets side: after the first attach every pair
-    // row carries a whole shingle array, and a sort-merge plan SORTS
-    // that fat stream for the second attach — at x100 the sorter's
-    // spill (fat rows written once into the exchange and again by the
-    // sort) exhausted the gate's disk. Building a per-partition hash
-    // map of the O(corpus) sets side instead lets the fat stream flow
-    // through unsorted; at scale the build stays bounded because it is
-    // sets-bytes / shuffle-partitions.
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    candidates
-      .join(
-        verifySets.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-          .hint("SHUFFLE_HASH"), "doc_a")
-      .join(
-        verifySets.select(col("doc_id").as("doc_b"), col("s").as("sb"))
-          .hint("SHUFFLE_HASH"), "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"),
-        inter.as("n_common"),
-        (size(col("sa")) + size(col("sb")) - inter).as("n_union"))
-      .where(lit(tDen) * col("n_common") >= lit(tNum) * col("n_union"))
   }
 
   /** The shared shingle stage: the fused one-pass distinct-shingle
@@ -168,7 +181,7 @@ object JaccardJoin {
     * deterministic: the oracle hash compare would flag it loudly, not
     * silently). Returns (raw string sets, hashed sets) — both keyed
     * `doc_id`, column `shingles` / `s`. */
-  private def shingleSets(
+  private[graft] def shingleSets(
       df: DataFrame,
       idCol: String,
       textCol: String,

@@ -306,26 +306,40 @@ object NearDup {
   val EmbedLshParams: LshIndex.Params =
     LshIndex.Params(hashSize = 16, numTables = 8, dim = 32, tag = "lshc")
 
+  /** Reference LSH params for REAL (already ~zero-centered, unit-norm)
+    * embedding columns like the fixtures' 64-dim `embeddings` table:
+    * same 16-bit recall-first banding as [[EmbedLshParams]], dim 64,
+    * its own plane family (tag), and NO centering shift (center = 0 —
+    * shifting an already-centered space by 0.5 would recreate the
+    * correlated-sign-bit degeneracy centering exists to fix). */
+  val VecLshParams: LshIndex.Params =
+    LshIndex.Params(hashSize = 16, numTables = 8, dim = 64, tag = "lshv")
+
   /** The PERSISTABLE half of semantic dedup: sign-LSH signatures over
     * ZERO-CENTERED embeddings. Centering matters: embeddings living in
     * the positive orthant (like the md5 embedder's [0,1) cube) give
     * correlated sign bits, every row lands in the same few buckets, and
     * the "bucketed" join silently degrades to all-pairs (measured: 87%
-    * of all pairs became candidates). At 100 TB write this table to
-    * parquet once per corpus version (see q_embed_neardup) — candidate
-    * generation then never touches embedding vectors. */
+    * of all pairs became candidates). `center` is the per-component
+    * shift — 0.5 for the [0,1) md5-embedder cube, 0 (no-op, no
+    * transform in the plan) for an already-centered real embedding
+    * space. At 100 TB write this table to parquet once per corpus
+    * version (see q_embed_neardup) — candidate generation then never
+    * touches embedding vectors. */
   def embeddingSignatures(
       df: DataFrame,
       idCol: String = "doc_id",
       embCol: String = "embedding",
-      lshParams: LshIndex.Params = EmbedLshParams): DataFrame =
+      lshParams: LshIndex.Params = EmbedLshParams,
+      center: Float = 0.5f): DataFrame =
     LshIndex.signatureTable(
       // centering is inlined into each of the numTables signature
       // expressions by CollapseProject — 8 small transforms per row,
       // negligible next to the 8x16 dot products they feed
-      df.select(
+      if (center == 0f) df.select(col(idCol), col(embCol))
+      else df.select(
         col(idCol),
-        transform(col(embCol), x => x - lit(0.5f)).as(embCol)),
+        transform(col(embCol), x => x - lit(center)).as(embCol)),
       lshParams, idCol, embCol)
 
   /** Candidate pairs + exact-cosine verify from an (optionally

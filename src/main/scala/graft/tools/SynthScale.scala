@@ -110,7 +110,37 @@ object SynthScale {
           .withColumn("n_chars", length(col("text")).cast("long"))
       },
       "documents")
-    write(replicate(t("embeddings"), Map("vec_id" -> docSpan))(), "embeddings")
+    // Replica embeddings get CONTINUOUS per-replica perturbations
+    // (round-13 verdict: exact-copy replica vectors made every x100
+    // embedding-family conclusion — near-dup output floors, ANN recall
+    // floors — an artifact of the replication scheme instead of a
+    // property of the operators). Each replica i > 0 draws a per-vector
+    // magnitude eps in [0.0005, 0.04] and a per-component offset
+    // uniform in [-eps, eps], both seeded from xxhash64(vec_id, i[, j])
+    // so the corpus is bit-reproducible and the DuckDB oracle reads the
+    // same floats back off parquet. With dim 64, |offset| ~ 4.6*eps, so
+    // same-base replica pairs span cosine ~0.966..0.999997 — a
+    // continuous band across any realistic near-dup threshold (0.99
+    // keeps ~half), while cross-base pairs stay below ~0.65 (base
+    // corpus max pairwise cosine ~0.6). Replica 0 is bit-unperturbed:
+    // queries seeded from base rows (queryVec = vec_id 0, k-means seeds
+    // vec_id 0..7) keep their exact values.
+    write(
+      replicate(t("embeddings"), Map("vec_id" -> docSpan)) { (d, i) =>
+        if (i == 0) d
+        else {
+          val eps =
+            pmod(xxhash64(lit("veps"), col("vec_id"), lit(i)), lit(1000L))
+              .cast("double") / 1000.0 * 0.0395 + 0.0005
+          d.withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              (x.cast("double") + eps *
+                (pmod(xxhash64(lit("vdim"), col("vec_id"), lit(i), j),
+                  lit(20001L)).cast("double") / 10000.0 - 1.0))
+                .cast("float")))
+        }
+      },
+      "embeddings")
 
     println(s"[synth] wrote ${k}x of $src to $dest")
     spark.stop()

@@ -93,6 +93,21 @@ class MultimodalSpec extends SparkSpec {
     assert(msgs.contains("id=99"), msgs)
   }
 
+  test("q_media_decode bench row: per-row drift check + corpus coverage pin hold") {
+    // the bench-only row end-to-end on the sf0.001 corpus: every PNG
+    // decodes to its independently-synthesized expectation AND the one
+    // output row's n_decoded is pinned to the documents count (a scan
+    // silently dropping rows would otherwise pass the per-row checks
+    // with shrunken coverage — round-13 verdict #7)
+    val row = SparkEntry.benchOnlyQueries("q_media_decode")(spark, sfDir).collect()
+    assert(row.length === 1)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(row.head.getAs[Long]("n_decoded") === nDocs)
+    val f0 = row.head.getAs[Double]("avg_f0")
+    assert(f0 > 0.0 && f0 < 1.0, s"avg_f0 out of range: $f0")
+    assert(row.head.getAs[Long]("total_bytes") > 0L)
+  }
+
   test("stub and real decoder share the identical pipeline surface") {
     import spark.implicits._
     val media = spark.createDataset(Seq(

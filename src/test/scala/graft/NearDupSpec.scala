@@ -103,6 +103,65 @@ class NearDupSpec extends SparkSpec {
     assert(pairsCapped.count() === 10L * 9 / 2)
   }
 
+  test("vec-space near-dup (dim 64, center 0) equals naive bucket+cosine reference") {
+    import org.apache.spark.sql.expressions.Window
+    // the q_embed_neardup_vec path on a perturbed-replica fixture built
+    // the way SynthScale builds the synthetic corpora: 30 real 64-dim
+    // base vectors, 4 replicas each, replica r > 0 shifted by a seeded
+    // per-(vec,replica,dim) offset scaled by a per-(vec,replica) eps —
+    // same-base pairs land on BOTH sides of the 0.99 verify threshold
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding"))
+    val reps = (0 until 4).map { r =>
+      if (r == 0) base
+      else {
+        val eps = pmod(xxhash64(lit("veps"), col("vec_id"), lit(r)), lit(1000L))
+          .cast("double") / 1000.0 * 0.0395 + 0.0005
+        base.select(
+          (col("vec_id") + lit(r * 1000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x.cast("double") + eps *
+              (pmod(xxhash64(lit("vdim"), col("vec_id"), lit(r), j),
+                lit(20001L)).cast("double") / 10000.0 - 1.0))
+              .cast("float")).as("embedding"))
+      }
+    }.reduce(_ unionByName _)
+    val sig = NearDup.embeddingSignatures(
+      reps, "vec_id", "embedding", NearDup.VecLshParams, center = 0f).cache()
+    val got = NearDup.embeddingNearDupPairsFromSig(
+        reps, sig, "vec_id", "embedding",
+        minCosine = 0.99, numTables = NearDup.VecLshParams.numTables)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive reference: any-table bucket collision (same deterministic
+    // cap, irrelevant at this size) then exact cosine
+    val naive = sig.select(col("vec_id").as("id_a"), col("table_idx"), col("sig"))
+      .join(sig.select(col("vec_id").as("id_b"), col("table_idx"), col("sig")),
+        Seq("table_idx", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(reps.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(reps.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+      .where(col("cos") >= 0.99)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(got.nonEmpty, "fixture must produce accepted pairs")
+    // the threshold must do real borderline work on this fixture: some
+    // same-base replica pairs are candidates yet fail the 0.99 verify
+    val candidates = sig.select(col("vec_id").as("id_a"), col("table_idx"), col("sig"))
+      .join(sig.select(col("vec_id").as("id_b"), col("table_idx"), col("sig")),
+        Seq("table_idx", "sig"))
+      .where(col("id_a") < col("id_b") &&
+        pmod(col("id_a"), lit(1000L)) === pmod(col("id_b"), lit(1000L)))
+      .select("id_a", "id_b").distinct().count()
+    assert(candidates > got.size.toLong,
+      "some same-base candidate pairs must fail the cosine verify")
+    sig.unpersist()
+  }
+
   test("first-collision enumeration equals join-then-DISTINCT under mixed cap survival") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

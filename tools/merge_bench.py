@@ -12,12 +12,30 @@ the two readings. A fresh JVM per query, with the query itself as the
 untimed warm-up pass, makes the committed number the warm solo quiet
 number — the round-12 verdict's requirement.
 
-The merged record keeps the same top-level keys the judge diffs
-(value/queries/sf/status/n_failed/n_queries) and adds
-isolation/warmup/calib_range/load_before_range so the protocol is
-self-describing.
+Round-14 protocol upgrades (round-13 verdict #2 + advisor findings):
+ - LAST-WINS per query: the gate re-queues queries whose own JVM ran
+   hot (calib over tolerance) and appends the retry lines; the merge
+   keeps each query's LAST line, so a quiet retry replaces its hot
+   first attempt wholesale (median, spread, calib).
+ - per-query "calib" map: each query's own min calibration (min of its
+   JVM's calib_before + per-pass calibs — min because steal only ever
+   inflates), so every committed number carries its own quietness stamp
+   instead of one pooled range.
+ - "hot_queries": queries whose min calib still exceeds
+   GRAFT_CALIB_REF * GRAFT_CALIB_TOL after retries — explicitly marked
+   rather than silently averaged into calib_range.
+ - failed queries (sentinel median -1.0) are excluded from value /
+   spread_total sums and listed by name in "failed_queries" (they
+   previously corrupted both sums in the failed record).
+
+NOTE on load_before_range: under per-query JVMs the 1-min loadavg a
+JVM samples at startup is still decaying from the PREVIOUS query's own
+32-core work — it is self-inflicted, not ambient, so it is recorded
+for the decay picture only. The per-query calib (a fresh single-core
+spin inside the new JVM) is the valid cleanliness signal.
 """
 import json
+import os
 import sys
 
 
@@ -26,44 +44,59 @@ def main() -> None:
     if not runs:
         print(json.dumps({"status": "failed", "error": "no bench lines"}))
         sys.exit(1)
+    calib_ref = float(os.environ.get("GRAFT_CALIB_REF", "0") or 0)
+    calib_tol = float(os.environ.get("GRAFT_CALIB_TOL", "1.15"))
     queries = {}
     spreads = {}
-    calibs = []
+    calib_q = {}
     loads = []
-    failed = 0
-    ok = True
+    any_failed_status = False
     for r in runs:
-        queries.update(r.get("queries", {}))
+        qs = r.get("queries", {})
+        queries.update(qs)
         # driver lines carry no per-query spread map, but a one-query
         # run's spread_total IS that query's spread
         if "spread" in r:
             spreads.update(r["spread"])
-        elif len(r.get("queries", {})) == 1 and r.get("spread_total") is not None:
-            spreads[next(iter(r["queries"]))] = r["spread_total"]
-        if r.get("calib_before") is not None:
-            calibs.append(r["calib_before"])
-        calibs.extend(r.get("calib_passes", []))
+        elif len(qs) == 1 and r.get("spread_total") is not None:
+            spreads[next(iter(qs))] = r["spread_total"]
+        calibs = [c for c in [r.get("calib_before")] + r.get("calib_passes", [])
+                  if c is not None]
+        if len(qs) == 1 and calibs:
+            calib_q[next(iter(qs))] = min(calibs)
         if r.get("load_before") is not None:
             loads.append(r["load_before"])
-        failed += r.get("n_failed", 0)
-        ok = ok and r.get("status") == "ok"
+        if r.get("status") != "ok":
+            any_failed_status = True
+    failed_queries = sorted(k for k, v in queries.items() if v < 0)
+    ok_queries = {k: v for k, v in queries.items() if v >= 0}
+    hot = sorted(k for k, c in calib_q.items()
+                 if calib_ref > 0 and c > calib_ref * calib_tol)
     ordered = {k: queries[k] for k in sorted(queries, key=lambda k: -queries[k])}
+    calibs_all = sorted(calib_q.values())
     out = {
         "metric": "total",
-        "value": round(sum(queries.values()), 3),
+        "value": round(sum(ok_queries.values()), 3),
         "unit": "sec",
         "queries": ordered,
         "stat": runs[0].get("stat", "median_of_1"),
         "spread": {k: spreads[k] for k in ordered if k in spreads},
-        "spread_total": round(sum(spreads.values()), 3) if spreads else None,
+        "spread_total": round(sum(v for k, v in spreads.items()
+                                  if v >= 0 and k in ok_queries), 3)
+        if spreads else None,
         "isolation": "jvm_per_query",
         "warmup": "same_query_untimed",
-        "calib_range": [min(calibs), max(calibs)] if calibs else None,
+        "calib": {k: calib_q[k] for k in ordered if k in calib_q},
+        "calib_range": [calibs_all[0], calibs_all[-1]] if calibs_all else None,
+        "calib_ref": calib_ref if calib_ref > 0 else None,
+        "hot_queries": hot,
         "load_before_range": [min(loads), max(loads)] if loads else None,
+        "load_before_note": "self-inflicted decay under jvm_per_query; calib is the cleanliness signal",
         "cores": runs[0].get("cores"),
         "sf": runs[0].get("sf"),
-        "status": "ok" if ok and failed == 0 else "failed",
-        "n_failed": failed,
+        "status": "ok" if not any_failed_status and not failed_queries else "failed",
+        "failed_queries": failed_queries,
+        "n_failed": len(failed_queries),
         "n_queries": len(queries),
         "queries_omitted": 0,
     }

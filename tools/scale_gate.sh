@@ -55,7 +55,13 @@ SKIP_SF1="q_dedup_clusters"
 # q_decontaminate, q_kmv_grouped, q_range_join, q_phrase_search,
 # q_inverted_lookup, q_dedup_exact_groups, and the bench-only
 # q_media_decode (real PNG decode over the synthesized corpus).
-CORE_SF10="q1_agg,q_asof_join,q_batch_knn,q_bloom_decontam,q_bpe_merges,q_bucketed_join,q_collocations,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_decontaminate,q_dedup_clusters,q_dedup_exact_groups,q_embed_neardup,q_events_hourly,q_federated_search,q_filter_revenue,q_funnel,q_fuzzy_join,q_grouped_topk,q_hnsw_artifact,q_hnsw_knn,q_inverted_lookup,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_kmv_grouped,q_knn_euclidean,q_lang_id,q_lsh_knn,q_media_decode,q_neardup_incremental,q_neardup_pairs,q_ngram_jaccard,q_pack_sequences,q_phrase_search,q_range_join,q_regional_revenue,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_split_leakage,q_stream_watermark,q_table_checksum,q_token_count,q_topk_orders,q_triangle_count"
+# Round 14 additions (verdict #5's six named largest-unmeasured rows
+# plus the next tranche by x10 cost, 49 -> 61): q_hnsw_recall,
+# q_ann_probe_rule, q_parse_props, q_cluster_sample, q_resample,
+# q_cdc_chunks, q_vocab_score, q_redact_pii, q_tokenize_ids,
+# q_corr_moments, q_media_frames, and the new q_embed_neardup_vec
+# (continuous-vector near-dup kernel over the perturbed x100 corpus).
+CORE_SF10="q1_agg,q_ann_probe_rule,q_asof_join,q_batch_knn,q_bloom_decontam,q_bpe_merges,q_bucketed_join,q_cdc_chunks,q_cluster_sample,q_collocations,q_corr_moments,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_decontaminate,q_dedup_clusters,q_dedup_exact_groups,q_embed_neardup,q_embed_neardup_vec,q_events_hourly,q_federated_search,q_filter_revenue,q_funnel,q_fuzzy_join,q_grouped_topk,q_hnsw_artifact,q_hnsw_knn,q_hnsw_recall,q_inverted_lookup,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_kmv_grouped,q_knn_euclidean,q_lang_id,q_lsh_knn,q_media_decode,q_media_frames,q_neardup_incremental,q_neardup_pairs,q_ngram_jaccard,q_pack_sequences,q_parse_props,q_phrase_search,q_range_join,q_redact_pii,q_regional_revenue,q_resample,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_split_leakage,q_stream_watermark,q_table_checksum,q_token_count,q_tokenize_ids,q_topk_orders,q_triangle_count,q_vocab_score"
 
 [ -e target/sf1-synth/lineitem.parquet ] || \
   sbt -batch "runMain graft.tools.SynthScale $SF01 target/sf1-synth 10"
@@ -71,21 +77,17 @@ CORE_SF10="q1_agg,q_asof_join,q_batch_knn,q_bloom_decontam,q_bpe_merges,q_bucket
 # until (a) 1-min loadavg < 2 and (b) a single-core CPU-spin runs
 # within 15% of its quiet-host reference. Bounded wait (15 min), then
 # record anyway — the in-record calib/load stamps still label the run.
-# Quiet-host seconds for the python spin below. NOTE: this reference
-# tracks the PYTHON BUILD, not just the host — round 13's conda python
-# runs the identical spin at 0.92-1.15 s idle where round 12's read
-# 0.62 s (the in-bench Scala calib read an unchanged ~0.75 s both
-# rounds, proving the host itself was fine). Re-measure on an idle
-# host and override via env when the gate starts looping on try/30.
-CALIB_REF=${CALIB_REF:-0.95}
+# Quiet-host seconds for the spin below. The spin is tools/CalibSpin
+# .java — the IDENTICAL 400M-step long-xorshift loop Bench.calibrate()
+# times inside every recorded JVM, so the gate's go/no-go check and the
+# in-record stamps measure the same fixed work against the same
+# reference. (The previous python spin tracked the python BUILD, not
+# the host: its quiet floor drifted 0.62 -> 0.95 s across a conda
+# upgrade while this loop held ~0.75 s — round-13 advisor finding.)
+# Measured idle on this host: 0.75-0.77 s.
+CALIB_REF=${CALIB_REF:-0.76}
 calib_spin() {
-  python3 -c '
-import time
-t0 = time.perf_counter()
-x = 0
-for i in range(10_000_000):
-    x += i * i
-print("%.3f" % (time.perf_counter() - t0))'
+  java tools/CalibSpin.java 2>/dev/null
 }
 cooldown() {
   local phase="$1" tries=0 load calib
@@ -120,14 +122,28 @@ trap 'cp /tmp/bench_full.json.scale_gate_bak bench_full.json 2>/dev/null || true
 # the driver runs. Three samples would triple an already-long gate.
 export SPARK_GRAFT_BENCH_SAMPLES=1
 
-cooldown "x10 full bench"
-echo "== x10 full bench (target/sf1-synth) =="
-SPARK_GRAFT_SF_DIR=target/sf1-synth sbt -batch "runMain graft.Bench" 2>/dev/null \
-  | grep '"metric"' | sed 's/^\[info\] //' > /tmp/bench_sf1_lines.json
-mv bench_full.json bench_full_sf1.json
-tail -1 /tmp/bench_sf1_lines.json > BENCH_sf1.json
-cp /tmp/bench_full.json.scale_gate_bak bench_full.json
-grep -q '"status":"ok"' BENCH_sf1.json || { echo "x10 bench FAILED"; cat BENCH_sf1.json; exit 1; }
+# the x10 bench is one long JVM: if ITS in-record calib stamps come out
+# hot (min of calib_before + per-pass spins over tolerance), re-run the
+# whole phase once after a cooldown — same recorded-number-is-the-quiet-
+# number rule the x100 core gets per query below
+for attempt in 1 2; do
+  cooldown "x10 full bench (attempt $attempt)"
+  echo "== x10 full bench (target/sf1-synth, attempt $attempt) =="
+  SPARK_GRAFT_SF_DIR=target/sf1-synth sbt -batch "runMain graft.Bench" 2>/dev/null \
+    | grep '"metric"' | sed 's/^\[info\] //' > /tmp/bench_sf1_lines.json
+  mv bench_full.json bench_full_sf1.json
+  tail -1 /tmp/bench_sf1_lines.json > BENCH_sf1.json
+  cp /tmp/bench_full.json.scale_gate_bak bench_full.json
+  grep -q '"status":"ok"' BENCH_sf1.json || { echo "x10 bench FAILED"; cat BENCH_sf1.json; exit 1; }
+  QUIET=$(python3 -c "
+import json
+r = json.load(open('BENCH_sf1.json'))
+c = [r.get('calib_before')] + r.get('calib_passes', [])
+c = [x for x in c if x is not None]
+print('quiet' if c and min(c) <= $CALIB_REF * 1.15 else 'hot')")
+  [ "$QUIET" = quiet ] && break
+  echo "== x10 bench ran HOT (in-record calib over tolerance) — retrying once =="
+done
 cat BENCH_sf1.json
 
 echo "== x10 oracle gate (Verify + DuckDB selfcheck) =="
@@ -171,7 +187,30 @@ for q in ${CORE_SF10//,/ }; do X100_CMDS+=("runMain graft.Bench $q"); done
 SPARK_GRAFT_SF_DIR=target/sf10-synth SPARK_GRAFT_BENCH_SAMPLES=3 \
   sbt -batch "${X100_CMDS[@]}" 2>/dev/null \
   | grep '"metric"' | sed 's/^\[info\] //' > /tmp/bench_sf10_lines.jsonl
-python3 tools/merge_bench.py /tmp/bench_sf10_lines.jsonl > BENCH_sf10.json
+
+# Re-queue-on-hot (round-13 verdict #2): a query whose OWN JVM ran with
+# calibration over tolerance (min of its calib_before + per-pass spins
+# > CALIB_REF * 1.15 — min, because steal only ever inflates) is re-run
+# in a fresh JVM after a cooldown, bounded at 2 retry rounds. The merge
+# keeps each query's LAST line, so a quiet retry replaces its hot
+# attempt wholesale; queries still hot after retries are listed in the
+# record's "hot_queries" instead of being silently pooled into a range.
+hot_list() {
+  GRAFT_CALIB_REF=$CALIB_REF python3 tools/merge_bench.py /tmp/bench_sf10_lines.jsonl \
+    | python3 -c 'import json,sys; print(",".join(json.load(sys.stdin)["hot_queries"]))'
+}
+for retry in 1 2; do
+  HOT=$(hot_list)
+  [ -z "$HOT" ] && break
+  echo "== x100 retry $retry: re-queueing hot-stamped queries: $HOT =="
+  cooldown "x100 retry $retry"
+  RETRY_CMDS=()
+  for q in ${HOT//,/ }; do RETRY_CMDS+=("runMain graft.Bench $q"); done
+  SPARK_GRAFT_SF_DIR=target/sf10-synth SPARK_GRAFT_BENCH_SAMPLES=3 \
+    sbt -batch "${RETRY_CMDS[@]}" 2>/dev/null \
+    | grep '"metric"' | sed 's/^\[info\] //' >> /tmp/bench_sf10_lines.jsonl
+done
+GRAFT_CALIB_REF=$CALIB_REF python3 tools/merge_bench.py /tmp/bench_sf10_lines.jsonl > BENCH_sf10.json
 cp /tmp/bench_full.json.scale_gate_bak bench_full.json
 grep -q '"status":"ok"' BENCH_sf10.json || { echo "x100 bench FAILED"; cat BENCH_sf10.json; exit 1; }
 cat BENCH_sf10.json
