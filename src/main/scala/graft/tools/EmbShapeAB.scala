@@ -160,6 +160,54 @@ object EmbShapeAB {
           .where(col("cos") >= 0.999999)
           .count()
       }
+
+      // V/W: the q_embed_neardup_vec decomposition on the CONTINUOUS
+      // 64-dim embeddings corpus (round-13 verdict #2 — the original
+      // D/E floor claim was measured on a corpus where 51 of 63.5 M
+      // accepted pairs were duplicate-vector artifacts of the md5
+      // embedder's 10^4-value range; SynthScale's perturbed replicas
+      // make this space continuous). V = the shipped vec-query shape
+      // (center-0 signatures, 0.99 cosine verify); W = the identical
+      // join carrying the vectors under the trivial never-false
+      // predicate. V minus W = the verify-FLOP term on a realistic
+      // corpus; W's remainder is the enumeration/output floor.
+      if (variants.contains("V") || variants.contains("W")) {
+        val vdf = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        if (!new java.io.File(s"$base/_vbuilt").exists()) {
+          NearDup.embeddingSignatures(
+              vdf, "vec_id", "embedding", NearDup.VecLshParams, center = 0f)
+            .write.mode("overwrite").parquet(s"$base/vsig")
+          new java.io.File(s"$base/_vbuilt").createNewFile()
+        }
+        val vsig = spark.read.parquet(s"$base/vsig")
+        val nTV = NearDup.VecLshParams.numTables
+        if (variants.contains("V")) time("V vec-full     ") {
+          NearDup.embeddingNearDupPairsFromSig(
+            vdf, vsig, "vec_id", "embedding",
+            minCosine = 0.99, numTables = nTV).count()
+        }
+        if (variants.contains("W")) time("W vec-noverify ") {
+          import org.apache.spark.sql.expressions.Window
+          val n = spark.sessionState.conf.numShufflePartitions
+          val w = Window.partitionBy(col("table_idx"), col("sig"))
+            .orderBy(col("vec_id"))
+          val capped = vsig
+            .repartition(n, col("table_idx"), col("sig"))
+            .withColumn("__rk", row_number().over(w))
+            .where(col("__rk") <= 5000).drop("__rk")
+          val probe = FirstCollision.withSurvivalMap(
+              capped, "vec_id", "table_idx", "sig", nTV)
+            .join(vdf.select(col("vec_id"), col("embedding").as("__v"))
+              .hint("SHUFFLE_HASH"), Seq("vec_id"))
+          FirstCollision.pairs(
+            probe, probe, "vec_id", "table_idx", "sig", nTV, "id_a", "id_b", _ < _,
+            carryA = Seq("__v" -> "__va"), carryB = Seq("__v" -> "__vb"))
+            .where(element_at(col("__va"), 1).cast("double") +
+              element_at(col("__vb"), 1).cast("double") > lit(-1e18))
+            .count()
+        }
+      }
     }
     spark.stop()
   }
