@@ -91,7 +91,24 @@ object JaccardJoin {
     // map of the O(corpus) sets side instead lets the fat stream flow
     // through unsorted; at scale the build stays bounded because it is
     // sets-bytes / shuffle-partitions.
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    //
+    // The hashed-set verify counts the overlap with the two-pointer
+    // [[graft.functions.SortedIntersectCount]] kernel over the sorted
+    // sets (sorted once per DOC in shingleSets) instead of
+    // size(array_intersect(..)) per PAIR — the built-in buildss a hash
+    // set and materializes the intersection array per candidate, and
+    // the x100 decomposition (tools/JaccardShapeAB) measured that term
+    // at ~48 s of the 127 s query. Counts are identical by definition;
+    // the string path (opt-in unconditional exactness) keeps the
+    // built-in (strings have no cheap total order worth sorting by).
+    val inter =
+      if (verifyWithStrings) size(array_intersect(col("sa"), col("sb")))
+      else {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.functions.SortedIntersectCount(
+          ColumnBridge.expression(col("sa")),
+          ColumnBridge.expression(col("sb"))))
+      }
     candidates
       .join(
         verifySets.select(col("doc_id").as("doc_a"), col("s").as("sa"))
@@ -189,8 +206,12 @@ object JaccardJoin {
     val raw = NearDup
       .docShingles(df.select(col(idCol).as("doc_id"), col(textCol)),
         "doc_id", textCol, NearDup.Params(shingleSize = k))
+    // SORTED ascending, once per doc: the verify stage's two-pointer
+    // intersect kernel requires it, the prefix stages don't care (they
+    // explode), and the n-log-n is corpus-linear vs the candidate-
+    // linear work it deletes
     val sets = raw.select(col("doc_id"),
-      transform(col("shingles"), g => xxhash64(g)).as("s"))
+      sort_array(transform(col("shingles"), g => xxhash64(g))).as("s"))
     (raw, sets)
   }
 

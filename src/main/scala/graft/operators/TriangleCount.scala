@@ -77,7 +77,14 @@ object TriangleCount {
       .repartition(n, col("b"))
       .join(adj.select(col("v").as("b"), col("nb").as("__nb"))
         .hint("SHUFFLE_HASH"), Seq("b"))
-      .select(size(array_intersect(col("__na"), col("__nb")))
+      // the adjacency arrays are sort_array'd longs, so the overlap is
+      // the two-pointer SortedIntersectCount walk — no per-edge hash
+      // set or intersection-array materialization (same kernel and
+      // rationale as the Jaccard verifies; counts identical)
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.SortedIntersectCount(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__na")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__nb"))))
         .cast("long").as("t"))
       .agg(coalesce(sum("t"), lit(0L)).as("t"))
       .head().getLong(0)

@@ -63,11 +63,13 @@ object JaccardShapeAB {
             .hint("SHUFFLE_HASH"), "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"))
             .hint("SHUFFLE_HASH"), "doc_b")
-          // touch one element of EACH array: non-foldable, never false
-          // for xxhash64 sets, and keeps the full arrays flowing through
-          // the attaches exactly as A's intersect does
-          .where(element_at(col("sa"), 1).cast("double") +
-            element_at(col("sb"), 1).cast("double") > lit(-9e18))
+          // touch one element of EACH array: non-foldable and NEVER
+          // false (x*0 is exactly 0.0 for every finite long-cast — a
+          // plain sum threshold mis-dropped ~17% of rows whose two
+          // xxhash64 values summed below it), keeping the full arrays
+          // flowing through the attaches exactly as A's intersect does
+          .where(element_at(col("sa"), 1).cast("double") * lit(0.0) +
+            element_at(col("sb"), 1).cast("double") * lit(0.0) >= lit(-1.0))
           .count()
       }
     }

@@ -56,12 +56,15 @@ SKIP_SF1="q_dedup_clusters"
 # q_inverted_lookup, q_dedup_exact_groups, and the bench-only
 # q_media_decode (real PNG decode over the synthesized corpus).
 # Round 14 additions (verdict #5's six named largest-unmeasured rows
-# plus the next tranche by x10 cost, 49 -> 61): q_hnsw_recall,
+# plus the next tranche by x10 cost, 49 -> 64): q_hnsw_recall,
 # q_ann_probe_rule, q_parse_props, q_cluster_sample, q_resample,
 # q_cdc_chunks, q_vocab_score, q_redact_pii, q_tokenize_ids,
-# q_corr_moments, q_media_frames, and the new q_embed_neardup_vec
-# (continuous-vector near-dup kernel over the perturbed x100 corpus).
-CORE_SF10="q1_agg,q_ann_probe_rule,q_asof_join,q_batch_knn,q_bloom_decontam,q_bpe_merges,q_bucketed_join,q_cdc_chunks,q_cluster_sample,q_collocations,q_corr_moments,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_decontaminate,q_dedup_clusters,q_dedup_exact_groups,q_embed_neardup,q_embed_neardup_vec,q_events_hourly,q_federated_search,q_filter_revenue,q_funnel,q_fuzzy_join,q_grouped_topk,q_hnsw_artifact,q_hnsw_knn,q_hnsw_recall,q_inverted_lookup,q_ivf_knn,q_ivfpq_knn,q_kmv_distinct,q_kmv_grouped,q_knn_euclidean,q_lang_id,q_lsh_knn,q_media_decode,q_media_frames,q_neardup_incremental,q_neardup_pairs,q_ngram_jaccard,q_pack_sequences,q_parse_props,q_phrase_search,q_range_join,q_redact_pii,q_regional_revenue,q_resample,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_split_leakage,q_stream_watermark,q_table_checksum,q_token_count,q_tokenize_ids,q_topk_orders,q_triangle_count,q_vocab_score"
+# q_corr_moments, q_media_frames, the new q_embed_neardup_vec
+# (continuous-vector near-dup kernel over the perturbed x100 corpus),
+# and the remaining recall floors q_lsh_recall / q_ivf_recall /
+# q_pq_recall (cheap probes; the round-13 verdict wants every
+# embedding-family number re-measured on the continuous corpus).
+CORE_SF10="q1_agg,q_ann_probe_rule,q_asof_join,q_batch_knn,q_bloom_decontam,q_bpe_merges,q_bucketed_join,q_cdc_chunks,q_cluster_sample,q_collocations,q_corr_moments,q_countmin_heavy,q_crud_pipeline,q_curation_pipeline,q_decontaminate,q_dedup_clusters,q_dedup_exact_groups,q_embed_neardup,q_embed_neardup_vec,q_events_hourly,q_federated_search,q_filter_revenue,q_funnel,q_fuzzy_join,q_grouped_topk,q_hnsw_artifact,q_hnsw_knn,q_hnsw_recall,q_inverted_lookup,q_ivf_knn,q_ivf_recall,q_ivfpq_knn,q_kmv_distinct,q_kmv_grouped,q_knn_euclidean,q_lang_id,q_lsh_knn,q_lsh_recall,q_media_decode,q_media_frames,q_neardup_incremental,q_neardup_pairs,q_ngram_jaccard,q_pack_sequences,q_parse_props,q_phrase_search,q_pq_recall,q_range_join,q_redact_pii,q_regional_revenue,q_resample,q_retention,q_rolling_features,q_salted_agg,q_sessions,q_simhash_pairs,q_split_leakage,q_stream_watermark,q_table_checksum,q_token_count,q_tokenize_ids,q_topk_orders,q_triangle_count,q_vocab_score"
 
 [ -e target/sf1-synth/lineitem.parquet ] || \
   sbt -batch "runMain graft.tools.SynthScale $SF01 target/sf1-synth 10"
