@@ -3523,25 +3523,58 @@ object SparkEntry {
     //      q_embed_neardup, whose md5-embedder corpus tops out at 10^4
     //      distinct vectors BY CONSTRUCTION ((h*(d+1)+d) mod 10^4
     //      depends only on h mod 10^4), so at 500k docs its near-dup
-    //      structure is mostly identical-vector pigeonhole. Here the
-    //      space is continuous (SynthScale perturbs replica vectors
-    //      with seeded noise spanning cosine 0.966..0.99999+), the
-    //      signatures skip the 0.5-centering (the space is already
-    //      ~zero-centered), and the 0.99 verify threshold does real
-    //      borderline work. Same persisted-signature scale path. ----
+    //      structure is mostly identical-vector pigeonhole. The raw
+    //      fixture has NO near-dup structure at the driver SFs (max
+    //      pairwise cosine 0.48 at sf0.001), so the query augments it
+    //      with two seeded md5-derived perturbed replicas per vector
+    //      (id -> id*10, replica r at id*10+r; noise scales 0.02/0.032
+    //      put replica-1 pairs at cos ~0.9958 and replica-2 pairs at
+    //      ~0.9894, straddling the 0.99 verify threshold — at sf0.001,
+    //      444 of 1500 same-family pairs land within ±0.001 of it, so
+    //      the float verify does REAL borderline work). The DuckDB
+    //      oracle replays the identical augmentation (md5-prefix ints,
+    //      double noise, FLOAT cast — every step IEEE-identical in both
+    //      engines). Signatures skip the 0.5-centering (the space is
+    //      already ~zero-centered); same persisted-signature scale
+    //      path, with the augmented table persisted alongside so bench
+    //      reruns read parquet instead of re-deriving noise. ----
     "q_embed_neardup_vec" -> ((s, dir) => {
-      val base = cachePath("embvnd", dir)
+      val base = cachePath("embvnd2", dir)
       if (!new java.io.File(s"$base/_built").exists()) {
+        val emb = t(s, dir, "embeddings")
+        val reps = Seq(1 -> 0.02, 2 -> 0.032).map { case (r, sc) =>
+          // one digest per (vec_id, r); dim-d noise follows the
+          // embedder's (h*(d+1)+d) % m walk so replicas perturb in
+          // per-row-distinct directions without a per-dim digest.
+          // The hash binds to __oid in a SEPARATE projection: naming
+          // the remapped id "vec_id" in the same select would capture
+          // it via Spark's lateral column alias resolution, seeding
+          // the noise from the REPLICA id instead of the original
+          // (caught by the sf0.001 oracle diff: 18/591 pairs off).
+          val h = Embedder.md5Int(
+            concat(lit("vnd|"), col("__oid").cast("string"), lit(s"|$r")))
+          emb.select(col("vec_id").as("__oid"), col("embedding"))
+            .select(
+              (col("__oid") * 10 + lit(r)).as("vec_id"),
+              transform(col("embedding"), (x, di) =>
+                (x.cast("double") + lit(sc) *
+                  ((pmod(h * (di + lit(1)) + di, lit(2001)).cast("double")
+                    - lit(1000.0)) / lit(1000.0))).cast("float"))
+                .as("embedding"))
+        }
+        emb.select((col("vec_id") * 10).as("vec_id"), col("embedding"))
+          .unionAll(reps(0)).unionAll(reps(1))
+          .write.mode("overwrite").parquet(s"$base/aug")
         NearDup
           .embeddingSignatures(
-            t(s, dir, "embeddings"), "vec_id", "embedding",
+            s.read.parquet(s"$base/aug"), "vec_id", "embedding",
             NearDup.VecLshParams, center = 0f)
           .write.mode("overwrite").parquet(s"$base/sig")
         new java.io.File(s"$base/_built").createNewFile()
       }
       NearDup
         .embeddingNearDupPairsFromSig(
-          t(s, dir, "embeddings"),
+          s.read.parquet(s"$base/aug"),
           s.read.parquet(s"$base/sig"),
           "vec_id", "embedding",
           minCosine = 0.99,
@@ -5669,11 +5702,24 @@ object SparkEntry {
     },
     // same pipeline over the real 64-dim embeddings table: no centering
     // (the space is ~zero-centered already), its own plane family
-    // (tag lshv, dim 64), 0.99 verify threshold
+    // (tag lshv, dim 64), 0.99 verify threshold. The aug CTE replays
+    // the query's seeded replica augmentation step for step: md5-prefix
+    // int per (vec_id, r), (h*(d+1)+d) % 2001 noise walk, double
+    // arithmetic, FLOAT cast — bit-identical in both engines.
     "q_embed_neardup_vec" -> {
       val p = NearDup.VecLshParams
       def cosPart(c: String) = s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*x))"
-      s"""WITH docs AS (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH aug AS (
+         |  SELECT vec_id*10 AS vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id*10 + r AS vec_id,
+         |    list_transform(range(0, ${p.dim}), d -> CAST(
+         |      CAST(embedding[d+1] AS DOUBLE) +
+         |      (CASE WHEN r=1 THEN 0.02 ELSE 0.032 END) *
+         |      (((('0x'||substr(md5('vnd|'||vec_id::VARCHAR||'|'||r::VARCHAR),1,8))::BIGINT * (d+1) + d) % 2001 - 1000.0)/1000.0)
+         |     AS FLOAT)) AS embedding
+         |  FROM embeddings, (SELECT unnest([1,2]) AS r) rr),
+         |docs AS (SELECT vec_id, embedding FROM aug),
          |planes AS (
          |  SELECT t, b, list((((('0x'||substr(md5('${p.tag}|'||t||'|'||b||'|'||d),1,8))::BIGINT % 2001)-1000)/1000.0) ORDER BY d) AS pl
          |  FROM range(0,${p.numTables}) tt(t), range(0,${p.hashSize}) bb(b), range(0,${p.dim}) dd(d) GROUP BY t, b),
