@@ -78,7 +78,17 @@ object Multimodal {
     * (MultimodalSpec). Unsupported/corrupt payloads fail LOUDLY with
     * the row id — a silent null row would poison downstream stats. */
   class ImageIoDecoder extends MediaDecoder {
-    // per-partition instance; ImageIO plugin lookup happens once here
+    // per-partition instance; ImageIO plugin lookup happens once here.
+    // Disk cache OFF: ImageIO.read(InputStream) defaults to a
+    // FileCacheImageInputStream — a temp file created, written, and
+    // deleted PER IMAGE. The payloads are already in-memory byte
+    // arrays, so the file detour is pure overhead, and at scale it is
+    // the dominant variance term: 500 k decodes at x100 churned 500 k
+    // temp files through the OS writeback queue (measured: 64.7 s with
+    // a 24 s median-of-3 spread solo-quiet; memory-cached streams read
+    // stable). On a 1000-executor cluster the same default would put
+    // every decode on local-disk temp-file latency.
+    javax.imageio.ImageIO.setUseCache(false)
     def decode(row: MediaRow): DecodedMedia =
       featuresOf(row.id, row.mime, row.media.length.toLong, readImage(row))
 
