@@ -4108,6 +4108,10 @@ object SparkEntry {
               y += 1
             }
             val buf = new java.io.ByteArrayOutputStream()
+            // same per-image temp-file default as the read side
+            // (Multimodal.ImageIoDecoder): without this, every encode
+            // spools through a FileCacheImageOutputStream temp file
+            javax.imageio.ImageIO.setUseCache(false)
             javax.imageio.ImageIO.write(img, "png", buf)
             (id, buf.toByteArray, w, h, lumSum / (w.toLong * h) / 255.0)
           }
