@@ -41,10 +41,21 @@ object TriangleCount {
     require(maxDegree > 0, s"maxDegree must be positive: $maxDegree")
     val s = edges.sparkSession
     val n = s.sessionState.conf.numShufflePartitions
+    // localCheckpoint: e feeds FOUR separate actions (edge count, wedge
+    // aggregate, adjacency build, and the closing join reads it twice),
+    // and shuffle reuse does not span actions — without it the
+    // scan+distinct shuffle of the full edge set replays four times,
+    // and at x100 (27 M edges) those repeated ~GB shuffle writes were
+    // the query's dominant VARIANCE term (solo quiet median-of-4 read
+    // 69.9 s with a 58 s spread at flat calib; checkpointed, the edge
+    // set materializes once). This is the multi-action case, not the
+    // round-11 one-action-two-branches case where eager checkpoints
+    // only added cost.
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val nE = e.count()
     // a wedge a<b<c picks one lower and one upper neighbor of its
     // middle vertex: n_wedges = sum over b of lo(b) * up(b)
