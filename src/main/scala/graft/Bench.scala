@@ -106,6 +106,46 @@ object Bench {
       if (x == 42L) System.err.println("calib")
       dt
     }
+    // Optional IO settle (round-14 verdict #3): the calibration spin is
+    // CPU-only — it labels steal/contention but is BLIND to page-cache
+    // writeback, and in the per-query-JVM x100 gate the previous query's
+    // JVM leaves dirty shuffle/checkpoint pages whose flush steals IO
+    // from this JVM's timed passes (measured: q_embed_neardup 93.6 s
+    // in-gate vs 84.0 +/- 2.6 s solo at EQUAL calib). When
+    // SPARK_GRAFT_IO_SETTLE is set, force the flush into untimed
+    // positions: sync(2), then wait (bounded) until /proc/meminfo
+    // Dirty+Writeback drops under the threshold — at JVM start
+    // (previous query's residue), after the warm-up pass, and before
+    // each timed pass (own residue). Total settle seconds and the final
+    // dirty level are stamped into the record.
+    val ioSettleOn = sys.env.get("SPARK_GRAFT_IO_SETTLE").exists(_.nonEmpty)
+    val ioSettleKb = sys.env.get("SPARK_GRAFT_IO_SETTLE_KB")
+      .flatMap(_.toLongOption).getOrElse(65536L)
+    var ioSettleSec = 0.0
+    var ioDirtyLastKb = -1L
+    def dirtyKb(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines()
+          .filter(l => l.startsWith("Dirty:") || l.startsWith("Writeback:"))
+          .map(_.split("\\s+")(1).toLong).sum
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+    def ioSettle(): Unit = if (ioSettleOn) {
+      val t0 = System.nanoTime()
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: Throwable => () }
+      var d = dirtyKb()
+      // bounded: sync already blocked on the flush; this loop only
+      // covers stragglers another process keeps dirtying
+      var waitedMs = 0L
+      while (d > ioSettleKb && waitedMs < 30000L) {
+        Thread.sleep(500); waitedMs += 500; d = dirtyKb()
+      }
+      ioDirtyLastKb = d
+      ioSettleSec += (System.nanoTime() - t0) / 1e9
+    }
+    ioSettle()
     val calibBefore = calibrate()
     val calibPasses = new scala.collection.mutable.ArrayBuffer[Double]
 
@@ -118,6 +158,7 @@ object Bench {
 
     // Warm-up: run one representative query untimed (codegen + classloading).
     names.headOption.foreach(runOnce)
+    ioSettle()
 
     var failed = unknown.map(n => s"$n: unknown query").toList
     // Per query: MEDIAN of N timed full materializations, with the
@@ -145,6 +186,7 @@ object Bench {
     // a driver GC) so block-manager pressure doesn't bleed across
     // queries.
     val passTimes: Seq[Map[String, Double]] = (1 to nSamples).map { _ =>
+      ioSettle()
       calibPasses += calibrate()
       names.map { name =>
         System.gc()
@@ -192,8 +234,15 @@ object Bench {
     // calib_before by 2x ran under stolen/contended CPU and its samples
     // should be read accordingly (the median usually discards them).
     val calibJson = calibPasses.map(num(_, 3)).mkString("[", ",", "]")
+    // io_settle_sec: UNTIMED seconds spent syncing+waiting out dirty
+    // page-cache writeback (0.0 when the settle env is off);
+    // io_dirty_kb: Dirty+Writeback at the last settle point — a large
+    // value here means the bounded wait gave up and the passes ran over
+    // live writeback after all.
+    val ioStamp =
+      if (ioSettleOn) s""""io_settle_sec":${num(ioSettleSec, 1)},"io_dirty_kb":$ioDirtyLastKb,""" else ""
     val loadStamp =
-      s""""cold_extra_total":${num(coldExtra, 3)},"load_before":${num(loadBefore, 2)},"load_after":${num(loadAfter, 2)},"calib_before":${num(calibBefore, 3)},"calib_passes":$calibJson,"cores":$coresInt"""
+      s"""$ioStamp"cold_extra_total":${num(coldExtra, 3)},"load_before":${num(loadBefore, 2)},"load_after":${num(loadAfter, 2)},"calib_before":${num(calibBefore, 3)},"calib_passes":$calibJson,"cores":$coresInt"""
 
     // Full-precision, full-map record: stderr (for humans) and
     // bench_full.json (for tools/the judge). This is NOT the driver line.

@@ -3543,23 +3543,31 @@ object SparkEntry {
       if (!new java.io.File(s"$base/_built").exists()) {
         val emb = t(s, dir, "embeddings")
         val reps = Seq(1 -> 0.02, 2 -> 0.032).map { case (r, sc) =>
-          // one digest per (vec_id, r); dim-d noise follows the
-          // embedder's (h*(d+1)+d) % m walk so replicas perturb in
-          // per-row-distinct directions without a per-dim digest.
-          // The hash binds to __oid in a SEPARATE projection: naming
+          // one digest per (vec_id, r), ENFORCED by the fused
+          // Md5NoiseWalk expression: dim-d noise follows the embedder's
+          // (h*(d+1)+d) % m walk so replicas perturb in per-row-distinct
+          // directions. The previous form bound md5Int in a projection
+          // and referenced it from the transform lambda — CollapseProject
+          // inlined the singly-referenced hash into the lambda body and
+          // the digest re-evaluated once per dimension (~64M extra
+          // digests in the x100 cold build; round-14 advisor). The walk
+          // is a zip_with ARGUMENT, evaluated once per row no matter
+          // what the optimizer does to projections.
+          // The seed binds to __oid in a SEPARATE projection: naming
           // the remapped id "vec_id" in the same select would capture
           // it via Spark's lateral column alias resolution, seeding
           // the noise from the REPLICA id instead of the original
           // (caught by the sf0.001 oracle diff: 18/591 pairs off).
-          val h = Embedder.md5Int(
-            concat(lit("vnd|"), col("__oid").cast("string"), lit(s"|$r")))
+          val walk = Embedder.noiseWalk(
+            concat(lit("vnd|"), col("__oid").cast("string"), lit(s"|$r")),
+            dim = 64, mod = 2001L) // fixtures' embeddings are 64-dim
           emb.select(col("vec_id").as("__oid"), col("embedding"))
             .select(
               (col("__oid") * 10 + lit(r)).as("vec_id"),
-              transform(col("embedding"), (x, di) =>
+              zip_with(col("embedding"), walk, (x, w) =>
                 (x.cast("double") + lit(sc) *
-                  ((pmod(h * (di + lit(1)) + di, lit(2001)).cast("double")
-                    - lit(1000.0)) / lit(1000.0))).cast("float"))
+                  ((w.cast("double") - lit(1000.0)) / lit(1000.0)))
+                  .cast("float"))
                 .as("embedding"))
         }
         emb.select((col("vec_id") * 10).as("vec_id"), col("embedding"))
@@ -4085,6 +4093,13 @@ object SparkEntry {
       // input splits, exactly as it would on a real corpus
       t(s, dir, "documents").select(col("doc_id")).repartition(32).as[Long]
         .mapPartitions { ids =>
+          // same per-image temp-file default as the read side
+          // (Multimodal.ImageIoDecoder): without this, every encode
+          // spools through a FileCacheImageOutputStream temp file.
+          // Once per PARTITION, not per row (round-14 advisor) — the
+          // flag is intentionally JVM-global (javax.imageio has no
+          // per-stream switch), same as the decoder's constructor.
+          javax.imageio.ImageIO.setUseCache(false)
           ids.map { id =>
             val w = 32 + (id % 64).toInt
             val h = 24 + (id % 48).toInt
@@ -4108,10 +4123,6 @@ object SparkEntry {
               y += 1
             }
             val buf = new java.io.ByteArrayOutputStream()
-            // same per-image temp-file default as the read side
-            // (Multimodal.ImageIoDecoder): without this, every encode
-            // spools through a FileCacheImageOutputStream temp file
-            javax.imageio.ImageIO.setUseCache(false)
             javax.imageio.ImageIO.write(img, "png", buf)
             (id, buf.toByteArray, w, h, lumSum / (w.toLong * h) / 255.0)
           }

@@ -65,6 +65,20 @@ object Embedder {
     ColumnBridge.column(Md5Embed(ColumnBridge.expression(text.cast("binary")), dim))
   }
 
+  /** ARRAY<LONG> noise walk `(md5Int(seed)*(d+1)+d) % mod` for d in
+    * [0, dim) — the fused [[Md5NoiseWalk]] expression: ONE digest per
+    * row, codegen'd. The composition twin (a bound [[md5Int]] referenced
+    * from a `transform` lambda) computes identical values but
+    * CollapseProject inlines the hash into the lambda and re-digests
+    * per dimension (the exact [[embed]]/[[embedFromHash]] hazard).
+    * `dim` must equal the vector column's length when the walk is
+    * zip_with'd against it — zip_with pads the shorter side with nulls
+    * rather than failing. */
+  def noiseWalk(seed: Column, dim: Int, mod: Long): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(Md5NoiseWalk(ColumnBridge.expression(seed.cast("binary")), dim, mod))
+  }
+
   /** Driver-local md5-prefix integer — the seed primitive shared by the
     * embedder and the LSH hyperplane generator. Equals [[md5Int]] (the
     * Catalyst form) and `('0x' || substr(md5(x),1,8))::BIGINT` (DuckDB). */

@@ -62,6 +62,26 @@ object Md5Expressions {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** The replica-noise walk from one digest: ARRAY<LONG> where entry d
+    * is `(h*(d+1)+d) % mod` with h = [[chunk]](digest, 0) — the same
+    * per-dimension walk as [[embedArray]] but with the raw residues
+    * exposed (the near-dup replica builder maps them to signed noise).
+    * Values equal the composed `pmod(md5Int(x)*(d+1)+d, mod)` transform
+    * and the oracle's SQL fragment; h < 2^32 and d < dim keep
+    * `h*(d+1)+d` far from Long overflow for any realistic dim. Shared
+    * by [[Md5NoiseWalk]]'s interpreted eval and generated code. */
+  def noiseWalk(
+      digest: Array[Byte], dim: Int, mod: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h = chunk(digest, 0)
+    val out = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      out(d) = (h * (d + 1) + d) % mod
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   private[functions] def inputBytes(input: Any): Array[Byte] = input match {
     case s: UTF8String  => s.getBytes
     case b: Array[Byte] => b
@@ -256,6 +276,50 @@ case class Md5Embed(child: Expression, dim: Int) extends UnaryExpression {
       // Static helper call for the same Janino reason as Md5PrefixInt.
       s"""
       |${ev.value} = graft.functions.Md5Expressions.embedArray($md.digest($bytes), $dim);
+      |""".stripMargin
+    })
+}
+
+/** The replica-noise walk as a fused expression: ARRAY<LONG> of `dim`
+  * residues `(h*(d+1)+d) % mod` from ONE md5 digest of the input (see
+  * [[Md5Expressions.noiseWalk]]). Exists for the same reason as
+  * [[Md5Embed]]: binding `md5Int(seed)` in a projection and referencing
+  * it inside a `transform` lambda looks safe but CollapseProject
+  * inlines the singly-referenced hash into the lambda body, and the
+  * digest then re-evaluates once PER DIMENSION (round-14 advisor
+  * finding on the q_embed_neardup_vec replica builder: ~64M extra
+  * digests in the x100 cold build). A single expression evaluates the
+  * digest exactly once per row no matter what the optimizer does to
+  * the projections around it; the caller zips the walk with the vector
+  * column instead of indexing a lambda. */
+case class Md5NoiseWalk(child: Expression, dim: Int, mod: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING or BINARY, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_noise_walk"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Expressions.noiseWalk(
+      Md5Expressions.digestOf(Md5Expressions.inputBytes(input)), dim, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val md = ctx.addMutableState(
+        "java.security.MessageDigest", "md5NoiseWalkDigest",
+        n => s"""try { $n = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+                |""".stripMargin)
+      val bytes =
+        if (child.dataType == StringType) s"$v.getBytes()" else v
+      // Static helper call for the same Janino reason as Md5PrefixInt.
+      s"""
+      |${ev.value} = graft.functions.Md5Expressions.noiseWalk($md.digest($bytes), $dim, ${mod}L);
       |""".stripMargin
     })
 }

@@ -41,21 +41,41 @@ object TriangleCount {
     require(maxDegree > 0, s"maxDegree must be positive: $maxDegree")
     val s = edges.sparkSession
     val n = s.sessionState.conf.numShufflePartitions
-    // localCheckpoint: e feeds FOUR separate actions (edge count, wedge
+    // persist: e feeds FOUR separate actions (edge count, wedge
     // aggregate, adjacency build, and the closing join reads it twice),
-    // and shuffle reuse does not span actions — without it the
-    // scan+distinct shuffle of the full edge set replays four times,
+    // and shuffle reuse does not span actions — without materialization
+    // the scan+distinct shuffle of the full edge set replays four times,
     // and at x100 (27 M edges) those repeated ~GB shuffle writes were
     // the query's dominant VARIANCE term (solo quiet median-of-4 read
-    // 69.9 s with a 58 s spread at flat calib; checkpointed, the edge
-    // set materializes once). This is the multi-action case, not the
-    // round-11 one-action-two-branches case where eager checkpoints
-    // only added cost.
+    // 69.9 s with a 58 s spread at flat calib; materialized once, 29 s).
+    // persist over localCheckpoint (round-14 advisor): the cached plan
+    // keeps its lineage, so an executor loss recomputes the lost blocks
+    // instead of failing the job (the 1000-executor story), the
+    // compressed-columnar cache of two long columns is smaller than the
+    // checkpoint's serialized rows, and the blocking unpersist in the
+    // finally actually frees the blocks — a checkpointed RDD's blocks
+    // are invisible to Dataset.unpersist, so repeated counts() calls in
+    // one JVM (bench passes) pinned ~GB per pass at x100.
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      countsOn(e, n, maxDegree)
+    } finally {
+      // blocking, so the blocks are truly gone before the caller's next
+      // pass starts (non-blocking unpersist would let bench passes
+      // overlap eviction IO with the next timed region)
+      e.unpersist(blocking = true)
+    }
+  }
+
+  /** The four actions over an already-materialized normalized edge set. */
+  private def countsOn(
+      e: DataFrame,
+      n: Int,
+      maxDegree: Int): (Long, Long, Long) = {
     val nE = e.count()
     // a wedge a<b<c picks one lower and one upper neighbor of its
     // middle vertex: n_wedges = sum over b of lo(b) * up(b)

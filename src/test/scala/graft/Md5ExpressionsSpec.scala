@@ -46,6 +46,38 @@ class Md5ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("Md5NoiseWalk equals the composed pmod(md5Int*(d+1)+d, mod) transform") {
+    import spark.implicits._
+    import graft.functions.Embedder
+    val mod = 2001L
+    val dim = 64
+    val rows = texts.toDF("t")
+      .select(col("t"), Embedder.md5Int(col("t")).as("__h"))
+      .select(
+        Embedder.noiseWalk(col("t"), dim, mod).as("fast"),
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          pmod(col("__h") * (d + lit(1)) + d, lit(mod))).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("fast") ===
+        r.getAs[scala.collection.Seq[Long]]("slow"))
+    }
+  }
+
+  test("Md5NoiseWalk interpreted eval matches codegen output") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.Md5NoiseWalk
+    val interp = Md5NoiseWalk(Literal("probe".getBytes("UTF-8")), 8, 2001L)
+      .eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    import spark.implicits._
+    val viaDf = Seq("probe").toDF("t")
+      .select(graft.functions.Embedder.noiseWalk(col("t"), 8, 2001L))
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(interp.toSeq === viaDf.toSeq)
+  }
+
   test("interpreted eval matches codegen output") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val interp = Md5PrefixInt(Literal("probe")).eval(null)

@@ -50,6 +50,8 @@ def main() -> None:
     spreads = {}
     calib_q = {}
     loads = []
+    batched = {}
+    io_settle = []
     any_failed_status = False
     for r in runs:
         qs = r.get("queries", {})
@@ -62,10 +64,20 @@ def main() -> None:
             spreads[next(iter(qs))] = r["spread_total"]
         calibs = [c for c in [r.get("calib_before")] + r.get("calib_passes", [])
                   if c is not None]
-        if len(qs) == 1 and calibs:
-            calib_q[next(iter(qs))] = min(calibs)
+        # per-JVM calib stamp: every query in the line ran inside the
+        # JVM the spins measured, so a batched tail line (round-15
+        # verdict #4: several cheap queries per JVM) stamps each of its
+        # queries with the line's min calib — min because steal only
+        # ever inflates. Single-query core lines are the len==1 case.
+        if calibs:
+            for q in qs:
+                calib_q[q] = min(calibs)
+        for q in qs:
+            batched[q] = len(qs) > 1
         if r.get("load_before") is not None:
             loads.append(r["load_before"])
+        if r.get("io_settle_sec") is not None:
+            io_settle.append(r["io_settle_sec"])
         if r.get("status") != "ok":
             any_failed_status = True
     failed_queries = sorted(k for k, v in queries.items() if v < 0)
@@ -84,7 +96,17 @@ def main() -> None:
         "spread_total": round(sum(v for k, v in spreads.items()
                                   if v >= 0 and k in ok_queries), 3)
         if spreads else None,
-        "isolation": "jvm_per_query",
+        "isolation": "jvm_per_query"
+        if not any(batched.values())
+        else "jvm_per_query; tail batched (see batched_queries)",
+        # last-wins: a query re-run solo after a batch loses its
+        # batched flag, so the list reflects how the COMMITTED number
+        # was measured
+        "batched_queries": sorted(q for q, b in batched.items() if b),
+        # untimed seconds each JVM spent syncing out the previous JVM's
+        # dirty page-cache before its calib/timed passes (absent when
+        # the gate ran without SPARK_GRAFT_IO_SETTLE)
+        "io_settle_range": [min(io_settle), max(io_settle)] if io_settle else None,
         "warmup": "same_query_untimed",
         "calib": {k: calib_q[k] for k in ordered if k in calib_q},
         "calib_range": [calibs_all[0], calibs_all[-1]] if calibs_all else None,
