@@ -2473,14 +2473,13 @@ object SparkEntry {
     "q_hnsw_recall" -> ((s, dir) => {
       // exact side: a FLAT scan over the same float-normalized space the
       // graph ranks in ((v/n).toFloat, hnsw.py:116,300) — independent of
-      // the graph path, so the approx side is the real best-first search
+      // the graph path, so the approx side is the real best-first search.
+      // Fused normalizer: the composed when/transform form re-evaluated
+      // the O(dim) norm per ELEMENT, interpreted — 58.6 of this query's
+      // 65.7 s at x100 (HnswRecallProfile; see L2NormalizeFloat).
       val emb = t(s, dir, "embeddings")
-      val n = VectorFunctions.l2Norm(col("embedding"))
       val nEmb = emb.select(col("vec_id"),
-        when(n === 0.0, col("embedding"))
-          .otherwise(transform(col("embedding"), x =>
-            (x.cast("double") / n).cast("float")))
-          .as("embedding"))
+        VectorFunctions.l2NormalizeFloat(col("embedding")).as("embedding"))
       val qv = queryVec(s, dir)
       val qn = {
         val nn = math.sqrt(qv.map(v => v.toDouble * v).sum)
@@ -3005,7 +3004,13 @@ object SparkEntry {
       // foreign edge set with a hub vertex must fail loudly, not blow
       // a task buffer)
       val ndp = NearDup.Params()
-      val (nE, nW, nT) = graft.operators.TriangleCount.counts(
+      // countsNormalized: the first-collision pair generator emits each
+      // canonical (a<b) pair exactly once, so the artifact needs no
+      // distinct shuffle or materialization — each action re-scans the
+      // pruned parquet, which is read-only and variance-free (the
+      // generic path's per-call shuffle+cache write was the x100 row's
+      // dominant residual variance; the contract is assert-checked)
+      val (nE, nW, nT) = graft.operators.TriangleCount.countsNormalized(
         s.read.parquet(s"$base/edges"), "doc_a", "doc_b",
         maxDegree = ndp.bands * ndp.maxBucket)
       import s.implicits._

@@ -48,10 +48,25 @@ object VectorFunctions {
     sqrt(arraySum(transform(a, x => d(x) * d(x))))
 
   /** L2-normalized copy of the vector (HNSW ingest semantics,
-    * reference hnsw.py:116,300). Zero vectors pass through unchanged. */
+    * reference hnsw.py:116,300). Zero vectors pass through unchanged.
+    * NOTE: the bound `n` is referenced inside the transform lambda, so
+    * the O(dim) norm aggregate re-evaluates per ELEMENT and the
+    * higher-order functions run interpreted — fine for a one-off
+    * column, pathological on a hot scan. Scans over float vectors
+    * should use [[l2NormalizeFloat]] (fused, codegen'd,
+    * bit-identical on ARRAY<FLOAT> modulo its float output rounding). */
   def l2Normalize(a: Column): Column = {
     val n = l2Norm(a)
     when(n === 0.0, a).otherwise(transform(a, x => d(x) / n))
+  }
+
+  /** Fused float L2-normalization of an ARRAY<FLOAT> column — the
+    * [[L2NormalizeFloat]] expression: one norm pass + one scale pass
+    * per row inside whole-stage codegen (see its scaladoc for the
+    * measured O(dim²)-interpreted hazard of the composed form). */
+  def l2NormalizeFloat(a: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(L2NormalizeFloat(ColumnBridge.expression(a)))
   }
 
   /** Euclidean (L2) distance. */

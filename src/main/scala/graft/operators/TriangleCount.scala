@@ -71,11 +71,46 @@ object TriangleCount {
     }
   }
 
-  /** The four actions over an already-materialized normalized edge set. */
+  /** [[counts]] over an edge set the CALLER guarantees is already
+    * normalized (src < dst per row) and duplicate-free — e.g. the
+    * near-dup pair artifact, whose first-collision generator emits each
+    * canonical pair exactly once. Skipping the normalize means NO
+    * distinct shuffle and NO materialization at all: each of the four
+    * actions re-scans the (columnar, pruned) source, which is
+    * read-only and variance-free, where the generic path's per-call
+    * ~GB shuffle + cache write was the dominant residual variance of
+    * the x100 gate row EVEN materialized once (committed 36.5 ±
+    * 13.2 s round 14; persisted-once 19.3 s median but a warm pass
+    * still spiked +21 s on the write burst). The guarantee is CHECKED,
+    * not trusted: a per-row `assert_true(src < dst)` rides the first
+    * projection (orientation/self-loop violations fail loudly), and
+    * the adjacency build asserts sorted-neighbor uniqueness (adjacent
+    * equal pair ⇒ duplicate edge) before the arrays fan out. */
+  def countsNormalized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDegree: Int): (Long, Long, Long) = {
+    require(maxDegree > 0, s"maxDegree must be positive: $maxDegree")
+    val s = edges.sparkSession
+    val n = s.sessionState.conf.numShufflePartitions
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(isnull(assert_true(
+        col(srcCol) < col(dstCol),
+        concat(
+          lit("TriangleCount.countsNormalized: edge ("),
+          col(srcCol).cast("string"), lit(", "), col(dstCol).cast("string"),
+          lit(") violates the src < dst contract — pass a normalized " +
+            "edge set or use counts()")))))
+    countsOn(e, n, maxDegree, checkDuplicates = true)
+  }
+
+  /** The four actions over a normalized edge set. */
   private def countsOn(
       e: DataFrame,
       n: Int,
-      maxDegree: Int): (Long, Long, Long) = {
+      maxDegree: Int,
+      checkDuplicates: Boolean = false): (Long, Long, Long) = {
     val nE = e.count()
     // a wedge a<b<c picks one lower and one upper neighbor of its
     // middle vertex: n_wedges = sum over b of lo(b) * up(b)
@@ -91,7 +126,7 @@ object TriangleCount {
     // the inner joins drop nothing the sum would count. The degree cap
     // is checked HERE, once per vertex (linear), before the arrays fan
     // out onto |E| edge rows.
-    val adj = e.groupBy(col("a").as("v"))
+    val adjBase = e.groupBy(col("a").as("v"))
       .agg(sort_array(collect_list(col("b"))).as("nb"))
       .where(isnull(assert_true(
         size(col("nb")) <= lit(maxDegree),
@@ -102,6 +137,24 @@ object TriangleCount {
             "assumes bounded degrees (pass the bound the edge set was " +
             "actually built under, e.g. bands * maxBucket for the " +
             "near-dup artifact)")))))
+    // duplicate-edge check for the normalized (no-distinct) path: the
+    // neighbor list is sorted, so duplicates are ADJACENT — one O(d)
+    // zip of the list against itself shifted by one, once per vertex,
+    // before the arrays fan out onto |E| edge rows
+    val adj =
+      if (!checkDuplicates) adjBase
+      else adjBase.where(isnull(assert_true(
+        size(col("nb")) <= 1 || !array_contains(
+          zip_with(
+            slice(col("nb"), lit(1), size(col("nb")) - 1),
+            slice(col("nb"), lit(2), size(col("nb")) - 1),
+            (x, y) => x === y),
+          true),
+        concat(
+          lit("TriangleCount.countsNormalized: vertex "),
+          col("v").cast("string"),
+          lit(" has a duplicate edge — the caller promised a " +
+            "duplicate-free edge set (use counts() to normalize)")))))
     val nT = e.repartition(n, col("a"))
       .join(adj.select(col("v").as("a"), col("nb").as("__na"))
         .hint("SHUFFLE_HASH"), Seq("a"))

@@ -60,7 +60,13 @@ object HnswRecallProfile {
     }
 
     time("norm")(nEmb)
+    time("normF")(emb.select(col("vec_id"),
+      VectorFunctions.l2NormalizeFloat(col("embedding")).as("embedding")))
     time("exact")(FlatKnn.search(nEmb, qn, 10))
+    time("exactF")(FlatKnn.search(
+      emb.select(col("vec_id"),
+        VectorFunctions.l2NormalizeFloat(col("embedding")).as("embedding")),
+      qn, 10))
     time("approx")(graft.SparkEntry.queries("q_hnsw_knn")(spark, dir))
     time("full")(graft.SparkEntry.queries("q_hnsw_recall")(spark, dir))
     spark.stop()

@@ -47,4 +47,31 @@ class TriangleCountSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("maxDegree = 5")),
       s"expected the degree-cap message, got: ${messages(e).mkString(" | ")}")
   }
+
+  private def messagesOf(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messagesOf(t.getCause)
+
+  test("countsNormalized matches counts on an already-canonical edge set") {
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(TriangleCount.countsNormalized(e, "doc_a", "doc_b", 100) ===
+      TriangleCount.counts(e, "doc_a", "doc_b", 100))
+  }
+
+  test("countsNormalized rejects a reversed edge, naming the contract") {
+    val e = intercept[Exception] {
+      TriangleCount.countsNormalized(
+        edges((2L, 1L), (2L, 3L)), "doc_a", "doc_b", 100)
+    }
+    assert(messagesOf(e).exists(_.contains("src < dst")),
+      s"expected the orientation message, got: ${messagesOf(e).mkString(" | ")}")
+  }
+
+  test("countsNormalized rejects a duplicate edge") {
+    val e = intercept[Exception] {
+      TriangleCount.countsNormalized(
+        edges((1L, 2L), (1L, 2L), (1L, 3L)), "doc_a", "doc_b", 100)
+    }
+    assert(messagesOf(e).exists(_.contains("duplicate edge")),
+      s"expected the duplicate message, got: ${messagesOf(e).mkString(" | ")}")
+  }
 }

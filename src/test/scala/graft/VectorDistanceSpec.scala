@@ -31,6 +31,48 @@ class VectorDistanceSpec extends SparkSpec {
     }
   }
 
+  test("L2NormalizeFloat == composed when/transform normalize bitwise, incl. zero vectors") {
+    import spark.implicits._
+    val withZero = emb.select(col("embedding"))
+      .unionAll(Seq(Seq.fill(4)(0f)).toDF("embedding"))
+    val n = VectorFunctions.l2Norm(col("embedding"))
+    val rows = withZero
+      .select(
+        VectorFunctions.l2NormalizeFloat(col("embedding")).as("fused"),
+        when(n === 0.0, col("embedding"))
+          .otherwise(transform(col("embedding"), x =>
+            (x.cast("double") / n).cast("float")))
+          .as("composed"))
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("fused")
+      val c = r.getAs[scala.collection.Seq[Float]]("composed")
+      assert(f.length === c.length)
+      f.zip(c).foreach { case (a, b) =>
+        assert(java.lang.Float.floatToRawIntBits(a) ===
+          java.lang.Float.floatToRawIntBits(b), s"$a vs $b")
+      }
+    }
+  }
+
+  test("L2NormalizeFloat interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.L2NormalizeFloat
+    val data = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(3f, 4f, 0f))
+    val interp = L2NormalizeFloat(Literal(data, ArrayType(FloatType, containsNull = false)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toFloatArray()
+    import spark.implicits._
+    val viaDf = Seq(Seq(3f, 4f, 0f)).toDF("e")
+      .select(VectorFunctions.l2NormalizeFloat(col("e")))
+      .head().getAs[scala.collection.Seq[Float]](0)
+    assert(interp.toSeq === viaDf.toSeq)
+    assert(math.abs(interp(0) - 0.6f) < 1e-7)
+  }
+
   test("cosine_sim fused == composed bitwise, incl. zero-vector guard -> 0.0") {
     import spark.implicits._
     val rows = emb
