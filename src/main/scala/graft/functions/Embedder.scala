@@ -221,7 +221,21 @@ object Embedder {
         sequence(lit(0), lit(dim - 1)),
         d => size(filter(buckets, b => b === d)).cast("double"))
 
+    /** Fused [[L2NormalizeCounts]] — ONE norm pass per row. The
+      * composed twin below splices the bound norm aggregate into the
+      * transform lambda, so the O(dim) norm re-evaluated per ELEMENT
+      * (twice: the zero guard and the divide), interpreted — the same
+      * hazard as q_hnsw_recall's normalizer, on the lexical ingest
+      * path. Bitwise equality pinned in EmbedderSpec. */
     private[graft] def normalizeCol(counts: Column): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(L2NormalizeCounts(ColumnBridge.expression(counts)))
+    }
+
+    /** The composed-built-ins equivalence twin of [[normalizeCol]]
+      * (what a SQL oracle mirrors) — spec/reference only; see the
+      * per-element re-evaluation note above. */
+    private[graft] def normalizeColComposed(counts: Column): Column = {
       val nrm = sqrt(aggregate(counts, lit(0.0), (a, x) => a + x * x))
       transform(counts,
         x => when(nrm === 0.0, lit(0.0f)).otherwise((x / nrm).cast("float")))

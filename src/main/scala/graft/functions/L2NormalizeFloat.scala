@@ -62,4 +62,54 @@ object L2NormalizeFloat {
       ArrayData.toArrayData(out)
     }
   }
+
+  /** Double-counts variant shared by [[L2NormalizeCounts]]'s eval and
+    * codegen — mirrors `Embedder.LexicalModel.embedLocal`'s normalize
+    * tail exactly (zero norm → all-zero floats, NOT passthrough: the
+    * input is a counts vector, the output an embedding). */
+  def normalizeCounts(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
+    val norm = math.sqrt(acc)
+    val out = new Array[Float](n)
+    if (norm != 0.0) {
+      i = 0
+      while (i < n) { out(i) = (x.getDouble(i) / norm).toFloat; i += 1 }
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** [[L2NormalizeFloat]]'s ARRAY<DOUBLE> → ARRAY<FLOAT> sibling for the
+  * lexical embedder's counts vector: norm in double (left-to-right),
+  * each count scaled and rounded to float, zero vector → all 0.0f
+  * (exactly `embedLocal`'s tail). Exists because the composed
+  * normalizer spliced the bound norm aggregate into the transform
+  * lambda — the same per-element re-evaluation hazard as the float
+  * form, on the catalog's lexical ingest path. Bitwise equality with
+  * the composed form is spec-pinned (EmbedderSpec). */
+case class L2NormalizeCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<DOUBLE>, got $other")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "l2_normalize_counts"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    L2NormalizeFloat.normalizeCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      // Static helper call for the same Janino reason as Md5PrefixInt.
+      s"""
+      |${ev.value} = graft.functions.L2NormalizeFloat.normalizeCounts($v);
+      |""".stripMargin)
 }

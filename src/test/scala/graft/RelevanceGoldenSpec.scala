@@ -79,7 +79,7 @@ class RelevanceGoldenSpec extends SparkSpec with BeforeAndAfterAll {
         Embedder.LexicalModel.bucketsCol(col("text"), Embedder.Dim))
       .withColumn("__counts",
         Embedder.LexicalModel.countsCol(col("__buckets"), Embedder.Dim))
-      .withColumn("emb_c", Embedder.LexicalModel.normalizeCol(col("__counts")))
+      .withColumn("emb_c", Embedder.LexicalModel.normalizeColComposed(col("__counts")))
       .select(col("text"), col("emb_c"))
     val mismatches = fused.join(composed, "text")
       .where(col("emb") =!= col("emb_c"))

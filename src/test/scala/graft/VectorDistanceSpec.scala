@@ -73,6 +73,27 @@ class VectorDistanceSpec extends SparkSpec {
     assert(math.abs(interp(0) - 0.6f) < 1e-7)
   }
 
+  test("L2NormalizeCounts == composed normalize bitwise, incl. the all-zero counts row") {
+    import spark.implicits._
+    import graft.functions.Embedder
+    val counts = Seq(
+      Seq(1.0, 2.0, 0.0, 5.0), Seq(0.0, 0.0, 0.0, 0.0), Seq(3.0, 3.0, 3.0, 3.0))
+      .toDF("counts")
+    val rows = counts.select(
+      Embedder.LexicalModel.normalizeCol(col("counts")).as("fused"),
+      Embedder.LexicalModel.normalizeColComposed(col("counts")).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("fused")
+      val c = r.getAs[scala.collection.Seq[Float]]("composed")
+      assert(f.length === c.length)
+      f.zip(c).foreach { case (a, b) =>
+        assert(java.lang.Float.floatToRawIntBits(a) ===
+          java.lang.Float.floatToRawIntBits(b), s"$a vs $b")
+      }
+    }
+  }
+
   test("cosine_sim fused == composed bitwise, incl. zero-vector guard -> 0.0") {
     import spark.implicits._
     val rows = emb
