@@ -248,6 +248,14 @@ object Bench {
     // bench_full.json (for tools/the judge). This is NOT the driver line.
     // "queries" carries the per-query medians, "spread" the per-query
     // (max - min) over the same samples.
+    //
+    // FILTERED runs (scale-gate per-query JVMs, solo probes) write
+    // bench_full_filtered.json instead: the committed bench_full.json
+    // is the sf0.1 FULL-surface record, and every ad-hoc single-query
+    // probe used to clobber it (two restore commits in round 15 alone;
+    // the scale gate needed a backup/EXIT-trap dance around it).
+    val fullPath =
+      if (only.isDefined) "bench_full_filtered.json" else "bench_full.json"
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullSp = spreads.map { case (k, v) => "\"" + k + "\":" + v }
@@ -256,7 +264,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$nSamples","sampling":"interleaved_passes","queries":$fullQs,"spread":$fullSp,"spread_total":$totalSpread,$loadStamp,"sf":"$sfDir","status":"$status","n_failed":${failed.size}}"""
     System.err.println(fullJson)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
 

@@ -218,8 +218,9 @@ SPARK_GRAFT_SF_DIR=target/sf10-synth SPARK_GRAFT_BENCH_SAMPLES=3 SPARK_GRAFT_IO_
 # list — all rows that were <= 2.5 s at x10, cheap enough to batch 8
 # per JVM (per-JVM calib stamps apply to every query in the batch; the
 # merge records which rows were batched). Full-precision lines come
-# from bench_full.json (per-query medians + spreads), not the capped
-# stdout line; the EXIT trap restores the committed sf0.1 copy.
+# from bench_full_filtered.json (filtered Bench runs write there so
+# they can never clobber the committed sf0.1 bench_full.json), not the
+# capped stdout line.
 TAIL_SF10=$(python3 - "$CORE_SF10" <<'EOF'
 import json, sys
 core = set(sys.argv[1].split(","))
@@ -233,11 +234,11 @@ i=0
 while [ $i -lt ${#TAIL_ARR[@]} ]; do
   BATCH=$(IFS=,; echo "${TAIL_ARR[*]:$i:8}")
   echo "== x100 tail batch: $BATCH =="
-  rm -f bench_full.json # so a crashed batch can't re-append the previous one's line
+  rm -f bench_full_filtered.json # so a crashed batch can't re-append the previous one's line
   SPARK_GRAFT_SF_DIR=target/sf10-synth SPARK_GRAFT_BENCH_SAMPLES=3 SPARK_GRAFT_IO_SETTLE=1 \
     sbt -batch "runMain graft.Bench $BATCH" >/dev/null 2>&1 \
     || echo "== x100 tail batch FAILED (query names land in failed_queries): $BATCH =="
-  if [ -f bench_full.json ]; then cat bench_full.json >> /tmp/bench_sf10_lines.jsonl; fi
+  if [ -f bench_full_filtered.json ]; then cat bench_full_filtered.json >> /tmp/bench_sf10_lines.jsonl; fi
   i=$((i + 8))
 done
 cp /tmp/bench_full.json.scale_gate_bak bench_full.json
