@@ -17,7 +17,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Probe-only override for the cross-JVM-residue A/B (SCALING.md): a
+    // tmpfs value (/dev/shm/…) takes this JVM's shuffle scratch off the
+    // disk FS entirely, so a pair run with it isolates whether the
+    // predecessor's residue travels through FS state. Unset (the driver
+    // and the gate never set it) Spark uses its default local dir.
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
+    val spark = localDir.foldLeft(SparkSession.builder())(
+        (b, d) => b.config("spark.local.dir", d))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -123,6 +130,7 @@ object Bench {
       .flatMap(_.toLongOption).getOrElse(65536L)
     var ioSettleSec = 0.0
     var ioDirtyLastKb = -1L
+    var ioSyncTimeouts = 0
     def dirtyKb(): Long =
       try {
         val src = scala.io.Source.fromFile("/proc/meminfo")
@@ -133,8 +141,18 @@ object Bench {
       } catch { case _: Throwable => -1L }
     def ioSettle(): Unit = if (ioSettleOn) {
       val t0 = System.nanoTime()
-      try new ProcessBuilder("sync").start().waitFor()
-      catch { case _: Throwable => () }
+      // sync(1) itself must be time-bounded too: on a host where another
+      // process keeps writing, an untimed waitFor() can block far past
+      // the 30 s loop bound below and hang the gate inside an untimed
+      // region with no diagnostic (round-15 advisor). Expired syncs are
+      // killed and counted into the io stamp.
+      try {
+        val p = new ProcessBuilder("sync").start()
+        if (!p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly()
+          ioSyncTimeouts += 1
+        }
+      } catch { case _: Throwable => () }
       var d = dirtyKb()
       // bounded: sync already blocked on the flush; this loop only
       // covers stragglers another process keeps dirtying
@@ -239,8 +257,11 @@ object Bench {
     // io_dirty_kb: Dirty+Writeback at the last settle point — a large
     // value here means the bounded wait gave up and the passes ran over
     // live writeback after all.
+    // io_sync_timeouts: sync(1) calls killed at the 60 s bound — nonzero
+    // means another process was writing hard enough that the settle
+    // never converged; read the record's spreads with that in mind.
     val ioStamp =
-      if (ioSettleOn) s""""io_settle_sec":${num(ioSettleSec, 1)},"io_dirty_kb":$ioDirtyLastKb,""" else ""
+      if (ioSettleOn) s""""io_settle_sec":${num(ioSettleSec, 1)},"io_dirty_kb":$ioDirtyLastKb,"io_sync_timeouts":$ioSyncTimeouts,""" else ""
     val loadStamp =
       s"""$ioStamp"cold_extra_total":${num(coldExtra, 3)},"load_before":${num(loadBefore, 2)},"load_after":${num(loadAfter, 2)},"calib_before":${num(calibBefore, 3)},"calib_passes":$calibJson,"cores":$coresInt"""
 

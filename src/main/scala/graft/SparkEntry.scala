@@ -3567,6 +3567,13 @@ object SparkEntry {
             concat(lit("vnd|"), col("__oid").cast("string"), lit(s"|$r")),
             dim = 64, mod = 2001L) // fixtures' embeddings are 64-dim
           emb.select(col("vec_id").as("__oid"), col("embedding"))
+            // zip_with NULL-PADS on length mismatch, so a fixture whose
+            // dim ever diverges from the walk's hardcoded 64 would
+            // silently null-poison replica elements instead of failing
+            // (round-15 advisor). One int comparison per row, loud.
+            .where(isnull(assert_true(size(col("embedding")) === 64,
+              lit("q_embed_neardup_vec: embeddings fixture is not 64-dim; " +
+                "update the noiseWalk dim to match"))))
             .select(
               (col("__oid") * 10 + lit(r)).as("vec_id"),
               zip_with(col("embedding"), walk, (x, w) =>

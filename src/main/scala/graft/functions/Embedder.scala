@@ -226,7 +226,8 @@ object Embedder {
       * transform lambda, so the O(dim) norm re-evaluated per ELEMENT
       * (twice: the zero guard and the divide), interpreted — the same
       * hazard as q_hnsw_recall's normalizer, on the lexical ingest
-      * path. Bitwise equality pinned in EmbedderSpec. */
+      * path. Bitwise equality pinned in VectorDistanceSpec
+      * ("L2NormalizeCounts == composed normalize bitwise"). */
     private[graft] def normalizeCol(counts: Column): Column = {
       import org.apache.spark.sql.graft.ColumnBridge
       ColumnBridge.column(L2NormalizeCounts(ColumnBridge.expression(counts)))

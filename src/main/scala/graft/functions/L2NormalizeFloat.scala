@@ -47,12 +47,26 @@ case class L2NormalizeFloat(child: Expression) extends UnaryExpression {
 }
 
 object L2NormalizeFloat {
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code.
+    *
+    * Null ELEMENTS follow the composed twin exactly (round-15 advisor:
+    * parquet float arrays usually carry containsNull=true, and getFloat
+    * on a null slot would have silently read 0.0f): one null element
+    * nulls the aggregate norm, `when(null === 0.0, a)` is not-true so
+    * the transform branch runs, and x / null nulls EVERY element — so
+    * the fused form returns an all-null array of the input's length.
+    * Pinned beside the bit-parity test in VectorDistanceSpec. */
   def normalize(x: ArrayData): ArrayData = {
     val n = x.numElements()
     var acc = 0.0
     var i = 0
-    while (i < n) { val v = x.getFloat(i).toDouble; acc += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) {
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](n))
+      }
+      val v = x.getFloat(i).toDouble; acc += v * v; i += 1
+    }
     val norm = math.sqrt(acc)
     if (norm == 0.0) x.copy() // zero vector passes through (copy: the input may alias the row buffer)
     else {

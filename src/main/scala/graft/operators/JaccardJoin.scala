@@ -48,6 +48,22 @@ object JaccardJoin {
     * deliberately. tools/JaccardPayloadCurve measures the growth. */
   val DefaultMaxPrefixLen: Int = 4096
 
+  /** Task fan-out for the three heavy stages (candidate join, the two
+    * verify attaches): each runs at `TaskFanout ×` the session shuffle
+    * partitions instead of 1×. At 1× every heavy stage was a SINGLE
+    * WAVE — 32 tasks of 12–20 s on 32 cores — so one degraded vCPU (the
+    * per-run rate lottery behind q_ngram_jaccard's 66–225 s range:
+    * max-task 28–150 s at ZERO spill, flat calib, tools/JaccardSpillProbe)
+    * inflated its one task 5× and the stage waited on it with every
+    * other core idle. The round-16 census (tools/JaccardBucketCensus,
+    * ×100: 103 701 buckets, max m = 800, biggest bucket = 0.02 % of
+    * Σm²) refuted the hot-bucket hypothesis — the work is near-uniform,
+    * the schedule was just inelastic. At 4× the scheduler hands a slow
+    * core fewer tasks instead of stranding the wave (and on a real
+    * cluster finer tasks are what speculative execution needs to help).
+    * Costs one empty-partition pass per extra task — O(µs) each. */
+  val TaskFanout: Int = 4
+
   /** All pairs (doc_a < doc_b) with n-gram Jaccard >= tNum/tDen.
     * Output: doc_a, doc_b, n_common, n_union (exact integer set sizes).
     * `k` is the word-shingle width; shorter docs contribute their whole
@@ -109,10 +125,18 @@ object JaccardJoin {
           ColumnBridge.expression(col("sa")),
           ColumnBridge.expression(col("sb"))))
       }
+    // the repartitions ARE the exchanges the two joins would insert
+    // anyway (hash on the join key satisfies the required distribution;
+    // EnsureRequirements co-partitions the build side to match), just at
+    // TaskFanout × the session partitions — multi-wave scheduling for
+    // the verify stages (see TaskFanout).
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     candidates
+      .repartition(n * TaskFanout, col("doc_a"))
       .join(
         verifySets.select(col("doc_id").as("doc_a"), col("s").as("sa"))
           .hint("SHUFFLE_HASH"), "doc_a")
+      .repartition(n * TaskFanout, col("doc_b"))
       .join(
         verifySets.select(col("doc_id").as("doc_b"), col("s").as("sb"))
           .hint("SHUFFLE_HASH"), "doc_b")
@@ -140,10 +164,13 @@ object JaccardJoin {
     // — measured there as a 2-of-32-core stage at x100). A user
     // repartition with an explicit count is exempt from coalescing and
     // satisfies the equi-join's required distribution, so this costs no
-    // extra exchange.
+    // extra exchange. TaskFanout × so the join runs multi-wave (see
+    // TaskFanout: the candidate stage was the single-wave straggler
+    // magnet at ~580 s of near-uniform work in exactly 32 tasks).
     val n = sets.sparkSession.sessionState.conf.numShufflePartitions
     val prefixes =
-      prefixesOf(sets, tNum, tDen, maxPrefixLen).repartition(n, col("g"))
+      prefixesOf(sets, tNum, tDen, maxPrefixLen)
+        .repartition(n * TaskFanout, col("g"))
     // candidate equi-join on prefix shingles, plus the standard length
     // filter: J >= t forces t*|A| <= |B| (I <= |B| and I >= t*|A|), so
     // size-incompatible pairs drop inside the join instead of reaching

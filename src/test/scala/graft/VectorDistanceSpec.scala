@@ -56,6 +56,29 @@ class VectorDistanceSpec extends SparkSpec {
     }
   }
 
+  test("L2NormalizeFloat null elements follow the composed twin: all-null array out") {
+    // parquet float arrays usually carry containsNull=true; before the
+    // round-15 advisor fix the fused kernel read null slots as 0.0f
+    // while the composed form nulls the aggregate norm and therefore
+    // every output element. Both forms must agree on the null case.
+    import spark.implicits._
+    val withNull = Seq(Seq[java.lang.Float](1f, null, 3f)).toDF("embedding")
+    val n = VectorFunctions.l2Norm(col("embedding"))
+    val r = withNull
+      .select(
+        VectorFunctions.l2NormalizeFloat(col("embedding")).as("fused"),
+        when(n === 0.0, col("embedding"))
+          .otherwise(transform(col("embedding"), x =>
+            (x.cast("double") / n).cast("float")))
+          .as("composed"))
+      .head()
+    val f = r.getAs[scala.collection.Seq[java.lang.Float]]("fused")
+    val c = r.getAs[scala.collection.Seq[java.lang.Float]]("composed")
+    assert(f.length === 3)
+    assert(f.toSeq === c.toSeq)
+    assert(f.forall(_ == null))
+  }
+
   test("L2NormalizeFloat interpreted eval agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, FloatType}

@@ -268,6 +268,22 @@ done
 GRAFT_CALIB_REF=$CALIB_REF python3 tools/merge_bench.py /tmp/bench_sf10_lines.jsonl > BENCH_sf10.json
 cp /tmp/bench_full.json.scale_gate_bak bench_full.json
 grep -q '"status":"ok"' BENCH_sf10.json || { echo "x100 bench FAILED"; cat BENCH_sf10.json; exit 1; }
+# Coverage assert (round-15 advisor, medium): a tail batch whose JVM
+# dies BEFORE Bench writes bench_full_filtered.json leaves its queries
+# with no line at all — no failed_queries entry, nothing for merge's
+# unknown-query guard to see — and the record silently shrinks. The
+# merged name set must therefore equal CORE_SF10 ∪ TAIL_SF10 exactly.
+python3 - "$CORE_SF10" "$TAIL_SF10" <<'EOF' || { echo "x100 coverage FAILED"; exit 1; }
+import json, sys
+expected = set(sys.argv[1].split(",")) | set(sys.argv[2].split(","))
+rec = json.load(open("BENCH_sf10.json"))
+got = set(rec["queries"]) | set(rec.get("failed_queries", []))
+missing, extra = expected - got, got - expected
+if missing or extra:
+    print(f"x100 coverage mismatch: missing={sorted(missing)} extra={sorted(extra)}")
+    sys.exit(1)
+print(f"x100 coverage OK: {len(got)} queries == CORE ∪ TAIL")
+EOF
 cat BENCH_sf10.json
 
 echo "scale gate green: BENCH_sf1.json + bench_full_sf1.json + BENCH_sf10.json refreshed"
