@@ -50,19 +50,28 @@ object JaccardJoin {
 
   /** Task fan-out for the three heavy stages (candidate join, the two
     * verify attaches): each runs at `TaskFanout ×` the session shuffle
-    * partitions instead of 1×. At 1× every heavy stage was a SINGLE
-    * WAVE — 32 tasks of 12–20 s on 32 cores — so one degraded vCPU (the
-    * per-run rate lottery behind q_ngram_jaccard's 66–225 s range:
-    * max-task 28–150 s at ZERO spill, flat calib, tools/JaccardSpillProbe)
-    * inflated its one task 5× and the stage waited on it with every
-    * other core idle. The round-16 census (tools/JaccardBucketCensus,
-    * ×100: 103 701 buckets, max m = 800, biggest bucket = 0.02 % of
-    * Σm²) refuted the hot-bucket hypothesis — the work is near-uniform,
-    * the schedule was just inelastic. At 4× the scheduler hands a slow
-    * core fewer tasks instead of stranding the wave (and on a real
-    * cluster finer tasks are what speculative execution needs to help).
-    * Costs one empty-partition pass per extra task — O(µs) each. */
-  val TaskFanout: Int = 4
+    * partitions. DEFAULT 1 — the 4× fan-out tried for the round-15
+    * straggler lottery was REFUTED by a same-session A/B
+    * (tools/JaccardStageProbe with the cpu/fetch/gc split, ×100,
+    * SCALING.md round 16): at 4× every measured pass ran 107–454 s wall
+    * where every 1× pass ran 51–92 s, and the heavy stages' summed
+    * task-CPU inflated 1.5–10× with ZERO fetch-wait and minor GC — the
+    * extra partitions multiply per-task memory/page churn on the
+    * array-payload build sides, and the longer sustained load makes the
+    * whole box slower (same-config passes vary 2.5× in thread-CPU on
+    * identical work; the VM's accounting absorbs weather). The
+    * hot-bucket hypothesis was separately refuted by
+    * tools/JaccardBucketCensus (103 701 buckets, max m = 800 = 0.02 %
+    * of Σm² candidate work), and at 1× the stage probe shows the heavy
+    * stages near-uniform (max/mean ≤ 2.2 over 32 tasks) — which is
+    * exactly the shape cluster-side SPECULATIVE EXECUTION needs to
+    * absorb a degraded host at 1000 executors; finer tasks are not.
+    * Overridable via -DGRAFT_JACCARD_FANOUT / env so the probes can A/B
+    * without recompiling. */
+  def TaskFanout: Int =
+    sys.props.get("GRAFT_JACCARD_FANOUT")
+      .orElse(sys.env.get("GRAFT_JACCARD_FANOUT"))
+      .flatMap(_.toIntOption).getOrElse(1)
 
   /** All pairs (doc_a < doc_b) with n-gram Jaccard >= tNum/tDen.
     * Output: doc_a, doc_b, n_common, n_union (exact integer set sizes).
@@ -127,9 +136,9 @@ object JaccardJoin {
       }
     // the repartitions ARE the exchanges the two joins would insert
     // anyway (hash on the join key satisfies the required distribution;
-    // EnsureRequirements co-partitions the build side to match), just at
-    // TaskFanout × the session partitions — multi-wave scheduling for
-    // the verify stages (see TaskFanout).
+    // EnsureRequirements co-partitions the build side to match) at
+    // TaskFanout × the session partitions (default 1× — see TaskFanout's
+    // scaladoc for why wider was measured strictly worse).
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     candidates
       .repartition(n * TaskFanout, col("doc_a"))
@@ -164,9 +173,9 @@ object JaccardJoin {
     // — measured there as a 2-of-32-core stage at x100). A user
     // repartition with an explicit count is exempt from coalescing and
     // satisfies the equi-join's required distribution, so this costs no
-    // extra exchange. TaskFanout × so the join runs multi-wave (see
-    // TaskFanout: the candidate stage was the single-wave straggler
-    // magnet at ~580 s of near-uniform work in exactly 32 tasks).
+    // extra exchange. TaskFanout (default 1 — the 4× multi-wave
+    // experiment measured strictly worse here; see TaskFanout's
+    // scaladoc for the A/B).
     val n = sets.sparkSession.sessionState.conf.numShufflePartitions
     val prefixes =
       prefixesOf(sets, tNum, tDen, maxPrefixLen)

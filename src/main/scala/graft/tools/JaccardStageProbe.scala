@@ -29,7 +29,12 @@ object JaccardStageProbe {
       .appName("jaccard-stage-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // duration alone cannot distinguish CPU-work growth from wait
+    // inflation (the round-16 fan-out A/B needed exactly that split):
+    // cpu = executorCpuTime, fetch = shuffle-read fetchWaitTime, gc =
+    // jvmGCTime. duration - cpu - fetch ≈ scheduler/IO-write/other wait.
     case class St(var n: Int = 0, var maxMs: Long = 0L, var sumMs: Long = 0L,
+        var cpuMs: Long = 0L, var fetchMs: Long = 0L, var gcMs: Long = 0L,
         var name: String = "")
     val stages = TrieMap.empty[Int, St]
     val listener = new SparkListener {
@@ -39,6 +44,12 @@ object JaccardStageProbe {
           s.n += 1
           s.sumMs += t.taskInfo.duration
           if (t.taskInfo.duration > s.maxMs) s.maxMs = t.taskInfo.duration
+          val m = t.taskMetrics
+          if (m != null) {
+            s.cpuMs += m.executorCpuTime / 1000000L
+            s.fetchMs += m.shuffleReadMetrics.fetchWaitTime
+            s.gcMs += m.jvmGCTime
+          }
         }
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -58,7 +69,7 @@ object JaccardStageProbe {
       Thread.sleep(2000) // listener bus drains async
       println(f"[jaccard-stage] $label wall ${dt}%.1f s")
       stages.toSeq.sortBy(-_._2.maxMs).take(12).foreach { case (id, s) =>
-        println(f"[jaccard-stage]   stage $id%4d  tasks ${s.n}%4d  max ${s.maxMs / 1000.0}%7.1f s  sum ${s.sumMs / 1000.0}%8.1f s  ${s.name.take(90)}")
+        println(f"[jaccard-stage]   stage $id%4d  tasks ${s.n}%4d  max ${s.maxMs / 1000.0}%7.1f s  sum ${s.sumMs / 1000.0}%8.1f s  cpu ${s.cpuMs / 1000.0}%8.1f s  fetch ${s.fetchMs / 1000.0}%7.1f s  gc ${s.gcMs / 1000.0}%6.1f s  ${s.name.take(60)}")
       }
     }
 
