@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT n-gram Jaccard similarity self-join via prefix filtering — the
@@ -295,38 +294,51 @@ object JaccardJoin {
     // ceil(a*n/b) = (a*n + b - 1) DIV b
     val prefixLen =
       col("n") - expr(s"(n * $tNum + ${tDen - 1}) DIV $tDen") + lit(1)
-    val ranked = exploded
+    // ONE doc-keyed ObjectHashAggregate realizes the whole prefix table
+    // (round-16 optimization; guide §2.4 "remove shuffles outright"):
+    // sort_array over the collected (f, g) structs IS the global
+    // (frequency, shingle) total order the previous shape ranked by —
+    // ties are impossible within a doc (shingle sets are distinct), so
+    // array position ≡ row_number. The replaced shape paid, per
+    // selfJoin: a full per-partition Sort + Window rank pass over the
+    // exploded corpus, a SECOND Sort + Window pass under the
+    // prefix-array collect (AQE reuses the doc_id exchange but each
+    // consumer re-sorts and re-ranks above it — measured in the final
+    // adaptive plan, plans/r16/q_ngram_jaccard_before.txt), and the
+    // ranked⋈prefixArrays join-back. Now the doc_id exchange feeds one
+    // aggregation and posexplode re-derives rank (`rn` = position) and
+    // `pe` (the strictly-earlier slice) with no Sort, no Window and no
+    // join anywhere in the prefix build.
+    val prefixArrays = exploded
       .join(freq, "g")
-      .withColumn("rn",
-        row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("f"), col("g"))))
-      .where(col("rn") <= prefixLen)
+      .groupBy(col("doc_id"), col("n"))
+      .agg(slice(
+        transform(sort_array(collect_list(struct(col("f"), col("g")))),
+          s => s.getField("g")),
+        lit(1), prefixLen.cast("int")).as("p"))
       // the enforced payload bound (see DefaultMaxPrefixLen): a doc
       // whose prefix exceeds the cap fails the query loudly BEFORE its
-      // O(prefix^2) pe payload reaches the candidate exchange — one int
-      // comparison per prefix row, linear not per-candidate
+      // O(prefix^2) pe payload reaches the candidate exchange — now ONE
+      // int comparison per DOC (the replaced shape checked per prefix
+      // row; the trigger condition is identical — size(p) = prefixLen)
       .where(isnull(assert_true(
-        col("rn") <= lit(maxPrefixLen),
+        size(col("p")) <= lit(maxPrefixLen),
         concat(
           lit("JaccardJoin: document "), col("doc_id").cast("string"),
           lit(s" has a prefix longer than maxPrefixLen = $maxPrefixLen; "),
           lit("its pe payload grows with prefix^2 — segment long documents "),
           lit("upstream (the chunking operator) or raise maxPrefixLen deliberately")))))
-    // each doc's prefix as a (frequency, shingle)-ordered array, joined
-    // back onto its rows: sort_array on (f, g) structs realizes the
-    // same total order the window ranked by
-    val prefixArrays = ranked.groupBy("doc_id")
-      .agg(transform(
-        sort_array(collect_list(struct(col("f"), col("g")))),
-        s => s.getField("g")).as("p"))
     // pe = the shingles strictly before this row's g in the prefix
     // order, materialized ONCE per prefix row — the candidate join
     // evaluates only arrays_overlap(x.pe, y.pe) per joined row, never
     // a per-candidate slice allocation (candidate rows outnumber
     // prefix rows by the clone-family duplication factor)
-    ranked.join(prefixArrays, "doc_id")
-      .select(col("doc_id"), col("n"), col("g"), col("rn"),
-        slice(col("p"), lit(1), col("rn") - 1).as("pe"))
+    prefixArrays
+      .select(col("doc_id"), col("n"), col("p"),
+        posexplode(col("p")).as(Seq("__pos", "g")))
+      .select(col("doc_id"), col("n"), col("g"),
+        (col("__pos") + 1).as("rn"),
+        slice(col("p"), lit(1), col("__pos")).as("pe"))
   }
 
   /** Spec window into the candidate stage: the prefix rows [[selfJoin]]
