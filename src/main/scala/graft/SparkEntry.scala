@@ -1608,7 +1608,17 @@ object SparkEntry {
         StructField("user_id", LongType), StructField("ts_us", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", 8)
+      // 4 state partitions, not the former 8: the aggregation state is
+      // O(hour windows x event types) — bounded by the data's TIME SPAN,
+      // not its row count — and the exchange feeding it moves map-side
+      // partials (O(groups) per map task) at any scale, so per-batch
+      // state-store overhead (open/scan/delta/commit x partitions, paid
+      // again by the no-data eviction batch) is the dominant term and
+      // scales with the PARTITION count. Interleaved 8/4/2 A/B
+      // (tools/StreamWmProfile, round 16): 8 -> 4.00 s, 4 -> 2.9-3.2 s,
+      // 2 -> 2.6-3.7 s per two-run pass; 4 keeps headroom for wider
+      // state (sessionization shapes) at the same measured floor.
+      ss.conf.set("spark.sql.shuffle.partitions", 4)
       // per-call temp input + checkpoint: the two runs SHARE them (the
       // watermark restore across restarts is the point); a re-invocation
       // replays from scratch deterministically
