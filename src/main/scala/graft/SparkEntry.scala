@@ -1812,15 +1812,18 @@ object SparkEntry {
       val S = 20
       val h = pmod(Embedder.md5Int(col("doc_id").cast("string")), lit(100))
       val chunks = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ", -1).as("__tk"))
+        // n_tok arithmetically (round 16): size(slice(tk, start, W))
+        // allocated a ≤W-element array per chunk row just to measure it;
+        // with 1 ≤ start ≤ n the slice length IS least(W, n - start + 1)
+        // — same value, no allocation, stays in codegen
+        .select(col("doc_id"), size(split(col("text"), " ", -1)).as("__n"))
+        .select(
+          col("doc_id"), col("__n"),
+          explode(sequence(lit(1), greatest(col("__n"), lit(1)), lit(S)))
+            .as("__start"))
         .select(
           col("doc_id"),
-          explode(sequence(lit(1), greatest(size(col("__tk")), lit(1)), lit(S)))
-            .as("__start"),
-          col("__tk"))
-        .select(
-          col("doc_id"),
-          size(slice(col("__tk"), col("__start"), lit(W))).as("n_tok"))
+          least(lit(W), col("__n") - col("__start") + 1).as("n_tok"))
         .withColumn("split",
           when(h < 80, "train").when(h < 90, "validation").otherwise("test"))
       val stats = chunks
@@ -1829,8 +1832,17 @@ object SparkEntry {
           count(lit(1)).as("n_chunks"),
           countDistinct(col("doc_id")).as("n_parents"),
           sum(col("n_tok").cast("long")).as("sum_tok"))
-      val exclusive = chunks
-        .select("doc_id", "split").distinct()
+      // the exclusivity audit needs each parent's set of chunk splits —
+      // and every chunk inherits split(h(doc_id)) with ≥1 chunk per doc,
+      // so distinct (doc_id, split) over the CHUNK stream ≡ (doc_id,
+      // split) over the documents table (round 16: the branch used to
+      // re-run the tokenize+explode pass and a distinct exchange just to
+      // collapse the window multiplicity it had itself created; now it
+      // scans one narrow column straight into the doc-keyed aggregation)
+      val exclusive = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(h < 80, "train").when(h < 90, "validation").otherwise("test")
+            .as("split"))
         .groupBy("doc_id")
         .agg(countDistinct(col("split")).as("__nsp"), min(col("split")).as("__sp"))
         .where(col("__nsp") === 1)
