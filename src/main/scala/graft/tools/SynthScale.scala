@@ -36,12 +36,25 @@ object SynthScale {
     // each table lands as ONE plain <name>.parquet FILE (not a Spark
     // part directory) so the DuckDB oracle gate and pyarrow read the
     // synthetic dir exactly like the driver-generated testdata; Spark
-    // still parallelizes the read by row-group splits
+    // still parallelizes the read by row-group splits — which requires
+    // row groups SMALLER than the scan split size. The default 128 MB
+    // parquet block left ×100 documents as ONE 150 MB row group, so
+    // every corpus-scan stage in the ×100 gate ran as ONE task with 13
+    // empty siblings (round-16 find: the JaccardStageProbe's sum≈max
+    // "straggler" stages were exactly these serial scans — an artifact
+    // of this writer, not of the engine or the host). 4 MB groups match
+    // the ~4 MB splits Spark plans for these file sizes under the
+    // default maxPartitionBytes/openCost math (a row group lands in the
+    // split holding its midpoint, so groups much larger than the splits
+    // leave most splits empty) — one file per table, with the scan
+    // parallelism a real multi-file 100 TB table has natively.
     def write(df: DataFrame, name: String): Unit = {
       import org.apache.hadoop.conf.Configuration
       import org.apache.hadoop.fs.Path
       val tmp = s"$dest/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (4L * 1024 * 1024).toString)
+        .parquet(tmp)
       val fs = new Path(dest).getFileSystem(new Configuration())
       val part = fs.listStatus(new Path(tmp)).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") &&

@@ -172,4 +172,47 @@ class JaccardJoinSpec extends SparkSpec {
       .selfJoin(docs, "doc_id", "text", maxPrefixLen = 10000)
       .count() === 1L)
   }
+
+  test("aggregation-built prefix table == the replaced window formulation, row for row") {
+    // round-16 optimization pin: prefixesOf builds (doc_id, n, g, rn, pe)
+    // from ONE doc-keyed aggregation (sort_array realizes the global
+    // (frequency, shingle) order; posexplode re-derives rank and the
+    // strictly-earlier pe slice). This test reconstructs the REPLACED
+    // shape — row_number over a doc-partitioned window ordered by
+    // (f, g), prefix filter, collect-and-join-back — and asserts exact
+    // row-set equality on the real corpus, pe contents included.
+    import org.apache.spark.sql.expressions.Window
+    val (tNum, tDen) = (4, 5)
+    val sets = JaccardJoin.shingleSets(docs, "doc_id", "text", 3)._2
+    val exploded = sets
+      .select(col("doc_id"), size(col("s")).as("n"), explode_outer(col("s")).as("g"))
+      .where(col("g").isNotNull)
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
+    val prefixLen =
+      col("n") - expr(s"(n * $tNum + ${tDen - 1}) DIV $tDen") + lit(1)
+    val ranked = exploded
+      .join(freq, "g")
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("f"), col("g"))))
+      .where(col("rn") <= prefixLen)
+    val prefixArrays = ranked.groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("f"), col("g")))),
+        s => s.getField("g")).as("p"))
+    val windowForm = ranked.join(prefixArrays, "doc_id")
+      .select(col("doc_id"), col("n"), col("g"), col("rn"),
+        slice(col("p"), lit(1), col("rn") - 1).as("pe"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("n"), col("g"), col("rn"),
+        to_json(struct(col("pe"))).as("pe_json"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getString(4)))
+      .sortBy(_.toString())
+    val agg = rows(JaccardJoin.prefixTable(docs, "doc_id", "text", 3, tNum, tDen))
+    val win = rows(windowForm)
+    assert(agg.nonEmpty, "fixture must produce prefix rows")
+    assert(agg.sameElements(win),
+      "aggregation-built prefix table diverged from the window formulation")
+  }
 }
