@@ -82,6 +82,18 @@ object SparkEntry {
   /** Oracle-side twin of [[rn]]. */
   private def oRound(e: String, n: Int): String = s"(round($e, $n) + 0.0)"
 
+  /** A bounded ONE-ROW aggregate (corpus totals, exact counts) as an
+    * uncorrelated scalar subquery, struct-packed so one subquery carries
+    * every column: it executes INSIDE the consuming plan's action —
+    * replacing the former separate `.head()` actions that re-ran a whole
+    * corpus lineage as an extra job purely to inline a literal — and any
+    * subtree it shares with the main plan is deduped by runtime exchange
+    * reuse. No join operator appears (a crossJoin/constant-key join
+    * plans a BroadcastNestedLoopJoin, which PlanAuditSpec's scale sweep
+    * rightly bans). Consumers read fields via `col("alias.field")`. */
+  private def oneRow(one: DataFrame): Column =
+    one.select(struct(one.columns.map(col): _*)).scalar()
+
   /** events.parquet `ts` has shipped as both TIMESTAMP(NANOS) and
     * TIMESTAMP(MICROS) across testdata generations, so the reader adapts
     * to the read schema instead of assuming one physical type:
@@ -1139,19 +1151,25 @@ object SparkEntry {
           org.apache.spark.sql.graft.ColumnBridge.expression(
             col("l_orderkey").cast("string"))))
       val li = t(s, dir, "lineitem")
-      // exact count inlined as a literal (bounded one-row aggregate) so
-      // the returned plan carries no cross join
-      val nExact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+      // exact count as a ONE-ROW scalar subquery of the same plan: the
+      // former separate `.head()` action paid a second job (and its AQE
+      // scheduling) purely to inline a literal. The sketch and exact
+      // aggregates stay SEPARATE subtrees so the KMV
+      // TypedImperativeAggregate never rides a per-key distinct rewrite
+      // (planAggregateWithOneDistinct would group the sketch partials by
+      // l_orderkey — one bounded tree per key).
+      val nExact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
       li.select(h.as("h"))
         .agg(graft.functions.KmvSketch.kmvSketch(col("h"), 256).as("ks"))
         .select(
           size(col("ks")).cast("long").as("k_n"),
           element_at(col("ks"), -1).as("m_k"))
+        .withColumn("__ex", oneRow(nExact))
         .select(
           col("k_n"), col("m_k"),
           rn((col("k_n") - 1L) * lit(281474976710656.0) / col("m_k"), 4)
             .as("est_distinct"),
-          lit(nExact).as("n_exact"))
+          col("__ex.n_exact").as("n_exact"))
     }),
     // ---- embedding covariance from EXACT integer moments — the
     //      PCA/whitening prep statistic: ONE map-combined aggregation
@@ -1366,14 +1384,27 @@ object SparkEntry {
         .agg(
           sum(when(isA, 1L).otherwise(0L)).as("n_a"),
           sum(when(!isA, 1L).otherwise(0L)).as("n_b"))
-      val tot = counts.agg(sum("n_a"), sum("n_b")).head()
-      val (ta, tb) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+      // grand totals as a ONE-ROW scalar subquery of the same plan, not
+      // a separate head() action: the old formulation ran the whole
+      // scan+explode+count pipeline TWICE (once for the totals job, once
+      // for the returned plan — separate actions share nothing); here the
+      // counts exchange is built once and reused by both consumers at
+      // runtime, and the query is one action instead of two corpus
+      // passes. Arithmetic is per-row double ops in the SAME operation
+      // order (ta/tb are the identical exact longs, cast to double), so
+      // the rounded chi2 is bit-identical to the literal-inlined form.
+      val tot = counts.agg(
+        sum("n_a").cast("double").as("ta"),
+        sum("n_b").cast("double").as("tb"))
+      val ta = col("__tot.ta")
+      val tb = col("__tot.tb")
       val nab = (col("n_a") + col("n_b")).cast("double")
-      val ea = nab * lit(ta) / lit(ta + tb)
-      val eb = nab * lit(tb) / lit(ta + tb)
+      val ea = nab * ta / (ta + tb)
+      val eb = nab * tb / (ta + tb)
       val da = col("n_a").cast("double") - ea
       val db = col("n_b").cast("double") - eb
       counts
+        .withColumn("__tot", oneRow(tot))
         .select(col("shingle"), col("n_a"), col("n_b"),
           rn(da * da / ea + db * db / eb, 6).as("chi2"))
         .orderBy((col("n_a") + col("n_b")).desc, col("shingle"))
@@ -2952,7 +2983,18 @@ object SparkEntry {
       // library loaded BY NAME (chunks + derived documents view)
       val survivors = fresh.listLibraries().map(_.name).sorted
       survivors
-        .map(n => (n, fresh.chunks(n).count(), fresh.documents(n).count()))
+        .map { n =>
+          // one job per library: n_chunks = Σ group sizes, n_docs =
+          // group count — the grouped rollup preserves documents()'s
+          // exact semantics (a null document_id still forms a group,
+          // which countDistinct would drop) while halving the job count
+          // of the old chunks().count() + documents().count() pair
+          val r = fresh.chunks(n)
+            .groupBy("document_id").agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum("c"), lit(0L)), count(lit(1)))
+            .head()
+          (n, r.getLong(0), r.getLong(1))
+        }
         .toDF("library", "n_chunks", "n_docs")
     }),
     // ---- training-pipeline: MinHash-banded near-duplicate pairs.
@@ -3382,14 +3424,25 @@ object SparkEntry {
     //      vocab induction): lift = c_ab·N / (c_a·c_b) over adjacent
     //      token pairs — the rational PMI core, kept as one fixed-order
     //      scalar over exact integer counts so the oracle can't drift.
-    //      Three corpus passes (bigram counts, unigram counts, token
-    //      total), each map-side combined; unigram counts broadcast to
-    //      both join legs; the 1-row total inlines as a literal. ----
+    //      Two corpus passes (bigram counts, unigram counts), each
+    //      map-side combined; unigram counts broadcast to both join
+    //      legs; the token total is Σc over the unigram table, a
+    //      broadcast 1-row side of the same plan. ----
     "q_collocations" -> ((s, dir) => {
       val tk = t(s, dir, "documents").select(split(col("text"), " ", -1).as("tk"))
-      val nTok = tk.agg(sum(size(col("tk")))).head().getLong(0)
       val uni = tk.select(explode(col("tk")).as("t"))
         .groupBy("t").agg(count(lit(1)).as("c"))
+      // token total N derived FROM the unigram table as a scalar
+      // subquery of the same plan (Σ c ≡ Σ size(tk) exactly — explode
+      // emits one row per array element): the old separate
+      // `tk.agg(sum(size(tk))).head()` action was a third full corpus
+      // pass that shared nothing with the returned plan. Now the corpus
+      // is scanned twice (unigrams, bigrams), the uni exchange is built
+      // once and reused by all three consumers at runtime (both
+      // broadcast legs + this total), and the whole query is ONE action.
+      // `cab * N` stays the same long×long multiply, so lift is
+      // bit-identical.
+      val tot = uni.agg(sum("c").as("n_tok"))
       val bg = tk.where(size(col("tk")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(tk) - 1), " +
@@ -3398,10 +3451,11 @@ object SparkEntry {
       bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
         .join(broadcast(uni.select(col("t").as("a"), col("c").as("ca"))), "a")
         .join(broadcast(uni.select(col("t").as("b"), col("c").as("cb"))), "b")
+        .withColumn("__tot", oneRow(tot))
         .select(
           concat(col("a"), lit(" "), col("b")).as("bigram"),
           col("cab"),
-          rn((col("cab") * lit(nTok)).cast("double") /
+          rn((col("cab") * col("__tot.n_tok")).cast("double") /
             (col("ca") * col("cb")).cast("double"), 6).as("lift"))
         .orderBy(col("lift").desc, col("bigram"))
         .limit(20)
@@ -4183,8 +4237,9 @@ object SparkEntry {
       // that silently dropped rows would pass it with shrunken
       // coverage — so the one output row also asserts n_decoded equals
       // the documents count the corpus was synthesized from (metadata-
-      // level count, no extra data pass)
-      val expN = t(s, dir, "documents").count()
+      // level count, no extra data pass; a one-row scalar subquery of
+      // the same plan — not a separate .count() action/job)
+      val expN = t(s, dir, "documents").agg(count(lit(1)).as("exp_n"))
       val png = s.read.parquet(s"${mediaPngDir(s, dir)}/pngs")
       png.select(col("id"), col("media"), col("exp_w"), col("exp_h"), col("exp_f0"))
         .as[(Long, Array[Byte], Int, Int, Double)]
@@ -4211,10 +4266,13 @@ object SparkEntry {
           sum("w").as("sum_w"),
           sum("h").as("sum_h"),
           rn(avg("f0"), 6).as("avg_f0"))
+        .withColumn("__exp", oneRow(expN))
         .where(isnull(assert_true(
-          col("n_decoded") === lit(expN),
+          col("n_decoded") === col("__exp.exp_n"),
           concat(lit("media decode coverage drift: decoded "),
-            col("n_decoded").cast("string"), lit(s" of $expN documents")))))
+            col("n_decoded").cast("string"), lit(" of "),
+            col("__exp.exp_n").cast("string"), lit(" documents")))))
+        .drop("__exp")
     }))
 
   private val IvfPqDemoLib = "ivfpq_demo"
