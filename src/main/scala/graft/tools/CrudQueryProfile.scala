@@ -118,6 +118,9 @@ object CrudQueryProfile {
       // session; only the rebuilt side's scan runs after
       val digestSession = spark.newSession()
       digestSession.conf.set("spark.sql.adaptive.enabled", "false")
+      digestSession.conf.set("spark.sql.files.minPartitionNum", "1")
+      digestSession.conf.set("spark.sql.files.openCostInBytes",
+        (64L * 1024).toString)
       def sideDigest(df: org.apache.spark.sql.DataFrame) = df
         .agg(
           coalesce(sum(xxhash64(col("id"), col("table_idx"), col("sig"))
