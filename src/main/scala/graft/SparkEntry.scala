@@ -619,15 +619,32 @@ object SparkEntry {
         .select(col("vec_id"), rn(VectorFunctions.l2Norm(col("embedding")), 6).as("l2_norm"))
         .orderBy("vec_id")
         .limit(100)),
-    // ---- A1/A2-style aggregation: TPC-H Q1 shape over lineitem ----
+    // ---- A1/A2-style aggregation: TPC-H Q1 shape over lineitem.
+    //      Money sums are EXACT INTEGER-CENTS sums (round(x*100) as
+    //      long, summed, divided back once): the former double sums
+    //      were summation-order-dependent, and at x10 row counts the
+    //      per-group totals reach ~1e10 where a few ULPs of Spark-vs-
+    //      DuckDB order drift cross the 4-decimal rounding quantum —
+    //      the r17 x10 oracle caught exactly that (3 queries, low-bit
+    //      hash diffs). The fixture's money columns are exact 2-dp
+    //      values (verified: max |x*100 - round(x*100)| ≤ 1e-9), the
+    //      per-row cents are identical in both engines, and an int64
+    //      sum is order-invariant at ANY scale — the round-8 "integer
+    //      moments only" discipline applied to the last float sums. ----
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          rn(sum("l_quantity"), 4).as("sum_qty"),
-          rn(sum("l_extendedprice"), 4).as("sum_price"),
-          rn(avg("l_discount"), 6).as("avg_disc"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("__qc"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("__pc"),
+          sum(round(col("l_discount") * 100).cast("long")).as("__dc"),
           count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          rn(col("__qc").cast("double") / 100.0, 4).as("sum_qty"),
+          rn(col("__pc").cast("double") / 100.0, 4).as("sum_price"),
+          rn(col("__dc").cast("double") / 100.0 / col("cnt").cast("double"), 6)
+            .as("avg_disc"),
+          col("cnt"))
         .orderBy("l_returnflag", "l_linestatus")),
     // ---- T1: top-k without full sort (TakeOrderedAndProject) ----
     "q_topk_orders" -> ((s, dir) =>
@@ -635,12 +652,18 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
-    // ---- J1-general: broadcast dim join + aggregation ----
+    // ---- J1-general: broadcast dim join + aggregation (exact
+    //      integer-cents revenue — see the q1_agg note) ----
     "q_segment_revenue" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(rn(sum("o_totalprice"), 4).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(
+          sum(round(col("o_totalprice") * 100).cast("long")).as("__rc"),
+          count(lit(1)).as("n_orders"))
+        .select(col("c_mktsegment"),
+          rn(col("__rc").cast("double") / 100.0, 4).as("revenue"),
+          col("n_orders"))
         .orderBy("c_mktsegment")),
     // ---- multi-hop dim join: customer → nation → region rollup ----
     "q_region_customers" -> ((s, dir) =>
@@ -656,8 +679,9 @@ object SparkEntry {
     //      a probe side is small); the true dimensions (supplier,
     //      nation, the pre-filtered region) are explicit broadcasts —
     //      at 100 TB customer/orders/lineitem shuffle on join keys,
-    //      dims never do. Revenue is the fixture-wide float-sum
-    //      discipline: round(sum, 2) on both sides. ----
+    //      dims never do. Revenue is the exact integer-cents
+    //      discipline (see q1_agg): order-invariant int64 sum of the
+    //      per-row 4-dp term, divided back and rounded on both sides. ----
     "q_regional_revenue" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
       val ord = t(s, dir, "orders")
@@ -678,9 +702,15 @@ object SparkEntry {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
+        // exact integer sum of the per-row 4-dp revenue term (same
+        // discipline as q_filter_revenue — this sum is the same money
+        // class and only had more rounding headroom, not immunity)
         .agg(count(lit(1)).as("n_items"),
-          rn(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"))
+          sum(round(
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 10000)
+            .cast("long")).as("__rc"))
+        .select(col("n_name"), col("n_items"),
+          rn(col("__rc").cast("double") / 10000.0, 2).as("revenue"))
     }),
     // ---- P5/J3: existence via left-semi join (row order: see verifyOrder) ----
     "q_semi_customers_with_orders" -> ((s, dir) =>
@@ -698,14 +728,23 @@ object SparkEntry {
         .select("l_returnflag", "l_linestatus")
         .distinct()
         .orderBy("l_returnflag", "l_linestatus")),
-    // ---- P2-style filter + pushdown (TPC-H Q6 shape) ----
+    // ---- P2-style filter + pushdown (TPC-H Q6 shape). Revenue is an
+    //      exact integer sum of the per-row 4-dp term (2-dp price ×
+    //      2-dp (1-disc) is an exact 4-dp value; the per-row double is
+    //      computed with the identical op order in both engines, so
+    //      round(x*10000) lands on the same int64 everywhere) — see
+    //      the q1_agg note for why the double sum had to go. ----
     "q_filter_revenue" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .where(
           col("l_discount").between(0.04, 0.08) && col("l_quantity") < 24)
         .agg(
           count(lit(1)).as("n"),
-          rn(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))),
+          sum(round(
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 10000)
+            .cast("long")).as("__rc"))
+        .select(col("n"),
+          rn(col("__rc").cast("double") / 10000.0, 4).as("revenue"))),
     // ---- beyond-parity: event-time bucketing over events ----
     "q_events_hourly" -> ((s, dir) =>
       events(s, dir)
@@ -4687,11 +4726,13 @@ object SparkEntry {
     "q_vector_norms" ->
       s"""SELECT vec_id, (round(sqrt(${oNormSq("embedding")}), 6) + 0.0) AS l2_norm
          |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin,
+    // exact integer-cents sums (order-invariant at any scale; the x10
+    // corpus crossed the double sums' rounding quantum — see the query)
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  (round(sum(l_quantity), 4) + 0.0) AS sum_qty,
-        |  (round(sum(l_extendedprice), 4) + 0.0) AS sum_price,
-        |  (round(avg(l_discount), 6) + 0.0) AS avg_disc,
+        |  (round(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0, 4) + 0.0) AS sum_qty,
+        |  (round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0, 4) + 0.0) AS sum_price,
+        |  (round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0 / CAST(count(*) AS DOUBLE), 6) + 0.0) AS avg_disc,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -4699,7 +4740,9 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q_segment_revenue" ->
-      """SELECT c_mktsegment, (round(sum(o_totalprice), 4) + 0.0) AS revenue, count(*) AS n_orders
+      """SELECT c_mktsegment,
+        |  (round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0, 4) + 0.0) AS revenue,
+        |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_region_customers" ->
@@ -4721,7 +4764,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_filter_revenue" ->
       """SELECT count(*) AS n,
-        |  (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
+        |  (round(CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 10000.0, 4) + 0.0) AS revenue
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin,
     // slide P = 900e6 µs, duration 4P: the 4 epoch-aligned starts for an
@@ -5099,7 +5142,7 @@ object SparkEntry {
     // discipline (round to 2dp on both sides)
     "q_regional_revenue" ->
       """SELECT n_name, count(*) AS n_items,
-        |  (round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0) AS revenue
+        |  (round(CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 10000.0, 2) + 0.0) AS revenue
         |FROM customer c
         |JOIN orders o ON c_custkey = o_custkey
         |JOIN lineitem l ON l_orderkey = o_orderkey
