@@ -620,8 +620,11 @@ object SparkEntry {
         .orderBy("vec_id")
         .limit(100)),
     // ---- A1/A2-style aggregation: TPC-H Q1 shape over lineitem.
-    //      Money sums are EXACT INTEGER-CENTS sums (round(x*100) as
-    //      long, summed, divided back once): the former double sums
+    //      Money sums are EXACT INTEGER-CENTS sums (x*100 + 0.5 cast
+    //      to long — half-up rounding for positives in pure double
+    //      arithmetic, codegen-cheap where the Round expression's
+    //      BigDecimal path measured 2x the whole query at x100 —
+    //      summed, divided back once): the former double sums
     //      were summation-order-dependent, and at x10 row counts the
     //      per-group totals reach ~1e10 where a few ULPs of Spark-vs-
     //      DuckDB order drift cross the 4-decimal rounding quantum —
@@ -635,9 +638,9 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(round(col("l_quantity") * 100).cast("long")).as("__qc"),
-          sum(round(col("l_extendedprice") * 100).cast("long")).as("__pc"),
-          sum(round(col("l_discount") * 100).cast("long")).as("__dc"),
+          sum((col("l_quantity") * 100 + lit(0.5)).cast("long")).as("__qc"),
+          sum((col("l_extendedprice") * 100 + lit(0.5)).cast("long")).as("__pc"),
+          sum((col("l_discount") * 100 + lit(0.5)).cast("long")).as("__dc"),
           count(lit(1)).as("cnt"))
         .select(col("l_returnflag"), col("l_linestatus"),
           rn(col("__qc").cast("double") / 100.0, 4).as("sum_qty"),
@@ -659,7 +662,7 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-          sum(round(col("o_totalprice") * 100).cast("long")).as("__rc"),
+          sum((col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("__rc"),
           count(lit(1)).as("n_orders"))
         .select(col("c_mktsegment"),
           rn(col("__rc").cast("double") / 100.0, 4).as("revenue"),
@@ -706,9 +709,8 @@ object SparkEntry {
         // discipline as q_filter_revenue — this sum is the same money
         // class and only had more rounding headroom, not immunity)
         .agg(count(lit(1)).as("n_items"),
-          sum(round(
-            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 10000)
-            .cast("long")).as("__rc"))
+          sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            * 10000 + lit(0.5)).cast("long")).as("__rc"))
         .select(col("n_name"), col("n_items"),
           rn(col("__rc").cast("double") / 10000.0, 2).as("revenue"))
     }),
@@ -740,9 +742,8 @@ object SparkEntry {
           col("l_discount").between(0.04, 0.08) && col("l_quantity") < 24)
         .agg(
           count(lit(1)).as("n"),
-          sum(round(
-            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 10000)
-            .cast("long")).as("__rc"))
+          sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            * 10000 + lit(0.5)).cast("long")).as("__rc"))
         .select(col("n"),
           rn(col("__rc").cast("double") / 10000.0, 4).as("revenue"))),
     // ---- beyond-parity: event-time bucketing over events ----
@@ -4730,9 +4731,9 @@ object SparkEntry {
     // corpus crossed the double sums' rounding quantum — see the query)
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  (round(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0, 4) + 0.0) AS sum_qty,
-        |  (round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0, 4) + 0.0) AS sum_price,
-        |  (round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0 / CAST(count(*) AS DOUBLE), 6) + 0.0) AS avg_disc,
+        |  (round(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0, 4) + 0.0) AS sum_qty,
+        |  (round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0, 4) + 0.0) AS sum_price,
+        |  (round(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0 / CAST(count(*) AS DOUBLE), 6) + 0.0) AS avg_disc,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -4741,7 +4742,7 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q_segment_revenue" ->
       """SELECT c_mktsegment,
-        |  (round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0, 4) + 0.0) AS revenue,
+        |  (round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0, 4) + 0.0) AS revenue,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
@@ -4764,7 +4765,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_filter_revenue" ->
       """SELECT count(*) AS n,
-        |  (round(CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 10000.0, 4) + 0.0) AS revenue
+        |  (round(CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 10000.0, 4) + 0.0) AS revenue
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin,
     // slide P = 900e6 µs, duration 4P: the 4 epoch-aligned starts for an
@@ -5142,7 +5143,7 @@ object SparkEntry {
     // discipline (round to 2dp on both sides)
     "q_regional_revenue" ->
       """SELECT n_name, count(*) AS n_items,
-        |  (round(CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000, 0) AS BIGINT)) AS BIGINT)::DOUBLE / 10000.0, 2) + 0.0) AS revenue
+        |  (round(CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 10000.0, 2) + 0.0) AS revenue
         |FROM customer c
         |JOIN orders o ON c_custkey = o_custkey
         |JOIN lineitem l ON l_orderkey = o_orderkey
